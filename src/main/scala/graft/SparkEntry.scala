@@ -1,13 +1,561 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import graft.catalog.{Catalog, TopoSort}
+import graft.config._
+import graft.functions.TextFunctions
+import graft.functions.NumericFunctions.fround
+import graft.operators.{Archiver, Dedup, Multimodal, Retention, Similarity}
+import graft.sinks.SqlDump
+import graft.streaming.EventsStreaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (FIXTURES.md
+  * oracle protocol). Non-SQL-expressible operators (approximate sketches,
+  * streaming machinery) omit the oracle and get a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** A fixed retention cutoff keeps archival queries deterministic for the
+    * oracle; production uses a per-run `now` snapshot (Retention.predicate). */
+  private val Cutoff = "1999-01-01 00:00:00"
+
+  private def archivedOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(Retention.predicateAt("o_orderdate", Cutoff))
+
+  /** Flagship: full archiver run on sf0.001 (elect → FK order → retention
+    * filter → fan-out to parquet+csv+sqldump sinks → delete-back counts).
+    * Returns the per-table result summary; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val conf = ArchiverConfig(
+      name = "smoke",
+      source = SourceConfig(name = "sf0001", dir = "/root/testdata/sf0.001",
+        retention = "12 MONTH"),
+      destinations = Seq(
+        ParquetDestination("arch", s"$out/parquet"),
+        CsvDestination("csv", s"$out/csv"),
+        SqlDumpDestination("sql", s"$out/sql")),
+      archiveData = true, deleteData = true)
+    val results = new Archiver(spark, conf,
+      now = Instant.parse("2002-01-01T00:00:00Z")).run()
+    import spark.implicits._
+    results.map(r => (r.table, r.archivedCount, r.deletedCount, r.vetoed))
+      .toDF("table_name", "archived", "deleted", "vetoed")
+  }
+
+  // ---------------------------------------------------------------------
+  // Query surface
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- catalog / plan-time operators (S1–S5, T1–T6) -----
+    "s1_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val found = new java.io.File(dir).list().toSeq
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+      found.toDF("table_name")
+    }),
+    "s4_pk_probe" -> ((s, _) => {
+      import s.implicits._
+      // reference uses only the FIRST pk column (common/db.py:449-452)
+      Tables.specs.map(sp => (sp.name, sp.pk.head)).sortBy(_._1)
+        .toDF("table_name", "pk_first")
+    }),
+    "t1_table_election" -> ((s, dir) => {
+      import s.implicits._
+      Catalog.electTables(s, dir, Tables.specs,
+          include = "*", excludeRegexes = Seq("shadow_.*", "embeddings"))
+        .map(_.name).sorted.toDF("table_name")
+    }),
+    "t6_topo_order" -> ((s, _) => {
+      import s.implicits._
+      TopoSort.childFirst(Tables.specs.filter(sp =>
+          Tables.relational.contains(sp.name)))
+        .zipWithIndex.toDF("table_name", "topo_rank")
+    }),
+
+    // ----- archival row operators (S6, P2, P3, D1, W2, W7) -----
+    "s6_filtered_scan" -> ((s, dir) => archivedOrders(s, dir)),
+    "p2_retention" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull &&
+          col("o_orderdate") <= expr("TIMESTAMP '2000-07-01 00:00:00' - INTERVAL 12 MONTH"))
+        .select("o_orderkey", "o_orderdate")),
+    "p3_keyset_page" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") > 5000)
+        .orderBy("o_orderkey").limit(1000)),
+    "d1_delete_back" -> ((s, dir) => {
+      val live = t(s, dir, "orders")
+      val conf = ArchiverConfig("oracle", SourceConfig("g", dir), Nil)
+      new Archiver(s, conf).remaining(live, archivedOrders(s, dir),
+        Tables.byName("orders"))
+    }),
+    "w2_upsert_idempotent" -> ((s, dir) => {
+      val arch = archivedOrders(s, dir)
+      arch.unionByName(arch).dropDuplicates("o_orderkey")
+    }),
+    "w7_sqldump" -> ((s, dir) =>
+      SqlDump.statements(
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") <= expr("TIMESTAMP '1995-06-01 00:00:00'")),
+        "graft", Tables.byName("orders"))),
+
+    // ----- relational parity (SURVEY §2.8) -----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          fround(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+    "q2_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+    "q3_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))),
+    "q4_semi_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer").join(bigOrders, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "q5_anti_join" -> ((s, dir) => {
+      // customers with no urgent order — same anti-join shape as the
+      // archiver's delete-back (D1)
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer").join(urgent, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+    "q6_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+    "q7_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+    }),
+    "q8_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "q9_setops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val a = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = cust.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val c = cust.filter(col("c_acctbal") < 0).select("c_custkey")
+      val d = cust.filter(col("c_nationkey") < 15).select("c_custkey")
+      a.union(b).distinct().except(c).intersect(d)
+    }),
+    "q10_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))),
+    "q11_approx_distinct" -> ((s, dir) =>
+      // sketch-based, engine-specific values: rows-only check (no oracle)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+    "q12_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))),
+    "q13_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(col("o_orderpriority"), lit("none")).as("prio"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_digit"))),
+    "q14_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+    "q15_events_window" -> ((s, dir) =>
+      EventsStreaming.hourlyBatch(t(s, dir, "events"))),
+    "st1_stream_hourly" -> ((s, dir) => {
+      val qn = "graft_st1_" + math.abs(dir.hashCode).toString
+      val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
+      q.awaitTermination()
+      s.table(qn)
+    }),
+
+    // ----- dedup (LLM-pipeline) -----
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dd2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+    "dd3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4)),
+    "dd4_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+    "dd5_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    // ----- similarity search -----
+    "ss1_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5)
+    }),
+    "ss2_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 3, planes = 4)
+    }),
+
+    // ----- text analysis -----
+    "tx1_textstats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        fround(TextFunctions.meanTokenLen(col("text")), 3).as("mean_token_len"),
+        fround(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        fround(TextFunctions.qualityScore(col("text")), 4).as("quality"))),
+    "tx2_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+    "tx3_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "tx4_tfidf_top_term" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), fround(col("score"), 3).as("score"))
+    }),
+
+    // ----- multimodal columns -----
+    "mm1_media_metadata" -> ((s, dir) =>
+      Multimodal.metadata(
+        Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())),
+    "mm2_media_features" -> ((s, dir) => {
+      // decode stub features: Spark-side plumbing is real (typed Dataset,
+      // partition-parallel); values rows-only checked
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("checksum"), round(element_at(col("feat"), 1), 4).as("feat0"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — same tables, same column names/aliases.
+  // ---------------------------------------------------------------------
+
+  /** Shared DuckDB snippets for text tokenization parity with
+    * TextFunctions.tokens: lower → strip non-[a-z0-9 ] → trim → split. */
+  private val duckToks =
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')"
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_discovery" ->
+      """SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+        |('lineitem'), ('nation'), ('orders'), ('part'), ('region'), ('supplier'))
+        |AS t(table_name)""".stripMargin,
+    "s4_pk_probe" ->
+      """SELECT * FROM (VALUES
+        |('customer', 'c_custkey'), ('documents', 'doc_id'), ('embeddings', 'vec_id'),
+        |('events', 'event_id'), ('lineitem', 'l_orderkey'), ('nation', 'n_nationkey'),
+        |('orders', 'o_orderkey'), ('part', 'p_partkey'), ('region', 'r_regionkey'),
+        |('supplier', 's_suppkey')) AS t(table_name, pk_first)""".stripMargin,
+    "t1_table_election" ->
+      "SELECT * FROM (VALUES ('events'), ('lineitem'), ('orders')) AS t(table_name)",
+    "t6_topo_order" ->
+      """SELECT * FROM (VALUES ('lineitem', 0), ('orders', 1), ('customer', 2),
+        |('part', 3), ('supplier', 4), ('nation', 5), ('region', 6))
+        |AS t(table_name, topo_rank)""".stripMargin,
+
+    "s6_filtered_scan" ->
+      s"SELECT * FROM orders WHERE o_orderdate IS NOT NULL AND o_orderdate <= TIMESTAMP '$Cutoff'",
+    "p2_retention" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate IS NOT NULL
+        |AND o_orderdate <= TIMESTAMP '2000-07-01 00:00:00' - INTERVAL 12 MONTH""".stripMargin,
+    "p3_keyset_page" ->
+      "SELECT * FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 1000",
+    "d1_delete_back" ->
+      s"""SELECT * FROM orders WHERE o_orderkey NOT IN
+         |(SELECT o_orderkey FROM orders WHERE o_orderdate IS NOT NULL
+         |AND o_orderdate <= TIMESTAMP '$Cutoff')""".stripMargin,
+    "w2_upsert_idempotent" ->
+      s"""SELECT DISTINCT * FROM (
+         |SELECT * FROM orders WHERE o_orderdate IS NOT NULL AND o_orderdate <= TIMESTAMP '$Cutoff'
+         |UNION ALL
+         |SELECT * FROM orders WHERE o_orderdate IS NOT NULL AND o_orderdate <= TIMESTAMP '$Cutoff')""".stripMargin,
+    "w7_sqldump" ->
+      """SELECT 'INSERT INTO `graft`.`orders` (`o_orderkey`, `o_custkey`, `o_orderstatus`, `o_totalprice`, `o_orderdate`, `o_orderpriority`) VALUES ('
+        | || o_orderkey::VARCHAR || ', ' || o_custkey::VARCHAR || ', '''
+        | || o_orderstatus || ''', '
+        | || o_totalprice::DECIMAL(18,2)::VARCHAR || ', '''
+        | || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || ''', '''
+        | || o_orderpriority
+        | || ''') ON DUPLICATE KEY UPDATE `o_orderkey` = `o_orderkey`;' AS stmt
+        |FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |floor(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) * 10000.0) / 10000.0 AS avg_qty,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |sum(CAST(s_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q6_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 2""".stripMargin,
+    "q7_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q8_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q9_setops" ->
+      """WITH ab AS (
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |abc AS (SELECT c_custkey FROM ab
+        |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |SELECT c_custkey FROM abc
+        |INTERSECT SELECT c_custkey FROM customer WHERE c_nationkey < 15""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |substr(o_orderpriority, 1, 1) AS prio_code,
+        |o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        |CASE WHEN o_totalprice > 300000 THEN 'high'
+        |WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+        |coalesce(o_orderpriority, 'none') AS prio,
+        |regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_digit
+        |FROM orders""".stripMargin,
+    "q14_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k,
+        |min(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS min_k,
+        |max(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q15_events_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st1_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dd1_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dd2_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
+    "dd3_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dd4_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |bits AS (SELECT doc_id, b,
+         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |FROM toks, range(0, 16) rb(b)),
+         |votes AS (SELECT doc_id, b,
+         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |FROM bits GROUP BY 1, 2)
+         |SELECT doc_id,
+         |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin,
+    "dd5_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |floor(list_cosine_similarity(a.v, b.v) * 1000.0) / 1000.0 AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE floor(list_cosine_similarity(a.v, b.v) * 1000.0) / 1000.0 >= 0.35""".stripMargin,
+    "ss1_brute_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(q.v, c.v) AS cosraw
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss2_lsh_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id < 20 AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "tx1_textstats" ->
+      s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+         |stats AS (SELECT doc_id, text, len(t) AS n_tokens,
+         |list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+         |  / greatest(len(t), 1) AS mean_len,
+         |len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         |  / greatest(len(t), 1) AS stop_ratio,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS punct FROM toks)
+         |SELECT doc_id, n_tokens, floor(mean_len * 1000.0) / 1000.0 AS mean_token_len,
+         |floor(stop_ratio * 10000.0) / 10000.0 AS stopword_ratio,
+         |floor(least(greatest(
+         |least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+         |+ (1.0 - punct) * 0.2, 0.0), 1.0) * 10000.0) / 10000.0 AS quality
+         |FROM stats""".stripMargin,
+    "tx2_langid" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |scores AS (SELECT doc_id,
+         |len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+         |len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr,
+         |len(list_filter(t, x -> x IN ('el','los','que'))) AS s_es,
+         |len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+         |len(list_filter(t, x -> x IN ('de','shi','le'))) AS s_zh
+         |FROM toks)
+         |SELECT doc_id, CASE
+         |WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+         |ELSE 'und' END AS lang_pred FROM scores""".stripMargin,
+    "tx3_fingerprint" ->
+      """WITH norm AS (SELECT doc_id,
+        |regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS nm FROM documents)
+        |SELECT doc_id, min(md5(substr(nm, i::INT, 8))) AS fp
+        |FROM (SELECT doc_id, nm, unnest(range(1, greatest(strlen(nm) - 7, 1) + 1)) AS i FROM norm)
+        |GROUP BY doc_id""".stripMargin,
+    "tx4_tfidf_top_term" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, score,
+         |row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |FROM scored)
+         |SELECT doc_id, term, floor(score * 1000.0) / 1000.0 AS score FROM ranked WHERE rn = 1""".stripMargin,
+
+    "mm1_media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |ELSE 'video' END AS media_type,
+        |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Static catalog of the test fixture tables (FIXTURES.md).
+  *
+  * In the reference this metadata is discovered at runtime from MySQL
+  * (`SHOW DATABASES/TABLES/KEYS`, information_schema probes —
+  * /root/reference/osarchiver/common/db.py:393-482). Our parquet testbed has
+  * no information_schema, so the catalog is declared here; the discovery
+  * *operators* (S1–S5) are implemented against this catalog in
+  * [[graft.catalog.Catalog]] and would read JDBC information_schema in a
+  * real deployment.
+  */
+object Tables {
+
+  /** Table metadata: primary key columns, soft-delete (retention) column if
+    * any, and FK parents as (fkColumn -> parentTable).
+    */
+  final case class TableSpec(
+      name: String,
+      pk: Seq[String],
+      deletedColumn: Option[String],
+      fkParents: Seq[(String, String)])
+
+  /** All tables of the TPC-H-ish testbed, per FIXTURES.md. */
+  val specs: Seq[TableSpec] = Seq(
+    TableSpec("region", Seq("r_regionkey"), None, Nil),
+    TableSpec("nation", Seq("n_nationkey"), None, Seq("n_regionkey" -> "region")),
+    TableSpec("customer", Seq("c_custkey"), None, Seq("c_nationkey" -> "nation")),
+    TableSpec("supplier", Seq("s_suppkey"), None, Seq("s_nationkey" -> "nation")),
+    TableSpec("part", Seq("p_partkey"), None, Nil),
+    TableSpec(
+      "orders",
+      Seq("o_orderkey"),
+      Some("o_orderdate"),
+      Seq("o_custkey" -> "customer")),
+    TableSpec(
+      "lineitem",
+      Seq("l_orderkey", "l_linenumber"),
+      Some("l_shipdate"),
+      Seq("l_orderkey" -> "orders", "l_partkey" -> "part", "l_suppkey" -> "supplier")),
+    TableSpec("events", Seq("event_id"), Some("ts"), Nil),
+    TableSpec("documents", Seq("doc_id"), None, Nil),
+    TableSpec("embeddings", Seq("vec_id"), None, Nil)
+  )
+
+  val byName: Map[String, TableSpec] = specs.map(s => s.name -> s).toMap
+
+  val names: Seq[String] = specs.map(_.name)
+
+  /** Relational core tables (the star schema the FK graph spans). */
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Load one fixture table. Column pruning + predicate pushdown reach the
+    * parquet scan because this is a plain declarative read (no RDD hop).
+    *
+    * The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright; we read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
+    * the same truncation DuckDB applies, keeping the oracle aligned.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Convert any nanos-as-long `ts` column back to a real timestamp. */
+  def normalizeNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+}

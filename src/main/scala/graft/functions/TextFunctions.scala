@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * no UDFs, fully pushdown/prune-friendly. Each has an exact ANSI-SQL
+  * equivalent so the DuckDB oracle can verify it (FIXTURES.md oracle
+  * protocol). Hashing primitives use md5 because it is bit-identical across
+  * engines — that makes MinHash/SimHash/fingerprints oracle-checkable while
+  * staying deterministic at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after lowercasing + punctuation strip.
+    * (The fixtures are clean space-separated word bags; the regexp keeps the
+    * same function correct on dirty text.) */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]+", " ")), " +")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** n-token shingles as space-joined strings; empty array when the doc has
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    // sequence(1, size-n+1) of start indexes -> slice(tokens, i, n) joined.
+    // Guarded: sequence(1, 0) would DESCEND in Spark, so short docs get [].
+    val starts = sequence(lit(1), size(t) - lit(n - 1))
+    when(size(t) >= n,
+      array_distinct(transform(starts, i => array_join(slice(t, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of tokens that are stopwords — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") /
+      greatest(size(t), lit(1))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(t), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with low punctuation
+    * and a sane stopword rate score high. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctPenalty = punctRatio(text)
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    least(greatest(
+      lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Language-ID via marker-token voting (n-gram heuristic): count
+    * language-specific function words, pick the argmax with a fixed
+    * precedence order, `und` when no marker hits. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, w => w.isInCollection(markers)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    // precedence = declaration order on ties
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > lit(0) && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: minimum md5 over character 8-gram shingles of the
+    * normalized text — a winnowing-style content fingerprint that is stable
+    * under token reordering-free edits and identical across engines. */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+    val starts = sequence(lit(1), greatest(length(norm) - lit(7), lit(1)))
+    array_min(transform(starts, i => md5(norm.substr(i, lit(8)))))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` embeddings.
+  *
+  * Pure `functions._` compositions (`zip_with`/`aggregate`/`transform`) so
+  * the math stays inside whole-stage codegen — no UDF boxing per element.
+  * All arithmetic is promoted to double *before* accumulation and folds
+  * strictly left-to-right, which makes results bit-deterministic and
+  * engine-comparable (the DuckDB oracle computes the same fold).
+  */
+object VectorFunctions {
+
+  /** Cast array<float> -> array<double> once, up front. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** ±1 hyperplane coefficient for (plane, dim), derived from md5 so every
+    * engine/executor reproduces the identical hyperplanes with no random
+    * state to broadcast: +1 iff the first md5 hex nibble of "p:d" is >= 8. */
+  private def coef(plane: Int, dim: Column): Column =
+    when(substring(md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 1) >= "8",
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Signed-random-projection value of `vec` (double array) onto plane p. */
+  def srpProjection(vec: Column, plane: Int): Column = {
+    val dims = sequence(lit(1), size(vec))
+    aggregate(
+      zip_with(vec, dims, (x, d) => x * coef(plane, d)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** LSH bucket id in [0, 2^planes): bit p set iff projection on plane p is
+    * positive. The scale path for ANN — one narrow pass to bucket, then a
+    * shuffle/join on the bucket id instead of an all-pairs cross join. */
+  def srpBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(srpProjection(vec, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.time.Instant
+
+import graft.Tables
+import graft.Tables.TableSpec
+import graft.catalog.Catalog
+import graft.config.{ArchiverConfig, CsvDestination, ParquetDestination, SqlDumpDestination}
+import graft.sinks.{CsvSink, ParquetUpsertSink, Sink, SqlDumpSink}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The archival engine core — `Archiver.run()` re-expressed Spark-first
+  * (SURVEY.md §3.2; /root/reference/osarchiver/archiver.py:82-106).
+  *
+  * Per elected table, in FK child-first order:
+  *   1. scan + retention filter (predicate pushed to the source scan),
+  *   2. persist the archivable snapshot (read once, write N times —
+  *      replaces the reference's chunk re-reading),
+  *   3. fan out to every destination; ANY failure vetoes the delete
+  *      (reference OSArchiverArchivingFailed, archiver.py:58-64,99-101),
+  *   4. delete-back as a left-anti join on the PK against the *archived*
+  *      snapshot — the file-store equivalent of the reference's chunked
+  *      `DELETE … WHERE pk IN (…)` (/root/reference/osarchiver/source/db.py:300-374).
+  *
+  * Scale design: each table is an independent narrow scan→filter→write plan
+  * (no shuffle in the archival path at all; the only exchange is the PK
+  * anti-join of delete-back, which broadcasts when the archived side is
+  * small and AQE-plans otherwise). Tables are embarrassingly parallel
+  * across a cluster; `{now}` is one driver Instant so all tables see a
+  * consistent cut (/root/reference/osarchiver/source/db.py:58-65).
+  */
+final class Archiver(spark: SparkSession, conf: ArchiverConfig, now: Instant = Instant.now()) {
+
+  final case class TableResult(
+      table: String,
+      archivedCount: Long,
+      deletedCount: Long,
+      vetoed: Boolean)
+
+  private val sinks: Seq[Sink] = conf.destinations.map {
+    case ParquetDestination(_, dir) => new ParquetUpsertSink(rt(dir))
+    case CsvDestination(_, dir, comp) => new CsvSink(rt(dir), comp)
+    case SqlDumpDestination(_, dir, comp) => new SqlDumpSink(rt(dir), comp)
+  }
+
+  private def rt(s: String): String = graft.config.Config.interpolateRuntime(s, now)
+
+  /** Rows eligible for archiving in one table (operator S6+P2: filtered
+    * scan, predicate pushed down). */
+  def archivable(df: DataFrame, spec: TableSpec): DataFrame = {
+    val deletedCol = spec.deletedColumn.getOrElse(
+      throw new IllegalArgumentException(s"${spec.name} has no retention column"))
+    val pred = conf.source.whereTemplate match {
+      case Some(tpl) => Retention.fromTemplate(tpl, now, deletedCol)
+      case None => Retention.predicate(deletedCol, now, conf.source.retention)
+    }
+    df.filter(pred)
+  }
+
+  /** Remaining live rows after a successful archive: anti-join on PK against
+    * the archived snapshot (D1). Vetoed tables keep all rows (D2). */
+  def remaining(live: DataFrame, archived: DataFrame, spec: TableSpec): DataFrame =
+    live.join(archived.select(spec.pk.map(col): _*), spec.pk, "left_anti")
+
+  /** Run one table end-to-end; returns counts + whether delete was vetoed.
+    * `liveStore` receives the post-delete table when deleteData is on — in
+    * the testbed that's a parquet rewrite, against JDBC it would be the
+    * keyed DELETE of SURVEY.md D1. */
+  def runTable(
+      spec: TableSpec,
+      liveStore: Option[(TableSpec, DataFrame) => Unit] = None): TableResult = {
+    val db = conf.source.name
+    val live = Tables.load(spark, conf.source.dir, spec.name)
+    val archived = archivable(live, spec)
+    // One snapshot for every sink and the delete decision — the reference
+    // gets this for free by buffering the chunk; we persist the filtered set.
+    archived.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = archived.count()
+      var vetoed = false
+      if (conf.archiveData && n > 0) {
+        sinks.foreach { s =>
+          try s.write(db, spec, archived, conf.dryRun)
+          catch {
+            case e: Exception =>
+              // archiving failed => delete MUST NOT run (archiver.py:96-103)
+              vetoed = true
+              System.err.println(
+                s"[archiver:${conf.name}] sink ${s.name} failed for ${spec.name}, " +
+                  s"delete vetoed: ${e.getMessage}")
+          }
+        }
+      }
+      var deleted = 0L
+      if (conf.deleteData && !vetoed && !conf.dryRun && n > 0) {
+        val rest = remaining(live, archived, spec)
+        liveStore.foreach(f => f(spec, rest))
+        deleted = n
+      }
+      TableResult(spec.name, n, deleted, vetoed)
+    } finally archived.unpersist()
+  }
+
+  /** Full run: elect tables (T1–T5), FK order them (T6), archive each. */
+  def run(liveStore: Option[(TableSpec, DataFrame) => Unit] = None): Seq[TableResult] = {
+    val elected = Catalog.electTables(
+      spark, conf.source.dir,
+      Tables.specs.map(s => s.copy(deletedColumn =
+        // the configured soft-delete column applies only where it exists
+        if (Tables.load(spark, conf.source.dir, s.name)
+          .schema.fieldNames.contains(conf.source.deletedColumn))
+          Some(conf.source.deletedColumn)
+        else s.deletedColumn)),
+      include = conf.source.tables,
+      excludeRegexes = conf.source.excludedTables)
+    elected.map(runTable(_, liveStore))
+  }
+}

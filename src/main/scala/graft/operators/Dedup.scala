@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface.
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact: one hash-shuffle on a 128-bit content hash — never on the raw
+  *    text (shuffle bytes ∝ hash, not document size).
+  *  - MinHash/LSH: signatures are computed in a narrow pass; candidate
+  *    generation is an equi-join on (band, signature) — the only shuffle
+  *    keys are tiny fixed-width strings. No all-pairs comparison ever runs.
+  *  - SimHash: one narrow pass to a 64-bit-ish signature; near-dup lookup is
+  *    an equi-join on the signature (or banded substrings for hamming>0).
+  *  - n-gram Jaccard: explode-join on shingle equality; the join key is a
+  *    shingle hash, and pairs are verified with exact set math afterwards.
+  *  - embedding cosine: either LSH-bucketed (srpBucket) or blocked
+  *    brute-force; thresholded pairs only.
+  *
+  * Hash primitive is md5 throughout: engine-portable (the DuckDB oracle
+  * reproduces every signature bit-for-bit) and deterministic across
+  * executors with zero broadcast state.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content fingerprint -> surviving doc (min id) +
+    * duplicate count. Deterministic representative selection (min id), not
+    * dropDuplicates' arbitrary first-seen. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** (doc_id, shingle) pairs, distinct — shared by Jaccard and MinHash. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs with similarity >= threshold.
+    * Exact set semantics: |A∩B| via the shingle equi-join, |A∪B| via
+    * per-doc sizes. Join key is the shingle string (hash-partitioned);
+    * doc_a < doc_b canonicalizes pairs. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.NumericFunctions.fround(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature rows: (doc_id, j, mh) for j in [0, numHashes) where
+    * mh = min over shingles of md5(j + ":" + shingle). */
+  def minhash(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"),
+        col("sh"))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band signature
+    * (bands of `rowsPerBand` hashes). Output distinct (doc_a, doc_b). */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val mh = minhash(shingleSet(docs, idCol, textCol, shingleN), numHashes)
+    val bands = mh
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      // band signature: the j-ordered concatenation of the band's minhashes
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        s => s.getField("mh")), "").as("sig"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash signature per doc over `bits` bits (bit b of md5(token) nibble
+    * (b/4)+1, weight +1/-1, majority vote). One narrow pass; returns
+    * (doc_id, simhash). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    tok.select(col("doc_id"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"), col("t"))
+      .withColumn("nib",
+        conv(md5(col("t")).substr((col("b") / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("int"))
+      .withColumn("w",
+        when(expr("shiftright(nib, cast(b % 4 as int)) % 2") === 1, lit(1))
+          .otherwise(lit(-1)))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("w")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).
+    * Brute-force form (the oracle-checkable baseline); the LSH-bucketed
+    * scale path reuses [[VectorFunctions.srpBucket]] to restrict the join. */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.NumericFunctions.fround(
+          VectorFunctions.cosine(col("a.v"), col("b.v")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

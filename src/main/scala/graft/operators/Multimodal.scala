@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with a typed metadata struct, plus the decode/feature-extract stage.
+  *
+  * The Spark-side contract is real and tested: schema, batch shape,
+  * partition-parallel decode via `mapPartitions` over a typed Dataset (the
+  * Scala analogue of `mapInPandas` batch UDFs). The *codec* itself is
+  * STUBBED — this container has no image/audio libraries — behind
+  * [[FakeCodec]], a deterministic stand-in that consumes the real bytes and
+  * emits fixed-width features. Swapping in a real decoder changes only the
+  * body of `FakeCodec.decode`.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata, the canonical multimodal schema. */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String,  // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,          // pixels / samples-per-frame; 0 when unknown
+      height: Int,
+      sample_rate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: String,
+      feat: Array[Double]) // fixed-width feature vector from the decoder
+
+  /** Deterministic decoder stand-in: real decode would go here (??? in a
+    * production build). Features = byte-histogram moments over the payload —
+    * deterministic, cheap, and exercises the full bytes of the column. */
+  object FakeCodec {
+    val featureDim = 8
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val f = new Array[Double](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        f(i % featureDim) += (payload(i) & 0xff) / 255.0
+        i += 1
+      }
+      if (payload.length > 0) {
+        var j = 0
+        while (j < featureDim) { f(j) = f(j) / payload.length; j += 1 }
+      }
+      f
+    }
+  }
+
+  /** Build a media table from the documents fixture (text bytes as payload)
+    * — the plumbing test harness; production reads real binaries via
+    * `spark.read.format("binaryFile")`. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        // deterministic fake modality assignment
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Partition-parallel decode / feature extraction. Batched per partition
+    * (the mapInPandas shape): the decoder is instantiated once per partition,
+    * not per row — where a real codec would amortize native init. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would happen here
+      rows.map { r =>
+        MediaFeatures(
+          media_id = r.media_id,
+          media_type = r.media_type,
+          n_bytes = r.payload.length.toLong,
+          checksum = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString,
+          feat = FakeCodec.decode(r.payload))
+      }
+    }
+  }
+
+  /** Pure-SQL metadata path (oracle-checkable): byte length + md5 checksum
+    * of the payload, no decode. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("checksum"))
+}
