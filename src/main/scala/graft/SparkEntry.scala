@@ -45,8 +45,10 @@ object SparkEntry {
         CsvDestination("csv", s"$out/csv"),
         SqlDumpDestination("sql", s"$out/sql")),
       archiveData = true, deleteData = true)
+    // fixed snapshot past every fixture's time range (orders/lineitem end
+    // 2001, events end 2024-01) so each elected table archives rows
     val results = new Archiver(spark, conf,
-      now = Instant.parse("2002-01-01T00:00:00Z")).run()
+      now = Instant.parse("2025-06-01T00:00:00Z")).run()
     import spark.implicits._
     results.map(r => (r.table, r.archivedCount, r.deletedCount, r.vetoed))
       .toDF("table_name", "archived", "deleted", "vetoed")
@@ -60,9 +62,7 @@ object SparkEntry {
     // ----- catalog / plan-time operators (S1–S5, T1–T6) -----
     "s1_discovery" -> ((s, dir) => {
       import s.implicits._
-      val found = new java.io.File(dir).list().toSeq
-        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
-      found.toDF("table_name")
+      Catalog.discoverTables(dir).toDF("table_name")
     }),
     "s4_pk_probe" -> ((s, _) => {
       import s.implicits._

@@ -35,6 +35,13 @@ object Catalog {
     all.nonEmpty && ("^(" + all.mkString("|") + ")$").r.matches(name)
   }
 
+  /** S1/S2 — discovery scan over the parquet testbed: tables are the
+    * `*.parquet` entries in the source directory (JDBC deployments read
+    * information_schema instead). */
+  def discoverTables(dir: String): Seq[String] =
+    Option(new java.io.File(dir).list()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+
   /** T1/T2 — database election: `*` means "all discovered", then prune by
     * exclusion regex + hardwired system DBs. */
   def electDatabases(

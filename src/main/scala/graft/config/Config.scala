@@ -47,17 +47,19 @@ object Ini {
         .orElse(sections.get("DEFAULT").flatMap(_.get(key)))
 
     // ${key} resolves in the same section (with DEFAULT fallback);
-    // ${section:key} resolves across sections — configparser
-    // ExtendedInterpolation semantics.
-    private val Ref = raw"\$$\{([^}:]+)(?::([^}]+))?\}".r
+    // ${section:key} resolves across sections (split on the LAST colon —
+    // section names like "src:live" contain colons themselves).
+    private val Ref = raw"\$$\{([^}]+)\}".r
     private def interpolate(section: String, value: String, depth: Int): String = {
       if (depth > 10)
         throw new IllegalArgumentException(s"interpolation loop in [$section]: $value")
       Ref.replaceAllIn(value, m => {
+        val inner = m.group(1)
+        val idx = inner.lastIndexOf(':')
         val (sec, key) =
-          if (m.group(2) == null) (section, m.group(1)) else (m.group(1), m.group(2))
+          if (idx < 0) (section, inner) else (inner.take(idx), inner.drop(idx + 1))
         val resolved = raw(sec, key).getOrElse(throw new IllegalArgumentException(
-          s"unresolvable interpolation $${${m.matched}} in [$section]"))
+          s"unresolvable interpolation $${$inner} in [$section]"))
         java.util.regex.Matcher.quoteReplacement(interpolate(sec, resolved, depth + 1))
       })
     }

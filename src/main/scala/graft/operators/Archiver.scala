@@ -32,19 +32,26 @@ import org.apache.spark.storage.StorageLevel
   * across a cluster; `{now}` is one driver Instant so all tables see a
   * consistent cut (/root/reference/osarchiver/source/db.py:58-65).
   */
-final class Archiver(spark: SparkSession, conf: ArchiverConfig, now: Instant = Instant.now()) {
-
+object Archiver {
   final case class TableResult(
       table: String,
       archivedCount: Long,
       deletedCount: Long,
       vetoed: Boolean)
+}
 
-  private val sinks: Seq[Sink] = conf.destinations.map {
+final class Archiver(
+    spark: SparkSession,
+    conf: ArchiverConfig,
+    now: Instant = Instant.now(),
+    sinkOverride: Option[Seq[Sink]] = None) {
+  import Archiver.TableResult
+
+  private val sinks: Seq[Sink] = sinkOverride.getOrElse(conf.destinations.map {
     case ParquetDestination(_, dir) => new ParquetUpsertSink(rt(dir))
     case CsvDestination(_, dir, comp) => new CsvSink(rt(dir), comp)
     case SqlDumpDestination(_, dir, comp) => new SqlDumpSink(rt(dir), comp)
-  }
+  })
 
   private def rt(s: String): String = graft.config.Config.interpolateRuntime(s, now)
 
@@ -104,16 +111,19 @@ final class Archiver(spark: SparkSession, conf: ArchiverConfig, now: Instant = I
     } finally archived.unpersist()
   }
 
-  /** Full run: elect tables (T1–T5), FK order them (T6), archive each. */
+  /** Full run: discover (S1/S2), elect tables (T1–T5), FK order them (T6),
+    * archive each. */
   def run(liveStore: Option[(TableSpec, DataFrame) => Unit] = None): Seq[TableResult] = {
-    val elected = Catalog.electTables(
-      spark, conf.source.dir,
-      Tables.specs.map(s => s.copy(deletedColumn =
+    val present = Catalog.discoverTables(conf.source.dir).toSet
+    val candidates = Tables.specs.filter(s => present.contains(s.name))
+      .map(s => s.copy(deletedColumn =
         // the configured soft-delete column applies only where it exists
         if (Tables.load(spark, conf.source.dir, s.name)
           .schema.fieldNames.contains(conf.source.deletedColumn))
           Some(conf.source.deletedColumn)
-        else s.deletedColumn)),
+        else s.deletedColumn))
+    val elected = Catalog.electTables(
+      spark, conf.source.dir, candidates,
       include = conf.source.tables,
       excludeRegexes = conf.source.excludedTables)
     elected.map(runTable(_, liveStore))

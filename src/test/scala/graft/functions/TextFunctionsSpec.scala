@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens lowercase, strip punctuation, split on whitespace runs") {
+    val t = one("Hello,  WORLD! it's 42")
+      .select(TextFunctions.tokens($"text")).as[Seq[String]].head()
+    assert(t === Seq("hello", "world", "it", "s", "42"))
+  }
+
+  test("shingles of short docs are empty, not inverted sequences") {
+    val sh = one("only two")
+      .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh === Seq.empty)
+    val ok = one("one two three four")
+      .select(TextFunctions.shingles($"text", 3)).as[Seq[String]].head()
+    assert(ok === Seq("one two three", "two three four"))
+  }
+
+  test("stopword ratio and quality bounds") {
+    val r = one("the a of and the")
+      .select(TextFunctions.stopwordRatio($"text")).as[Double].head()
+    assert(r === 1.0)
+    val q = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(TextFunctions.qualityScore($"text").as("q"))
+      .agg(min("q"), max("q")).as[(Double, Double)].head()
+    assert(q._1 >= 0.0 && q._2 <= 1.0)
+  }
+
+  test("langId votes on marker words with precedence, und fallback") {
+    assert(one("the cat sat of a mat")
+      .select(TextFunctions.langId($"text")).as[String].head() === "en")
+    assert(one("le chat et la table")
+      .select(TextFunctions.langId($"text")).as[String].head() === "fr")
+    assert(one("xyz qqq zzz")
+      .select(TextFunctions.langId($"text")).as[String].head() === "und")
+    // tie between en ('the') and fr ('le') -> declaration precedence: en
+    assert(one("the le")
+      .select(TextFunctions.langId($"text")).as[String].head() === "en")
+  }
+
+  test("fingerprint is stable and insensitive to punctuation noise") {
+    val a = one("the quick brown fox jumps over the lazy dog")
+      .select(TextFunctions.fingerprint($"text")).as[String].head()
+    val b = one("The quick brown fox... jumps over the lazy dog")
+      .select(TextFunctions.fingerprint($"text")).as[String].head()
+    assert(a.nonEmpty)
+    // same min-shingle survives the punctuation edit in this sample
+    assert(a === b)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media table has the canonical schema and real payload bytes") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents"))
+    assert(media.columns.toSeq === Seq("media_id", "media_type", "payload",
+      "width", "height", "sample_rate"))
+    val r = media.filter($"media_id" === 0L).head()
+    assert(r.media_type === "image")
+    assert(r.payload.length > 0)
+  }
+
+  test("feature extraction is partition-parallel, deterministic, fixed-width") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents"))
+    val f1 = Multimodal.extractFeatures(media.repartition(4))
+      .collect().map(f => f.media_id -> f).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(f1.keySet === f2.keySet)
+    f1.foreach { case (id, f) =>
+      assert(f.feat.length === Multimodal.FakeCodec.featureDim)
+      assert(f.feat.toSeq === f2(id).feat.toSeq) // partitioning-independent
+      assert(f.n_bytes > 0)
+      assert(f.checksum.matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("metadata path agrees with typed feature path on bytes + checksum") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents"))
+    val meta = Multimodal.metadata(media.toDF())
+      .select("media_id", "n_bytes", "checksum")
+      .as[(Long, Long, String)].collect()
+      .map { case (k, b, c) => k -> ((b, c)) }.toMap
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.foreach { f =>
+      assert(meta(f.media_id) === ((f.n_bytes, f.checksum)))
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute-force top-k ranks the clone first, orthogonal last") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (13L, Array(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(10L, 11L, 13L)) // 12 (orthogonal) excluded
+    assert(r.head._2 === 1.0)
+  }
+
+  test("srp bucket is deterministic and within range") {
+    val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .limit(50)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("v"))
+    val b1 = emb.select(col("vec_id"),
+      VectorFunctions.srpBucket(col("v"), 4).as("b")).as[(Long, Long)].collect().toMap
+    val b2 = emb.select(col("vec_id"),
+      VectorFunctions.srpBucket(col("v"), 4).as("b")).as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("lsh top-k returns a subset of brute-force candidates with same scores") {
+    val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(q, c, "vec_id", "embedding", k = 3, planes = 4)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (qid, nid, cos) =>
+      assert(brute((qid, nid)) === cos) // same pair scores identically
+    }
+  }
+}

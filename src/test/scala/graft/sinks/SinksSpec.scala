@@ -1,0 +1,70 @@
+package graft.sinks
+
+import graft.{Tables, TestSpark}
+import graft.Tables.TableSpec
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sqldump escapes quotes/backslashes/newlines and renders NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("it's a 'test'")),
+      (2L, Some("back\\slash and\nnewline\ttab")),
+      (3L, None)
+    ).toDF("id", "payload")
+    val spec = TableSpec("t", Seq("id"), None, Nil)
+    val stmts = SqlDump.statements(df, "db", spec).as[String].collect().sorted
+    assert(stmts(0) ===
+      "INSERT INTO `db`.`t` (`id`, `payload`) VALUES (1, 'it\\'s a \\'test\\'') " +
+        "ON DUPLICATE KEY UPDATE `id` = `id`;")
+    assert(stmts(1).contains("'back\\\\slash and\\nnewline\\ttab'"))
+    assert(stmts(2).contains("VALUES (3, NULL)"))
+  }
+
+  test("parquet upsert sink is idempotent and appends only new keys") {
+    val root = TestSpark.tmpDir("upsert")
+    val sink = new ParquetUpsertSink(root)
+    val spec = Tables.byName("orders")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val first = orders.filter(col("o_orderkey") < 100)
+    sink.write("db", spec, first, dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() === first.count())
+    // re-write same rows: no dupes
+    sink.write("db", spec, first, dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() === first.count())
+    // overlapping + new rows: only new keys added
+    val second = orders.filter(col("o_orderkey") < 200)
+    sink.write("db", spec, second, dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() === second.count())
+    val keys = sink.read(spark, "db", "orders")
+      .agg(countDistinct("o_orderkey")).head.getLong(0)
+    assert(keys === second.count())
+  }
+
+  test("schema drift is rejected") {
+    val root = TestSpark.tmpDir("drift")
+    val sink = new ParquetUpsertSink(root)
+    val spec = Tables.byName("orders")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    sink.write("db", spec, orders.limit(10), dryRun = false)
+    val drifted = orders.withColumn("o_totalprice", col("o_totalprice").cast("string"))
+    assertThrows[SchemaDriftException](
+      sink.write("db", spec, drifted.limit(10), dryRun = false))
+  }
+
+  test("csv sink writes header + codec") {
+    val root = TestSpark.tmpDir("csv")
+    val sink = new CsvSink(root, compression = Some("gzip"))
+    val spec = Tables.byName("region")
+    sink.write("db", spec, Tables.load(spark, TestSpark.sf0001, "region"), dryRun = false)
+    val files = new java.io.File(s"$root/db.region.csv").listFiles()
+    assert(files.exists(_.getName.endsWith(".csv.gz")))
+    val back = spark.read.option("header", "true").csv(s"$root/db.region.csv")
+    assert(back.count() === 5)
+    assert(back.columns.toSeq === Seq("r_regionkey", "r_name"))
+  }
+}

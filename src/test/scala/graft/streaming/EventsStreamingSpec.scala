@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming complete-mode result equals the batch aggregation") {
+    val batch = EventsStreaming.hourlyBatch(
+      Tables.load(spark, TestSpark.sf0001, "events"))
+    val q = EventsStreaming.hourlyStream(
+      spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_complete")
+    q.awaitTermination()
+    val stream = spark.table("st_spec_complete")
+    assert(stream.count() === batch.count())
+    // exact same (window, type) -> counts
+    val joined = stream.alias("s").join(batch.alias("b"),
+      Seq("win_start", "event_type"))
+      .filter(col("s.n_events") =!= col("b.n_events"))
+    assert(joined.count() === 0)
+  }
+
+  test("append-mode with watermark emits only finalized windows") {
+    val q = EventsStreaming.hourlyStreamAppend(
+      spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_append")
+    q.awaitTermination()
+    val appended = spark.table("st_spec_append")
+    val batch = EventsStreaming.hourlyBatch(
+      Tables.load(spark, TestSpark.sf0001, "events"))
+    // watermark holds back windows near max event time; everything emitted
+    // must match batch, and the tail windows may be withheld
+    assert(appended.count() <= batch.count())
+    val mismatched = appended.alias("s").join(batch.alias("b"),
+      Seq("win_start", "event_type"))
+      .filter(col("s.n_events") =!= col("b.n_events"))
+    assert(mismatched.count() === 0)
+  }
+}
