@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast array<float> -> array<double> once, up front. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast array<float> -> array<double> once, up front (native Cast —
+    * codegen'd, unlike a transform lambda). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product (see [[expressions.ArrayDot]]); same
+    * strict left-to-right fold as the interpreted form it replaces. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.ArrayDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))

@@ -35,10 +35,19 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** (doc_id, shingle) pairs, distinct — shared by Jaccard and MinHash. */
+  /** (doc_id, shingle) pairs, distinct — shared by Jaccard and MinHash.
+    *
+    * The input is repartitioned on the id first: document corpora often
+    * arrive as few large files, and without the spread the whole
+    * tokenize/shingle/hash pipeline runs in as many tasks as there are
+    * input splits. One cheap shuffle of the raw docs unlocks full-cluster
+    * parallelism for the expensive narrow stages. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("sh"))
+    docs.repartition(col(idCol))
+      // tokenize in its own projection so the regexp tokenizer runs once
+      // per doc, not once per shingle (see shinglesOfTokens scaladoc)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
       .distinct()
 
   /** n-gram Jaccard near-dup pairs with similarity >= threshold.
@@ -48,7 +57,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // the shingle set feeds three plan branches (both join sides + sizes);
+    // persist so tokenization/shingling runs once, not per branch
     val sh = shingleSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -65,27 +77,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature rows: (doc_id, j, mh) for j in [0, numHashes) where
-    * mh = min over shingles of md5(j + ":" + shingle). */
-  def minhash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"),
-        col("sh"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("mh"))
+  /** MinHash signatures as one wide row per doc: mh_j = min over shingles of
+    * md5(j + ":" + shingle). Computed as `numHashes` partial-aggregated mins
+    * in a single groupBy — no row explosion, one shuffle of the shingle set
+    * (vs. numHashes× the rows with an explode-based layout). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    // evaluate the md5s in a Project (whole-stage codegen) — string-buffer
+    // aggregates fall back to SortAggregate, which would evaluate the
+    // hashes interpreted if they lived inside the agg expressions
+    val hashed = sh.select(col("doc_id") +: (0 until numHashes).map { j =>
+      md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")
+    }: _*)
+    val mins = (0 until numHashes).map(j => min(col(s"h$j")).as(s"mh$j"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band signature
-    * (bands of `rowsPerBand` hashes). Output distinct (doc_a, doc_b). */
+    * (bands of `rowsPerBand` hashes, signature = j-ordered concat of the
+    * band's minhashes). Output distinct (doc_a, doc_b). The only shuffles
+    * are the signature groupBy and the equi-join on (band, sig) — tiny
+    * fixed-width keys, the LSH scale path. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val mh = minhash(shingleSet(docs, idCol, textCol, shingleN), numHashes)
-    val bands = mh
-      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      // band signature: the j-ordered concatenation of the band's minhashes
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-        s => s.getField("mh")), "").as("sig"))
-    val a = bands.as("a"); val b = bands.as("b")
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val sigs = minhashSignatures(shingleSet(docs, idCol, textCol, shingleN), numHashes)
+    val bandCols = (0 until numBands).map { b =>
+      concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
+        .as(s"band$b")
+    }
+    val stacked = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), expr(
+        s"stack($numBands, " +
+          (0 until numBands).map(b => s"$b, band$b").mkString(", ") +
+          ") as (band, sig)"))
+      // both self-join sides read this subtree; persist so the signature
+      // computation (the expensive part) runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = stacked.as("a"); val b = stacked.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -97,8 +127,8 @@ object Dedup {
     * (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("t"))
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
     tok.select(col("doc_id"),
         explode(sequence(lit(0), lit(bits - 1))).as("b"), col("t"))
       .withColumn("nib",
@@ -117,16 +147,22 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).
     * Brute-force form (the oracle-checkable baseline); the LSH-bucketed
-    * scale path reuses [[VectorFunctions.srpBucket]] to restrict the join. */
+    * scale path reuses [[VectorFunctions.srpBucket]] to restrict the join.
+    *
+    * Norms are computed once per vector before the pair join (the join
+    * evaluates only one native dot per pair, not three interpreted folds) —
+    * numerically identical to cosine() since the fold order is unchanged. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"),
-      VectorFunctions.toDouble(col(vecCol)).as("v"))
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.NumericFunctions.fround(
-          VectorFunctions.cosine(col("a.v"), col("b.v")), 3).as("cos"))
+          VectorFunctions.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 3).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

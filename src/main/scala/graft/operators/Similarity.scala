@@ -27,9 +27,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,11 +47,13 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, planes: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), planes))
+      .withColumn("qn", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), planes))
+      .withColumn("cn", norm2(col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
