@@ -211,6 +211,17 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     "q15_events_window" -> ((s, dir) =>
       EventsStreaming.hourlyBatch(t(s, dir, "events"))),
+    "q16_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionsBatch(t(s, dir, "events"), gapMinutes = 30)),
+    "q17_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val p = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, c("c_nationkey") === p("s_nationkey"), "full_outer")
+        .select(coalesce(c("c_nationkey"), p("s_nationkey")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    }),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
@@ -424,6 +435,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, ts, us,
+        |lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_id, ts, us,
+        |CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |sid AS (SELECT user_id, ts, sum(new_sess) OVER (
+        |PARTITION BY user_id ORDER BY us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |count(*) AS n_events FROM sid GROUP BY user_id, sid""".stripMargin,
+    "q17_full_outer" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |n_cust, n_supp FROM
+        |(SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN
+        |(SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value

@@ -70,9 +70,11 @@ object Tables {
   def normalizeNanos(df: DataFrame): DataFrame =
     df.schema.fields.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
+      // integer `div`, NOT `/`: Column./ is double division, and nanos
+      // epochs (~1.7e18) exceed double precision — off-by-1µs corruption
       case Some(_) => df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
       case None => df
     }
 }

@@ -111,6 +111,8 @@ final case class CsvDestination(name: String, directory: String,
     compression: Option[String] = None) extends DestinationConfig
 final case class SqlDumpDestination(name: String, directory: String,
     compression: Option[String] = None) extends DestinationConfig
+final case class JdbcDestination(name: String, url: String,
+    dialect: String = "ansi", batchSize: Int = 1000) extends DestinationConfig
 
 /** One archiver = source + fan-out destinations + delete policy
   * (reference `[archiver:*]` section + Archiver object,
@@ -173,13 +175,18 @@ object Config {
 
   private def destinationConfig(ini: Ini.Parsed, sec: String): DestinationConfig = {
     val name = sec.stripPrefix("dst:")
-    val dir = ini.get(sec, "directory").getOrElse(
+    def dir = ini.get(sec, "directory").getOrElse(
       throw new IllegalArgumentException(s"[$sec] missing directory"))
     val compression = ini.get(sec, "compression")
     ini.getOrElse(sec, "type", "parquet") match {
       case "parquet" => ParquetDestination(name, dir)
       case "csv" => CsvDestination(name, dir, compression)
       case "sql" => SqlDumpDestination(name, dir, compression)
+      case "jdbc" => JdbcDestination(name,
+        url = ini.get(sec, "url").getOrElse(
+          throw new IllegalArgumentException(s"[$sec] missing url")),
+        dialect = ini.getOrElse(sec, "dialect", "ansi"),
+        batchSize = ini.int(sec, "batch_size", 1000))
       case other => throw new IllegalArgumentException(
         s"[$sec] unknown destination type $other")
     }

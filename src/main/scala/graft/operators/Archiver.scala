@@ -5,8 +5,8 @@ import java.time.Instant
 import graft.Tables
 import graft.Tables.TableSpec
 import graft.catalog.Catalog
-import graft.config.{ArchiverConfig, CsvDestination, ParquetDestination, SqlDumpDestination}
-import graft.sinks.{CsvSink, ParquetUpsertSink, Sink, SqlDumpSink}
+import graft.config._
+import graft.sinks._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +51,10 @@ final class Archiver(
     case ParquetDestination(_, dir) => new ParquetUpsertSink(rt(dir))
     case CsvDestination(_, dir, comp) => new CsvSink(rt(dir), comp)
     case SqlDumpDestination(_, dir, comp) => new SqlDumpSink(rt(dir), comp)
+    case JdbcDestination(_, url, dialect, batchSize) =>
+      new JdbcUpsertSink(
+        JdbcSinkConfig(url = rt(url), batchSize = batchSize),
+        if (dialect == "mysql") MySqlDialect else AnsiDialect)
   })
 
   private def rt(s: String): String = graft.config.Config.interpolateRuntime(s, now)

@@ -1,0 +1,286 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Timestamp}
+
+import graft.Tables.TableSpec
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** The archive-DB destination — SURVEY.md W2/W3/W4/X1/X2 re-expressed for
+  * Spark's execution model.
+  *
+  * Reference behavior being preserved
+  * (/root/reference/osarchiver/destination/db/db.py:327-414,
+  * /root/reference/osarchiver/common/db.py:305-391):
+  *  - idempotent keyed writes (`INSERT … ON DUPLICATE KEY UPDATE pk = pk`):
+  *    re-archiving rows already present must be a no-op, which also makes
+  *    Spark task retries exactly-once in effect;
+  *  - batched commits (`bulk_insert`, executemany) — here JDBC addBatch /
+  *    executeBatch per `batchSize` rows inside `foreachPartition`;
+  *  - DDL bootstrap: archive table created from the source schema on first
+  *    write; subsequent writes verify structural equality (drift guard);
+  *  - bounded retry with backoff for transient errors; integrity errors
+  *    (duplicate key) are handled by the idempotence strategy instead.
+  *
+  * Scale notes: one connection per partition (X2's cursor cache becomes
+  * connection-per-task), writes stream through executors — the driver never
+  * sees a row. Works against any JDBC store; the duplicate-key SQLSTATE and
+  * upsert statement come from the [[JdbcDialect]].
+  */
+final case class JdbcSinkConfig(
+    url: String,
+    driver: String = "",
+    batchSize: Int = 1000,       // reference bulk_insert default (common/db.py:41)
+    maxRetries: Int = 5,         // reference max_retries (common/db.py:40)
+    retryDelayMs: Long = 2000,   // reference retry_time_limit (common/db.py:42)
+    sessionInitSql: Seq[String] = Nil) // e.g. SET FOREIGN_KEY_CHECKS=0 (D4)
+
+/** Engine-specific SQL shapes. */
+trait JdbcDialect extends Serializable {
+  /** Plain parameterized INSERT. */
+  def insertSql(table: String, cols: Seq[String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+  /** Native upsert statement, if the engine has one (used when non-empty). */
+  def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] = None
+  /** SQLSTATE for duplicate-key violations (fallback idempotence path). */
+  def duplicateKeySqlState: String = "23505"
+  /** SQLSTATE for FK/integrity violations (delete dichotomy trigger). */
+  def integritySqlState: String = "23503"
+  def columnType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case StringType => "VARCHAR(4000)"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case BinaryType => "BLOB"
+    case other => throw new IllegalArgumentException(s"no JDBC type for $other")
+  }
+}
+
+/** MySQL/MariaDB — the reference's native upsert. */
+object MySqlDialect extends JdbcDialect {
+  override def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] =
+    Some(insertSql(table, cols) +
+      s" ON DUPLICATE KEY UPDATE ${pk.head} = ${pk.head}")
+  override val duplicateKeySqlState: String = "23000" // MySQL 1062 maps here
+}
+
+/** ANSI-ish engines without upsert (Derby etc.): INSERT + ignore-dup-key. */
+object AnsiDialect extends JdbcDialect
+
+object Jdbc {
+  /** X1: bounded retry with fixed backoff; integrity/duplicate errors are
+    * never retried (they are deterministic). */
+  def withRetry[A](cfg: JdbcSinkConfig, noRetryStates: Set[String])(f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: SQLException if e.getSQLState != null &&
+            noRetryStates.contains(e.getSQLState) => throw e
+        case e: SQLException if attempt < cfg.maxRetries =>
+          attempt += 1
+          Thread.sleep(cfg.retryDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def connect(cfg: JdbcSinkConfig): Connection = {
+    if (cfg.driver.nonEmpty) Class.forName(cfg.driver)
+    val c = DriverManager.getConnection(cfg.url)
+    c.setAutoCommit(false)
+    cfg.sessionInitSql.foreach { sql =>
+      val st = c.createStatement(); try st.execute(sql) finally st.close()
+    }
+    c
+  }
+
+  /** Rollback-then-close: clears any open transaction (the reference's
+    * rollback-in-finally, which also caps server undo logs —
+    * common/db.py:386-390). */
+  def close(c: Connection): Unit = {
+    try c.rollback() catch { case _: SQLException => () }
+    try c.close() catch { case _: SQLException => () }
+  }
+
+  def bind(ps: PreparedStatement, i: Int, dt: DataType, v: Any): Unit =
+    if (v == null) ps.setObject(i, null)
+    else dt match {
+      case LongType => ps.setLong(i, v.asInstanceOf[Long])
+      case IntegerType => ps.setInt(i, v.asInstanceOf[Int])
+      case DoubleType => ps.setDouble(i, v.asInstanceOf[Double])
+      case FloatType => ps.setFloat(i, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(i, v.asInstanceOf[Boolean])
+      case StringType => ps.setString(i, v.toString)
+      case TimestampType | TimestampNTZType => v match {
+        case t: Timestamp => ps.setTimestamp(i, t)
+        case ldt: java.time.LocalDateTime => ps.setTimestamp(i, Timestamp.valueOf(ldt))
+        case inst: java.time.Instant => ps.setTimestamp(i, Timestamp.from(inst))
+        case other => ps.setObject(i, other)
+      }
+      case DateType => ps.setDate(i, v.asInstanceOf[java.sql.Date])
+      case d: DecimalType => ps.setBigDecimal(i, v.asInstanceOf[java.math.BigDecimal])
+      case BinaryType => ps.setBytes(i, v.asInstanceOf[Array[Byte]])
+      case other => ps.setObject(i, v)
+    }
+}
+
+final class JdbcUpsertSink(
+    cfg: JdbcSinkConfig,
+    dialect: JdbcDialect = AnsiDialect) extends Sink {
+
+  override def name: String = s"jdbc:${cfg.url}"
+
+  /** W4 — DDL bootstrap + drift guard: create the archive table from the
+    * source StructType on first write; on re-runs compare the live column
+    * (name, type) list structurally. */
+  private def ensureTable(
+      conn: Connection, table: String, schema: StructType, pk: Seq[String]): Unit = {
+    val meta = conn.getMetaData
+    val rs = meta.getColumns(null, null, table.toUpperCase, null)
+    val existing = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => r.getString("COLUMN_NAME").toLowerCase).toSeq
+    if (existing.isEmpty) {
+      // PK constraint is what makes the upsert/ignore-dup idempotence work
+      val pkSet = pk.toSet
+      val ddl = schema.fields.map { f =>
+        val notNull = if (pkSet.contains(f.name)) " NOT NULL" else ""
+        s"${f.name} ${dialect.columnType(f.dataType)}$notNull"
+      }.mkString(", ") + s", PRIMARY KEY (${pk.mkString(", ")})"
+      val st = conn.createStatement()
+      try st.execute(s"CREATE TABLE $table ($ddl)") finally st.close()
+      conn.commit()
+    } else {
+      val incoming = schema.fields.map(_.name.toLowerCase).toSeq
+      if (existing.sorted != incoming.sorted)
+        throw new SchemaDriftException(
+          s"jdbc archive table $table columns $existing != source $incoming")
+    }
+  }
+
+  override def write(db: String, spec: TableSpec, df: DataFrame, dryRun: Boolean): Unit = {
+    if (dryRun) { df.count(); return }
+    val schema = df.schema
+    val table = spec.name
+    val cols = schema.fields.map(_.name).toSeq
+    val sql = dialect.upsertSql(table, cols, spec.pk)
+      .getOrElse(dialect.insertSql(table, cols))
+    val nativeUpsert = dialect.upsertSql(table, cols, spec.pk).isDefined
+    val localCfg = cfg
+    val localDialect = dialect
+    // bootstrap once from the driver (prerequisites memoization, W4)
+    val boot = Jdbc.connect(localCfg)
+    try ensureTable(boot, table, schema, spec.pk) finally Jdbc.close(boot)
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = Jdbc.connect(localCfg)
+        try {
+          val ps = conn.prepareStatement(sql)
+          var batch = Vector.empty[Row]
+          def flush(): Unit = if (batch.nonEmpty) {
+            Jdbc.withRetry(localCfg, Set(localDialect.duplicateKeySqlState,
+              localDialect.integritySqlState)) {
+              try {
+                batch.foreach { row =>
+                  cols.indices.foreach(i =>
+                    Jdbc.bind(ps, i + 1, schema(i).dataType, row.get(i)))
+                  ps.addBatch()
+                }
+                ps.executeBatch()
+                conn.commit()
+              } catch {
+                case e: SQLException if !nativeUpsert =>
+                  // W2 fallback idempotence: replay the batch row-by-row,
+                  // skipping duplicate-key rows (the pk = pk no-op)
+                  conn.rollback()
+                  ps.clearBatch()
+                  batch.foreach { row =>
+                    cols.indices.foreach(i =>
+                      Jdbc.bind(ps, i + 1, schema(i).dataType, row.get(i)))
+                    try ps.executeUpdate()
+                    catch {
+                      case d: SQLException
+                        if d.getSQLState == localDialect.duplicateKeySqlState => ()
+                    }
+                  }
+                  conn.commit()
+              }
+            }
+            batch = Vector.empty
+          }
+          rows.foreach { row =>
+            batch :+= row
+            if (batch.size >= localCfg.batchSize) flush()
+          }
+          flush() // forced tail flush (db.py:407-413)
+        } finally Jdbc.close(conn)
+      }
+    }
+  }
+}
+
+/** D1/D3 — keyed chunked delete-back against a JDBC live store.
+  *
+  * `DELETE FROM t WHERE pk IN (…)` in chunks of `deleteLimit` with a
+  * throttle sleep between chunks (protecting a live OLTP store is the
+  * point — the reference's delete_loop_delay, common/db.py:43). On an
+  * integrity violation the chunk is split in half recursively (the
+  * reference's numpy.array_split dichotomy, source/db.py:376-426) until the
+  * poison rows are isolated; those are left undeleted and reported.
+  */
+object JdbcDeleteBack {
+
+  /** Returns (deletedCount, poisonKeys). */
+  def delete(
+      keys: DataFrame, pkCol: String, table: String,
+      cfg: JdbcSinkConfig, dialect: JdbcDialect = AnsiDialect,
+      deleteLimit: Int = 500, loopDelayMs: Long = 0): (Long, Seq[Any]) = {
+    val spark = keys.sparkSession
+    val deleted = spark.sparkContext.longAccumulator("graft.deleted")
+    val poison = spark.sparkContext.collectionAccumulator[Any]("graft.poison")
+    val localCfg = cfg
+    keys.select(pkCol).foreachPartition { (rows: Iterator[Row]) =>
+      val ids = rows.map(_.get(0)).toVector
+      if (ids.nonEmpty) {
+        val conn = Jdbc.connect(localCfg)
+        try {
+          def deleteChunk(chunk: Vector[Any]): Unit = if (chunk.nonEmpty) {
+            val sql = s"DELETE FROM $table WHERE $pkCol IN (" +
+              chunk.map(_ => "?").mkString(", ") + ")"
+            val ps = conn.prepareStatement(sql)
+            try {
+              chunk.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+              val n = Jdbc.withRetry(localCfg, Set(dialect.integritySqlState)) {
+                ps.executeUpdate()
+              }
+              conn.commit()
+              deleted.add(n)
+            } catch {
+              case e: SQLException if e.getSQLState == dialect.integritySqlState =>
+                conn.rollback()
+                if (chunk.size == 1) poison.add(chunk.head) // isolated poison row
+                else { // dichotomy: split and retry halves
+                  val (l, r) = chunk.splitAt(chunk.size / 2)
+                  deleteChunk(l); deleteChunk(r)
+                }
+            } finally ps.close()
+          }
+          ids.grouped(deleteLimit).foreach { chunk =>
+            deleteChunk(chunk)
+            if (loopDelayMs > 0) Thread.sleep(loopDelayMs)
+          }
+        } finally Jdbc.close(conn)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    (deleted.value, poison.value.asScala.toSeq)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sinks
+
+import graft.{Tables, TestSpark}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JDBC archive path end-to-end against embedded Derby (same JVM as the
+  * local[4] executors, so foreachPartition tasks hit the same store). */
+class JdbcSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cfg(dbName: String, batch: Int = 1000) = JdbcSinkConfig(
+    url = s"jdbc:derby:memory:$dbName;create=true",
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    batchSize = batch, maxRetries = 1, retryDelayMs = 10)
+
+  private def query[A](c: JdbcSinkConfig, sql: String)(f: java.sql.ResultSet => A): A = {
+    val conn = Jdbc.connect(c)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      rs.next(); f(rs)
+    } finally Jdbc.close(conn)
+  }
+
+  test("upsert sink bootstraps DDL, batches, and re-runs are idempotent") {
+    val c = cfg("upsert1", batch = 7) // deliberately tiny batch
+    val sink = new JdbcUpsertSink(c)
+    val spec = Tables.byName("orders")
+    val rows = Tables.load(spark, TestSpark.sf0001, "orders")
+      .filter(col("o_orderkey") < 100)
+    sink.write("db", spec, rows, dryRun = false)
+    assert(query(c, "SELECT count(*) FROM orders")(_.getLong(1)) === rows.count())
+    // second write of the same rows: duplicate keys skipped, count unchanged
+    sink.write("db", spec, rows, dryRun = false)
+    assert(query(c, "SELECT count(*) FROM orders")(_.getLong(1)) === rows.count())
+    // overlapping superset: only new keys land
+    val more = Tables.load(spark, TestSpark.sf0001, "orders")
+      .filter(col("o_orderkey") < 150)
+    sink.write("db", spec, more, dryRun = false)
+    assert(query(c, "SELECT count(*) FROM orders")(_.getLong(1)) === more.count())
+  }
+
+  test("schema drift against an existing jdbc table is rejected") {
+    val c = cfg("drift1")
+    val sink = new JdbcUpsertSink(c)
+    val spec = Tables.byName("region")
+    val region = Tables.load(spark, TestSpark.sf0001, "region")
+    sink.write("db", spec, region, dryRun = false)
+    assertThrows[SchemaDriftException] {
+      sink.write("db", spec, region.withColumnRenamed("r_name", "r_label"),
+        dryRun = false)
+    }
+  }
+
+  test("keyed chunked delete-back deletes everything in limit-sized chunks") {
+    val c = cfg("del1")
+    val sink = new JdbcUpsertSink(c)
+    val spec = Tables.byName("orders")
+    val rows = Tables.load(spark, TestSpark.sf0001, "orders")
+      .filter(col("o_orderkey") < 200)
+    sink.write("db", spec, rows, dryRun = false)
+    val keys = rows.select(col("o_orderkey"))
+    val (deleted, poison) = JdbcDeleteBack.delete(
+      keys, "o_orderkey", "orders", c, deleteLimit = 33)
+    assert(deleted === rows.count())
+    assert(poison.isEmpty)
+    assert(query(c, "SELECT count(*) FROM orders")(_.getLong(1)) === 0L)
+  }
+
+  test("dichotomy isolates FK-referenced rows as poison, deletes the rest") {
+    val c = cfg("dich1")
+    val conn = Jdbc.connect(c)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE parent (id BIGINT PRIMARY KEY)")
+      st.execute("CREATE TABLE child (id BIGINT, pid BIGINT REFERENCES parent(id))")
+      (1 to 50).foreach(i => st.execute(s"INSERT INTO parent VALUES ($i)"))
+      // children reference parents 7, 23, 41 — those deletes must fail
+      Seq(7, 23, 41).zipWithIndex.foreach { case (p, i) =>
+        st.execute(s"INSERT INTO child VALUES ($i, $p)") }
+      conn.commit()
+    } finally Jdbc.close(conn)
+    import spark.implicits._
+    val keys = (1L to 50L).toDF("id")
+    val (deleted, poison) = JdbcDeleteBack.delete(
+      keys, "id", "parent", c, deleteLimit = 16)
+    assert(poison.map(_.toString.toLong).sorted === Seq(7L, 23L, 41L))
+    assert(deleted === 47)
+    assert(query(c, "SELECT count(*) FROM parent")(_.getLong(1)) === 3L)
+  }
+}
