@@ -6,7 +6,7 @@ import graft.catalog.{Catalog, TopoSort}
 import graft.config._
 import graft.functions.TextFunctions
 import graft.functions.NumericFunctions.fround
-import graft.operators.{Archiver, Dedup, Multimodal, Retention, Similarity}
+import graft.operators.{Archiver, AsOfJoin, Dedup, Multimodal, Retention, Similarity}
 import graft.sinks.SqlDump
 import graft.streaming.EventsStreaming
 
@@ -221,6 +221,32 @@ object SparkEntry {
       c.join(p, c("c_nationkey") === p("s_nationkey"), "full_outer")
         .select(coalesce(c("c_nationkey"), p("s_nationkey")).as("nationkey"),
           col("n_cust"), col("n_supp"))
+    }),
+    "q18_above_avg" -> ((s, dir) => {
+      // correlated-subquery shape (orders above their customer's average),
+      // expressed as a window aggregate: one shuffle, no per-row subquery
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+    }),
+    "q19_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // one right row per (user, ts) for determinism
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("err_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.leftAsOf(clicks, errors, "user_id", "ts", Seq("err_id"))
+        .select(col("event_id"), col("user_id"), col("asof_err_id"))
+    }),
+    "ss3_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 2)
     }),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
@@ -453,6 +479,44 @@ object SparkEntry {
         |FULL JOIN
         |(SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
         |ON c.c_nationkey = s.s_nationkey""".stripMargin,
+    "q18_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)
+        |WHERE o_totalprice > cust_avg""".stripMargin,
+    "q19_asof_join" ->
+      """WITH errors AS (SELECT user_id, ts, max(event_id) AS err_id
+        |FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |clicks AS (SELECT event_id, user_id, ts FROM events
+        |WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "ss3_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corp AS (SELECT vec_id AS neighbor_id, v AS cv,
+        |sqrt(list_inner_product(v, v)) AS cn FROM v WHERE vec_id >= 20),
+        |cents AS (SELECT neighbor_id AS cent_id, cv AS centv,
+        |list_inner_product(cv, cv) / 2 AS chs FROM corp ORDER BY neighbor_id LIMIT 8),
+        |cassign AS (SELECT neighbor_id, cv, cn, cent_id AS cell FROM (
+        |SELECT c.neighbor_id, c.cv, c.cn, ce.cent_id, row_number() OVER (
+        |PARTITION BY c.neighbor_id
+        |ORDER BY (list_inner_product(c.cv, ce.centv) - ce.chs) DESC, ce.cent_id) AS rk
+        |FROM corp c CROSS JOIN cents ce) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv,
+        |sqrt(list_inner_product(v, v)) AS qn FROM v WHERE vec_id < 20),
+        |qassign AS (SELECT query_id, qv, qn, cent_id AS cell FROM (
+        |SELECT q.query_id, q.qv, q.qn, ce.cent_id, row_number() OVER (
+        |PARTITION BY q.query_id
+        |ORDER BY (list_inner_product(q.qv, ce.centv) - ce.chs) DESC, ce.cent_id) AS rk
+        |FROM q CROSS JOIN cents ce) WHERE rk <= 2),
+        |scored AS (SELECT query_id, neighbor_id,
+        |list_inner_product(qv, cv) / (qn * cn) AS cosraw
+        |FROM qassign JOIN cassign USING (cell) WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw, row_number() OVER (
+        |PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value

@@ -39,6 +39,49 @@ object Similarity {
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest coarse
+    * centroid ("cell"); queries probe the `nProbe` nearest cells and rank
+    * only those candidates. Centroids here are the first `nCentroids`
+    * corpus vectors by id — a deterministic stand-in for an offline-trained
+    * quantizer (the assignment/probing machinery is what matters; swap the
+    * centroid source for k-means output in production).
+    *
+    * Scale: centroids are broadcast (tiny), assignment is one narrow pass,
+    * candidate generation is an equi-join on cell id — corpus never
+    * self-joins. argmin-L2 is computed as argmax of dot(v, c) - |c|²/2
+    * (equivalent since |v|² is constant per vector), so the inner loop is
+    * the same codegen'd dot product as everywhere else. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val cents = c.orderBy("neighbor_id").limit(nCentroids)
+      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"),
+        (dot(col("cv"), col("cv")) / 2).as("cent_half_sq"))
+    def assign(df: DataFrame, vc: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents), lit(true))
+        .withColumn("score", dot(col(vc), col("centv")) - col("cent_half_sq"))
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("score").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "cent_half_sq", "score", "crank")
+    }
+    val corpusCells = assign(c, "cv", 1).withColumnRenamed("cent_id", "cell")
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val queryCells = assign(q, "qv", nProbe).withColumnRenamed("cent_id", "cell")
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share an SRP bucket with the query; top-k
     * within candidates. `planes` controls bucket granularity (2^planes
     * buckets). Same output schema as brute force; recall < 1 by design. */

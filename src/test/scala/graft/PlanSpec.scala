@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gates: these assert the physical properties that make the
+  * operators viable at 100 TB — filters reaching the scan, column pruning,
+  * broadcast joins for small dims, no unexpected cartesian products, and
+  * windows over a single exchange. A query that silently regresses to a
+  * full-scan or a shuffle-heavy plan fails here long before a benchmark
+  * would catch it.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("retention filter is pushed down to the parquet scan (S6/P2)") {
+    val p = plan("s6_filtered_scan")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThanOrEqual(o_orderdate"), s"retention not pushed:\n$p")
+  }
+
+  test("aggregation prunes columns at the scan (q1 reads 6 of 11 columns)") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("small dimension joins broadcast (q2/q3)") {
+    assert(plan("q2_join_agg").contains("BroadcastHashJoin"))
+    val p3 = plan("q3_broadcast_join")
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+  }
+
+  test("anti-join delete-back stays a single join, no cartesian (D1)") {
+    val p = plan("d1_delete_back")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("minhash LSH candidate join is an equi-join on (band, sig), not all-pairs") {
+    val p = plan("dd3_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH must never degrade to an all-pairs comparison")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("running sum uses one exchange then a window, no re-sort cascade (q7)") {
+    val p = plan("q7_running_sum")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"too many exchanges:\n$p")
+  }
+
+  test("native dot product appears in similarity plans (no interpreted HOF)") {
+    val p = plan("dd5_embed_neardup")
+    assert(p.contains("arraydot") || p.contains("ArrayDot"),
+      s"expected native ArrayDot in plan:\n$p")
+    assert(!p.contains("aggregate(zip_with"),
+      "interpreted higher-order fold crept back into the hot path")
+  }
+
+  test("keyset page uses a global sort + limit, pushed filter (P3)") {
+    val p = plan("p3_keyset_page")
+    assert(p.contains("GreaterThan(o_orderkey,5000)") || p.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan"))
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"))
+  }
+}
