@@ -298,6 +298,10 @@ object SparkEntry {
     "tx3_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "tx5_rolling_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text"), 8).as("rfp"))),
     "tx4_tfidf_top_term" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
@@ -631,6 +635,21 @@ object SparkEntry {
         |regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS nm FROM documents)
         |SELECT doc_id, min(md5(substr(nm, i::INT, 8))) AS fp
         |FROM (SELECT doc_id, nm, unnest(range(1, greatest(strlen(nm) - 7, 1) + 1)) AS i FROM norm)
+        |GROUP BY doc_id""".stripMargin,
+    "tx5_rolling_fingerprint" ->
+      """WITH norm AS (SELECT doc_id,
+        |regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS nm FROM documents)
+        |SELECT doc_id, min((
+        |  ascii(substr(nm, i::INT, 1))::BIGINT * 27512614111 +
+        |  ascii(substr(nm, i::INT + 1, 1))::BIGINT * 887503681 +
+        |  ascii(substr(nm, i::INT + 2, 1))::BIGINT * 28629151 +
+        |  ascii(substr(nm, i::INT + 3, 1))::BIGINT * 923521 +
+        |  ascii(substr(nm, i::INT + 4, 1))::BIGINT * 29791 +
+        |  ascii(substr(nm, i::INT + 5, 1))::BIGINT * 961 +
+        |  ascii(substr(nm, i::INT + 6, 1))::BIGINT * 31 +
+        |  ascii(substr(nm, i::INT + 7, 1))::BIGINT) % 1000000007) AS rfp
+        |FROM (SELECT doc_id, nm,
+        |unnest(range(1, greatest(strlen(nm) - 7, 1) + 1)) AS i FROM norm)
         |GROUP BY doc_id""".stripMargin,
     "tx4_tfidf_top_term" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),

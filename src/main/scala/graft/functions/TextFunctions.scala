@@ -102,6 +102,16 @@ object TextFunctions {
     }
   }
 
+  /** Karp-Rabin rolling fingerprint (native codegen'd expression): min
+    * base-31 polynomial hash over 8-byte windows of the normalized text.
+    * The scale path — O(n) per doc, zero allocation per window. */
+  def rollingFingerprint(text: Column, width: Int = 8): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+    GraftColumnBridge.column(graft.functions.expressions.RollingMinHash(
+      GraftColumnBridge.expression(norm), width))
+  }
+
   /** Document fingerprint: minimum md5 over character 8-gram shingles of the
     * normalized text — a winnowing-style content fingerprint that is stable
     * under token reordering-free edits and identical across engines. */

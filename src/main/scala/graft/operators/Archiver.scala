@@ -47,15 +47,30 @@ final class Archiver(
     sinkOverride: Option[Seq[Sink]] = None) {
   import Archiver.TableResult
 
-  private val sinks: Seq[Sink] = sinkOverride.getOrElse(conf.destinations.map {
-    case ParquetDestination(_, dir) => new ParquetUpsertSink(rt(dir))
-    case CsvDestination(_, dir, comp) => new CsvSink(rt(dir), comp)
-    case SqlDumpDestination(_, dir, comp) => new SqlDumpSink(rt(dir), comp)
-    case JdbcDestination(_, url, dialect, batchSize) =>
-      new JdbcUpsertSink(
-        JdbcSinkConfig(url = rt(url), batchSize = batchSize),
-        if (dialect == "mysql") MySqlDialect else AnsiDialect)
-  })
+  /** W5 — same-host safety rename: a destination that resolves to the
+    * source's own location must archive under `<db>_archive` so live data
+    * can never be overwritten (reference forces the suffix when dst
+    * host:port == src host:port, destination/db/db.py:53-115). */
+  private def dbNameFor(destDir: String): String = {
+    val src = new java.io.File(conf.source.dir).getAbsolutePath
+    val dst = new java.io.File(destDir).getAbsolutePath
+    if (src == dst) conf.source.name + "_archive" else conf.source.name
+  }
+
+  private val sinks: Seq[(Sink, String)] = sinkOverride
+    .map(_.map(s => s -> conf.source.name))
+    .getOrElse(conf.destinations.map {
+      case ParquetDestination(_, dir) =>
+        new ParquetUpsertSink(rt(dir)) -> dbNameFor(rt(dir))
+      case CsvDestination(_, dir, comp) =>
+        new CsvSink(rt(dir), comp) -> dbNameFor(rt(dir))
+      case SqlDumpDestination(_, dir, comp) =>
+        new SqlDumpSink(rt(dir), comp) -> dbNameFor(rt(dir))
+      case JdbcDestination(_, url, dialect, batchSize) =>
+        new JdbcUpsertSink(
+          JdbcSinkConfig(url = rt(url), batchSize = batchSize),
+          if (dialect == "mysql") MySqlDialect else AnsiDialect) -> conf.source.name
+    })
 
   private def rt(s: String): String = graft.config.Config.interpolateRuntime(s, now)
 
@@ -83,7 +98,6 @@ final class Archiver(
   def runTable(
       spec: TableSpec,
       liveStore: Option[(TableSpec, DataFrame) => Unit] = None): TableResult = {
-    val db = conf.source.name
     val live = Tables.load(spark, conf.source.dir, spec.name)
     val archived = archivable(live, spec)
     // One snapshot for every sink and the delete decision — the reference
@@ -93,8 +107,8 @@ final class Archiver(
       val n = archived.count()
       var vetoed = false
       if (conf.archiveData && n > 0) {
-        sinks.foreach { s =>
-          try s.write(db, spec, archived, conf.dryRun)
+        sinks.foreach { case (s, sinkDb) =>
+          try s.write(sinkDb, spec, archived, conf.dryRun)
           catch {
             case e: Exception =>
               // archiving failed => delete MUST NOT run (archiver.py:96-103)

@@ -90,6 +90,15 @@ class ArchiverSpec extends AnyFunSuite {
     assert(names.indexOf("lineitem") < names.indexOf("orders"))
   }
 
+  test("same-location destination forces the _archive db suffix (W5)") {
+    val src = TestSpark.writableCopy()
+    val c = conf(src, Seq(ParquetDestination("x", src))) // dst == src dir!
+    val r = new Archiver(spark, c, now).runTable(Tables.byName("orders"))
+    assert(!r.vetoed)
+    assert(new java.io.File(s"$src/src_archive/orders").exists(),
+      "archive must land under <db>_archive when sharing the source location")
+  }
+
   test("dry run executes reads but writes nothing") {
     val out = TestSpark.tmpDir("arch-dry")
     val c = conf(TestSpark.sf0001,
