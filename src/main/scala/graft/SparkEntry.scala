@@ -248,6 +248,23 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 2)
     }),
+    "q20_salted_join" -> ((s, dir) => {
+      // skew-resistant salted join — result must equal the plain join
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderstatus")
+      graft.operators.JoinStrategies.saltedJoin(li, orders, Seq("l_orderkey"), 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    }),
+    "q21_percentile" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          fround(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          fround(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
@@ -521,6 +538,17 @@ object SparkEntry {
         |PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q20_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q21_percentile" ->
+      """SELECT o_orderpriority,
+        |floor(quantile_cont(o_totalprice, 0.5) * 100.0) / 100.0 AS p50,
+        |floor(quantile_cont(o_totalprice, 0.9) * 100.0) / 100.0 AS p90,
+        |count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
