@@ -87,6 +87,42 @@ object Multimodal {
     }
   }
 
+  final case class MediaFrame(
+      media_id: Long, media_type: String, frame_idx: Int, frame: Array[Byte])
+
+  /** "Resize": deterministic stride down-sampling of the payload to at most
+    * `targetBytes` — the stand-in for an image resize. The Spark shape is
+    * the production one (typed map, payload-proportional work, metadata
+    * updated); only the pixel math is fake. */
+  def resizePayload(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.payload.length <= targetBytes) r
+      else {
+        val stride = math.ceil(r.payload.length.toDouble / targetBytes).toInt
+        val out = Array.tabulate((r.payload.length + stride - 1) / stride)(
+          i => r.payload(i * stride))
+        r.copy(payload = out, width = math.max(1, r.width / stride),
+          height = math.max(1, r.height / stride))
+      }
+    }
+  }
+
+  /** "Frame sampling": split the payload into fixed-size frames and keep
+    * every `everyNth` one — the video-keyframe extraction shape (one input
+    * row fans out to many frame rows; flatMap keeps it pipelined, no
+    * driver involvement). */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameSize: Int, everyNth: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex.collect {
+        case (frame, idx) if idx % everyNth == 0 =>
+          MediaFrame(r.media_id, r.media_type, idx, frame)
+      }
+    }
+  }
+
   /** Pure-SQL metadata path (oracle-checkable): byte length + md5 checksum
     * of the payload, no decode. */
   def metadata(media: DataFrame): DataFrame =

@@ -90,6 +90,29 @@ class ArchiverSpec extends AnyFunSuite {
     assert(names.indexOf("lineitem") < names.indexOf("orders"))
   }
 
+  test("delete-only mode (archive_data=false) deletes without sinks (D2)") {
+    var deleteRan = false
+    val c = ArchiverConfig("del-only", SourceConfig("src", TestSpark.sf0001,
+      retention = "12 MONTH"), Nil, archiveData = false, deleteData = true)
+    val r = new Archiver(spark, c, now)
+      .runTable(Tables.byName("orders"), liveStore = Some((_, _) => deleteRan = true))
+    assert(!r.vetoed && r.deletedCount > 0 && deleteRan)
+  }
+
+  test("property: archive + remaining partition exactly for many cutoffs") {
+    val spec = Tables.byName("orders")
+    val live = Tables.load(spark, TestSpark.sf0001, "orders")
+    val total = live.count()
+    for (year <- Seq(1994, 1996, 1998, 2000, 2003)) {
+      val a = new Archiver(spark, conf(TestSpark.sf0001),
+        Instant.parse(s"$year-01-01T00:00:00Z"))
+      val archived = a.archivable(live, spec)
+      val remaining = a.remaining(live, archived, spec)
+      assert(archived.count() + remaining.count() === total, s"year=$year")
+      assert(archived.join(remaining, "o_orderkey").count() === 0, s"year=$year")
+    }
+  }
+
   test("same-location destination forces the _archive db suffix (W5)") {
     val src = TestSpark.writableCopy()
     val c = conf(src, Seq(ParquetDestination("x", src))) // dst == src dir!

@@ -35,6 +35,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize caps payload size and scales dimensions; small payloads untouched") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents"))
+    val resized = Multimodal.resizePayload(media, targetBytes = 100).collect()
+    assert(resized.forall(_.payload.length <= 100))
+    val origs = media.collect().map(r => r.media_id -> r).toMap
+    resized.filter(r => origs(r.media_id).payload.length <= 100).foreach { r =>
+      assert(r.payload.sameElements(origs(r.media_id).payload))
+    }
+  }
+
+  test("frame sampling keeps every nth fixed-size frame") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.load(spark, TestSpark.sf0001, "documents"))
+      .filter($"media_id" === 1L)
+    val n = media.head().payload.length
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    val totalFrames = (n + 31) / 32
+    assert(frames.length === (totalFrames + 1) / 2)
+    assert(frames.forall(_.frame_idx % 2 === 0))
+    assert(frames.head.frame.length === 32)
+  }
+
   test("metadata path agrees with typed feature path on bytes + checksum") {
     val media = Multimodal.mediaFromDocuments(spark,
       Tables.load(spark, TestSpark.sf0001, "documents"))
