@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.functions.expressions.{ArrayDot, RollingMinHash}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL-surface registration for the engine's custom expressions.
+  *
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — makes them
+  * available to pure-SQL users:
+  *
+  *   SELECT graft_dot(a, b)                 -- codegen'd dot product
+  *   SELECT graft_rolling_minhash(s, 8)     -- Karp-Rabin fingerprint
+  *
+  * [[register]] does the same on an already-built session (used by tests
+  * and the Verify/Bench mains, which receive their session from outside).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (args => ArrayDot(args(0), args(1))),
+    "graft_rolling_minhash" -> (args =>
+      RollingMinHash(args(0),
+        if (args.length > 1) intArg(args(1), "width") else 8))
+  )
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

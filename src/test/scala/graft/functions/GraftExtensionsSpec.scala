@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot === 32.0)
+    val fp = spark.sql("SELECT graft_rolling_minhash('hello world hello', 8) AS h")
+      .head().getLong(0)
+    // same text -> same fingerprint; different text -> different
+    val fp2 = spark.sql("SELECT graft_rolling_minhash('hello world hello', 8) AS h")
+      .head().getLong(0)
+    val other = spark.sql("SELECT graft_rolling_minhash('entirely different', 8) AS h")
+      .head().getLong(0)
+    assert(fp === fp2)
+    assert(fp !== other)
+    assert(fp >= 0 && fp < 1000000007L)
+  }
+
+  test("sql form matches the column API form") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, TestSpark.sf0001, "documents").limit(20)
+    val viaSql = docs.selectExpr("doc_id",
+      "graft_rolling_minhash(regexp_replace(lower(text), '[^a-z0-9]+', ' '), 8) AS h")
+    val viaApi = docs.select(col("doc_id"),
+      TextFunctions.rollingFingerprint(col("text"), 8).as("h"))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+  }
+}
