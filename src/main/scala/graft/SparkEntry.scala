@@ -265,6 +265,19 @@ object SparkEntry {
           fround(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
           fround(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
           count(lit(1)).as("n"))),
+    "q22_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))),
+    "q23_null_semantics" -> ((s, dir) =>
+      // NULL-handling parity: injected nulls, null-safe equality, and
+      // null-aware aggregation (count vs count(col))
+      t(s, dir, "orders")
+        .withColumn("status_n", nullif(col("o_orderstatus"), lit("P")))
+        .groupBy(col("status_n").eqNullSafe("F").as("is_f"))
+        .agg(count(lit(1)).as("n_rows"), count(col("status_n")).as("n_nonnull"),
+          countDistinct(col("status_n")).as("n_distinct"))),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
@@ -549,6 +562,18 @@ object SparkEntry {
         |floor(quantile_cont(o_totalprice, 0.9) * 100.0) / 100.0 AS p90,
         |count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q22_pivot" ->
+      """SELECT l_returnflag,
+        |sum(CASE WHEN l_linestatus = 'F'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "F",
+        |sum(CASE WHEN l_linestatus = 'O'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q23_null_semantics" ->
+      """SELECT (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F') AS is_f,
+        |count(*) AS n_rows, count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+        |count(DISTINCT nullif(o_orderstatus, 'P')) AS n_distinct
+        |FROM orders GROUP BY 1""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
