@@ -294,6 +294,10 @@ object SparkEntry {
     "dd3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, numHashes = 16, rowsPerBand = 4)),
+    "dd6_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5).select("doc_a", "doc_b"))),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "dd5_embed_neardup" -> ((s, dir) =>
@@ -605,6 +609,22 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dd6_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "dd4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,

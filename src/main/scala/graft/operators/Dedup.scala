@@ -145,6 +145,46 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Connected components over near-dup candidate pairs: resolves pairwise
+    * matches into dedup clusters, labeling every member with the minimum
+    * doc id of its component (the canonical survivor).
+    *
+    * Iterative min-label propagation: each round joins labels to the edge
+    * list and takes the min over neighbors — one shuffle per round,
+    * converging in O(component diameter) rounds. Near-dup clusters are
+    * shallow (dups of a common source), so rounds stay single-digit; for
+    * adversarial graph shapes swap in the large-star/small-star variant —
+    * the join/groupBy skeleton is the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.filter(col("newlabel") =!= col("label")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("newlabel").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      old.unpersist(); updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).
     * Brute-force form (the oracle-checkable baseline); the LSH-bucketed
     * scale path reuses [[VectorFunctions.srpBucket]] to restrict the join.
