@@ -16,7 +16,8 @@ object Main {
   final case class Args(
       config: String = "",
       dryRun: Boolean = false,
-      logLevel: String = "WARN")
+      logLevel: String = "WARN",
+      logFile: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     @annotation.tailrec
@@ -25,13 +26,15 @@ object Main {
       case "--config" +: v +: tail => loop(tail, acc.copy(config = v))
       case "--dry-run" +: tail => loop(tail, acc.copy(dryRun = true))
       case "--log-level" +: v +: tail => loop(tail, acc.copy(logLevel = v))
+      case "--log-file" +: v +: tail => loop(tail, acc.copy(logFile = Some(v)))
       case other +: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val a = loop(argv, Args())
     if (a.config.isEmpty)
       throw new IllegalArgumentException(
-        "usage: graft.Main --config <file.ini> [--dry-run] [--log-level LEVEL]")
+        "usage: graft.Main --config <file.ini> [--dry-run] " +
+          "[--log-level LEVEL] [--log-file PATH]")
     a
   }
 
@@ -71,12 +74,18 @@ object Main {
       System.err.println("no enabled [archiver:*] section in config; nothing to do")
       sys.exit(0)
     }
+    val logWriter = args.logFile.map(p =>
+      new java.io.PrintWriter(new java.io.FileWriter(p, true)))
+    def log(msg: String): Unit = {
+      println(msg)
+      logWriter.foreach { w => w.println(msg); w.flush() }
+    }
     val spark = session()
     spark.sparkContext.setLogLevel(args.logLevel)
     var failed = false
     try {
       archivers.foreach { conf =>
-        println(s"[graft] archiver '${conf.name}' starting " +
+        log(s"[graft] archiver '${conf.name}' starting " +
           s"(dry-run=${conf.dryRun}, archive=${conf.archiveData}, delete=${conf.deleteData})")
         // Live-store delete-back for the parquet testbed: rewrite the source
         // table without the archived rows (write-aside, then atomic swap —
@@ -95,7 +104,7 @@ object Main {
         val results = new Archiver(spark, conf)
           .run(if (conf.deleteData && !conf.dryRun) Some(liveStore) else None)
         results.foreach { r =>
-          println(f"[graft]   ${r.table}%-12s archived=${r.archivedCount}%-8d " +
+          log(f"[graft]   ${r.table}%-12s archived=${r.archivedCount}%-8d " +
             f"deleted=${r.deletedCount}%-8d vetoed=${r.vetoed}")
           if (r.vetoed) failed = true
         }
@@ -107,6 +116,7 @@ object Main {
     } finally {
       // clean_exit equivalent (main.py:92-102): always release the session
       spark.stop()
+      logWriter.foreach(_.close())
     }
     sys.exit(if (failed) 1 else 0)
   }
