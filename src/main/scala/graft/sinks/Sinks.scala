@@ -63,8 +63,13 @@ final class ParquetUpsertSink(root: String) extends Sink {
     val path = s"$root/$db/${spec.name}"
     val spark = df.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(s"$path.__old__")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dryRun) { df.count(); return } // X4: execute the read, skip the write
+    // crash recovery: a previous run that died mid-swap left the archive at
+    // the backup location — restore it before doing anything else
+    if (fs.exists(backup) && !fs.exists(target)) fs.rename(backup, target)
+    if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.exists(target)) {
       df.write.mode(SaveMode.ErrorIfExists).parquet(path)
     } else {
@@ -75,10 +80,17 @@ final class ParquetUpsertSink(root: String) extends Sink {
       // shuffle, map-side combined by AQE.
       val newRows = df.join(existing.select(spec.pk.map(col): _*), spec.pk, "left_anti")
       val merged = existing.unionByName(newRows)
-      val tmp = s"$path.__staging__"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(target, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path.__staging__")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // backup-rename swap: the previous archive is never deleted before
+      // the new one is in place (archived rows may already be delete-backed
+      // from the source — losing them here would be silent data loss)
+      fs.rename(target, backup)
+      if (!fs.rename(tmp, target)) {
+        fs.rename(backup, target) // roll back; staging left for inspection
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      }
+      fs.delete(backup, true)
     }
   }
 

@@ -58,6 +58,29 @@ object EventsStreaming {
       .start()
   }
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on the id —
+    * duplicates arriving within the watermark horizon are suppressed with
+    * state that Spark evicts as the watermark advances. The unbounded-
+    * ingest form of Dedup.exact (state never grows past the horizon). */
+  def dedupStream(
+      spark: SparkSession, parquetPath: String, queryName: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(parquetPath).schema
+    val (dir, glob) = splitDirGlob(parquetPath)
+    val stream = graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+    stream.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked append-mode variant (drops late data; state bounded by the
     * watermark) — the production shape for continuous ingest. */
   def hourlyStreamAppend(

@@ -45,6 +45,20 @@ class SinksSpec extends AnyFunSuite {
     assert(keys === second.count())
   }
 
+  test("upsert sink recovers an archive stranded at the backup path") {
+    val root = TestSpark.tmpDir("crash")
+    val sink = new ParquetUpsertSink(root)
+    val spec = Tables.byName("orders")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 100), dryRun = false)
+    // simulate a crash between the two swap renames: archive sits at __old__
+    val dir = new java.io.File(s"$root/db/orders")
+    assert(dir.renameTo(new java.io.File(s"$root/db/orders.__old__")))
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 120), dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() === 120)
+    assert(!new java.io.File(s"$root/db/orders.__old__").exists())
+  }
+
   test("schema drift is rejected") {
     val root = TestSpark.tmpDir("drift")
     val sink = new ParquetUpsertSink(root)

@@ -23,6 +23,28 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("streaming dedup suppresses duplicate ids within the watermark") {
+    // source with every event duplicated across two files
+    val dir = TestSpark.tmpDir("dup-events")
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    ev.coalesce(1).write.parquet(s"$dir/a")
+    ev.coalesce(1).write.parquet(s"$dir/b")
+    val flat = TestSpark.tmpDir("dup-flat")
+    var i = 0
+    Seq("a", "b").foreach { b =>
+      new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(s"$flat/part$i.parquet").toPath)
+          i += 1
+        }
+    }
+    val q = EventsStreaming.dedupStream(spark, flat, "dedup_stream")
+    q.awaitTermination()
+    val got = spark.table("dedup_stream")
+    assert(got.count() === ev.count(), "each event_id must survive exactly once")
+  }
+
   test("append-mode with watermark emits only finalized windows") {
     val q = EventsStreaming.hourlyStreamAppend(
       spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_append")

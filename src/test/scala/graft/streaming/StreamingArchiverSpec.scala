@@ -37,4 +37,30 @@ class StreamingArchiverSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(sink.read(spark, "live", "events").count() === expected.count())
   }
+
+  test("a failing sink fails the batch; restart with a healthy sink loses nothing") {
+    val src = TestSpark.writableCopy()
+    val arch = TestSpark.tmpDir("stream-arch2")
+    val ckpt = TestSpark.tmpDir("stream-ckpt2")
+    val spec = Tables.byName("events")
+    val boom = new graft.sinks.Sink {
+      def name = "boom"
+      def write(db: String, spec: Tables.TableSpec,
+          df: org.apache.spark.sql.DataFrame, dryRun: Boolean): Unit =
+        throw new RuntimeException("sink down")
+    }
+    val q = StreamingArchiver.start(spark, src, spec, Seq(boom), "live",
+      retention = "24 HOURS", checkpoint = ckpt, now = Some(snap))
+    val failed = intercept[Exception](q.awaitTermination())
+    assert(failed.getMessage != null)
+    // restart over the SAME checkpoint with a working sink: the failed
+    // batch was never committed, so it replays and the archive is complete
+    val sink = new ParquetUpsertSink(arch)
+    val q2 = StreamingArchiver.start(spark, src, spec, Seq(sink), "live",
+      retention = "24 HOURS", checkpoint = ckpt, now = Some(snap))
+    q2.awaitTermination()
+    val expected = Tables.load(spark, TestSpark.sf0001, "events")
+      .filter(Retention.predicate("ts", snap, "24 HOURS"))
+    assert(sink.read(spark, "live", "events").count() === expected.count())
+  }
 }
