@@ -156,7 +156,42 @@ object Dedup {
     * adversarial graph shapes swap in the large-star/small-star variant —
     * the join/groupBy skeleton is the same.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 4L * 1000 * 1000): DataFrame = {
+    // Candidate pairs after LSH/jaccard filtering are orders of magnitude
+    // smaller than the corpus; below the threshold a driver-side union-find
+    // resolves them in one pass instead of paying one Spark job per
+    // propagation round. Above it, fall through to distributed min-label
+    // propagation (same labels either way: min id per component).
+    val pairCount = pairs.count()
+    if (pairCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edgeList = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("doc_id", "cluster_id")
+    }
+    distributedComponents(pairs, maxIter)
+  }
+
+  /** Distributed min-label propagation (the >threshold path). */
+  private[operators] def distributedComponents(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

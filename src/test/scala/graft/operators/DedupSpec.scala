@@ -57,11 +57,14 @@ class DedupSpec extends AnyFunSuite {
   test("connected components resolve chained pairs into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
       .toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L && cc(9L) === 1L)
-    assert(cc(5L) === 5L && cc(6L) === 5L)
-    assert(cc.size === 6) // only pair members are labeled
+    // both paths must agree: driver union-find and distributed propagation
+    for (cc <- Seq(
+        Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap,
+        Dedup.distributedComponents(pairs, 20).as[(Long, Long)].collect().toMap)) {
+      assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L && cc(9L) === 1L)
+      assert(cc(5L) === 5L && cc(6L) === 5L)
+      assert(cc.size === 6) // only pair members are labeled
+    }
   }
 
   test("embedding near-dup finds the planted duplicate vector") {
