@@ -68,6 +68,35 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(query(c, "SELECT count(*) FROM orders")(_.getLong(1)) === 0L)
   }
 
+  test("retry wrapper retries transient errors, never integrity errors (X1)") {
+    val c = cfg("retry1").copy(maxRetries = 3, retryDelayMs = 1)
+    var attempts = 0
+    val out = Jdbc.withRetry(c, noRetryStates = Set("23505")) {
+      attempts += 1
+      if (attempts < 3) throw new java.sql.SQLException("transient", "08S01")
+      "ok"
+    }
+    assert(out === "ok" && attempts === 3)
+    var integrityAttempts = 0
+    assertThrows[java.sql.SQLException] {
+      Jdbc.withRetry(c, noRetryStates = Set("23505")) {
+        integrityAttempts += 1
+        throw new java.sql.SQLException("dup", "23505")
+      }
+    }
+    assert(integrityAttempts === 1, "integrity errors are deterministic; no retry")
+  }
+
+  test("session init SQL runs on every connection (D4 hook)") {
+    val c = cfg("init1").copy(sessionInitSql = Seq("SET SCHEMA APP"))
+    val conn = Jdbc.connect(c)
+    try {
+      val rs = conn.createStatement().executeQuery("VALUES CURRENT SCHEMA")
+      rs.next()
+      assert(rs.getString(1) === "APP")
+    } finally Jdbc.close(conn)
+  }
+
   test("dichotomy isolates FK-referenced rows as poison, deletes the rest") {
     val c = cfg("dich1")
     val conn = Jdbc.connect(c)
