@@ -94,12 +94,22 @@ object Main {
         val liveStore: (Tables.TableSpec, org.apache.spark.sql.DataFrame) => Unit =
           (spec, rest) => {
             val path = s"${conf.source.dir}/${spec.name}.parquet"
-            val fs = new org.apache.hadoop.fs.Path(path)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val target = new org.apache.hadoop.fs.Path(path)
+            val backup = new org.apache.hadoop.fs.Path(path + ".__old__")
             val tmp = new org.apache.hadoop.fs.Path(path + ".__new__")
+            val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // recover a previous run that died mid-swap
+            if (fs.exists(backup) && !fs.exists(target)) fs.rename(backup, target)
+            if (fs.exists(backup)) fs.delete(backup, true)
             rest.write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(new org.apache.hadoop.fs.Path(path), true)
-            fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+            // backup-rename swap: the live table is never deleted before its
+            // replacement is in place
+            fs.rename(target, backup)
+            if (!fs.rename(tmp, target)) {
+              fs.rename(backup, target)
+              throw new java.io.IOException(s"rename $tmp -> $target failed")
+            }
+            fs.delete(backup, true)
           }
         val results = new Archiver(spark, conf)
           .run(if (conf.deleteData && !conf.dryRun) Some(liveStore) else None)

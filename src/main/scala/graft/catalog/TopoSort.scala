@@ -43,8 +43,11 @@ object TopoSort {
       specs.map(s => s.name -> children.getOrElse(s.name, Set.empty).size))
     val ready = mutable.SortedSet.from(specs.map(_.name).filter(indeg(_) == 0))
     val out = mutable.ArrayBuffer.empty[String]
+    // distinct: two FK columns to the same parent are ONE ordering edge —
+    // indeg counts distinct children, so decrements must match
     val parentsOf: Map[String, Seq[String]] =
-      specs.map(s => s.name -> s.fkParents.map(_._2).filter(p => indeg.contains(p) && p != s.name)).toMap
+      specs.map(s => s.name -> s.fkParents.map(_._2).distinct
+        .filter(p => indeg.contains(p) && p != s.name)).toMap
     while (ready.nonEmpty) {
       val t = ready.head
       ready.remove(t)

@@ -129,9 +129,24 @@ final class Archiver(
     } finally archived.unpersist()
   }
 
+  /** Restore any live table stranded at `<name>.__old__` by a crash during
+    * a previous delete-back swap — must run before discovery, or the lost
+    * table simply isn't seen. */
+  private def recoverLiveStore(): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(conf.source.dir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".__old__")).foreach { st =>
+        val base = new org.apache.hadoop.fs.Path(dir,
+          st.getPath.getName.stripSuffix(".__old__"))
+        if (!fs.exists(base)) fs.rename(st.getPath, base)
+      }
+  }
+
   /** Full run: discover (S1/S2), elect tables (T1–T5), FK order them (T6),
     * archive each. */
   def run(liveStore: Option[(TableSpec, DataFrame) => Unit] = None): Seq[TableResult] = {
+    recoverLiveStore()
     val present = Catalog.discoverTables(conf.source.dir).toSet
     val candidates = Tables.specs.filter(s => present.contains(s.name))
       .map(s => s.copy(deletedColumn =

@@ -162,14 +162,20 @@ object Dedup {
     // Candidate pairs after LSH/jaccard filtering are orders of magnitude
     // smaller than the corpus; below the threshold a driver-side union-find
     // resolves them in one pass instead of paying one Spark job per
-    // propagation round. Above it, fall through to distributed min-label
-    // propagation (same labels either way: min id per component).
-    val pairCount = pairs.count()
-    if (pairCount <= driverThreshold) {
-      val spark = pairs.sparkSession
+    // propagation round. Above it — or for non-integral id types — fall
+    // through to distributed min-label propagation (same labels either
+    // way: min id per component).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = pairs.schema.fields.take(2).forall(f =>
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCount = cached.count()
+    if (integralIds && pairCount <= driverThreshold) {
+      val spark = cached.sparkSession
       import spark.implicits._
-      val edgeList = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      val edgeList = cached.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
         .as[(Long, Long)].collect()
+      cached.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -186,7 +192,11 @@ object Dedup {
       return parent.keys.toSeq.sorted.map(id => (id, find(id)))
         .toDF("doc_id", "cluster_id")
     }
-    distributedComponents(pairs, maxIter)
+    val out = distributedComponents(cached, maxIter)
+    // labels were materialized inside distributedComponents; the raw pairs
+    // cache is no longer needed
+    cached.unpersist()
+    out
   }
 
   /** Distributed min-label propagation (the >threshold path). */

@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  /** Render an instant as a session-timezone-correct TIMESTAMP literal.
+    * NOT java.sql.Timestamp.toString — that renders in the JVM default
+    * timezone, which silently shifts the cutoff when the driver host TZ
+    * differs from the (UTC) Spark session timezone. */
+  private def utcLiteral(now: Instant): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(now)
+
   /** `deletedCol IS NOT NULL AND deletedCol <= now - INTERVAL retention`.
     * `retention` is a SQL interval string like "12 MONTH". */
   def predicate(deletedCol: String, now: Instant, retention: String): Column = {
     val cutoffExpr =
-      expr(s"TIMESTAMP '${java.sql.Timestamp.from(now)}' - INTERVAL $retention")
+      expr(s"TIMESTAMP '${utcLiteral(now)}' - INTERVAL $retention")
     col(deletedCol).isNotNull && col(deletedCol) <= cutoffExpr
   }
 
@@ -40,6 +48,6 @@ object Retention {
     * string, not code injection into the planner. */
   def fromTemplate(template: String, now: Instant, deletedColumn: String = ""): Column =
     expr(template
-      .replace("{now}", java.sql.Timestamp.from(now).toString)
+      .replace("{now}", utcLiteral(now))
       .replace("{deleted_column}", deletedColumn))
 }

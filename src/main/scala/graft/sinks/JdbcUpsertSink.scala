@@ -36,17 +36,20 @@ final case class JdbcSinkConfig(
     retryDelayMs: Long = 2000,   // reference retry_time_limit (common/db.py:42)
     sessionInitSql: Seq[String] = Nil) // e.g. SET FOREIGN_KEY_CHECKS=0 (D4)
 
-/** Engine-specific SQL shapes. */
+/** Engine-specific SQL shapes and error classification. */
 trait JdbcDialect extends Serializable {
   /** Plain parameterized INSERT. */
   def insertSql(table: String, cols: Seq[String]): String =
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
   /** Native upsert statement, if the engine has one (used when non-empty). */
   def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] = None
-  /** SQLSTATE for duplicate-key violations (fallback idempotence path). */
-  def duplicateKeySqlState: String = "23505"
-  /** SQLSTATE for FK/integrity violations (delete dichotomy trigger). */
-  def integritySqlState: String = "23503"
+  /** Duplicate-key violation? (fallback idempotence path) */
+  def isDuplicateKey(e: SQLException): Boolean = e.getSQLState == "23505"
+  /** FK/integrity violation? (delete dichotomy trigger) */
+  def isIntegrityViolation(e: SQLException): Boolean = e.getSQLState == "23503"
+  /** Deterministic errors — never retried. */
+  def isDeterministic(e: SQLException): Boolean =
+    isDuplicateKey(e) || isIntegrityViolation(e)
   def columnType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
@@ -63,27 +66,31 @@ trait JdbcDialect extends Serializable {
   }
 }
 
-/** MySQL/MariaDB — the reference's native upsert. */
+/** MySQL/MariaDB — the reference's native upsert. MySQL maps both
+  * duplicate-key and FK violations to SQLSTATE 23000, so classification
+  * uses the vendor error codes (1062 dup; 1451/1452 FK — the same codes
+  * the reference special-cases, common/db.py:330-340). */
 object MySqlDialect extends JdbcDialect {
   override def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] =
     Some(insertSql(table, cols) +
       s" ON DUPLICATE KEY UPDATE ${pk.head} = ${pk.head}")
-  override val duplicateKeySqlState: String = "23000" // MySQL 1062 maps here
+  override def isDuplicateKey(e: SQLException): Boolean = e.getErrorCode == 1062
+  override def isIntegrityViolation(e: SQLException): Boolean =
+    e.getErrorCode == 1451 || e.getErrorCode == 1452
 }
 
 /** ANSI-ish engines without upsert (Derby etc.): INSERT + ignore-dup-key. */
 object AnsiDialect extends JdbcDialect
 
 object Jdbc {
-  /** X1: bounded retry with fixed backoff; integrity/duplicate errors are
-    * never retried (they are deterministic). */
-  def withRetry[A](cfg: JdbcSinkConfig, noRetryStates: Set[String])(f: => A): A = {
+  /** X1: bounded retry with fixed backoff; deterministic errors (duplicate
+    * key, integrity violation — dialect-classified) are never retried. */
+  def withRetry[A](cfg: JdbcSinkConfig, noRetry: SQLException => Boolean)(f: => A): A = {
     var attempt = 0
     while (true) {
       try return f
       catch {
-        case e: SQLException if e.getSQLState != null &&
-            noRetryStates.contains(e.getSQLState) => throw e
+        case e: SQLException if noRetry(e) => throw e
         case e: SQLException if attempt < cfg.maxRetries =>
           attempt += 1
           Thread.sleep(cfg.retryDelayMs)
@@ -132,6 +139,30 @@ object Jdbc {
     }
 }
 
+/** Coarse type families for cross-engine schema comparison. */
+object JdbcTypeFamily {
+  import java.sql.{Types => T}
+  def ofSqlType(t: Int): String = t match {
+    case T.TINYINT | T.SMALLINT | T.INTEGER | T.BIGINT | T.BIT | T.BOOLEAN => "integral"
+    case T.FLOAT | T.REAL | T.DOUBLE | T.DECIMAL | T.NUMERIC => "fractional"
+    case T.CHAR | T.VARCHAR | T.LONGVARCHAR | T.NCHAR | T.NVARCHAR |
+         T.LONGNVARCHAR | T.CLOB => "text"
+    case T.TIMESTAMP | T.TIMESTAMP_WITH_TIMEZONE => "timestamp"
+    case T.DATE => "date"
+    case T.BINARY | T.VARBINARY | T.LONGVARBINARY | T.BLOB => "binary"
+    case _ => "other"
+  }
+  def ofDataType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "integral"
+    case DoubleType | FloatType | _: DecimalType => "fractional"
+    case StringType => "text"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case DateType => "date"
+    case BinaryType => "binary"
+    case _ => "other"
+  }
+}
+
 final class JdbcUpsertSink(
     cfg: JdbcSinkConfig,
     dialect: JdbcDialect = AnsiDialect) extends Sink {
@@ -144,9 +175,15 @@ final class JdbcUpsertSink(
   private def ensureTable(
       conn: Connection, table: String, schema: StructType, pk: Seq[String]): Unit = {
     val meta = conn.getMetaData
-    val rs = meta.getColumns(null, null, table.toUpperCase, null)
-    val existing = Iterator.continually(rs)
-      .takeWhile(_.next()).map(r => r.getString("COLUMN_NAME").toLowerCase).toSeq
+    // identifier folding is engine-specific (Derby uppercases, MySQL on
+    // Linux keeps case) — probe every folding until one matches
+    val existing = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      .map { probe =>
+        val rs = meta.getColumns(null, null, probe, null)
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getString("COLUMN_NAME").toLowerCase,
+            r.getInt("DATA_TYPE"))).toSeq
+      }.find(_.nonEmpty).getOrElse(Seq.empty)
     if (existing.isEmpty) {
       // PK constraint is what makes the upsert/ignore-dup idempotence work
       val pkSet = pk.toSet
@@ -158,10 +195,16 @@ final class JdbcUpsertSink(
       try st.execute(s"CREATE TABLE $table ($ddl)") finally st.close()
       conn.commit()
     } else {
-      val incoming = schema.fields.map(_.name.toLowerCase).toSeq
-      if (existing.sorted != incoming.sorted)
+      // drift guard: column names AND type families must match (W4's
+      // structural comparison; exact java.sql.Types vary by engine, so
+      // compare at family granularity — numeric vs text drift is caught,
+      // engine-internal width aliases are not false positives)
+      val incoming = schema.fields
+        .map(f => (f.name.toLowerCase, JdbcTypeFamily.ofDataType(f.dataType))).toSeq
+      val live = existing.map { case (n, t) => (n, JdbcTypeFamily.ofSqlType(t)) }
+      if (live.sortBy(_._1) != incoming.sortBy(_._1))
         throw new SchemaDriftException(
-          s"jdbc archive table $table columns $existing != source $incoming")
+          s"jdbc archive table $table columns $live != source $incoming")
     }
   }
 
@@ -186,8 +229,7 @@ final class JdbcUpsertSink(
           val ps = conn.prepareStatement(sql)
           var batch = Vector.empty[Row]
           def flush(): Unit = if (batch.nonEmpty) {
-            Jdbc.withRetry(localCfg, Set(localDialect.duplicateKeySqlState,
-              localDialect.integritySqlState)) {
+            Jdbc.withRetry(localCfg, localDialect.isDeterministic) {
               try {
                 batch.foreach { row =>
                   cols.indices.foreach(i =>
@@ -207,8 +249,7 @@ final class JdbcUpsertSink(
                       Jdbc.bind(ps, i + 1, schema(i).dataType, row.get(i)))
                     try ps.executeUpdate()
                     catch {
-                      case d: SQLException
-                        if d.getSQLState == localDialect.duplicateKeySqlState => ()
+                      case d: SQLException if localDialect.isDuplicateKey(d) => ()
                     }
                   }
                   conn.commit()
@@ -258,13 +299,13 @@ object JdbcDeleteBack {
             val ps = conn.prepareStatement(sql)
             try {
               chunk.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
-              val n = Jdbc.withRetry(localCfg, Set(dialect.integritySqlState)) {
+              val n = Jdbc.withRetry(localCfg, dialect.isIntegrityViolation) {
                 ps.executeUpdate()
               }
               conn.commit()
               deleted.add(n)
             } catch {
-              case e: SQLException if e.getSQLState == dialect.integritySqlState =>
+              case e: SQLException if dialect.isIntegrityViolation(e) =>
                 conn.rollback()
                 if (chunk.size == 1) poison.add(chunk.head) // isolated poison row
                 else { // dichotomy: split and retry halves

@@ -58,10 +58,11 @@ object EventsStreaming {
       .start()
   }
 
-  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on the id —
-    * duplicates arriving within the watermark horizon are suppressed with
-    * state that Spark evicts as the watermark advances. The unbounded-
-    * ingest form of Dedup.exact (state never grows past the horizon). */
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the id —
+    * duplicates arriving within the watermark horizon are suppressed, and
+    * Spark evicts state past the horizon (plain dropDuplicates(id) would
+    * keep one state entry per id FOREVER unless the event-time column is
+    * in the key). The unbounded-ingest form of Dedup.exact. */
   def dedupStream(
       spark: SparkSession, parquetPath: String, queryName: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
@@ -74,7 +75,7 @@ object EventsStreaming {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(dir))
     stream.withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

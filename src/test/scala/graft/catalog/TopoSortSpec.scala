@@ -43,6 +43,20 @@ class TopoSortSpec extends AnyFunSuite {
     assert(TopoSort.childFirst(specs).toSet === Set("a", "b", "c", "d"))
   }
 
+  test("two FK columns to the same parent are one ordering edge") {
+    // b has TWO FKs to m; z also references m. Emitting b must not
+    // decrement m's in-degree twice and release it before z.
+    val specs = Seq(
+      TableSpec("b_child", Seq("id"), None,
+        Seq("m1" -> "m_parent", "m2" -> "m_parent")),
+      TableSpec("m_parent", Seq("id"), None, Nil),
+      TableSpec("z_child", Seq("id"), None, Seq("m" -> "m_parent")))
+    val r = TopoSort.sort(specs)
+    assert(r.cyclic.isEmpty)
+    assert(r.order.indexOf("z_child") < r.order.indexOf("m_parent"))
+    assert(r.order.indexOf("b_child") < r.order.indexOf("m_parent"))
+  }
+
   test("self-referencing FK is not an ordering edge") {
     val specs = Seq(TableSpec("t", Seq("id"), None, Seq("parent_id" -> "t")))
     assert(TopoSort.sort(specs).order === Seq("t"))

@@ -51,6 +51,12 @@ class JdbcSinkSpec extends AnyFunSuite {
       sink.write("db", spec, region.withColumnRenamed("r_name", "r_label"),
         dryRun = false)
     }
+    // type drift with unchanged names must also be rejected
+    assertThrows[SchemaDriftException] {
+      sink.write("db", spec,
+        region.withColumn("r_regionkey", col("r_regionkey").cast("string")),
+        dryRun = false)
+    }
   }
 
   test("keyed chunked delete-back deletes everything in limit-sized chunks") {
@@ -71,7 +77,7 @@ class JdbcSinkSpec extends AnyFunSuite {
   test("retry wrapper retries transient errors, never integrity errors (X1)") {
     val c = cfg("retry1").copy(maxRetries = 3, retryDelayMs = 1)
     var attempts = 0
-    val out = Jdbc.withRetry(c, noRetryStates = Set("23505")) {
+    val out = Jdbc.withRetry(c, AnsiDialect.isDeterministic) {
       attempts += 1
       if (attempts < 3) throw new java.sql.SQLException("transient", "08S01")
       "ok"
@@ -79,12 +85,20 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(out === "ok" && attempts === 3)
     var integrityAttempts = 0
     assertThrows[java.sql.SQLException] {
-      Jdbc.withRetry(c, noRetryStates = Set("23505")) {
+      Jdbc.withRetry(c, AnsiDialect.isDeterministic) {
         integrityAttempts += 1
         throw new java.sql.SQLException("dup", "23505")
       }
     }
     assert(integrityAttempts === 1, "integrity errors are deterministic; no retry")
+    // MySQL folds both dup-key and FK violations into SQLSTATE 23000;
+    // classification must use vendor codes
+    assert(MySqlDialect.isDuplicateKey(
+      new java.sql.SQLException("dup", "23000", 1062)))
+    assert(MySqlDialect.isIntegrityViolation(
+      new java.sql.SQLException("fk", "23000", 1451)))
+    assert(!MySqlDialect.isDuplicateKey(
+      new java.sql.SQLException("fk", "23000", 1451)))
   }
 
   test("session init SQL runs on every connection (D4 hook)") {
