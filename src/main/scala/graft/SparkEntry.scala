@@ -332,6 +332,11 @@ object SparkEntry {
     "tx3_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "tx6_bpe_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
     "tx5_rolling_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -709,6 +714,11 @@ object SparkEntry {
         |SELECT doc_id, min(md5(substr(nm, i::INT, 8))) AS fp
         |FROM (SELECT doc_id, nm, unnest(range(1, greatest(strlen(nm) - 7, 1) + 1)) AS i FROM norm)
         |GROUP BY doc_id""".stripMargin,
+    "tx6_bpe_token_count" ->
+      s"""SELECT doc_id,
+         |len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')) AS ws_tokens,
+         |len(regexp_extract_all(lower(text), '${TextFunctions.bpePattern.replace("'", "''")}')) AS bpe_tokens
+         |FROM documents""".stripMargin,
     "tx5_rolling_fingerprint" ->
       """WITH norm AS (SELECT doc_id,
         |regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS nm FROM documents)

@@ -22,6 +22,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenization pattern (GPT-2 style): contraction pieces,
+    * space-prefixed letter/digit runs, punctuation runs. Shared verbatim
+    * with the oracle's RE2 — only constructs valid in both dialects. */
+  val bpePattern: String =
+    "'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s']+"
+
+  /** Count of BPE-ish pre-tokens — a cheap proxy for LLM token counts
+    * (letter runs, digit runs, punctuation runs, contraction suffixes). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
   /** n-token shingles as space-joined strings; empty array when the doc has
     * fewer than n tokens. */
   /** n-token shingles from an ALREADY-MATERIALIZED token array column.
