@@ -82,6 +82,55 @@ object EventsStreaming {
       .start()
   }
 
+  /** Stream-stream interval join: each click joined to error events of the
+    * same user within the preceding hour. Watermarks on BOTH sides + the
+    * time-bound condition let Spark expire join state — the unbounded
+    * enrichment join (without the bound, state grows forever).
+    */
+  def clickErrorJoinStream(
+      spark: SparkSession, parquetPath: String, queryName: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(parquetPath).schema
+    val (dir, glob) = splitDirGlob(parquetPath)
+    def side(name: String) = graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+      .withWatermark("ts", "1 hour")
+    val clicks = side("clicks").filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val errors = side("errors").filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("ts").as("error_ts"))
+    clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("error_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("error_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "error_id", "error_ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch form of the same join, for equivalence checks. */
+  def clickErrorJoinBatch(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("ts").as("error_ts"))
+    clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("error_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("error_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "error_id", "error_ts")
+  }
+
   /** Watermarked append-mode variant (drops late data; state bounded by the
     * watermark) — the production shape for continuous ingest. */
   def hourlyStreamAppend(

@@ -67,6 +67,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH candidates achieve high recall of truly-similar pairs") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf0001, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val candidates = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 16, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain planted near-dups")
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    assert(recall >= 0.9,
+      s"LSH recall $recall too low (16 hashes, 4 bands, jaccard>=0.7 truth)")
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

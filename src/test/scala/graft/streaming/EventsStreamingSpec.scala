@@ -45,6 +45,19 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(got.count() === ev.count(), "each event_id must survive exactly once")
   }
 
+  test("stream-stream interval join emits a subset equal to the batch join") {
+    val q = EventsStreaming.clickErrorJoinStream(
+      spark, s"${TestSpark.sf0001}/events.parquet", "ss_join")
+    q.awaitTermination()
+    val streamed = spark.table("ss_join")
+    val batch = EventsStreaming.clickErrorJoinBatch(
+      Tables.load(spark, TestSpark.sf0001, "events"))
+    assert(streamed.count() > 0, "some click-error pairs must join")
+    // every streamed pair must exist in the batch join (watermark may
+    // withhold tail pairs, never invent them)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("append-mode with watermark emits only finalized windows") {
     val q = EventsStreaming.hourlyStreamAppend(
       spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_append")
