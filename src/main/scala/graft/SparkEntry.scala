@@ -278,6 +278,36 @@ object SparkEntry {
         .groupBy(col("status_n").eqNullSafe("F").as("is_f"))
         .agg(count(lit(1)).as("n_rows"), count(col("status_n")).as("n_nonnull"),
           countDistinct(col("status_n")).as("n_distinct"))),
+    "q24_lead_lag_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("first_order"))
+    }),
+    "q25_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("has_first", array_contains(col("order_keys"),
+          element_at(col("order_keys"), 1)))),
+    "q26_from_json_struct" -> ((s, dir) =>
+      // typed JSON parsing into a struct column (vs q14's path extraction)
+      t(s, dir, "events")
+        .withColumn("props_s", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(sum(col("props_s.k").cast("long")).as("sum_k"),
+          count(when(col("props_s.k") > 50, 1)).as("n_high"))),
+    "q27_posexplode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    }),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
@@ -583,6 +613,33 @@ object SparkEntry {
         |count(*) AS n_rows, count(nullif(o_orderstatus, 'P')) AS n_nonnull,
         |count(DISTINCT nullif(o_orderstatus, 'P')) AS n_distinct
         |FROM orders GROUP BY 1""".stripMargin,
+    "q24_lead_lag_ntile" ->
+      """SELECT o_orderkey, o_custkey,
+        |lag(o_orderkey, 1) OVER w AS prev_order,
+        |lead(o_orderkey, 1) OVER w AS next_order,
+        |ntile(4) OVER w AS quartile,
+        |first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q25_array_agg" ->
+      """SELECT o_custkey,
+        |list_sort(list(o_orderkey)) AS order_keys,
+        |count(*) AS n_orders,
+        |list_contains(list_sort(list(o_orderkey)), list_sort(list(o_orderkey))[1]) AS has_first
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q26_from_json_struct" ->
+      """SELECT event_type,
+        |sum(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k,
+        |count(CASE WHEN CAST(regexp_extract(props, '(\d+)', 1) AS INT) > 50
+        |THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q27_posexplode" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+         |WHERE doc_id < 20)
+         |SELECT doc_id, i - 1 AS pos, t[i::INT] AS token
+         |FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
