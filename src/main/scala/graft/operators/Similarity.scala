@@ -22,18 +22,73 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact top-k neighbors by cosine for each query vector.
-    * Deterministic: ties broken by neighbor id. */
+    * Deterministic: ties broken by neighbor id.
+    *
+    * Scale shape: the QUERY batch is the small side — it is collected and
+    * broadcast; the corpus streams through `mapPartitions`, each task
+    * keeping a bounded per-query candidate set (|Q| x k entries, not the
+    * partition). Only |parts| x |Q| x k rows reach the final global-merge
+    * window, so a 1000-executor corpus scan shuffles kilobytes. (The naive
+    * alternative — broadcast the corpus or window over all |Q| x |C| scored
+    * pairs — dies at exactly the scale this operator exists for.)
+    */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm2(col("cv")))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])].collect()
+    val qB = spark.sparkContext.broadcast(
+      qRows.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      })
+    val localTopK = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val qs = qB.value
+        // per-query bounded candidate sets (worst kept at the head)
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by[(Double, Long), (Double, Double)] {
+            case (cos, id) => (-cos, id.toDouble)
+          }))
+        rows.foreach { case (nid, cv) =>
+          var ns = 0.0
+          var i = 0
+          while (i < cv.length) { ns += cv(i) * cv(i); i += 1 }
+          val nn = math.sqrt(ns)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn) = qs(qi)
+            if (qid != nid) {
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, cv.length)
+              while (j < n) { d += qv(j) * cv(j); j += 1 }
+              val cos = d / (qn * nn)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, nid))
+              else {
+                val worst = h.head
+                if (cos > worst._1 || (cos == worst._1 && nid < worst._2)) {
+                  h.dequeue(); h.enqueue((cos, nid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _, _), h) =>
+          h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    localTopK.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
