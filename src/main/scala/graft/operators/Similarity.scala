@@ -139,13 +139,24 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share an SRP bucket with the query; top-k
     * within candidates. `planes` controls bucket granularity (2^planes
-    * buckets). Same output schema as brute force; recall < 1 by design. */
+    * buckets). Same output schema as brute force; recall < 1 by design.
+    *
+    * `probes` = number of buckets each query examines (multi-probe LSH):
+    * 1 probes only the query's own bucket; p probes additionally flip the
+    * p-1 lowest hyperplane bits — recall recovers at the cost of p× the
+    * candidate volume, still with zero corpus self-join. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", srpBucket(col("qv"), planes))
+      idCol: String, vecCol: String, k: Int, planes: Int,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1, "probes in [1, planes+1]")
+    val q0 = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket0", srpBucket(col("qv"), planes))
       .withColumn("qn", norm2(col("qv")))
+    val probeBuckets = array(
+      col("bucket0") +: (0 until probes - 1).map(p =>
+        col("bucket0").bitwiseXOR(lit(1L << p))): _*)
+    val q = q0.withColumn("bucket", explode(probeBuckets)).drop("bucket0")
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), planes))
       .withColumn("cn", norm2(col("cv")))

@@ -38,6 +38,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("multi-probe LSH recall is monotone in the probe count") {
+    val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    def hits(probes: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5, planes = 4,
+          probes = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p1 = hits(1); val p3 = hits(3)
+    assert(p3.size >= p1.size, "more probes must never shrink the candidate pool")
+  }
+
   test("lsh top-k returns a subset of brute-force candidates with same scores") {
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
