@@ -143,8 +143,10 @@ object Similarity {
     *
     * `probes` = number of buckets each query examines (multi-probe LSH):
     * 1 probes only the query's own bucket; p probes additionally flip the
-    * p-1 lowest hyperplane bits — recall recovers at the cost of p× the
-    * candidate volume, still with zero corpus self-join. */
+    * p-1 LOWEST-MARGIN hyperplane bits — the planes the query sits closest
+    * to, i.e. the buckets its true neighbors most likely fell into. Recall
+    * recovers at the cost of p× the candidate volume, still with zero
+    * corpus self-join. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int,
@@ -153,9 +155,14 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket0", srpBucket(col("qv"), planes))
       .withColumn("qn", norm2(col("qv")))
-    val probeBuckets = array(
-      col("bucket0") +: (0 until probes - 1).map(p =>
-        col("bucket0").bitwiseXOR(lit(1L << p))): _*)
+    // candidate flips ranked by |projection| ascending (margin to the
+    // hyperplane; ties by plane index) — deterministic probe order
+    val flipCands = array((0 until planes).map { p =>
+      struct(abs(srpProjection(col("qv"), p)).as("m"), lit(p).as("p"),
+        col("bucket0").bitwiseXOR(lit(1L << p)).as("b"))
+    }: _*)
+    val probeBuckets = concat(array(col("bucket0")),
+      transform(slice(sort_array(flipCands), 1, probes - 1), s => s.getField("b")))
     val q = q0.withColumn("bucket", explode(probeBuckets)).drop("bucket0")
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), planes))

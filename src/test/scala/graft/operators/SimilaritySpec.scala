@@ -38,16 +38,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
-  test("multi-probe LSH recall is monotone in the probe count") {
+  test("multi-probe LSH improves recall against the exact ground truth") {
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val c = emb.filter(col("vec_id") >= 10)
-    def hits(probes: Int): Set[(Long, Long)] =
-      Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5, planes = 4,
-          probes = probes)
+    val q = emb.filter(col("vec_id") < 30)
+    val c = emb.filter(col("vec_id") >= 30)
+    val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(probes: Int): Double = {
+      val got = Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5,
+          planes = 4, probes = probes)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val p1 = hits(1); val p3 = hits(3)
-    assert(p3.size >= p1.size, "more probes must never shrink the candidate pool")
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val r1 = recall(1); val r3 = recall(3); val r5 = recall(5)
+    assert(r3 >= r1, s"recall must not drop with more probes: p1=$r1 p3=$r3")
+    assert(r5 > r1, s"probing all-but-strongest planes must beat one bucket: p1=$r1 p5=$r5")
   }
 
   test("lsh top-k returns a subset of brute-force candidates with same scores") {
