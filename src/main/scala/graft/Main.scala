@@ -111,8 +111,10 @@ object Main {
             }
             fs.delete(backup, true)
           }
+        val parallelism = sys.env.getOrElse("SPARK_GRAFT_TABLE_PARALLELISM", "1").toInt
         val results = new Archiver(spark, conf)
-          .run(if (conf.deleteData && !conf.dryRun) Some(liveStore) else None)
+          .run(if (conf.deleteData && !conf.dryRun) Some(liveStore) else None,
+            parallelism = parallelism)
         results.foreach { r =>
           log(f"[graft]   ${r.table}%-12s archived=${r.archivedCount}%-8d " +
             f"deleted=${r.deletedCount}%-8d vetoed=${r.vetoed}")

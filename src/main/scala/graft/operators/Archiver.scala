@@ -144,8 +144,18 @@ final class Archiver(
   }
 
   /** Full run: discover (S1/S2), elect tables (T1–T5), FK order them (T6),
-    * archive each. */
-  def run(liveStore: Option[(TableSpec, DataFrame) => Unit] = None): Seq[TableResult] = {
+    * archive each.
+    *
+    * `parallelism > 1` runs tables concurrently in FK "waves": a table
+    * joins a wave only when every elected child table is already done, so
+    * delete-back still never orphans child rows, but independent tables
+    * (the common case — most tables share no FK path) submit their Spark
+    * jobs simultaneously instead of serializing driver-side. Each wave is
+    * a barrier; within it, results arrive in deterministic table order.
+    */
+  def run(
+      liveStore: Option[(TableSpec, DataFrame) => Unit] = None,
+      parallelism: Int = 1): Seq[TableResult] = {
     recoverLiveStore()
     val present = Catalog.discoverTables(conf.source.dir).toSet
     val candidates = Tables.specs.filter(s => present.contains(s.name))
@@ -159,6 +169,30 @@ final class Archiver(
       spark, conf.source.dir, candidates,
       include = conf.source.tables,
       excludeRegexes = conf.source.excludedTables)
-    elected.map(runTable(_, liveStore))
+    if (parallelism <= 1) return elected.map(runTable(_, liveStore))
+
+    // FK waves over the ELECTED set: wave(t) = 1 + max(wave(children))
+    val electedNames = elected.map(_.name).toSet
+    val children = graft.catalog.TopoSort.childrenOf(elected)
+      .view.mapValues(_.intersect(electedNames)).toMap
+    val waveOf = scala.collection.mutable.Map[String, Int]()
+    def wave(t: TableSpec): Int = waveOf.getOrElseUpdate(t.name, {
+      val kids = children.getOrElse(t.name, Set.empty) - t.name
+      if (kids.isEmpty) 0
+      else 1 + kids.map(k => wave(elected.find(_.name == k).get)).max
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      elected.groupBy(wave).toSeq.sortBy(_._1).flatMap { case (_, tables) =>
+        val futures = tables.map(t =>
+          scala.concurrent.Future(t.name -> runTable(t, liveStore)))
+        val done = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).toMap
+        tables.map(t => done(t.name)) // deterministic order within the wave
+      }
+    } finally pool.shutdown()
   }
 }

@@ -127,22 +127,25 @@ object Dedup {
     * (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    // one row per token; the `bits` weight columns are projected (codegen)
+    // instead of exploding the token set `bits`-fold — one groupBy with
+    // `bits` integer sums, no row blowup, map-side partial aggregation
     val tok = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
-    tok.select(col("doc_id"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"), col("t"))
-      .withColumn("nib",
-        conv(md5(col("t")).substr((col("b") / 4).cast("int") + 1, lit(1)), 16, 10)
-          .cast("int"))
-      .withColumn("w",
-        when(expr("shiftright(nib, cast(b % 4 as int)) % 2") === 1, lit(1))
-          .otherwise(lit(-1)))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("w")).as("vote"))
+      .withColumn("h", md5(col("t")))
+    val weights = (0 until bits).map { b =>
+      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int")
+      when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, lit(1))
+        .otherwise(lit(-1)).as(s"w$b")
+    }
+    val votes = (0 until bits).map(b => sum(col(s"w$b")).as(s"v$b"))
+    tok.select(col("doc_id") +: weights: _*)
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(lit(0L)))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Connected components over near-dup candidate pairs: resolves pairwise
