@@ -44,7 +44,9 @@ object SparkEntry {
         ParquetDestination("arch", s"$out/parquet"),
         CsvDestination("csv", s"$out/csv"),
         SqlDumpDestination("sql", s"$out/sql")),
-      archiveData = true, deleteData = true)
+      // archive-only: the fixture source is read-only, so no live store is
+      // wired and no delete-back is claimed
+      archiveData = true, deleteData = false)
     // fixed snapshot past every fixture's time range (orders/lineitem end
     // 2001, events end 2024-01) so each elected table archives rows
     val results = new Archiver(spark, conf,
@@ -62,7 +64,8 @@ object SparkEntry {
     // ----- catalog / plan-time operators (S1–S5, T1–T6) -----
     "s1_discovery" -> ((s, dir) => {
       import s.implicits._
-      Catalog.discoverTables(dir).toDF("table_name")
+      Catalog.discoverTables(dir, s.sparkContext.hadoopConfiguration)
+        .toDF("table_name")
     }),
     "s4_pk_probe" -> ((s, _) => {
       import s.implicits._
@@ -195,7 +198,9 @@ object SparkEntry {
       t(s, dir, "orders").select(
         col("o_orderkey"),
         substring(col("o_orderpriority"), 1, 1).as("prio_code"),
-        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        // concat (null-propagating, matches SQL ||); concat_ws would skip
+        // NULL args and silently diverge from the oracle on null-bearing data
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
         year(col("o_orderdate")).as("o_year"),
         month(col("o_orderdate")).as("o_month"),
         when(col("o_totalprice") > 300000, "high")

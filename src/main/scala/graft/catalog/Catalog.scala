@@ -37,10 +37,19 @@ object Catalog {
 
   /** S1/S2 — discovery scan over the parquet testbed: tables are the
     * `*.parquet` entries in the source directory (JDBC deployments read
-    * information_schema instead). */
-  def discoverTables(dir: String): Seq[String] =
-    Option(new java.io.File(dir).list()).map(_.toSeq).getOrElse(Nil)
+    * information_schema instead). Hadoop FileSystem, not java.io.File, so
+    * object-store/HDFS source dirs discover correctly instead of silently
+    * electing nothing. */
+  def discoverTables(
+      dir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
 
   /** T1/T2 — database election: `*` means "all discovered", then prune by
     * exclusion regex + hardwired system DBs. */

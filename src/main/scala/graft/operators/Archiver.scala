@@ -120,10 +120,10 @@ final class Archiver(
         }
       }
       var deleted = 0L
-      if (conf.deleteData && !vetoed && !conf.dryRun && n > 0) {
+      if (conf.deleteData && !vetoed && !conf.dryRun && n > 0 && liveStore.isDefined) {
         val rest = remaining(live, archived, spec)
         liveStore.foreach(f => f(spec, rest))
-        deleted = n
+        deleted = n // only counted when a live store actually applied it
       }
       TableResult(spec.name, n, deleted, vetoed)
     } finally archived.unpersist()
@@ -157,7 +157,8 @@ final class Archiver(
       liveStore: Option[(TableSpec, DataFrame) => Unit] = None,
       parallelism: Int = 1): Seq[TableResult] = {
     recoverLiveStore()
-    val present = Catalog.discoverTables(conf.source.dir).toSet
+    val present = Catalog.discoverTables(conf.source.dir,
+      spark.sparkContext.hadoopConfiguration).toSet
     val candidates = Tables.specs.filter(s => present.contains(s.name))
       .map(s => s.copy(deletedColumn =
         // the configured soft-delete column applies only where it exists
@@ -171,21 +172,26 @@ final class Archiver(
       excludeRegexes = conf.source.excludedTables)
     if (parallelism <= 1) return elected.map(runTable(_, liveStore))
 
-    // FK waves over the ELECTED set: wave(t) = 1 + max(wave(children))
-    val electedNames = elected.map(_.name).toSet
-    val children = graft.catalog.TopoSort.childrenOf(elected)
+    // FK waves over the ACYCLIC elected set: wave(t) = 1 + max(wave(elected
+    // children)). Cyclic tables (TopoSort reports them) can't be leveled —
+    // they run sequentially after all waves, the reference's escape hatch.
+    val topo = graft.catalog.TopoSort.sort(elected)
+    val cyclic = topo.cyclic.toSet
+    val acyclic = elected.filterNot(t => cyclic.contains(t.name))
+    val electedNames = acyclic.map(_.name).toSet
+    val children = graft.catalog.TopoSort.childrenOf(acyclic)
       .view.mapValues(_.intersect(electedNames)).toMap
     val waveOf = scala.collection.mutable.Map[String, Int]()
     def wave(t: TableSpec): Int = waveOf.getOrElseUpdate(t.name, {
       val kids = children.getOrElse(t.name, Set.empty) - t.name
       if (kids.isEmpty) 0
-      else 1 + kids.map(k => wave(elected.find(_.name == k).get)).max
+      else 1 + kids.map(k => wave(acyclic.find(_.name == k).get)).max
     })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      elected.groupBy(wave).toSeq.sortBy(_._1).flatMap { case (_, tables) =>
+      val waved = acyclic.groupBy(wave).toSeq.sortBy(_._1).flatMap { case (_, tables) =>
         val futures = tables.map(t =>
           scala.concurrent.Future(t.name -> runTable(t, liveStore)))
         val done = scala.concurrent.Await.result(
@@ -193,6 +199,7 @@ final class Archiver(
           scala.concurrent.duration.Duration.Inf).toMap
         tables.map(t => done(t.name)) // deterministic order within the wave
       }
+      waved ++ elected.filter(t => cyclic.contains(t.name)).map(runTable(_, liveStore))
     } finally pool.shutdown()
   }
 }

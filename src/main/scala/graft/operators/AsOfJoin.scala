@@ -38,23 +38,28 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the matched right ROW is carried as one struct (never null for right
+    // rows, even when every value inside is null) — per-column
+    // last(ignoreNulls) would skip null-valued right rows and could stitch
+    // values from DIFFERENT right rows, breaking as-of row semantics
+    val rowStruct = struct(valueCols.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c))))
     // side 0 = right (sorts first at equal ts => inclusive match)
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__r_$c")) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"), rowStruct.as("__r")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"), nullStruct.as("__r")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__carried").getField(c).as(s"asof_$c")): _*)
   }
 }

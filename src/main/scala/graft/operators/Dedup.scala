@@ -58,9 +58,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     // the shingle set feeds three plan branches (both join sides + sizes);
-    // persist so tokenization/shingling runs once, not per branch
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint materializes it once AND lets the ContextCleaner free
+    // the blocks when the result goes out of scope (persist would leak the
+    // cache for the session lifetime since a returned lazy DF has no
+    // unpersist point)
+    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -112,9 +114,9 @@ object Dedup {
         s"stack($numBands, " +
           (0 until numBands).map(b => s"$b, band$b").mkString(", ") +
           ") as (band, sig)"))
-      // both self-join sides read this subtree; persist so the signature
-      // computation (the expensive part) runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both self-join sides read this subtree; localCheckpoint runs the
+      // signature computation once and is GC-cleaned (see shingle note)
+      .localCheckpoint(false)
     val a = stacked.as("a"); val b = stacked.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -177,9 +177,14 @@ final class JdbcUpsertSink(
     val meta = conn.getMetaData
     // identifier folding is engine-specific (Derby uppercases, MySQL on
     // Linux keeps case) — probe every folding until one matches
+    // scope the probe to the CONNECTED catalog/schema — a null catalog can
+    // match a same-named table in another database on some drivers
+    val (cat, sch) = (
+      try conn.getCatalog catch { case _: SQLException => null },
+      try conn.getSchema catch { case _: SQLException => null })
     val existing = Seq(table, table.toUpperCase, table.toLowerCase).distinct
       .map { probe =>
-        val rs = meta.getColumns(null, null, probe, null)
+        val rs = meta.getColumns(cat, sch, probe, null)
         Iterator.continually(rs).takeWhile(_.next())
           .map(r => (r.getString("COLUMN_NAME").toLowerCase,
             r.getInt("DATA_TYPE"))).toSeq
@@ -230,6 +235,10 @@ final class JdbcUpsertSink(
           var batch = Vector.empty[Row]
           def flush(): Unit = if (batch.nonEmpty) {
             Jdbc.withRetry(localCfg, localDialect.isDeterministic) {
+              // a retried attempt must start from a clean slate: clear any
+              // half-added statement batch and roll back the aborted txn
+              ps.clearBatch()
+              try conn.rollback() catch { case _: SQLException => () }
               try {
                 batch.foreach { row =>
                   cols.indices.foreach(i =>

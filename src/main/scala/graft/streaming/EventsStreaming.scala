@@ -21,9 +21,24 @@ import org.apache.spark.sql.types.StructType
 object EventsStreaming {
 
   /** (parentDir, globFilter) for a path that may be a single parquet file. */
-  private def splitDirGlob(path: String): (String, String) = {
+  private[streaming] def splitDirGlob(path: String): (String, String) = {
     val f = new java.io.File(path)
     if (f.isFile) (f.getParent, f.getName) else (path, "*")
+  }
+
+  /** Shared file-stream source: accepts a directory OR a single parquet
+    * file, handles the fixture's nanos timestamps, bounds batch size. All
+    * streaming helpers go through here so they agree on path semantics. */
+  private[streaming] def fileStream(
+      spark: SparkSession, parquetPath: String,
+      maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(parquetPath).schema
+    val (dir, glob) = splitDirGlob(parquetPath)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    val bounded = if (maxFilesPerTrigger == Int.MaxValue) reader
+      else reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    graft.Tables.normalizeNanos(bounded.parquet(dir))
   }
 
   /** The shared aggregation: tumbling 1-hour window per event_type. */

@@ -31,12 +31,7 @@ object Sessionize {
   def sessionsStream(
       spark: SparkSession, parquetPath: String, gapMinutes: Int,
       queryName: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val stream = graft.Tables.normalizeNanos(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(parquetPath))
+    val stream = EventsStreaming.fileStream(spark, parquetPath, maxFilesPerTrigger)
     sessionsBatch(stream.withWatermark("ts", "1 hour"), gapMinutes)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
@@ -53,12 +48,7 @@ object Sessionize {
       spark: SparkSession, parquetPath: String, queryName: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val stream = graft.Tables.normalizeNanos(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(parquetPath))
+    val stream = EventsStreaming.fileStream(spark, parquetPath, maxFilesPerTrigger)
     val typed: Dataset[UserEvent] =
       stream.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
     val stats = typed
