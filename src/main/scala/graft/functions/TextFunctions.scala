@@ -43,12 +43,9 @@ object TextFunctions {
     * per shingle (measured 20× slowdown at 5k docs).
     */
   def shinglesOfTokens(t: Column, n: Int): Column = {
-    // sequence(1, size-n+1) of start indexes -> slice(tokens, i, n) joined.
-    // Guarded: sequence(1, 0) would DESCEND in Spark, so short docs get [].
-    val starts = sequence(lit(1), size(t) - lit(n - 1))
-    when(size(t) >= n,
-      array_distinct(transform(starts, i => array_join(slice(t, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.WordShingles(
+      GraftColumnBridge.expression(t), n))
   }
 
   /** Convenience form over raw text — only for one-shot/small inputs; hot

@@ -57,12 +57,14 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // the shingle set feeds three plan branches (both join sides + sizes);
-    // localCheckpoint materializes it once AND lets the ContextCleaner free
-    // the blocks when the result goes out of scope (persist would leak the
-    // cache for the session lifetime since a returned lazy DF has no
-    // unpersist point)
-    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint(false)
+    // The shingle set feeds three plan branches (both join sides + sizes).
+    // persist, deliberately not localCheckpoint: the CacheManager keys the
+    // cache by logical plan, so (a) repeated calls with the same inputs
+    // reuse one entry (no per-call growth — only distinct configurations
+    // add entries), and (b) sibling operators over the same shingle set
+    // (LSH, cluster resolution) hit the same cache across queries.
+    val sh = shingleSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -114,9 +116,9 @@ object Dedup {
         s"stack($numBands, " +
           (0 until numBands).map(b => s"$b, band$b").mkString(", ") +
           ") as (band, sig)"))
-      // both self-join sides read this subtree; localCheckpoint runs the
-      // signature computation once and is GC-cleaned (see shingle note)
-      .localCheckpoint(false)
+      // both self-join sides read this subtree; persist (plan-keyed, see
+      // shingle note) so the signature computation runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = stacked.as("a"); val b = stacked.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
