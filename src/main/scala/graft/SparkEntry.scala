@@ -333,6 +333,30 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5).select("doc_a", "doc_b"))),
+    "dd7_cluster_survivors" -> ((s, dir) => {
+      // full dedup pipeline tail: near-dup clusters -> keep the
+      // highest-quality member per cluster (ties: lowest doc id)
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("doc_a", "doc_b"))
+      val scored = clusters.join(docs, "doc_id")
+        .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"), col("q"))
+    }),
+    "dd8_hash_split" -> ((s, dir) =>
+      // deterministic held-out splitting: md5 of the id buckets every doc
+      // into train/val/test with no RNG state — reproducible on any engine
+      // and any cluster size
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "val")
+          .otherwise("test").as("split"))),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "dd5_embed_neardup" -> ((s, dir) =>
@@ -692,6 +716,41 @@ object SparkEntry {
          |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+    "dd7_cluster_survivors" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a),
+         |quality AS (SELECT doc_id, text, len($duckToks) AS n_tokens,
+         |len(list_filter($duckToks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         |  / greatest(len($duckToks), 1) AS stop_ratio,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS punct FROM documents),
+         |scored AS (SELECT cc.doc_id, cc.cluster_id,
+         |floor(least(greatest(
+         |least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+         |+ (1.0 - punct) * 0.2, 0.0), 1.0) * 10000.0) / 10000.0 AS q
+         |FROM cc JOIN quality ON quality.doc_id = cc.doc_id),
+         |ranked AS (SELECT cluster_id, doc_id, q, row_number() OVER (
+         |PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn FROM scored)
+         |SELECT cluster_id, doc_id AS survivor_id, q FROM ranked WHERE rn = 1""".stripMargin,
+    "dd8_hash_split" ->
+      """SELECT doc_id, CASE
+        |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+        |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+        |ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "dd4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
