@@ -391,6 +391,15 @@ object SparkEntry {
     "tx3_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+    "tx7_quality_floor" -> ((s, dir) => {
+      // corpus pruning: drop documents below the median quality score —
+      // the percentile is computed once (scalar) and broadcast into the
+      // filter, not re-evaluated per row
+      val docs = t(s, dir, "documents")
+        .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4))
+      val median = docs.agg(expr("percentile(q, 0.5)")).head.getDouble(0)
+      docs.filter(col("q") >= median).select("doc_id", "q")
+    }),
     "tx6_bpe_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -835,6 +844,17 @@ object SparkEntry {
         |SELECT doc_id, min(md5(substr(nm, i::INT, 8))) AS fp
         |FROM (SELECT doc_id, nm, unnest(range(1, greatest(strlen(nm) - 7, 1) + 1)) AS i FROM norm)
         |GROUP BY doc_id""".stripMargin,
+    "tx7_quality_floor" ->
+      s"""WITH q AS (SELECT doc_id,
+         |floor(least(greatest(
+         |least(len($duckToks) / 100.0, 1.0) * 0.5
+         |+ least((len(list_filter($duckToks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         |  / greatest(len($duckToks), 1)) * 5.0, 1.0) * 0.3
+         |+ (1.0 - (strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1)) * 0.2, 0.0), 1.0) * 10000.0) / 10000.0 AS q
+         |FROM documents)
+         |SELECT doc_id, q FROM q
+         |WHERE q >= (SELECT quantile_cont(q, 0.5) FROM q)""".stripMargin,
     "tx6_bpe_token_count" ->
       s"""SELECT doc_id,
          |len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')) AS ws_tokens,
