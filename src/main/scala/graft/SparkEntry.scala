@@ -161,8 +161,13 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
     "q7_running_sum" -> ((s, dir) => {
+      // quantity/price tiebreaks: the synthetic generator reuses PKs at
+      // larger scale factors, so (shipdate, orderkey, linenumber) alone is
+      // not a total order; rows identical in ALL ordering columns are safe
+      // (the output multiset is order-invariant between them)
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -529,7 +534,8 @@ object SparkEntry {
     "q7_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |PARTITION BY l_suppkey
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
     "q8_topk" ->
