@@ -48,6 +48,19 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.langId($"text")).as[String].head() === "en")
   }
 
+  test("non-ascii input degrades cleanly (stripped, never crashes)") {
+    val t = one("Héllo wörld 北京 test123 ")
+      .select(TextFunctions.tokens($"text")).as[Seq[String]].head()
+    // non-[a-z0-9] codepoints are treated as separators by design
+    assert(t === Seq("h", "llo", "w", "rld", "test123"))
+    val fp = one("北京 only unicode £€¥")
+      .select(TextFunctions.fingerprint($"text")).as[String].head()
+    assert(fp.nonEmpty)
+    val rfp = one("北京").select(
+      TextFunctions.rollingFingerprint($"text", 8)).as[Long].head()
+    assert(rfp >= 0)
+  }
+
   test("fingerprint is stable and insensitive to punctuation noise") {
     val a = one("the quick brown fox jumps over the lazy dog")
       .select(TextFunctions.fingerprint($"text")).as[String].head()
