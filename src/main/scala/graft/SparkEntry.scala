@@ -117,10 +117,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
           fround(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))),
@@ -129,7 +129,7 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"),
           count(lit(1)).as("n_orders"))),
     "q3_broadcast_join" -> ((s, dir) =>
       t(s, dir, "supplier")
@@ -137,7 +137,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("s_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_acctbal"))),
     "q4_semi_join" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("c_custkey"))
@@ -171,7 +171,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_qty"))
     }),
     "q8_topk" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -198,7 +198,7 @@ object SparkEntry {
     "q12_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))),
     "q13_scalar_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -267,7 +267,7 @@ object SparkEntry {
       graft.operators.JoinStrategies.saltedJoin(li, orders, Seq("l_orderkey"), 8)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
     }),
     "q21_percentile" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderpriority")
@@ -279,7 +279,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")))),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .withColumn("F", col("F").cast("decimal(38,2)"))
+        .withColumn("O", col("O").cast("decimal(38,2)"))),
     "q23_null_semantics" -> ((s, dir) =>
       // NULL-handling parity: injected nulls, null-safe equality, and
       // null-aware aggregation (count vs count(col))

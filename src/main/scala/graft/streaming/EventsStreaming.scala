@@ -46,7 +46,7 @@ object EventsStreaming {
     events
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
