@@ -195,6 +195,14 @@ object SparkEntry {
       // sketch-based, engine-specific values: rows-only check (no oracle)
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+    "q28_hll_distinct" -> ((s, dir) => {
+      // custom TypedImperativeAggregate sketch; deterministic under any
+      // partitioning, but engine-specific values => rows-only check
+      graft.functions.GraftExtensions.register(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_hll")
+      s.sql("""SELECT l_returnflag, graft_hll_distinct(l_partkey) AS hll_parts
+              |FROM lineitem_hll GROUP BY l_returnflag""".stripMargin)
+    }),
     "q12_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, RollingMinHash}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, RollingMinHash}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -41,7 +41,11 @@ object GraftExtensions {
     "graft_dot" -> (args => ArrayDot(args(0), args(1))),
     "graft_rolling_minhash" -> (args =>
       RollingMinHash(args(0),
-        if (args.length > 1) intArg(args(1), "width") else 8))
+        if (args.length > 1) intArg(args(1), "width") else 8)),
+    "graft_hll_distinct" -> (args =>
+      HyperLogLog(args(0),
+        if (args.length > 1) intArg(args(1), "precision") else 12)
+        .toAggregateExpression())
   )
 
   /** Register on a live session (temp functions). */
