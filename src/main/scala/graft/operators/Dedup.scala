@@ -56,14 +56,30 @@ object Dedup {
     * doc_a < doc_b canonicalizes pairs. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // The shingle set feeds three plan branches (both join sides + sizes).
     // persist, deliberately not localCheckpoint: the CacheManager keys the
     // cache by logical plan, so (a) repeated calls with the same inputs
     // reuse one entry (no per-call growth — only distinct configurations
     // add entries), and (b) sibling operators over the same shingle set
     // (LSH, cluster resolution) hit the same cache across queries.
-    val sh = shingleSet(docs, idCol, textCol, n)
+    val shAll = shingleSet(docs, idCol, textCol, n)
+    // Scale configuration: cap the document frequency of join-key shingles.
+    // A single stop-shingle shared by k documents contributes k^2/2 join
+    // rows — at corpus scale one hot shingle is a quadratic blowup and a
+    // one-partition straggler. Dropping shingles with df > maxShingleDf
+    // bounds every join key's output at maxShingleDf^2/2 and, because such
+    // shingles carry ~zero discriminative signal, leaves the Jaccard
+    // estimate over the remaining (informative) shingle space. Exact mode
+    // (the oracle baseline) is maxShingleDf = Long.MaxValue.
+    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+      else {
+        val rare = shAll.groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+          .select("sh")
+        shAll.join(rare, "sh").select("doc_id", "sh")
+      })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -206,35 +222,85 @@ object Dedup {
     out
   }
 
-  /** Distributed min-label propagation (the >threshold path). */
+  /** Distributed connected components via alternating large-star/small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"). Converges in O(log^2 n) rounds regardless of component
+    * diameter — min-label propagation needs O(diameter) rounds and silently
+    * under-merges deep chains at a fixed iteration budget; star contraction
+    * halves path lengths every round, so `maxIter` = 20 covers any
+    * realistic graph. Throws if the edge set has not reached its fixpoint
+    * within the budget instead of returning wrong labels.
+    *
+    * Each round is two groupBy-min + join passes over the (shrinking) edge
+    * list; ids only need to be orderable (works for string keys too).
+    * Output: (doc_id, cluster_id = min id of the component), one row per
+    * node appearing in `pairs` — identical labels to a union-find.
+    */
   private[operators] def distributedComponents(
       pairs: DataFrame, maxIter: Int): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical orientation: u = larger endpoint, v = smaller
+    var edges = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+
+    // large-star: every neighbor larger than u re-links to the minimum of
+    // u's closed neighborhood (operates on the symmetric edge view)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nb.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u").as("mu"), least(col("mn"), col("u")).as("m"))
+      nb.filter(col("v") > col("u"))
+        .join(m, col("u") === col("mu"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: u and all its (smaller) neighbors re-link to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      relinked.unionByName(m.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // fixpoint detection: (row count, order-independent hash sum) — one
+    // aggregation job per round instead of two except() scans; a checksum
+    // collision masking non-convergence needs an xxhash64 sum collision on
+    // equal-cardinality edge sets (astronomically unlikely)
+    def checksum(e: DataFrame): (Long, Any) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), r.get(1))
+    }
+
+    var cs = checksum(edges)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = updated.filter(col("newlabel") =!= col("label")).count()
-      val old = labels
-      labels = updated.select(col("id"), col("newlabel").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      old.unpersist(); updated.unpersist()
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val ncs = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = ncs == cs
+      cs = ncs
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter large/small-star rounds")
+    // at the fixpoint the edge set is a star per component: u -> component
+    // min. localCheckpoint truncates the iterative lineage so the rounds'
+    // caches can be released without the result recomputing them.
+    val labels = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(
+        edges.select(col("v")).distinct()
+          .select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .localCheckpoint(true)
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).
@@ -251,6 +317,48 @@ object Dedup {
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.NumericFunctions.fround(
+          VectorFunctions.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The 100 TB embedding near-dup path: SRP-bucketed candidate generation.
+    *
+    * Every vector gets a `planes`-bit signed-random-projection bucket
+    * (deterministic md5 hyperplanes — no random state, engine-reproducible);
+    * the left side additionally probes every Hamming-1 bucket variant
+    * (multi-probe, recovers pairs whose signatures differ by one plane).
+    * Candidates come from an EQUI-JOIN on the bucket id — shuffle keys are
+    * 8-byte longs and no all-pairs comparison ever runs, vs. the brute-force
+    * form's O(n^2) BroadcastNestedLoopJoin (kept only as the small-n oracle
+    * baseline). Each qualifying pair matches exactly one probe (its Hamming
+    * distance picks the probe), so no distinct is needed before the
+    * threshold filter.
+    *
+    * Recall is the standard SRP-LSH tradeoff: a pair at cosine >= threshold
+    * collides with probability [1 - acos(cos)/pi]^planes, amortized up by
+    * the Hamming-1 probes; tune `planes` down / band the signature for
+    * higher recall, up for fewer candidates.
+    */
+  def embeddingNearDupPairsBucketed(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 4): DataFrame = {
+    require(planes >= 1 && planes <= 62, "planes in [1,62]")
+    // bucket assignment is the expensive narrow pass (one projection fold
+    // per plane); persist so both join sides compute it once
+    val v = emb.select(col(idCol).as("id"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
+      .withColumn("bucket", VectorFunctions.srpBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeBuckets = array(col("bucket") +: (0 until planes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = v.withColumn("pb", explode(probeBuckets))
+      .select(col("id"), col("v"), col("nrm"), col("pb")).as("a")
+    val b = v.as("b")
+    a.join(b, col("a.pb") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.NumericFunctions.fround(
           VectorFunctions.dot(col("a.v"), col("b.v")) /

@@ -46,7 +46,10 @@ object EventsStreaming {
     events
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        // exact decimal sum internally; DOUBLE at the output boundary so the
+        // driver's pandas canonicalization matches the DuckDB oracle (both
+        // engines produce the identical correctly-rounded float64)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -5,13 +5,23 @@ Usage: python3 tools/check.py [sfdir] [outdir] [only_query...]
 
 Runs graft.Verify (unless outdir already populated and --no-run), then for
 each query compares the Spark parquet result against DuckDB running the
-oracle SQL on the same tables: columns sorted by name, rows sorted, doubles
-rounded to 9 significant places before compare.
+oracle SQL on the same tables.
+
+Canonicalization mirrors the DRIVER's gate, which goes through pandas on
+both sides: Spark parquet via pyarrow->pandas (so DECIMAL columns surface
+as decimal.Decimal objects, ints-with-nulls as float64, ...) and the oracle
+via duckdb's .df() (DECIMAL/HUGEINT surface as float64). Cells are compared
+as their str() rendering after column-name sort + row sort — the same class
+of representation mismatches the driver hash sees. Do NOT "helpfully"
+normalize numerics here: a Decimal('1.00') vs 1.0 difference is a real
+driver failure and must stay visible.
 
 Dev tool only — the engine itself has no Python dependency.
 """
-import json, math, subprocess, sys, os
+import glob, json, math, subprocess, sys, os
 import duckdb
+import numpy as np
+import pandas as pd
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -49,20 +59,29 @@ def run_verify():
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return str(float(v))
+    if isinstance(v, np.ndarray):
+        return "ARRAY[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def rows_of(cur):
-    cols = [d[0] for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
-    return sorted(cols), sorted(data)
+def rows_of_df(df):
+    cols = sorted(df.columns)
+    data = sorted(tuple(canon(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
+    return cols, data
+
+
+def spark_df(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise RuntimeError("no parquet output")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
 def main():
@@ -82,8 +101,7 @@ def main():
             results[name] = "MISSING-SPARK-OUTPUT"
             continue
         try:
-            got_cols, got = rows_of(
-                con.execute(f"SELECT * FROM '{path}/*.parquet'"))
+            got_cols, got = rows_of_df(spark_df(path))
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
@@ -92,7 +110,7 @@ def main():
                 (" EMPTY!" if not got else "")
             continue
         try:
-            exp_cols, exp = rows_of(con.execute(oracle[name]))
+            exp_cols, exp = rows_of_df(con.execute(oracle[name]).df())
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {str(e)[:200]}"
             continue
