@@ -238,13 +238,18 @@ object Dedup {
     */
   private[operators] def distributedComponents(
       pairs: DataFrame, maxIter: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Iterative rounds MUST truncate lineage: smallStar(largeStar(e))
+    // references `e` five times, so without truncation the logical plan
+    // grows ~6x per round (exponential — the plan string alone OOMs after
+    // a handful of rounds). localCheckpoint materializes each round and
+    // cuts the plan back to a leaf; superseded round RDDs are released by
+    // the ContextCleaner once unreferenced.
     // canonical orientation: u = larger endpoint, v = smaller
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // large-star: every neighbor larger than u re-links to the minimum of
     // u's closed neighborhood (operates on the symmetric edge view)
@@ -266,12 +271,14 @@ object Dedup {
       relinked.unionByName(m.select(col("u"), col("m").as("v"))).distinct()
     }
 
-    // fixpoint detection: (row count, order-independent hash sum) — one
-    // aggregation job per round instead of two except() scans; a checksum
-    // collision masking non-convergence needs an xxhash64 sum collision on
-    // equal-cardinality edge sets (astronomically unlikely)
+    // fixpoint detection: (row count, order-independent hash fold) — one
+    // aggregation job per round instead of two except() scans. bit_xor is
+    // commutative/associative (partitioning-independent) and cannot
+    // overflow under ANSI arithmetic; a collision masking non-convergence
+    // needs an xxhash64 xor-collision on equal-cardinality DISTINCT edge
+    // sets (astronomically unlikely).
     def checksum(e: DataFrame): (Long, Any) = {
-      val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), r.get(1))
     }
 
@@ -279,9 +286,8 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val ncs = checksum(next)
-      edges.unpersist()
       edges = next
       converged = ncs == cs
       cs = ncs
@@ -291,16 +297,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter large/small-star rounds")
     // at the fixpoint the edge set is a star per component: u -> component
-    // min. localCheckpoint truncates the iterative lineage so the rounds'
-    // caches can be released without the result recomputing them.
-    val labels = edges
+    // min; the labels plan reads the final checkpointed round directly
+    edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(
         edges.select(col("v")).distinct()
           .select(col("v").as("doc_id"), col("v").as("cluster_id")))
-      .localCheckpoint(true)
-    edges.unpersist()
-    labels
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).

@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed embedding near-dup joins on the SRP bucket, never all-pairs (dd5b)") {
+    val p = plan("dd5b_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup degraded to an all-pairs nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("running sum uses one exchange then a window, no re-sort cascade (q7)") {
     val p = plan("q7_running_sum")
     assert(p.contains("Window") || p.contains("WindowGroupLimit"))

@@ -80,6 +80,60 @@ class DedupSpec extends AnyFunSuite {
       s"LSH recall $recall too low (16 hashes, 4 bands, jaccard>=0.7 truth)")
   }
 
+  test("shingle df-cap bounds candidate pairs on a skewed corpus") {
+    // 30 docs all sharing a 5-token prefix (2 hot shingles with df=30) but
+    // otherwise unique: uncapped, the hot shingles alone make every pair a
+    // candidate (C(30,2) join rows per hot shingle); with the cap the hot
+    // shingles are dropped and the candidate set collapses to nothing
+    val skewed = (1 to 30)
+      .map(i => (i.toLong, s"the quick brown fox jumps uniq$i tail$i end$i"))
+      .toSeq.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+      n = 3, threshold = 0.1).count()
+    val capped = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+      n = 3, threshold = 0.1, maxShingleDf = 5L).count()
+    assert(uncapped === 435L, "every pair shares the hot shingles uncapped")
+    assert(capped === 0L, "df-cap must eliminate hot-shingle-only candidates")
+  }
+
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(id => id -> find(id)).toMap
+  }
+
+  test("large/small-star components match union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val dist = Dedup.distributedComponents(
+        edges.toDF("doc_a", "doc_b"), maxIter = 20)
+        .as[(Long, Long)].collect().toMap
+      assert(dist === unionFindLabels(edges))
+    }
+  }
+
+  test("star contraction converges on a deep chain within few rounds") {
+    // a 50-node path has diameter 49: min-label propagation would need 49
+    // rounds; large/small-star contraction halves depth every round, so a
+    // tight budget suffices and every node lands on the component min
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.distributedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 50 && cc.values.forall(_ === 0L))
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
@@ -92,5 +146,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 4L))) // cos ≈ 0.994
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("bucketed embedding near-dup is a subset of brute force and keeps exact dups") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),    // same direction as 1: same SRP bucket
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingNearDupPairsBucketed(
+      emb, "vec_id", "embedding", 0.95, planes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(brute),
+      "LSH candidates must never add pairs brute force rejects")
+    assert(bucketed.contains((1L, 2L)),
+      "identical vectors always share every SRP bucket")
   }
 }
