@@ -667,7 +667,7 @@ object SparkEntry {
         |l AS (SELECT user_id, event_id, ts, us,
         |lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
         |s AS (SELECT user_id, event_id, ts, us,
-        |CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
         |sid AS (SELECT user_id, ts, sum(new_sess) OVER (
         |PARTITION BY user_id ORDER BY us, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)

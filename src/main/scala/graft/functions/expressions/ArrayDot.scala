@@ -18,9 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: strict left-to-right accumulation, identical to
   * `aggregate(zip_with(a, b, (x, y) => x*y), 0d, _+_)` and to DuckDB's
   * list_cosine_similarity fold order, so oracle parity is bit-exact.
+  * That includes the degenerate cases: `zip_with` pads the shorter array
+  * with nulls and `aggregate` propagates them, so a length mismatch or any
+  * null element yields NULL here too — never a silently-truncated dot.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // result can be NULL on length mismatch / null elements even when both
+  // input arrays are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -38,10 +45,15 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -50,13 +62,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |boolean $bad = $n != $b.numElements();
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+         |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

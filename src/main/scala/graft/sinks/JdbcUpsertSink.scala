@@ -50,6 +50,11 @@ trait JdbcDialect extends Serializable {
   /** Deterministic errors — never retried. */
   def isDeterministic(e: SQLException): Boolean =
     isDuplicateKey(e) || isIntegrityViolation(e)
+  /** Connection lost / unusable — retry must re-establish the connection
+    * first (X1; the reference closes and reopens on MySQL 2003,
+    * common/db.py:377-381). SQLSTATE class 08 = connection exception. */
+  def isConnectionLoss(e: SQLException): Boolean =
+    Option(e.getSQLState).exists(_.startsWith("08"))
   def columnType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
@@ -77,6 +82,10 @@ object MySqlDialect extends JdbcDialect {
   override def isDuplicateKey(e: SQLException): Boolean = e.getErrorCode == 1062
   override def isIntegrityViolation(e: SQLException): Boolean =
     e.getErrorCode == 1451 || e.getErrorCode == 1452
+  /** 2003 can't-connect, 2006 server-gone, 2013 lost-during-query. */
+  override def isConnectionLoss(e: SQLException): Boolean =
+    super.isConnectionLoss(e) ||
+      e.getErrorCode == 2003 || e.getErrorCode == 2006 || e.getErrorCode == 2013
 }
 
 /** ANSI-ish engines without upsert (Derby etc.): INSERT + ignore-dup-key. */
@@ -84,8 +93,14 @@ object AnsiDialect extends JdbcDialect
 
 object Jdbc {
   /** X1: bounded retry with fixed backoff; deterministic errors (duplicate
-    * key, integrity violation — dialect-classified) are never retried. */
-  def withRetry[A](cfg: JdbcSinkConfig, noRetry: SQLException => Boolean)(f: => A): A = {
+    * key, integrity violation — dialect-classified) are never retried.
+    * Connection-loss errors (dialect-classified) invoke `onConnectionLoss`
+    * before the next attempt so callers can re-establish a dead connection
+    * instead of deterministically failing every retry on it. */
+  def withRetry[A](
+      cfg: JdbcSinkConfig, noRetry: SQLException => Boolean,
+      isConnectionLoss: SQLException => Boolean = _ => false,
+      onConnectionLoss: () => Unit = () => ())(f: => A): A = {
     var attempt = 0
     while (true) {
       try return f
@@ -94,9 +109,20 @@ object Jdbc {
         case e: SQLException if attempt < cfg.maxRetries =>
           attempt += 1
           Thread.sleep(cfg.retryDelayMs)
+          if (isConnectionLoss(e)) onConnectionLoss()
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** A reconnectable connection slot for the retry loop: `reconnect()`
+    * swaps in a fresh connection (old one closed best-effort); callers must
+    * re-derive prepared statements after a reconnect. */
+  final class ConnectionHolder(cfg: JdbcSinkConfig) extends AutoCloseable {
+    private var conn: Connection = Jdbc.connect(cfg)
+    def get: Connection = conn
+    def reconnect(): Unit = { Jdbc.close(conn); conn = Jdbc.connect(cfg) }
+    override def close(): Unit = Jdbc.close(conn)
   }
 
   def connect(cfg: JdbcSinkConfig): Connection = {
@@ -182,12 +208,19 @@ final class JdbcUpsertSink(
     val (cat, sch) = (
       try conn.getCatalog catch { case _: SQLException => null },
       try conn.getSchema catch { case _: SQLException => null })
+    // getColumns treats the table name as a LIKE pattern: escape _ and %
+    // with the driver's search-string escape so `a_b` can't match a
+    // different live table and trigger a false drift comparison
+    val esc = try meta.getSearchStringEscape catch { case _: SQLException => "\\" }
+    def escapePattern(name: String): String =
+      name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     val existing = Seq(table, table.toUpperCase, table.toLowerCase).distinct
       .map { probe =>
-        val rs = meta.getColumns(cat, sch, probe, null)
-        Iterator.continually(rs).takeWhile(_.next())
+        val rs = meta.getColumns(cat, sch, escapePattern(probe), null)
+        try Iterator.continually(rs).takeWhile(_.next())
           .map(r => (r.getString("COLUMN_NAME").toLowerCase,
             r.getInt("DATA_TYPE"))).toSeq
+        finally rs.close()
       }.find(_.nonEmpty).getOrElse(Seq.empty)
     if (existing.isEmpty) {
       // PK constraint is what makes the upsert/ignore-dup idempotence work
@@ -229,34 +262,44 @@ final class JdbcUpsertSink(
 
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val conn = Jdbc.connect(localCfg)
+        val holder = new Jdbc.ConnectionHolder(localCfg)
+        // the prepared statement is tied to the live connection: a
+        // reconnect invalidates it, so it is lazily re-prepared (X1)
+        var ps: PreparedStatement = null
+        def prepared(): PreparedStatement = {
+          if (ps == null) ps = holder.get.prepareStatement(sql)
+          ps
+        }
+        def onLoss(): Unit = { ps = null; holder.reconnect() }
         try {
-          val ps = conn.prepareStatement(sql)
           var batch = Vector.empty[Row]
           def flush(): Unit = if (batch.nonEmpty) {
-            Jdbc.withRetry(localCfg, localDialect.isDeterministic) {
+            Jdbc.withRetry(localCfg, localDialect.isDeterministic,
+                localDialect.isConnectionLoss, () => onLoss()) {
+              val conn = holder.get
+              val p = prepared()
               // a retried attempt must start from a clean slate: clear any
               // half-added statement batch and roll back the aborted txn
-              ps.clearBatch()
+              p.clearBatch()
               try conn.rollback() catch { case _: SQLException => () }
               try {
                 batch.foreach { row =>
                   cols.indices.foreach(i =>
-                    Jdbc.bind(ps, i + 1, schema(i).dataType, row.get(i)))
-                  ps.addBatch()
+                    Jdbc.bind(p, i + 1, schema(i).dataType, row.get(i)))
+                  p.addBatch()
                 }
-                ps.executeBatch()
+                p.executeBatch()
                 conn.commit()
               } catch {
                 case e: SQLException if !nativeUpsert =>
                   // W2 fallback idempotence: replay the batch row-by-row,
                   // skipping duplicate-key rows (the pk = pk no-op)
                   conn.rollback()
-                  ps.clearBatch()
+                  p.clearBatch()
                   batch.foreach { row =>
                     cols.indices.foreach(i =>
-                      Jdbc.bind(ps, i + 1, schema(i).dataType, row.get(i)))
-                    try ps.executeUpdate()
+                      Jdbc.bind(p, i + 1, schema(i).dataType, row.get(i)))
+                    try p.executeUpdate()
                     catch {
                       case d: SQLException if localDialect.isDuplicateKey(d) => ()
                     }
@@ -271,11 +314,69 @@ final class JdbcUpsertSink(
             if (batch.size >= localCfg.batchSize) flush()
           }
           flush() // forced tail flush (db.py:407-413)
-        } finally Jdbc.close(conn)
+        } finally holder.close()
       }
     }
   }
 }
+
+/** D3 remediation-SQL generation: parse an FK-violation error message and
+  * produce (a) the diagnostic SELECT that shows the offending child rows
+  * and (b) a candidate `UPDATE … INNER JOIN` that soft-deletes them in
+  * lockstep with the parent — the same operator strings the reference
+  * prints for manual remediation
+  * (/root/reference/osarchiver/common/db.py:478-547).
+  */
+object IntegrityRemediation {
+
+  final case class FkViolation(
+      db: String, table: String, fk: String, refTable: String, refColumn: String)
+
+  // MySQL/InnoDB FK-violation message shape, e.g.:
+  //   ... a foreign key constraint fails (`db`.`child`, CONSTRAINT `c_fk`
+  //   FOREIGN KEY (`parent_id`) REFERENCES `parent` (`id`))
+  private val FkFail =
+    ("""^.+fails \(`(.+)`\.`(.+)`, CONSTRAINT `.+` FOREIGN KEY """ +
+      """\(`(.+)`\) REFERENCES `(.+)` \(`(.+)`\)\)$""").r
+
+  def parse(error: String): Option[FkViolation] =
+    Option(error).map(_.replace('\n', ' ')).collect {
+      case FkFail(db, table, fk, refTable, refColumn) =>
+        FkViolation(db, table, fk, refTable, refColumn)
+    }
+
+  /** Numeric key values are rendered bare, everything else quoted — the
+    * reference's isdigit() rule. */
+  private def render(v: Any): String = {
+    val s = String.valueOf(v)
+    if (s.nonEmpty && s.forall(_.isDigit)) s else s"'$s'"
+  }
+
+  /** SELECT retrieving the child rows that blocked the parent delete. */
+  def diagnosticSelect(error: String, refValue: Any): Option[String] =
+    parse(error).map { f =>
+      s"SELECT * FROM `${f.db}`.`${f.table}` WHERE `${f.fk}` = ${render(refValue)}"
+    }
+
+  /** Candidate fix: mark the still-live children as deleted in lockstep
+    * with their (already soft-deleted) parent. */
+  def potentialFix(
+      error: String, refValue: Any, deletedColumn: String): Option[String] =
+    parse(error).map { f =>
+      s"UPDATE `${f.db}`.`${f.table}` INNER JOIN `${f.db}`.`${f.refTable}` ON " +
+        s"`${f.db}`.`${f.refTable}`.`${f.refColumn}` = `${f.db}`.`${f.table}`.`${f.fk}` " +
+        s"SET `${f.db}`.`${f.table}`.`$deletedColumn` = " +
+        s"`${f.db}`.`${f.refTable}`.`$deletedColumn` " +
+        s"WHERE ${f.fk} = ${render(refValue)} " +
+        s"AND `${f.db}`.`${f.table}`.`$deletedColumn` IS NULL"
+    }
+}
+
+/** Per-run delete-back outcome: rows deleted, FK-blocked keys left in
+  * place, and the generated remediation SQL for each blocked key (empty
+  * when the engine's error message is not FK-parseable). */
+final case class DeleteBackResult(
+    deleted: Long, poisonKeys: Seq[Any], remediation: Seq[String])
 
 /** D1/D3 — keyed chunked delete-back against a JDBC live store.
   *
@@ -284,53 +385,71 @@ final class JdbcUpsertSink(
   * point — the reference's delete_loop_delay, common/db.py:43). On an
   * integrity violation the chunk is split in half recursively (the
   * reference's numpy.array_split dichotomy, source/db.py:376-426) until the
-  * poison rows are isolated; those are left undeleted and reported.
+  * poison rows are isolated; those are left undeleted and reported along
+  * with generated remediation SQL (diagnostic SELECT + candidate UPDATE).
   */
 object JdbcDeleteBack {
 
-  /** Returns (deletedCount, poisonKeys). */
   def delete(
       keys: DataFrame, pkCol: String, table: String,
       cfg: JdbcSinkConfig, dialect: JdbcDialect = AnsiDialect,
-      deleteLimit: Int = 500, loopDelayMs: Long = 0): (Long, Seq[Any]) = {
+      deleteLimit: Int = 500, loopDelayMs: Long = 0,
+      deletedColumn: String = "deleted_at"): DeleteBackResult = {
     val spark = keys.sparkSession
     val deleted = spark.sparkContext.longAccumulator("graft.deleted")
     val poison = spark.sparkContext.collectionAccumulator[Any]("graft.poison")
+    val remedy = spark.sparkContext.collectionAccumulator[String]("graft.remedy")
     val localCfg = cfg
     keys.select(pkCol).foreachPartition { (rows: Iterator[Row]) =>
       val ids = rows.map(_.get(0)).toVector
       if (ids.nonEmpty) {
-        val conn = Jdbc.connect(localCfg)
+        val holder = new Jdbc.ConnectionHolder(localCfg)
         try {
           def deleteChunk(chunk: Vector[Any]): Unit = if (chunk.nonEmpty) {
             val sql = s"DELETE FROM $table WHERE $pkCol IN (" +
               chunk.map(_ => "?").mkString(", ") + ")"
-            val ps = conn.prepareStatement(sql)
             try {
-              chunk.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
-              val n = Jdbc.withRetry(localCfg, dialect.isIntegrityViolation) {
-                ps.executeUpdate()
+              val n = Jdbc.withRetry(localCfg, dialect.isIntegrityViolation,
+                  dialect.isConnectionLoss, () => holder.reconnect()) {
+                val conn = holder.get
+                // clean slate per attempt: an aborted txn poisons every
+                // subsequent statement on engines like PostgreSQL (25P02),
+                // which would make the retries deterministically fail
+                try conn.rollback() catch { case _: SQLException => () }
+                val ps = conn.prepareStatement(sql)
+                try {
+                  chunk.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+                  val count = ps.executeUpdate()
+                  conn.commit()
+                  count
+                } finally ps.close()
               }
-              conn.commit()
               deleted.add(n)
             } catch {
               case e: SQLException if dialect.isIntegrityViolation(e) =>
-                conn.rollback()
-                if (chunk.size == 1) poison.add(chunk.head) // isolated poison row
-                else { // dichotomy: split and retry halves
+                try holder.get.rollback() catch { case _: SQLException => () }
+                if (chunk.size == 1) { // isolated poison row
+                  poison.add(chunk.head)
+                  val msg = Option(e.getMessage).getOrElse("")
+                  IntegrityRemediation.diagnosticSelect(msg, chunk.head)
+                    .foreach(remedy.add)
+                  IntegrityRemediation.potentialFix(msg, chunk.head, deletedColumn)
+                    .foreach(remedy.add)
+                } else { // dichotomy: split and retry halves
                   val (l, r) = chunk.splitAt(chunk.size / 2)
                   deleteChunk(l); deleteChunk(r)
                 }
-            } finally ps.close()
+            }
           }
           ids.grouped(deleteLimit).foreach { chunk =>
             deleteChunk(chunk)
             if (loopDelayMs > 0) Thread.sleep(loopDelayMs)
           }
-        } finally Jdbc.close(conn)
+        } finally holder.close()
       }
     }
     import scala.jdk.CollectionConverters._
-    (deleted.value, poison.value.asScala.toSeq)
+    DeleteBackResult(deleted.value, poison.value.asScala.toSeq,
+      remedy.value.asScala.toSeq)
   }
 }

@@ -25,6 +25,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fp >= 0 && fp < 1000000007L)
   }
 
+  test("graft_dot matches aggregate(zip_with(...)) on degenerate input too") {
+    GraftExtensions.register(spark)
+    // length mismatch and null elements yield NULL — identical to the HOF
+    // form (zip_with pads with nulls, aggregate propagates them), never a
+    // silently-truncated dot product
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS d").head().get(0)
+    assert(one("graft_dot(array(1.0d, 2.0d), array(3.0d))") === null)
+    assert(one("graft_dot(array(1.0d, cast(null as double)), array(3.0d, 4.0d))") === null)
+    assert(one(
+      "aggregate(zip_with(array(1.0d, 2.0d), array(3.0d), (x, y) -> x*y), 0d, (a, v) -> a + v)")
+      === null)
+    assert(one("graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))") === 11.0)
+  }
+
   test("sql form matches the column API form") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

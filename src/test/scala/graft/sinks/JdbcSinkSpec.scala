@@ -67,7 +67,7 @@ class JdbcSinkSpec extends AnyFunSuite {
       .filter(col("o_orderkey") < 200)
     sink.write("db", spec, rows, dryRun = false)
     val keys = rows.select(col("o_orderkey"))
-    val (deleted, poison) = JdbcDeleteBack.delete(
+    val DeleteBackResult(deleted, poison, _) = JdbcDeleteBack.delete(
       keys, "o_orderkey", "orders", c, deleteLimit = 33)
     assert(deleted === rows.count())
     assert(poison.isEmpty)
@@ -126,10 +126,53 @@ class JdbcSinkSpec extends AnyFunSuite {
     } finally Jdbc.close(conn)
     import spark.implicits._
     val keys = (1L to 50L).toDF("id")
-    val (deleted, poison) = JdbcDeleteBack.delete(
+    val DeleteBackResult(deleted, poison, remediation) = JdbcDeleteBack.delete(
       keys, "id", "parent", c, deleteLimit = 16)
     assert(poison.map(_.toString.toLong).sorted === Seq(7L, 23L, 41L))
     assert(deleted === 47)
     assert(query(c, "SELECT count(*) FROM parent")(_.getLong(1)) === 3L)
+    // Derby's FK message is not MySQL-shaped, so no remediation SQL here —
+    // the parseable-message path is covered by the dedicated D3 test
+    assert(remediation.isEmpty)
+  }
+
+  test("FK poison rows generate reference-equivalent remediation SQL (D3)") {
+    val msg = "Cannot delete or update a parent row: a foreign key " +
+      "constraint fails (`nova`.`instance_metadata`, CONSTRAINT " +
+      "`instance_metadata_ibfk_1` FOREIGN KEY (`instance_uuid`) " +
+      "REFERENCES `instances` (`uuid`))"
+    assert(IntegrityRemediation.diagnosticSelect(msg, "abc-123") === Some(
+      "SELECT * FROM `nova`.`instance_metadata` WHERE `instance_uuid` = 'abc-123'"))
+    // numeric key values render bare (the reference's isdigit rule)
+    assert(IntegrityRemediation.potentialFix(msg, 42, "deleted_at") === Some(
+      "UPDATE `nova`.`instance_metadata` INNER JOIN `nova`.`instances` ON " +
+        "`nova`.`instances`.`uuid` = `nova`.`instance_metadata`.`instance_uuid` " +
+        "SET `nova`.`instance_metadata`.`deleted_at` = " +
+        "`nova`.`instances`.`deleted_at` " +
+        "WHERE instance_uuid = 42 " +
+        "AND `nova`.`instance_metadata`.`deleted_at` IS NULL"))
+    assert(IntegrityRemediation.parse("some unrelated error") === None)
+  }
+
+  test("retry re-establishes a dead connection mid-write (X1 reconnect)") {
+    val c = cfg("reconn1").copy(maxRetries = 2, retryDelayMs = 1)
+    val holder = new Jdbc.ConnectionHolder(c)
+    try {
+      holder.get.close() // simulate the server killing the connection
+      var reconnects = 0
+      val out = Jdbc.withRetry(c, AnsiDialect.isDeterministic,
+          AnsiDialect.isConnectionLoss,
+          () => { reconnects += 1; holder.reconnect() }) {
+        val st = holder.get.createStatement()
+        try { val rs = st.executeQuery("VALUES 1"); rs.next(); rs.getInt(1) }
+        finally st.close()
+      }
+      assert(out === 1)
+      assert(reconnects === 1, "exactly one reconnect re-established the session")
+    } finally holder.close()
+    // connection-loss classification: SQLSTATE class 08 + MySQL vendor codes
+    assert(AnsiDialect.isConnectionLoss(new java.sql.SQLException("gone", "08003")))
+    assert(MySqlDialect.isConnectionLoss(new java.sql.SQLException("gone", "HY000", 2013)))
+    assert(!AnsiDialect.isConnectionLoss(new java.sql.SQLException("dup", "23505")))
   }
 }
