@@ -12,22 +12,78 @@ import org.apache.spark.sql.functions._
   */
 object JoinStrategies {
 
-  /** Salted equi-join for skewed keys: the big (skewed) side gets a
-    * deterministic salt in [0, saltFactor) derived from its whole row via
-    * xxhash64 (so one hot key spreads over saltFactor partitions); the
-    * small-to-medium side is replicated saltFactor times. Result is
-    * identical to `big.join(dim, keys)` — only the shuffle distribution
-    * changes. Use when one key holds a double-digit percentage of rows;
-    * otherwise prefer plain join + AQE.
+  /** Salted equi-join for skewed keys: each big-side row gets a salt in
+    * [0, saltFactor) so one hot key spreads over saltFactor shuffle
+    * partitions; the small-to-medium side is replicated saltFactor times.
+    * The salt's only job is to spread rows of the SAME key, so it must
+    * vary per row, not per key — hashing the task-local row index is the
+    * cheapest spread: one xxhash64 of a single long (hashing row contents,
+    * as an earlier version did over all 16 lineitem columns, is pure
+    * wasted CPU; and the raw index without the hash correlates with row
+    * patterns — e.g. a hot key on every other row only ever sees even
+    * salts). Any salt value joins correctly because the dim side carries
+    * every salt.
+    * Result is identical to `big.join(dim, keys)` — only the shuffle
+    * distribution changes. Use when one key holds a double-digit
+    * percentage of rows; otherwise prefer plain join + AQE.
     */
   def saltedJoin(
       big: DataFrame, dim: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Hybrid skew join — the shape that survives 100 TB. Full-dim
+    * replication (plain saltedJoin) multiplies the ENTIRE dim side by
+    * saltFactor; here only the rows matching a (small, broadcastable) hot
+    * key set pay the replication, and the long tail takes the ordinary
+    * equi-join that AQE already handles well:
+    *
+    *   big  = hot ∪ cold   (split by broadcast semi/anti join on hotKeys)
+    *   out  = cold ⋈ dim  ∪  salted(hot ⋈ hot-dim)
+    *
+    * `hotKeys` is a DataFrame of the key columns — from [[sampleHotKeys]]
+    * or from domain knowledge (the reference's config-pinned hot tables).
+    * Result is identical to `big.join(dim, keys)`.
+    */
+  def skewSplitJoin(
+      big: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltFactor: Int, hotKeys: DataFrame): DataFrame = {
+    val hot = broadcast(hotKeys.select(keys.map(col): _*).distinct())
+    val bigHot = big.join(hot, keys, "left_semi")
+    val bigCold = big.join(hot, keys, "left_anti")
+    val dimHot = dim.join(hot, keys, "left_semi")
+    val cold = bigCold.join(dim, keys)
+    cold.unionByName(saltedJoin(bigHot, dimHot, keys, saltFactor)
+      .select(cold.columns.map(col): _*))
+  }
+
+  /** Detect hot join keys by sampling the big side: keys whose share of the
+    * sample exceeds `minShare`. One narrow sample + a tiny aggregation —
+    * cost is O(fraction · |big|); the result is small by construction
+    * (at most 1/minShare keys) and safe to broadcast into
+    * [[skewSplitJoin]]. */
+  def sampleHotKeys(
+      big: DataFrame, keys: Seq[String],
+      fraction: Double = 0.01, minShare: Double = 0.05): DataFrame = {
+    val sampled = big.sample(withReplacement = false, fraction, seed = 42)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    val total = sampled.agg(sum(col("__cnt"))).head.get(0) match {
+      case null => 0L
+      case n: Long => n
+    }
+    // the hot set is tiny by construction (≤ 1/minShare keys): materialize
+    // it eagerly so the sample cache can be released immediately
+    val hot = sampled.filter(col("__cnt") >= math.max(1.0, minShare * total))
+      .drop("__cnt")
+      .localCheckpoint(true)
+    sampled.unpersist()
+    hot
   }
 
   /** Register both sides as bucketed tables on the join key so subsequent
