@@ -374,6 +374,12 @@ object SparkEntry {
     "dd3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, numHashes = 16, rowsPerBand = 4)),
+    "dd9_lsh_verified_dedup" -> ((s, dir) =>
+      // the composed production pipeline: LSH candidates -> exact Jaccard
+      // verification gated by the candidate list (the exact self-join from
+      // dd2 never runs); recall = LSH band recall, precision exact
+      Dedup.lshVerifiedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)),
     "dd6_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -483,6 +489,17 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.rollingFingerprint(col("text"), 8).as("rfp"))),
+    "tx8_corpus_stats" -> ((s, dir) =>
+      // corpus-level token accounting (the "how big is this training set"
+      // query): one aggregation over projected per-doc counts
+      t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).as("ws"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("total_ws_tokens"),
+          sum(col("bpe")).as("total_bpe_tokens"),
+          fround(expr("percentile(ws, 0.5)"), 2).as("p50_ws"),
+          fround(expr("percentile(ws, 0.95)"), 2).as("p95_ws"))),
     "tx4_tfidf_top_term" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
@@ -813,6 +830,26 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dd9_lsh_verified_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
     "dd6_dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
@@ -980,6 +1017,15 @@ object SparkEntry {
          |WHERE q >= (SELECT quantile_cont(q, 0.5) FROM q)""".stripMargin,
     "tx7b_quality_floor_approx" ->
       "SELECT count(*)::BIGINT AS n_total, true AS frac_ok FROM documents",
+    "tx8_corpus_stats" ->
+      s"""WITH c AS (SELECT len($duckToks) AS ws,
+         |len(regexp_extract_all(lower(text), '${TextFunctions.bpePattern.replace("'", "''")}')) AS bpe
+         |FROM documents)
+         |SELECT count(*) AS n_docs,
+         |sum(ws)::BIGINT AS total_ws_tokens, sum(bpe)::BIGINT AS total_bpe_tokens,
+         |floor(quantile_cont(ws, 0.5) * 100.0) / 100.0 AS p50_ws,
+         |floor(quantile_cont(ws, 0.95) * 100.0) / 100.0 AS p95_ws
+         |FROM c""".stripMargin,
     "tx6_bpe_token_count" ->
       s"""SELECT doc_id,
          |len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')) AS ws_tokens,

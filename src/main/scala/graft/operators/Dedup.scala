@@ -142,6 +142,36 @@ object Dedup {
       .distinct()
   }
 
+  /** The production two-stage near-dup pipeline: MinHash-LSH candidate
+    * generation followed by EXACT n-gram Jaccard verification restricted to
+    * the candidates. This is the 100 TB shape end-to-end — the exact
+    * shingle self-join (quadratic on hot shingles) never runs; the shingle
+    * join is gated by the candidate pair list, so its cost is
+    * O(|candidates| · shingles-per-doc) instead of O(corpus²). Recall is
+    * the LSH band recall; precision is exact (every emitted pair's Jaccard
+    * is the true value, not an estimate).
+    */
+  def lshVerifiedJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cand = minhashLshPairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
+    val sh = shingleSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.NumericFunctions.fround(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash signature per doc over `bits` bits (bit b of md5(token) nibble
     * (b/4)+1, weight +1/-1, majority vote). One narrow pass; returns
     * (doc_id, simhash). */

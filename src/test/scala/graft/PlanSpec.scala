@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("LSH-verified dedup pipeline never degrades to all-pairs (dd9)") {
+    val p = plan("dd9_lsh_verified_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "candidate-gated verification must stay equi-join only")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed embedding near-dup joins on the SRP bucket, never all-pairs (dd5b)") {
     val p = plan("dd5b_embed_neardup_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"),

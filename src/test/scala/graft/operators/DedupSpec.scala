@@ -80,6 +80,20 @@ class DedupSpec extends AnyFunSuite {
       s"LSH recall $recall too low (16 hashes, 4 bands, jaccard>=0.7 truth)")
   }
 
+  test("LSH-verified pipeline: exact jaccard values on LSH candidates only") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val verified = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+      n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // precision is exact: every verified pair carries the true jaccard
+    verified.foreach { case (pair, j) => assert(exact(pair) === j) }
+    // identical docs share all bands, so the exact dup always survives
+    assert(verified.contains((1L, 2L)) && verified((1L, 2L)) === 1.0)
+  }
+
   test("shingle df-cap bounds candidate pairs on a skewed corpus") {
     // 30 docs all sharing a 5-token prefix (2 hot shingles with df=30) but
     // otherwise unique: uncapped, the hot shingles alone make every pair a

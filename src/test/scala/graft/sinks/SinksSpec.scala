@@ -45,6 +45,26 @@ class SinksSpec extends AnyFunSuite {
     assert(keys === second.count())
   }
 
+  test("sinks resolve object-store-style URIs through the Hadoop FS layer (W10)") {
+    // W10: the reference ships an object-store uploader; here any remote
+    // store is a Hadoop FileSystem URI (s3a://, gs://, wasbs://, ...).
+    // Exercise the scheme-resolution path with an explicit file:// URI —
+    // the sink must go through Path.getFileSystem, not java.io —
+    // including the upsert merge and the backup-rename swap.
+    val root = "file://" + TestSpark.tmpDir("uriroot")
+    val sink = new ParquetUpsertSink(root)
+    val spec = Tables.byName("orders")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 100), dryRun = false)
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 150), dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() ===
+      orders.filter(col("o_orderkey") < 150).count())
+    val csv = new CsvSink(root + "/csv", compression = Some("gzip"))
+    csv.write("db", spec, orders.limit(10), dryRun = false)
+    assert(spark.read.option("header", "true").csv(s"$root/csv/db.orders.csv")
+      .count() === 10)
+  }
+
   test("upsert sink recovers an archive stranded at the backup path") {
     val root = TestSpark.tmpDir("crash")
     val sink = new ParquetUpsertSink(root)
