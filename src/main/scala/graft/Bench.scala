@@ -52,12 +52,14 @@ object Bench {
     spark.stop()
   }
 
-  /** Skewed-join microbenchmark: one key owns 3/4 of an 8M-row fact side,
-    * so a plain shuffle join (even with AQE: the hot partition stays under
-    * AQE's 256MB split threshold at this scale, exactly as a hot key hides
-    * inside larger partitions at cluster scale) sends half the rows to one
-    * reducer. The hybrid skew-split join salts ONLY the detected hot key.
-    * Reported as skew_plain_sec / skew_split_sec alongside the query map.
+  /** Skewed-join microbenchmark: one key owns 3/4 of an 8M-row fact side.
+    * The hot input partition (~100MB) sits BELOW AQE's skew-split byte
+    * threshold (256MB), so plain+AQE leaves it whole — yet the per-row
+    * post-join work (an md5, standing in for the per-row cost every real
+    * training-data pipeline pays after an enrichment join) runs serially
+    * in that one reducer. This is precisely the blind spot the hybrid
+    * skew-split join covers: byte-thin but compute-hot keys. Reported as
+    * skew_plain_sec / skew_split_sec alongside the query map.
     */
   private def skewDemo(spark: SparkSession, runs: Int): (Double, Double) = {
     import org.apache.spark.sql.functions._
@@ -66,17 +68,22 @@ object Bench {
       col("id").as("payload"))
     val dim = spark.range(0, 8L * 1000 * 1000)
       .select(col("id").as("k"), (col("id") * 2).as("dval"))
+    // per-row work downstream of the join, evaluated in the join's output
+    // partitioning — the skew carrier
+    def work(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(
+          md5(concat_ws(":", col("k"), col("payload"), col("dval")))).as("h"))
+        .agg(bit_xor(col("h")), count(lit(1))).collect()
+      ()
+    }
     def time(f: => Unit): Double = (1 to runs).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }.min
-    val plain = time {
-      big.join(dim, Seq("k")).agg(sum(col("dval")), count(lit(1))).collect()
-    }
+    val plain = time { work(big.join(dim, Seq("k"))) }
     val hot = graft.operators.JoinStrategies.sampleHotKeys(
       big, Seq("k"), fraction = 0.001, minShare = 0.05)
     val split = time {
-      graft.operators.JoinStrategies.skewSplitJoin(big, dim, Seq("k"), 32, hot)
-        .agg(sum(col("dval")), count(lit(1))).collect()
+      work(graft.operators.JoinStrategies.skewSplitJoin(big, dim, Seq("k"), 32, hot))
     }
     (plain, split)
   }

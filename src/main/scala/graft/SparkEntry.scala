@@ -293,6 +293,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
+    "q20b_skew_split_join" -> ((s, dir) => {
+      // hybrid skew join: sampled hot keys get salted, the tail joins
+      // plain — same result as the plain join (the oracle), different
+      // shuffle distribution
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderstatus")
+      val hot = graft.operators.JoinStrategies.sampleHotKeys(
+        li, Seq("l_orderkey"), fraction = 0.01, minShare = 0.01)
+      graft.operators.JoinStrategies.skewSplitJoin(li, orders,
+          Seq("l_orderkey"), 8, hot)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
     "q21_percentile" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_orderpriority")
         .agg(
@@ -736,6 +752,11 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
     "q20_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q20b_skew_split_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
