@@ -138,6 +138,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("components handle empty input and non-integral (string) ids") {
+    import org.apache.spark.sql.types._
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    assert(Dedup.distributedComponents(emptyPairs, maxIter = 5).count() === 0)
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0)
+    // string ids take the distributed path (no union-find shortcut) and
+    // label by lexicographic min
+    val strPairs = Seq(("b", "c"), ("c", "a"), ("x", "y"))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
+    assert(cc("x") === "x" && cc("y") === "x")
+  }
+
   test("star contraction converges on a deep chain within few rounds") {
     // a 50-node path has diameter 49: min-label propagation would need 49
     // rounds; large/small-star contraction halves depth every round, so a
