@@ -505,6 +505,34 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.rollingFingerprint(col("text"), 8).as("rfp"))),
+    "tx9_pii_redact" -> ((s, dir) =>
+      // PII scrub pass: typed placeholders + per-doc redaction counts
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"),
+        size(regexp_extract_all(col("text"),
+          lit(TextFunctions.emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"),
+          lit(TextFunctions.longNumberPattern), lit(0))).as("n_longnums"))),
+    "tx10_repetition" -> ((s, dir) => {
+      // boilerplate signal: share of the most-repeated 2-gram in each doc
+      // (counting duplicates — unlike dedup's distinct shingle sets)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      toks.select(col("doc_id"),
+          explode(TextFunctions.shinglesOfTokens(col("toks"), 2,
+            distinct = false)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(fround(max(col("c")).cast("double") / sum(col("c")), 4)
+            .as("top_ngram_frac"),
+          sum(col("c")).as("n_shingles"))
+    }),
+    "tx11_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.gopherRules(col("text")).as("keep"))),
     "tx8_corpus_stats" -> ((s, dir) =>
       // corpus-level token accounting (the "how big is this training set"
       // query): one aggregation over projected per-doc counts
@@ -1038,6 +1066,36 @@ object SparkEntry {
          |WHERE q >= (SELECT quantile_cont(q, 0.5) FROM q)""".stripMargin,
     "tx7b_quality_floor_approx" ->
       "SELECT count(*)::BIGINT AS n_total, true AS frac_ok FROM documents",
+    "tx9_pii_redact" ->
+      s"""SELECT doc_id,
+         |regexp_replace(regexp_replace(regexp_replace(text,
+         |  '${TextFunctions.urlPattern}', '<URL>', 'g'),
+         |  '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+         |  '${TextFunctions.longNumberPattern}', '<NUM>', 'g') AS redacted,
+         |len(regexp_extract_all(text, '${TextFunctions.emailPattern}')) AS n_emails,
+         |len(regexp_extract_all(text, '${TextFunctions.longNumberPattern}')) AS n_longnums
+         |FROM documents""".stripMargin,
+    "tx10_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |c AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id,
+         |floor(max(c)::DOUBLE / sum(c) * 10000.0) / 10000.0 AS top_ngram_frac,
+         |sum(c)::BIGINT AS n_shingles
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "tx11_gopher_rules" ->
+      s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+         |s AS (SELECT doc_id, len(t) AS n_tokens,
+         |list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+         |  / greatest(len(t), 1) AS mtl,
+         |len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS stops,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS punct FROM toks)
+         |SELECT doc_id, n_tokens,
+         |(n_tokens >= 50 AND n_tokens <= 100000 AND mtl >= 3.0 AND mtl <= 10.0
+         | AND stops >= 2 AND punct < 0.1) AS keep
+         |FROM s""".stripMargin,
     "tx8_corpus_stats" ->
       s"""WITH c AS (SELECT len($duckToks) AS ws,
          |len(regexp_extract_all(lower(text), '${TextFunctions.bpePattern.replace("'", "''")}')) AS bpe

@@ -42,10 +42,10 @@ object TextFunctions {
     * directly over `tokens(text)` would re-run the regexp tokenizer once
     * per shingle (measured 20× slowdown at 5k docs).
     */
-  def shinglesOfTokens(t: Column, n: Int): Column = {
+  def shinglesOfTokens(t: Column, n: Int, distinct: Boolean = true): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.expressions.WordShingles(
-      GraftColumnBridge.expression(t), n))
+      GraftColumnBridge.expression(t), n, distinct))
   }
 
   /** Convenience form over raw text — only for one-shot/small inputs; hot
@@ -108,6 +108,40 @@ object TextFunctions {
     scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s > lit(0) && s === best, lit(lang)).otherwise(acc)
     }
+  }
+
+  // PII / boilerplate patterns — RE2-safe (no backrefs/lookaround) so the
+  // DuckDB oracle runs the identical expressions
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longNumberPattern = "[0-9]{7,}"
+
+  /** PII scrubbing for training corpora: URLs, emails, then long digit
+    * runs (phone numbers, account ids) are replaced with typed placeholder
+    * tokens. Order matters — URLs are replaced first so their embedded
+    * digits/at-signs don't half-match the later patterns. Pure
+    * regexp_replace chain: codegen'd, engine-portable. */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, urlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailPattern, "<EMAIL>")
+    regexp_replace(noEmail, longNumberPattern, "<NUM>")
+  }
+
+  /** Gopher-style document filter rules (Rae et al. 2021, table A1 subset):
+    * token count in [minTokens, maxTokens], mean token length in [3, 10],
+    * at least two stopwords, symbol ratio below 10%. Each rule is a cheap
+    * column predicate; the conjunction is the keep/drop gate a pretraining
+    * pipeline applies before dedup. */
+  def gopherRules(
+      text: Column, minTokens: Int = 50, maxTokens: Int = 100000): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val mtl = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(n, lit(1))
+    val stops = size(filter(t, w => w.isInCollection(stopwords)))
+    n.geq(minTokens) && n.leq(maxTokens) &&
+      mtl.geq(3.0) && mtl.leq(10.0) &&
+      stops.geq(2) && punctRatio(text) < 0.1
   }
 
   /** Karp-Rabin rolling fingerprint (native codegen'd expression): min

@@ -61,6 +61,42 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rfp >= 0)
   }
 
+  test("PII redaction replaces urls, emails, and long digit runs, in that order") {
+    val r = one("mail me at bob.smith+x@example.co.uk or call 5551234567, " +
+        "docs at https://example.com/a?id=1234567 ok")
+      .select(TextFunctions.redactPii($"text")).as[String].head()
+    assert(r === "mail me at <EMAIL> or call <NUM>, docs at <URL> ok")
+    // short numbers and bare words survive
+    assert(one("room 404 code 42").select(TextFunctions.redactPii($"text"))
+      .as[String].head() === "room 404 code 42")
+  }
+
+  test("gopher rules reject short, symbol-heavy, and stopword-free docs") {
+    val good = ("the quick brown fox and the lazy dog walk to town in peace " * 6)
+    assert(one(good).select(TextFunctions.gopherRules($"text")).as[Boolean].head())
+    // too short
+    assert(!one("the cat sat on a mat")
+      .select(TextFunctions.gopherRules($"text")).as[Boolean].head())
+    // no stopwords (threshold: fewer than two)
+    val noStops = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    assert(!one(noStops).select(TextFunctions.gopherRules($"text")).as[Boolean].head())
+    // symbol-heavy
+    val symbols = (good.take(200) + "!@#$%^&*()" * 20)
+    assert(!one(symbols).select(TextFunctions.gopherRules($"text")).as[Boolean].head())
+  }
+
+  test("non-distinct shingles preserve the repetition multiset") {
+    val t = one("a b a b a b")
+      .select(TextFunctions.shinglesOfTokens(
+        TextFunctions.tokens($"text"), 2, distinct = false))
+      .as[Seq[String]].head()
+    assert(t === Seq("a b", "b a", "a b", "b a", "a b"))
+    val d = one("a b a b a b")
+      .select(TextFunctions.shinglesOfTokens(TextFunctions.tokens($"text"), 2))
+      .as[Seq[String]].head()
+    assert(d === Seq("a b", "b a"))
+  }
+
   test("fingerprint is stable and insensitive to punctuation noise") {
     val a = one("the quick brown fox jumps over the lazy dog")
       .select(TextFunctions.fingerprint($"text")).as[String].head()
