@@ -367,6 +367,41 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
     }),
+    "q29_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view -> click -> purchase: each stage's
+      // timestamp must strictly follow the previous stage's first hit.
+      // Three narrow per-user aggregations chained by broadcast-able joins
+      // (150 users at test scale; at 100 TB the user-keyed aggs shuffle
+      // once each and the joins co-locate on the same key)
+      val ev = t(s, dir, "events")
+      def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+      val v = firstOf("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = firstOf("click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = firstOf("purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase")))
+    }),
+    "q30_cohort_retention" -> ((s, dir) => {
+      // weekly signup cohorts + week-2 retention ([7d, 14d) after first
+      // event): two shuffles on user_id, one on the cohort week
+      val ev = t(s, dir, "events")
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      val retained = ev.join(first, "user_id")
+        .filter(col("ts") >= col("first_ts") + expr("INTERVAL 7 DAY") &&
+          col("ts") < col("first_ts") + expr("INTERVAL 14 DAY"))
+        .select("user_id").distinct().withColumn("retained", lit(1))
+      first
+        .withColumn("cohort_week", date_trunc("week", col("first_ts")))
+        .join(retained, Seq("user_id"), "left")
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("retained"), lit(0))).as("n_retained"))
+    }),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
@@ -834,6 +869,29 @@ object SparkEntry {
          |WHERE doc_id < 20)
          |SELECT doc_id, i - 1 AS pos, t[i::INT] AS token
          |FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)""".stripMargin,
+    "q29_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |JOIN v ON e.user_id = v.user_id
+        |WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |(SELECT count(*) FROM c) AS n_click,
+        |(SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q30_cohort_retention" ->
+      """WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |ret AS (SELECT DISTINCT e.user_id FROM events e
+        |JOIN first f ON e.user_id = f.user_id
+        |WHERE e.ts >= f.first_ts + INTERVAL 7 DAY
+        |AND e.ts < f.first_ts + INTERVAL 14 DAY)
+        |SELECT date_trunc('week', first_ts) AS cohort_week,
+        |count(*) AS n_users,
+        |sum(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_retained
+        |FROM first LEFT JOIN ret ON first.user_id = ret.user_id
+        |GROUP BY 1""".stripMargin,
     "st1_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
