@@ -83,7 +83,8 @@ object Bench {
     val hot = graft.operators.JoinStrategies.sampleHotKeys(
       big, Seq("k"), fraction = 0.001, minShare = 0.05)
     val split = time {
-      work(graft.operators.JoinStrategies.skewSplitJoin(big, dim, Seq("k"), 32, hot))
+      work(graft.operators.JoinStrategies.skewSplitJoin(big, dim, Seq("k"), 32,
+        hot, saltCols = Seq("payload")))
     }
     (plain, split)
   }

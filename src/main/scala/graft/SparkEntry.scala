@@ -288,7 +288,10 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
         .withColumnRenamed("o_orderkey", "l_orderkey")
         .select("l_orderkey", "o_orderstatus")
-      graft.operators.JoinStrategies.saltedJoin(li, orders, Seq("l_orderkey"), 8)
+      // saltCols: a cheap row-distinguishing subset (content-hashed salt
+      // must be recomputation-stable; see saltedJoin scaladoc)
+      graft.operators.JoinStrategies.saltedJoin(li, orders, Seq("l_orderkey"), 8,
+          saltCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -304,7 +307,8 @@ object SparkEntry {
       val hot = graft.operators.JoinStrategies.sampleHotKeys(
         li, Seq("l_orderkey"), fraction = 0.01, minShare = 0.01)
       graft.operators.JoinStrategies.skewSplitJoin(li, orders,
-          Seq("l_orderkey"), 8, hot)
+          Seq("l_orderkey"), 8, hot,
+          saltCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -469,7 +473,10 @@ object SparkEntry {
       // the scale path: SRP-bucketed equi-join with Hamming-1 multi-probe —
       // no all-pairs comparison; the oracle reproduces the identical md5
       // hyperplanes, buckets, and probes, so recall loss is part of the
-      // checked semantics, not noise
+      // checked semantics, not noise. (Known caveat: the oracle's SQL SUM
+      // folds projection terms in scan order while srpProjection folds
+      // left-to-right — a projection within ulps of 0 could bucket
+      // differently; no fixture vector is near that boundary.)
       Dedup.embeddingNearDupPairsBucketed(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.35, planes = 4)),
 

@@ -87,6 +87,15 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
+  /** Shared exact-Jaccard scoring tail: |A∩B| / (|A| + |B| - |A∩B|) from
+    * pair intersection counts + per-doc shingle-set sizes, truncated to 4
+    * decimals (engine-portable fround), thresholded. One definition so the
+    * exact self-join form and the LSH-gated form can't drift apart. */
+  private def scoreJaccard(
+      inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -95,7 +104,6 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** MinHash signatures as one wide row per doc: mh_j = min over shingles of
     * md5(j + ":" + shingle). Computed as `numHashes` partial-aggregated mins
@@ -162,14 +170,7 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = cand.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        graft.functions.NumericFunctions.fround(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    scoreJaccard(inter, sizes, threshold)
   }
 
   /** SimHash signature per doc over `bits` bits (bit b of md5(token) nibble
@@ -202,12 +203,12 @@ object Dedup {
     * matches into dedup clusters, labeling every member with the minimum
     * doc id of its component (the canonical survivor).
     *
-    * Iterative min-label propagation: each round joins labels to the edge
-    * list and takes the min over neighbors — one shuffle per round,
-    * converging in O(component diameter) rounds. Near-dup clusters are
-    * shallow (dups of a common source), so rounds stay single-digit; for
-    * adversarial graph shapes swap in the large-star/small-star variant —
-    * the join/groupBy skeleton is the same.
+    * Small pair sets (the common case after LSH/jaccard filtering) resolve
+    * in one driver-side union-find pass; larger or non-integral-id inputs
+    * take [[distributedComponents]] — alternating large-star/small-star
+    * contraction, O(log^2 n) rounds independent of component diameter.
+    * Both paths emit identical labels: one row per node appearing in
+    * `pairs`, cluster_id = component minimum.
     */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 20,
@@ -215,9 +216,9 @@ object Dedup {
     // Candidate pairs after LSH/jaccard filtering are orders of magnitude
     // smaller than the corpus; below the threshold a driver-side union-find
     // resolves them in one pass instead of paying one Spark job per
-    // propagation round. Above it — or for non-integral id types — fall
-    // through to distributed min-label propagation (same labels either
-    // way: min id per component).
+    // contraction round. Above it — or for non-integral id types — fall
+    // through to distributed star contraction (same labels either way:
+    // min id per component).
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralIds = pairs.schema.fields.take(2).forall(f =>
       Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
@@ -274,6 +275,12 @@ object Dedup {
     // a handful of rounds). localCheckpoint materializes each round and
     // cuts the plan back to a leaf; superseded round RDDs are released by
     // the ContextCleaner once unreferenced.
+    // Self-loop pairs (a, a) carry no edge but DO name a node: keep them
+    // aside as singleton labels so the output matches the union-find path
+    // (one row per node appearing in `pairs`).
+    val selfNodes = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("doc_a").as("cluster_id"))
+      .distinct()
     // canonical orientation: u = larger endpoint, v = smaller
     var edges = pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -327,12 +334,16 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter large/small-star rounds")
     // at the fixpoint the edge set is a star per component: u -> component
-    // min; the labels plan reads the final checkpointed round directly
+    // min; the labels plan reads the final checkpointed round directly.
+    // A self-loop node that also has real edges gets its component label
+    // via the min (component min <= own id); a pure singleton keeps itself.
     edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(
         edges.select(col("v")).distinct()
           .select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .unionByName(selfNodes)
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).

@@ -16,22 +16,26 @@ object JoinStrategies {
     * [0, saltFactor) so one hot key spreads over saltFactor shuffle
     * partitions; the small-to-medium side is replicated saltFactor times.
     * The salt's only job is to spread rows of the SAME key, so it must
-    * vary per row, not per key — hashing the task-local row index is the
-    * cheapest spread: one xxhash64 of a single long (hashing row contents,
-    * as an earlier version did over all 16 lineitem columns, is pure
-    * wasted CPU; and the raw index without the hash correlates with row
-    * patterns — e.g. a hot key on every other row only ever sees even
-    * salts). Any salt value joins correctly because the dim side carries
-    * every salt.
+    * vary per row, not per key — AND it must be recomputation-stable: a
+    * positional salt (row index / monotonically_increasing_id) changes
+    * when a failed stage recomputes a partition in a different order,
+    * silently duplicating or dropping rows that other reducers already
+    * fetched. So the salt is a content hash. By default it hashes every
+    * column (always correct); pass `saltCols` to hash a cheaper subset
+    * when the caller knows columns that distinguish rows of one hot key
+    * (e.g. the table's PK plus a line number) — hashing 16 wide columns
+    * when 3 suffice is wasted CPU. Any salt value joins correctly because
+    * the dim side carries every salt.
     * Result is identical to `big.join(dim, keys)` — only the shuffle
     * distribution changes. Use when one key holds a double-digit
     * percentage of rows; otherwise prefer plain join + AQE.
     */
   def saltedJoin(
       big: DataFrame, dim: DataFrame, keys: Seq[String],
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val hashed = (if (saltCols.nonEmpty) saltCols else big.columns.toSeq).map(col)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(hashed: _*), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
@@ -52,14 +56,17 @@ object JoinStrategies {
     */
   def skewSplitJoin(
       big: DataFrame, dim: DataFrame, keys: Seq[String],
-      saltFactor: Int, hotKeys: DataFrame): DataFrame = {
+      saltFactor: Int, hotKeys: DataFrame,
+      saltCols: Seq[String] = Nil): DataFrame = {
     val hot = broadcast(hotKeys.select(keys.map(col): _*).distinct())
     val bigHot = big.join(hot, keys, "left_semi")
     val bigCold = big.join(hot, keys, "left_anti")
     val dimHot = dim.join(hot, keys, "left_semi")
     val cold = bigCold.join(dim, keys)
-    cold.unionByName(saltedJoin(bigHot, dimHot, keys, saltFactor)
-      .select(cold.columns.map(col): _*))
+    // unionByName aligns the two branches' column ORDER (the salted branch
+    // interleaves dim columns differently); inputs whose non-key columns
+    // collide by name are unsupported, as in any by-name combinator
+    cold.unionByName(saltedJoin(bigHot, dimHot, keys, saltFactor, saltCols))
   }
 
   /** Detect hot join keys by sampling the big side: keys whose share of the

@@ -109,7 +109,12 @@ object Jdbc {
         case e: SQLException if attempt < cfg.maxRetries =>
           attempt += 1
           Thread.sleep(cfg.retryDelayMs)
-          if (isConnectionLoss(e)) onConnectionLoss()
+          // a failed reconnect must not escape the loop — the next attempt
+          // will hit the dead connection, classify again, and re-try the
+          // reconnect until the retry budget is spent
+          if (isConnectionLoss(e)) {
+            try onConnectionLoss() catch { case _: SQLException => () }
+          }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -346,10 +351,13 @@ object IntegrityRemediation {
     }
 
   /** Numeric key values are rendered bare, everything else quoted — the
-    * reference's isdigit() rule. */
+    * reference's isdigit() rule — with embedded backslashes and quotes
+    * escaped (MySQL-style, matching the W7 SqlDump sink) so a string PK
+    * containing a quote can't break or redirect the generated statement. */
   private def render(v: Any): String = {
     val s = String.valueOf(v)
-    if (s.nonEmpty && s.forall(_.isDigit)) s else s"'$s'"
+    if (s.nonEmpty && s.forall(_.isDigit)) s
+    else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
   }
 
   /** SELECT retrieving the child rows that blocked the parent delete. */

@@ -146,13 +146,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.distributedComponents(emptyPairs, maxIter = 5).count() === 0)
     assert(Dedup.connectedComponents(emptyPairs).count() === 0)
     // string ids take the distributed path (no union-find shortcut) and
-    // label by lexicographic min
-    val strPairs = Seq(("b", "c"), ("c", "a"), ("x", "y"))
+    // label by lexicographic min; a self-loop names a singleton node on
+    // BOTH paths (union-find keeps it implicitly, star contraction must
+    // not silently drop it with the edge)
+    val strPairs = Seq(("b", "c"), ("c", "a"), ("x", "y"), ("z", "z"), ("a", "a"))
       .toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(strPairs)
       .as[(String, String)].collect().toMap
     assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
     assert(cc("x") === "x" && cc("y") === "x")
+    assert(cc("z") === "z", "self-loop singleton must stay labeled")
+    assert(cc.size === 6)
+    val intPairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    for (m <- Seq(
+        Dedup.connectedComponents(intPairs).as[(Long, Long)].collect().toMap,
+        Dedup.distributedComponents(intPairs, 5).as[(Long, Long)].collect().toMap))
+      assert(m === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
   test("star contraction converges on a deep chain within few rounds") {

@@ -29,8 +29,9 @@ class JoinStrategiesSpec extends AnyFunSuite {
       col("id").as("payload"))
     val dim = spark.range(0, 10000).select(col("id").as("k"), (col("id") * 2).as("dval"))
     // distribution property: the hot key's rows land on every salt value
+    // (content-hashed salt — stable under task recomputation)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      pmod(xxhash64(col("payload")), lit(8)).cast("int"))
     val saltsOfHot = salted.filter(col("k") === 1L)
       .select("__salt").distinct().count()
     assert(saltsOfHot === 8L, "hot key must spread over all salt values")

@@ -152,6 +152,10 @@ class JdbcSinkSpec extends AnyFunSuite {
         "WHERE instance_uuid = 42 " +
         "AND `nova`.`instance_metadata`.`deleted_at` IS NULL"))
     assert(IntegrityRemediation.parse("some unrelated error") === None)
+    // string key values escape embedded quotes/backslashes (MySQL-style)
+    assert(IntegrityRemediation.diagnosticSelect(msg, "O'Brien\\x") === Some(
+      "SELECT * FROM `nova`.`instance_metadata` WHERE `instance_uuid` = " +
+        "'O\\'Brien\\\\x'"))
   }
 
   test("retry re-establishes a dead connection mid-write (X1 reconnect)") {
