@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, RollingMinHash}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -45,7 +45,16 @@ object GraftExtensions {
     "graft_hll_distinct" -> (args =>
       HyperLogLog(args(0),
         if (args.length > 1) intArg(args(1), "precision") else 12)
-        .toAggregateExpression())
+        .toAggregateExpression()),
+    // graft_word_shingles(tokens, n[, distinct]) — n-token shingles of a
+    // token array; third arg false keeps the repetition multiset
+    "graft_word_shingles" -> (args =>
+      WordShingles(args(0), intArg(args(1), "n"),
+        if (args.length > 2) args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"distinct must be a boolean literal, got $other")
+        } else true))
   )
 
   /** Register on a live session (temp functions). */

@@ -25,6 +25,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fp >= 0 && fp < 1000000007L)
   }
 
+  test("graft_word_shingles is SQL-callable in distinct and multiset forms") {
+    GraftExtensions.register(spark)
+    def arr(sql: String): Seq[String] = {
+      import spark.implicits._
+      spark.sql(s"SELECT $sql AS a").as[Seq[String]].head()
+    }
+    assert(arr("graft_word_shingles(array('a','b','a','b'), 2)") ===
+      Seq("a b", "b a"))
+    assert(arr("graft_word_shingles(array('a','b','a','b'), 2, false)") ===
+      Seq("a b", "b a", "a b"))
+  }
+
   test("graft_dot matches aggregate(zip_with(...)) on degenerate input too") {
     GraftExtensions.register(spark)
     // length mismatch and null elements yield NULL — identical to the HOF
