@@ -109,20 +109,39 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = corpus.orderBy(idCol).limit(nCentroids)
+      .select(col(idCol).cast("long").as("cent_id"), toDouble(col(vecCol)).as("centv"))
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** Nearest-cell assignment against a broadcast centroid table: keeps the
+    * `keep` best cells per row (argmax of dot(v, c) - |c|^2/2 — the argmin-L2
+    * identity). Shared by IVF search and k-means training. */
+  private def assignCells(
+      df: DataFrame, vc: String, cents: DataFrame, keep: Int): DataFrame = {
+    val withHalf = cents.withColumn("cent_half_sq",
+      dot(col("centv"), col("centv")) / 2)
+    val scored = df.join(broadcast(withHalf), lit(true))
+      .withColumn("score", dot(col(vc), col("centv")) - col("cent_half_sq"))
+    val w = Window.partitionBy(df.columns.head)
+      .orderBy(col("score").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .drop("centv", "cent_half_sq", "score", "crank")
+  }
+
+  /** IVF search against an externally-trained centroid table
+    * (cent_id, centv) — pair with [[trainKMeans]] for the production path;
+    * [[ivfTopK]] keeps the deterministic first-N stand-in the oracle
+    * mirrors. */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: DataFrame, nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
-    val cents = c.orderBy("neighbor_id").limit(nCentroids)
-      .select(col("neighbor_id").as("cent_id"), col("cv").as("centv"),
-        (dot(col("cv"), col("cv")) / 2).as("cent_half_sq"))
-    def assign(df: DataFrame, vc: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents), lit(true))
-        .withColumn("score", dot(col(vc), col("centv")) - col("cent_half_sq"))
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("score").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "cent_half_sq", "score", "crank")
-    }
+    def assign(df: DataFrame, vc: String, keep: Int): DataFrame =
+      assignCells(df, vc, cents, keep)
     val corpusCells = assign(c, "cv", 1).withColumnRenamed("cent_id", "cell")
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
@@ -175,5 +194,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
+  }
+
+  /** Deterministic distributed Lloyd's k-means over an embedding column —
+    * the offline coarse-quantizer trainer for [[ivfTopKWithCentroids]].
+    *
+    * Determinism (same centroids on any cluster size / partitioning):
+    * init = first k vectors by id; assignment ties break by cent_id; the
+    * centroid mean sums each dimension in DECIMAL (order-independent
+    * exact addition) before one final double division — a plain double
+    * sum would drift with partition order and make training
+    * non-reproducible. Each round is: one broadcast-join assignment pass,
+    * one (cell, dim) aggregation — no all-pairs anything; rounds
+    * localCheckpoint to keep the iterative plan flat.
+    *
+    * Returns (cent_id, centv). Cells that lose all members keep their
+    * previous centroid (the standard empty-cluster fallback).
+    */
+  def trainKMeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = v.orderBy("vid").limit(k)
+      .select(col("vid").cast("long").as("cent_id"), col("v").as("centv"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(v, "v", cents, keep = 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("newv"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("newv"), col("centv")).as("centv"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    v.unpersist()
+    cents
   }
 }

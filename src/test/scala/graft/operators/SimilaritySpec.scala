@@ -55,6 +55,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r5 > r1, s"probing all-but-strongest planes must beat one bucket: p1=$r1 p5=$r5")
   }
 
+  test("k-means training reduces the quantization objective deterministically") {
+    import spark.implicits._
+    // three planted clusters around orthogonal anchors + deterministic noise
+    val pts = for {
+      c <- 0 until 3; i <- 0 until 30
+    } yield {
+      val base = Array.fill(4)(0.0f)
+      base(c) = 10.0f
+      base((c + 1) % 4) = (i % 7) * 0.1f // small in-cluster spread
+      ((c * 30 + i).toLong, base)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val cs = cents.select("centv").as[Seq[Double]].collect()
+      pts.map { case (_, v) =>
+        cs.map(c => c.zip(v.map(_.toDouble)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    val init = Similarity.trainKMeans(df, "vec_id", "embedding", k = 3, iters = 0)
+    val trained = Similarity.trainKMeans(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(objective(trained) < objective(init) * 0.5,
+      "Lloyd iterations must substantially reduce the planted-cluster objective")
+    // determinism: identical centroids on a re-run
+    val again = Similarity.trainKMeans(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(trained.select("cent_id", "centv").as[(Long, Seq[Double])].collect().toMap
+      === again.select("cent_id", "centv").as[(Long, Seq[Double])].collect().toMap)
+    // trained centroids drive IVF search end-to-end
+    val res = Similarity.ivfTopKWithCentroids(
+      df.filter(col("vec_id") < 3), df.filter(col("vec_id") >= 3),
+      "vec_id", "embedding", k = 2, trained, nProbe = 1)
+    assert(res.count() === 6) // 3 queries x k=2, neighbors from the home cell
+  }
+
   test("lsh top-k returns a subset of brute-force candidates with same scores") {
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
