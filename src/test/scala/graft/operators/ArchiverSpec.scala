@@ -136,6 +136,28 @@ class ArchiverSpec extends AnyFunSuite {
     assert(par.map(_.table).toSet === Set("lineitem", "orders", "events"))
   }
 
+  test("config-driven JDBC destination archives end-to-end and re-runs idempotently") {
+    val url = "jdbc:derby:memory:archdst;create=true"
+    val c = ArchiverConfig("test",
+      SourceConfig("src", TestSpark.sf0001, retention = "12 MONTH"),
+      Seq(JdbcDestination("arch", url)), archiveData = true, deleteData = false)
+    val results = new Archiver(spark, c, now).run()
+    val orders = results.find(_.table == "orders").get
+    assert(orders.archivedCount > 0 && !orders.vetoed)
+    def countIn(table: String): Long = {
+      val conn = graft.sinks.Jdbc.connect(graft.sinks.JdbcSinkConfig(url))
+      try {
+        val rs = conn.createStatement().executeQuery(s"SELECT count(*) FROM $table")
+        rs.next(); rs.getLong(1)
+      } finally graft.sinks.Jdbc.close(conn)
+    }
+    assert(countIn("orders") === orders.archivedCount)
+    // re-run: PK upsert semantics make the whole archival idempotent
+    val again = new Archiver(spark, c, now).run()
+    assert(again.find(_.table == "orders").get.archivedCount === orders.archivedCount)
+    assert(countIn("orders") === orders.archivedCount)
+  }
+
   test("dry run executes reads but writes nothing") {
     val out = TestSpark.tmpDir("arch-dry")
     val c = conf(TestSpark.sf0001,
