@@ -487,6 +487,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 5)
     }),
+    "ss4_quantize_int8" -> ((s, dir) => {
+      // int8 embedding quantization (4x storage vs float32): per-vector
+      // symmetric scale, floor-based half-up rounding (engine-portable),
+      // and the quality gate — cosine between the original and the
+      // dequantized vector, which must survive within ~1e-3
+      import graft.functions.VectorFunctions._
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("sc", quantScale(col("v")))
+      v.withColumn("dv", dequantizeInt8(quantizeInt8(col("v"), col("sc")), col("sc")))
+        .select(col("vec_id"),
+          fround(col("sc") * 1000000.0, 0).as("scale_ppm"),
+          fround(dot(col("v"), col("dv")) /
+            (norm2(col("v")) * norm2(col("dv"))), 4).as("cos_kept"))
+    }),
     "ss2_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -1051,6 +1066,16 @@ object SparkEntry {
         |floor(list_cosine_similarity(va.v, vb.v) * 1000.0) / 1000.0 AS cos
         |FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
         |WHERE floor(list_cosine_similarity(va.v, vb.v) * 1000.0) / 1000.0 >= 0.35""".stripMargin,
+    "ss4_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS sc FROM v),
+        |d AS (SELECT vec_id, v, sc,
+        |list_transform(list_transform(v, x -> floor(x / sc + 0.5)), q -> q * sc) AS dv
+        |FROM s)
+        |SELECT vec_id, floor(sc * 1000000.0) AS scale_ppm,
+        |floor(list_cosine_similarity(v, dv) * 10000.0) / 10000.0 AS cos_kept
+        |FROM d""".stripMargin,
     "ss1_brute_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

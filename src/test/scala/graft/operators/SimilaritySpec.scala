@@ -89,6 +89,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.count() === 6) // 3 queries x k=2, neighbors from the home cell
   }
 
+  test("int8 quantization stays in range and keeps cosine within 1e-3") {
+    import graft.functions.VectorFunctions._
+    val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sc", quantScale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("sc")))
+    val bad = emb.filter(exists(col("q"),
+      x => abs(x) > 127.0 || x =!= floor(x))).count()
+    assert(bad === 0, "quantized values must be integers in [-127, 127]")
+    val cos = emb
+      .withColumn("dv", dequantizeInt8(col("q"), col("sc")))
+      .select((dot(col("v"), col("dv")) /
+        (norm2(col("v")) * norm2(col("dv")))).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(cos >= 0.999, s"worst-case dequantized cosine $cos below 1e-3 budget")
+  }
+
   test("lsh top-k returns a subset of brute-force candidates with same scores") {
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
