@@ -223,6 +223,11 @@ object SparkEntry {
       t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
+    "q31_cube" -> ((s, dir) =>
+      // full grouping-sets lattice (CUBE) — complements q12's ROLLUP
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))),
     "q13_scalar_funcs" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -760,6 +765,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q13_scalar_funcs" ->
       """SELECT o_orderkey,
         |substr(o_orderpriority, 1, 1) AS prio_code,
