@@ -468,6 +468,23 @@ object SparkEntry {
         when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
           .when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "val")
           .otherwise("test").as("split"))),
+    "dd10_mixture_sample" -> ((s, dir) => {
+      // deterministic training-data mixing: per-language sampling rates
+      // applied via an md5 bucket of the doc id (dd8's RNG-free split
+      // trick) — reproducible on any engine and cluster size, and the
+      // rate actually drives the keep decision per stratum
+      val rateByLang = Map("en" -> 128, "und" -> 256) // x/256 keep rates
+      val docs = t(s, dir, "documents")
+        .withColumn("lang", TextFunctions.langId(col("text")))
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int"))
+      val rate = rateByLang.foldLeft(lit(204)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      docs.filter(col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    }),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "dd5_embed_neardup" -> ((s, dir) =>
@@ -1039,6 +1056,29 @@ object SparkEntry {
         |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
         |ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "dd10_mixture_sample" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |scores AS (SELECT doc_id,
+         |len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+         |len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr,
+         |len(list_filter(t, x -> x IN ('el','los','que'))) AS s_es,
+         |len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+         |len(list_filter(t, x -> x IN ('de','shi','le'))) AS s_zh
+         |FROM toks),
+         |lang AS (SELECT doc_id, CASE
+         |WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+         |ELSE 'und' END AS lang FROM scores),
+         |b AS (SELECT lang.doc_id, lang,
+         |(strpos('123456789abcdef', substr(md5(lang.doc_id::VARCHAR), 1, 1)) * 16 +
+         | strpos('123456789abcdef', substr(md5(lang.doc_id::VARCHAR), 2, 1)))::INT AS bucket
+         |FROM lang)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 128 WHEN 'und' THEN 256
+         |ELSE 204 END""".stripMargin,
     "dd4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
