@@ -555,7 +555,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val median = docs.agg(expr("percentile(q, 0.5)")).head.getDouble(0)
+      val median = docs.agg(expr("percentile(q, 0.5)")).head().getDouble(0)
       docs.filter(col("q") >= median).select("doc_id", "q")
     }),
     "tx7b_quality_floor_approx" -> ((s, dir) => {
@@ -569,7 +569,7 @@ object SparkEntry {
         .select(col("doc_id"),
           fround(TextFunctions.qualityScore(col("text")), 4).as("q"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val med = docs.agg(expr("approx_percentile(q, 0.5, 1000)")).head.getDouble(0)
+      val med = docs.agg(expr("approx_percentile(q, 0.5, 1000)")).head().getDouble(0)
       val total = docs.count()
       val kept = docs.filter(col("q") >= med).count()
       Seq((total, kept >= 0.35 * total && kept <= 0.65 * total))

@@ -80,7 +80,7 @@ object JoinStrategies {
     val sampled = big.sample(withReplacement = false, fraction, seed = 42)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
       .persist()
-    val total = sampled.agg(sum(col("__cnt"))).head.get(0) match {
+    val total = sampled.agg(sum(col("__cnt"))).head().get(0) match {
       case null => 0L
       case n: Long => n
     }
