@@ -642,6 +642,17 @@ object SparkEntry {
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.metadata(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())),
+    "mm3_frame_sample" -> ((s, dir) => {
+      // video-keyframe shape through the typed-Dataset flatMap: one media
+      // row fans out to its kept frames (64-byte frames, every 2nd);
+      // frames rendered as hex so the oracle can reproduce them (DuckDB
+      // cannot slice BLOBs — it frames the hex string instead)
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(media, frameSize = 64, everyNth = 2).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          upper(hex(col("frame"))).as("frame_hex"),
+          octet_length(col("frame")).cast("long").as("n_bytes"))
+    }),
     "mm2_media_features" -> ((s, dir) => {
       // decode-path oracle: media_id/media_type/n_bytes/checksum are computed
       // INSIDE the mapPartitions decode pass (not mm1's SQL path), plus an
@@ -1282,6 +1293,15 @@ object SparkEntry {
         |ELSE 'video' END AS media_type,
         |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum
         |FROM documents""".stripMargin,
+    "mm3_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+        |octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT media_id, i::INT AS frame_idx,
+        |substr(ph, (i * 128 + 1)::INT, 128) AS fh
+        |FROM (SELECT media_id, ph, unnest(range(0, (n + 63) // 64)) AS i FROM m))
+        |SELECT media_id, frame_idx, upper(fh) AS frame_hex,
+        |(strlen(fh) // 2)::BIGINT AS n_bytes
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
     "mm2_media_features" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
