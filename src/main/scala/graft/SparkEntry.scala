@@ -653,6 +653,17 @@ object SparkEntry {
           upper(hex(col("frame"))).as("frame_hex"),
           octet_length(col("frame")).cast("long").as("n_bytes"))
     }),
+    "mm4_resize" -> ((s, dir) => {
+      // deterministic stride "resize" through the typed map: payloads above
+      // the target are downsampled to every stride-th byte; metadata
+      // (width/height) shrinks with the stride. Hex rendering for the
+      // oracle, as in mm3.
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.resizePayload(media, targetBytes = 100).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          upper(hex(col("payload"))).as("payload_hex"))
+    }),
     "mm2_media_features" -> ((s, dir) => {
       // decode-path oracle: media_id/media_type/n_bytes/checksum are computed
       // INSIDE the mapPartitions decode pass (not mm1's SQL path), plus an
@@ -1302,6 +1313,24 @@ object SparkEntry {
         |SELECT media_id, frame_idx, upper(fh) AS frame_hex,
         |(strlen(fh) // 2)::BIGINT AS n_bytes
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+    "mm4_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+        |octet_length(encode(text)) AS n FROM documents),
+        |p AS (SELECT media_id, ph, n,
+        |CASE WHEN n <= 100 THEN 1 ELSE ((n + 99) // 100)::INT END AS stride FROM m),
+        |idx AS (SELECT media_id, ph, stride,
+        |unnest(range(0, (n + stride - 1) // stride)) AS i FROM p WHERE n > 100),
+        |ds AS (SELECT media_id,
+        |string_agg(substr(ph, (i * stride * 2 + 1)::INT, 2), '' ORDER BY i) AS outh,
+        |max(stride) AS stride FROM idx GROUP BY media_id),
+        |small AS (SELECT media_id, ph AS outh, 1 AS stride FROM p WHERE n <= 100),
+        |allr AS (SELECT * FROM ds UNION ALL SELECT * FROM small)
+        |SELECT media_id,
+        |greatest(1, 64 // stride)::INT AS width,
+        |greatest(1, 64 // stride)::INT AS height,
+        |(strlen(outh) // 2)::BIGINT AS n_bytes,
+        |upper(outh) AS payload_hex
+        |FROM allr""".stripMargin,
     "mm2_media_features" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
