@@ -468,23 +468,16 @@ object SparkEntry {
         when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
           .when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "val")
           .otherwise("test").as("split"))),
-    "dd10_mixture_sample" -> ((s, dir) => {
-      // deterministic training-data mixing: per-language sampling rates
-      // applied via an md5 bucket of the doc id (dd8's RNG-free split
-      // trick) — reproducible on any engine and cluster size, and the
-      // rate actually drives the keep decision per stratum
-      val rateByLang = Map("en" -> 128, "und" -> 256) // x/256 keep rates
-      val docs = t(s, dir, "documents")
-        .withColumn("lang", TextFunctions.langId(col("text")))
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-            .cast("int"))
-      val rate = rateByLang.foldLeft(lit(204)) { case (acc, (l, r)) =>
-        when(col("lang") === l, lit(r)).otherwise(acc)
-      }
-      docs.filter(col("bucket") < rate)
-        .select("doc_id", "lang", "bucket")
-    }),
+    "dd10_mixture_sample" -> ((s, dir) =>
+      // deterministic training-data mixing: per-language keep rates (en
+      // halved, unknown kept, default ~80%) via the RNG-free stratified
+      // hash sampler — reproducible on any engine and cluster size
+      graft.operators.Sampling.stratifiedHashSample(
+          t(s, dir, "documents")
+            .withColumn("lang", TextFunctions.langId(col("text"))),
+          idCol = "doc_id", strataCol = "lang",
+          rates256 = Map("en" -> 128, "und" -> 256), default256 = 204)
+        .select("doc_id", "lang", "bucket")),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
     "dd5_embed_neardup" -> ((s, dir) =>

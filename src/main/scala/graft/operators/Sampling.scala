@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, RNG-free sampling operators for training-data pipelines.
+  *
+  * Every decision derives from an md5 bucket of the row's id — the same
+  * trick as the dd8 train/val/test split: no random state to seed or
+  * broadcast, identical keep/drop decisions on any engine, any cluster
+  * size, and any partitioning, and the sample is stable across re-runs
+  * (critical when a 100 TB corpus is re-materialized incrementally —
+  * a seeded `sample()` changes membership whenever partitioning shifts).
+  */
+object Sampling {
+
+  /** Bucket in [0, 256): first two hex chars of md5(id). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Per-stratum keep rates in 1/256ths: rows whose bucket falls below
+    * their stratum's rate survive. `rates256` maps stratum values to
+    * rates (256 = keep all, 128 = keep half); unlisted strata use
+    * `default256`. The canonical data-mixing operator: up/down-weight
+    * languages, sources, or quality bands with exact, reproducible
+    * proportions.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates256: Map[String, Int], default256: Int): DataFrame = {
+    require((rates256.values ++ Seq(default256)).forall(r => r >= 0 && r <= 256),
+      "rates are in [0, 256]")
+    val rate = rates256.foldLeft(lit(default256): Column) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol)))
+      .filter(col("bucket") < rate)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratified hash sample applies per-stratum rates deterministically") {
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val sampled = Sampling.stratifiedHashSample(
+      rows, "id", "lang", Map("en" -> 64), default256 = 256)
+    val counts = sampled.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // fr untouched; en ~ 25% (md5 buckets are uniform; allow 5 points)
+    assert(counts("fr") === 2000L)
+    assert(math.abs(counts("en") - 500L) < 100,
+      s"en keep count ${counts("en")} far from the 64/256 rate")
+    // identical membership on a re-run (no RNG state anywhere)
+    val again = Sampling.stratifiedHashSample(
+      rows.repartition(7), "id", "lang", Map("en" -> 64), default256 = 256)
+    assert(sampled.select("id").exceptAll(again.select("id")).count() === 0)
+    assert(again.select("id").exceptAll(sampled.select("id")).count() === 0)
+    // rate 0 drops the stratum entirely
+    assert(Sampling.stratifiedHashSample(
+      rows, "id", "lang", Map("en" -> 0), 256)
+      .filter(col("lang") === "en").count() === 0)
+  }
+}
