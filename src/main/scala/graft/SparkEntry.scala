@@ -281,6 +281,18 @@ object SparkEntry {
       AsOfJoin.leftAsOf(clicks, errors, "user_id", "ts", Seq("err_id"))
         .select(col("event_id"), col("user_id"), col("asof_err_id"))
     }),
+    "q19b_asof_tolerance" -> ((s, dir) => {
+      // bounded-staleness as-of: a prior error older than 30 minutes no
+      // longer enriches the click (the market-data/log-enrichment form)
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("err_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.leftAsOf(clicks, errors, "user_id", "ts", Seq("err_id"),
+          toleranceSeconds = Some(1800L))
+        .select(col("event_id"), col("user_id"), col("asof_err_id"))
+    }),
     "ss3_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -850,6 +862,15 @@ object SparkEntry {
         |clicks AS (SELECT event_id, user_id, ts FROM events
         |WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "q19b_asof_tolerance" ->
+      """WITH errors AS (SELECT user_id, ts, max(event_id) AS err_id
+        |FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |clicks AS (SELECT event_id, user_id, ts FROM events
+        |WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |CASE WHEN e.ts >= c.ts - INTERVAL 30 MINUTE THEN e.err_id END AS asof_err_id
         |FROM clicks c ASOF LEFT JOIN errors e
         |ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
     "ss3_ivf_topk" ->

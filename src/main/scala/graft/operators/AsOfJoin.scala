@@ -33,18 +33,26 @@ object AsOfJoin {
     * @param keyCol     equi-join key
     * @param tsCol      event-time column (same name both sides)
     * @param valueCols  right columns to attach, each emitted as `asof_<name>`
+    * @param toleranceSeconds  max lookback: a prior right row older than
+    *                   this (relative to the left row's ts) does NOT match
+    *                   — the bounded-staleness form every market-data /
+    *                   log-enrichment pipeline needs. None = unbounded.
     */
   def leftAsOf(
       left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, valueCols: Seq[String]): DataFrame = {
+      keyCol: String, tsCol: String, valueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // the matched right ROW is carried as one struct (never null for right
     // rows, even when every value inside is null) — per-column
     // last(ignoreNulls) would skip null-valued right rows and could stitch
-    // values from DIFFERENT right rows, breaking as-of row semantics
-    val rowStruct = struct(valueCols.map(col): _*)
+    // values from DIFFERENT right rows, breaking as-of row semantics.
+    // The right ts rides inside the struct so the tolerance check applies
+    // to the ACTUAL matched row, not a per-column latest.
+    val carriedCols = tsCol +: valueCols
+    val rowStruct = struct(carriedCols.map(col): _*)
     val nullStruct = lit(null).cast(
-      org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c))))
+      org.apache.spark.sql.types.StructType(carriedCols.map(c => right.schema(c))))
     // side 0 = right (sorts first at equal ts => inclusive match)
     val taggedRight = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"), rowStruct.as("__r")) ++
@@ -56,10 +64,17 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
+    val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        valueCols.map(c => col("__carried").getField(c).as(s"asof_$c")): _*)
+    val matched = toleranceSeconds match {
+      case None => carried
+      case Some(tol) => carried.withColumn("__carried",
+        when(unix_micros(col("__carried").getField(tsCol)) >=
+          unix_micros(col(tsCol)) - tol * 1000000L, col("__carried"))
+          .otherwise(nullStruct))
+    }
+    matched.select(leftCols.map(col) ++
+      valueCols.map(c => col("__carried").getField(c).as(s"asof_$c")): _*)
   }
 }

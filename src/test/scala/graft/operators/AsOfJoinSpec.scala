@@ -30,6 +30,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(4L) === None)       // key with no right rows
   }
 
+  test("tolerance nulls matches older than the lookback, keeps the boundary") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 01:00:00")), // match exactly 30 min old
+      (2L, 10L, ts("2024-01-01 01:01:00")), // match 31 min old -> stale
+      (3L, 10L, ts("2024-01-01 00:31:00"))  // match 1 min old
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 00:30:00"), 100L))
+      .toDF("user_id", "ts", "err_id")
+    val got = AsOfJoin.leftAsOf(left, right, "user_id", "ts", Seq("err_id"),
+        toleranceSeconds = Some(1800L))
+      .select("event_id", "asof_err_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) === Some(100L)) // >= boundary is inclusive
+    assert(got(2L) === None)       // beyond the lookback window
+    assert(got(3L) === Some(100L))
+  }
+
   test("left row count is preserved (left-join shape)") {
     val ev = graft.Tables.load(spark, TestSpark.sf0001, "events")
     import org.apache.spark.sql.functions._
