@@ -281,6 +281,20 @@ object SparkEntry {
       AsOfJoin.leftAsOf(clicks, errors, "user_id", "ts", Seq("err_id"))
         .select(col("event_id"), col("user_id"), col("asof_err_id"))
     }),
+    "q32_range_join" -> ((s, dir) => {
+      // point-in-interval join via bucketization: overlapping account-
+      // balance bands (one per nation, width 2000, step 400) matched to
+      // customers by containment — an equi-join on bucket ids, never a
+      // nested-loop range comparison
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 400.0 - 1000.0).as("lo"),
+        (col("n_nationkey") * 400.0 + 1000.0).as("hi"))
+      val points = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      graft.operators.RangeJoin.pointInInterval(
+          points, "c_acctbal", bands, "lo", "hi", bucketWidth = 500.0)
+        .select("c_custkey", "band_id")
+    }),
     "q19b_asof_tolerance" -> ((s, dir) => {
       // bounded-staleness as-of: a prior error older than 30 minutes no
       // longer enriches the click (the market-data/log-enrichment form)
@@ -864,6 +878,11 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
         |FROM clicks c ASOF LEFT JOIN errors e
         |ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "q32_range_join" ->
+      """SELECT c_custkey, n_nationkey AS band_id
+        |FROM customer JOIN nation
+        |ON c_acctbal >= n_nationkey * 400.0 - 1000.0
+        |AND c_acctbal < n_nationkey * 400.0 + 1000.0""".stripMargin,
     "q19b_asof_tolerance" ->
       """WITH errors AS (SELECT user_id, ts, max(event_id) AS err_id
         |FROM events WHERE event_type = 'error' GROUP BY 1, 2),

@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketized range join is an equi-join, never a nested loop (q32)") {
+    val p = plan("q32_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucketize, not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("LSH-verified dedup pipeline never degrades to all-pairs (dd9)") {
     val p = plan("dd9_lsh_verified_dedup")
     assert(!p.contains("CartesianProduct"),
