@@ -295,6 +295,21 @@ object SparkEntry {
           points, "c_acctbal", bands, "lo", "hi", bucketWidth = 500.0)
         .select("c_custkey", "band_id")
     }),
+    "q33_interval_overlap" -> ((s, dir) => {
+      // interval x interval overlap via shared-bucket equi-join with
+      // first-overlap-bucket dedup (no distinct over candidates)
+      val nb = t(s, dir, "nation").select(
+        col("n_nationkey").as("n_band"),
+        (col("n_nationkey") * 400.0 - 1000.0).as("n_lo"),
+        (col("n_nationkey") * 400.0 + 1000.0).as("n_hi"))
+      val rb = t(s, dir, "region").select(
+        col("r_regionkey").as("r_band"),
+        (col("r_regionkey") * 1500.0 - 2000.0).as("r_lo"),
+        (col("r_regionkey") * 1500.0 + 2000.0).as("r_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          nb, "n_lo", "n_hi", rb, "r_lo", "r_hi", bucketWidth = 700.0)
+        .select("n_band", "r_band")
+    }),
     "q19b_asof_tolerance" -> ((s, dir) => {
       // bounded-staleness as-of: a prior error older than 30 minutes no
       // longer enriches the click (the market-data/log-enrichment form)
@@ -878,6 +893,11 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, e.err_id AS asof_err_id
         |FROM clicks c ASOF LEFT JOIN errors e
         |ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "q33_interval_overlap" ->
+      """SELECT n_nationkey AS n_band, r_regionkey AS r_band
+        |FROM nation JOIN region
+        |ON n_nationkey * 400.0 - 1000.0 < r_regionkey * 1500.0 + 2000.0
+        |AND r_regionkey * 1500.0 - 2000.0 < n_nationkey * 400.0 + 1000.0""".stripMargin,
     "q32_range_join" ->
       """SELECT c_custkey, n_nationkey AS band_id
         |FROM customer JOIN nation

@@ -41,4 +41,29 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__b")
   }
+
+  /** Interval-overlap join: every (a, b) pair whose half-open intervals
+    * intersect (a.lo < b.hi AND b.lo < a.hi). Both sides explode onto
+    * their buckets; a pair overlapping k shared buckets would surface k
+    * times from the equi-join, so each candidate is emitted ONLY in the
+    * first bucket both intervals share — floor(max(lo_a, lo_b)/width) —
+    * the standard spatial-join dedup that avoids a distinct shuffle over
+    * the (much larger) candidate set entirely.
+    */
+  def intervalOverlap(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) < col(hi))
+        .withColumn("__b", explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    explodeBuckets(a, aLo, aHi).join(explodeBuckets(b, bLo, bHi), "__b")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__b") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__b")
+  }
 }

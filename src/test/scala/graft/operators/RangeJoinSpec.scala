@@ -31,4 +31,25 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(wide === expected, "bucket width must not change the result")
   }
+
+  test("interval overlap emits each overlapping pair exactly once") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 21.0), (3L, -5.0, -1.0))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 5.0, 30.0),   // overlaps 1 (many shared buckets) and 2
+      (20L, 9.999, 10.0), // tiny sliver inside 1
+      (30L, 10.0, 12.0),  // touches 1 at the boundary: half-open, no overlap
+      (40L, -10.0, -4.0)  // overlaps 3 (negative domain)
+    ).toDF("bid", "b_lo", "b_hi")
+    def run(w: Double) = RangeJoin.intervalOverlap(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = w)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val expected = Set((1L, 10L), (2L, 10L), (1L, 20L), (3L, 40L))
+    for (w <- Seq(1.0, 3.0, 100.0)) {
+      val got = run(w)
+      assert(got.toSet === expected, s"width $w")
+      assert(got.size === expected.size,
+        s"width $w produced duplicates: $got")
+    }
+  }
 }
