@@ -17,11 +17,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (parquet footers, codegen, shuffle machinery) so the
-    // first timed query isn't charged for one-time JVM/session init.
-    Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+    // Warm the session (parquet column data, codegen, shuffle machinery) so
+    // the first timed query isn't charged for one-time JVM/session init.
+    // count() alone is answered from parquet FOOTERS (the count-star
+    // optimization) and leaves every column page cold — aggregate a
+    // per-column count instead so each column chunk is actually read.
+    locally {
+      import org.apache.spark.sql.functions.{col, count}
+      Tables.names.foreach { t =>
+        try {
+          val df = Tables.load(spark, sfDir, t)
+          df.agg(df.columns.map(c => count(col(c))).reduce(_ + _).as("warm"))
+            .collect()
+        } catch { case _: Throwable => () }
+      }
     }
     // sorted: deterministic run order, and adjacent queries sharing cached
     // subtrees (dd2's persisted shingle set feeds dd6) actually reuse them
