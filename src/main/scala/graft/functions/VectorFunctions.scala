@@ -66,9 +66,13 @@ object VectorFunctions {
 
   /** Quantize to integers in [-127, 127]: floor(x/scale + 0.5) — explicit
     * floor-based half-up rounding because engines disagree on native
-    * round() halves (the repo-wide fround rule). */
+    * round() halves (the repo-wide fround rule). An all-zero vector has
+    * scale 0; guarding it to all-zero output (instead of 0/0 = NaN, which
+    * Spark's floor would then silently turn into 0 while other engines
+    * propagate NaN) keeps the result sane and engine-identical. */
   def quantizeInt8(v: Column, scale: Column): Column =
-    transform(v, x => floor(x / scale + lit(0.5)))
+    when(scale === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5))))
 
   /** Reconstruct doubles from quantized values (q * scale). */
   def dequantizeInt8(q: Column, scale: Column): Column =

@@ -47,12 +47,18 @@ object AsOfJoin {
     // rows, even when every value inside is null) — per-column
     // last(ignoreNulls) would skip null-valued right rows and could stitch
     // values from DIFFERENT right rows, breaking as-of row semantics.
-    // The right ts rides inside the struct so the tolerance check applies
-    // to the ACTUAL matched row, not a per-column latest.
-    val carriedCols = tsCol +: valueCols
-    val rowStruct = struct(carriedCols.map(col): _*)
+    // The right ts rides inside the struct under a RESERVED field name so
+    // the tolerance check applies to the ACTUAL matched row — and so
+    // valueCols may itself contain tsCol without creating duplicate
+    // struct fields.
+    val tsField = "__asof_ts"
+    val rowStruct = struct(
+      col(tsCol).as(tsField) +: valueCols.map(col): _*)
     val nullStruct = lit(null).cast(
-      org.apache.spark.sql.types.StructType(carriedCols.map(c => right.schema(c))))
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(
+          tsField, right.schema(tsCol).dataType) +:
+          valueCols.map(c => right.schema(c))))
     // side 0 = right (sorts first at equal ts => inclusive match)
     val taggedRight = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"), rowStruct.as("__r")) ++
@@ -70,7 +76,7 @@ object AsOfJoin {
     val matched = toleranceSeconds match {
       case None => carried
       case Some(tol) => carried.withColumn("__carried",
-        when(unix_micros(col("__carried").getField(tsCol)) >=
+        when(unix_micros(col("__carried").getField(tsField)) >=
           unix_micros(col(tsCol)) - tol * 1000000L, col("__carried"))
           .otherwise(nullStruct))
     }

@@ -22,19 +22,34 @@ object RangeJoin {
     * lo <= point < hi (half-open). Intervals where lo >= hi are empty by
     * definition and dropped. Output = point columns ++ interval columns.
     */
+  /** Replication guard: an interval spanning more than this many buckets
+    * (a sentinel "open-ended" hi, or a bucketWidth wildly below the span
+    * scale) would explode into a pathological sequence — fail loudly at
+    * the offending ROW instead of OOMing an executor. The guard rides
+    * inside the sequence bound so the optimizer can't prune it away. */
+  private def boundedHiBucket(
+      loB: org.apache.spark.sql.Column, hiB: org.apache.spark.sql.Column,
+      maxBuckets: Int): org.apache.spark.sql.Column =
+    when(hiB - loB < lit(maxBuckets.toLong), hiB)
+      .otherwise(raise_error(format_string(
+        s"interval spans more than $maxBuckets buckets " +
+          "(bucket %d..%d); raise bucketWidth or maxBucketsPerInterval",
+        loB, hiB)).cast("long"))
+
   def pointInInterval(
       points: DataFrame, pCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    // hi is exclusive but floor(hi/w) may still be the last overlapped
+    // bucket (when hi is not on a boundary); the containment filter
+    // discards the at-most-one superfluous bucket's candidates
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
     val ib = intervals
       .filter(col(loCol) < col(hiCol))
-      .withColumn("__b", explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive but floor(hi/w) may still be the last overlapped
-        // bucket (when hi is not on a boundary); the containment filter
-        // discards the at-most-one superfluous bucket's candidates
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+      .withColumn("__b", explode(sequence(loB,
+        boundedHiBucket(loB, hiB, maxBucketsPerInterval))))
     val pb = points.withColumn("__b",
       floor(col(pCol) / bucketWidth).cast("long"))
     pb.join(ib, "__b")
@@ -53,13 +68,15 @@ object RangeJoin {
   def intervalOverlap(
       a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double, maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame =
+    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = floor(col(lo) / bucketWidth).cast("long")
+      val hiB = floor(col(hi) / bucketWidth).cast("long")
       df.filter(col(lo) < col(hi))
-        .withColumn("__b", explode(sequence(
-          floor(col(lo) / bucketWidth).cast("long"),
-          floor(col(hi) / bucketWidth).cast("long"))))
+        .withColumn("__b", explode(sequence(loB,
+          boundedHiBucket(loB, hiB, maxBucketsPerInterval))))
+    }
     explodeBuckets(a, aLo, aHi).join(explodeBuckets(b, bLo, bHi), "__b")
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
       .filter(col("__b") ===

@@ -30,6 +30,9 @@ object Sampling {
       rates256: Map[String, Int], default256: Int): DataFrame = {
     require((rates256.values ++ Seq(default256)).forall(r => r >= 0 && r <= 256),
       "rates are in [0, 256]")
+    require(!df.columns.contains("bucket"),
+      "input already has a 'bucket' column — it would be silently " +
+        "overwritten by the sample bucket; rename or drop it first")
     val rate = rates256.foldLeft(lit(default256): Column) { case (acc, (k, r)) =>
       when(col(strataCol) === k, lit(r)).otherwise(acc)
     }

@@ -115,19 +115,27 @@ object Similarity {
   }
 
   /** Nearest-cell assignment against a broadcast centroid table: keeps the
-    * `keep` best cells per row (argmax of dot(v, c) - |c|^2/2 — the argmin-L2
-    * identity). Shared by IVF search and k-means training. */
+    * `keep` best cells per ROW (argmax of dot(v, c) - |c|^2/2 — the
+    * argmin-L2 identity). Shared by IVF search and k-means training.
+    *
+    * The keep-best window partitions on a per-row nonce, NOT the caller's
+    * id column: ids are not guaranteed unique (the sf0.1 fixtures reuse
+    * PKs), and partitioning on a duplicated id would silently collapse
+    * distinct vectors to one, corrupting k-means means. The nonce value
+    * never leaves this function — each single-row partition's ranking
+    * depends only on row content, so results stay deterministic. */
   private def assignCells(
       df: DataFrame, vc: String, cents: DataFrame, keep: Int): DataFrame = {
     val withHalf = cents.withColumn("cent_half_sq",
       dot(col("centv"), col("centv")) / 2)
-    val scored = df.join(broadcast(withHalf), lit(true))
+    val scored = df.withColumn("__rid", monotonically_increasing_id())
+      .join(broadcast(withHalf), lit(true))
       .withColumn("score", dot(col(vc), col("centv")) - col("cent_half_sq"))
-    val w = Window.partitionBy(df.columns.head)
+    val w = Window.partitionBy("__rid")
       .orderBy(col("score").desc, col("cent_id"))
     scored.withColumn("crank", row_number().over(w))
       .filter(col("crank") <= keep)
-      .drop("centv", "cent_half_sq", "score", "crank")
+      .drop("centv", "cent_half_sq", "score", "crank", "__rid")
   }
 
   /** IVF search against an externally-trained centroid table

@@ -47,6 +47,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(3L) === Some(100L))
   }
 
+  test("valueCols may include the ts column itself (matched row's ts)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:10:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 00:05:00"), 100L))
+      .toDF("user_id", "ts", "err_id")
+    val row = AsOfJoin.leftAsOf(left, right, "user_id", "ts",
+      Seq("ts", "err_id")).select("asof_ts", "asof_err_id").head()
+    assert(row.getTimestamp(0) === ts("2024-01-01 00:05:00"))
+    assert(row.getLong(1) === 100L)
+  }
+
   test("left row count is preserved (left-join shape)") {
     val ev = graft.Tables.load(spark, TestSpark.sf0001, "events")
     import org.apache.spark.sql.functions._

@@ -32,6 +32,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(wide === expected, "bucket width must not change the result")
   }
 
+  test("a sentinel open-ended interval fails loudly, not with an OOM") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val sentinel = Seq((10L, 0.0, 1.0e15)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", sentinel, "lo", "hi",
+        bucketWidth = 1.0, maxBucketsPerInterval = 1000).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("interval overlap emits each overlapping pair exactly once") {
     val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 21.0), (3L, -5.0, -1.0))
       .toDF("aid", "a_lo", "a_hi")

@@ -29,5 +29,10 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.stratifiedHashSample(
       rows, "id", "lang", Map("en" -> 0), 256)
       .filter(col("lang") === "en").count() === 0)
+    // a pre-existing 'bucket' column would be silently clobbered: reject
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedHashSample(
+        rows.withColumn("bucket", lit(1)), "id", "lang", Map.empty, 256)
+    }
   }
 }

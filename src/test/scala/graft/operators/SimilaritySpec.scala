@@ -89,6 +89,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.count() === 6) // 3 queries x k=2, neighbors from the home cell
   }
 
+  test("k-means counts every row of a duplicated id; zero vectors quantize to zeros") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    // two distinct vectors sharing one id: the k=1 centroid must be their
+    // MEAN — a window keyed on the id would silently drop one of them
+    val dup = Seq((7L, Array(0.0f, 0.0f)), (7L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.trainKMeans(dup, "vec_id", "embedding", k = 1, iters = 1)
+      .select("centv").as[Seq[Double]].head()
+    assert(c === Seq(1.0, 1.0), s"duplicate-id row was dropped: centroid $c")
+    // zero-vector quantization: all-zero output, not NaN garbage
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(toDouble(col("embedding")).as("v"))
+      .select(quantizeInt8(col("v"), quantScale(col("v"))).as("q"))
+      .as[Seq[Double]].head()
+    assert(z === Seq(0.0, 0.0, 0.0))
+  }
+
   test("int8 quantization stays in range and keeps cosine within 1e-3") {
     import graft.functions.VectorFunctions._
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
