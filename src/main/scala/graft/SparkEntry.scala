@@ -517,7 +517,8 @@ object SparkEntry {
           t(s, dir, "documents")
             .withColumn("lang", TextFunctions.langId(col("text"))),
           idCol = "doc_id", strataCol = "lang",
-          rates256 = Map("en" -> 128, "und" -> 256), default256 = 204)
+          rates256 = Map("en" -> 128, "und" -> 256), default256 = 204,
+          keepBucket = true)
         .select("doc_id", "lang", "bucket")),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
@@ -1195,7 +1196,9 @@ object SparkEntry {
         |s AS (SELECT vec_id, v,
         |list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS sc FROM v),
         |d AS (SELECT vec_id, v, sc,
-        |list_transform(list_transform(v, x -> floor(x / sc + 0.5)), q -> q * sc) AS dv
+        |CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |ELSE list_transform(list_transform(v, x -> floor(x / sc + 0.5)), q -> q * sc)
+        |END AS dv
         |FROM s)
         |SELECT vec_id, floor(sc * 1000000.0) AS scale_ppm,
         |floor(list_cosine_similarity(v, dv) * 10000.0) / 10000.0 AS cos_kept

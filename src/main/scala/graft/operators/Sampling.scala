@@ -24,10 +24,15 @@ object Sampling {
     * `default256`. The canonical data-mixing operator: up/down-weight
     * languages, sources, or quality bands with exact, reproducible
     * proportions.
+    *
+    * Output schema equals the input's unless `keepBucket` is set, which
+    * appends the internal `bucket` column (int in [0, 256)) for consumers
+    * that audit the sampling decision (e.g. the dd10 oracle query).
     */
   def stratifiedHashSample(
       df: DataFrame, idCol: String, strataCol: String,
-      rates256: Map[String, Int], default256: Int): DataFrame = {
+      rates256: Map[String, Int], default256: Int,
+      keepBucket: Boolean = false): DataFrame = {
     require((rates256.values ++ Seq(default256)).forall(r => r >= 0 && r <= 256),
       "rates are in [0, 256]")
     require(!df.columns.contains("bucket"),
@@ -36,7 +41,8 @@ object Sampling {
     val rate = rates256.foldLeft(lit(default256): Column) { case (acc, (k, r)) =>
       when(col(strataCol) === k, lit(r)).otherwise(acc)
     }
-    df.withColumn("bucket", hashBucket(col(idCol)))
+    val sampled = df.withColumn("bucket", hashBucket(col(idCol)))
       .filter(col("bucket") < rate)
+    if (keepBucket) sampled else sampled.drop("bucket")
   }
 }

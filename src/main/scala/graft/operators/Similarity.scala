@@ -106,9 +106,20 @@ object Similarity {
     * self-joins. argmin-L2 is computed as argmax of dot(v, c) - |c|²/2
     * (equivalent since |v|² is constant per vector), so the inner loop is
     * the same codegen'd dot product as everywhere else. */
+  /** cent_id derives from `cast(idCol as long)`; under non-ANSI mode a
+    * non-numeric id would cast to null and silently collapse every
+    * centroid into one null-keyed cell — fail loudly at call time
+    * instead. */
+  private def requireNumericId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"id column '$idCol' must be numeric to derive cent_id (got $dt)")
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    requireNumericId(corpus, idCol)
     val cents = corpus.orderBy(idCol).limit(nCentroids)
       .select(col(idCol).cast("long").as("cent_id"), toDouble(col(vecCol)).as("centv"))
     ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k, cents, nProbe)
@@ -222,6 +233,7 @@ object Similarity {
   def trainKMeans(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    requireNumericId(corpus, idCol)
     val v = corpus.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = v.orderBy("vid").limit(k)

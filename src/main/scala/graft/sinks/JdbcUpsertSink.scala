@@ -275,7 +275,12 @@ final class JdbcUpsertSink(
           if (ps == null) ps = holder.get.prepareStatement(sql)
           ps
         }
-        def onLoss(): Unit = { ps = null; holder.reconnect() }
+        def onLoss(): Unit = {
+          // best-effort close before dropping the reference: not every
+          // driver cascade-closes statements when the connection dies
+          if (ps != null) { try ps.close() catch { case _: SQLException => () } }
+          ps = null; holder.reconnect()
+        }
         try {
           var batch = Vector.empty[Row]
           def flush(): Unit = if (batch.nonEmpty) {
