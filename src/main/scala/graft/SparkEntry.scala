@@ -24,6 +24,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Register fixture tables as temp views and run a SQL-surface query —
+    * used where the DataFrame API cannot express the shape (correlated
+    * subqueries, GROUPING SETS, LATERAL) so Catalyst's decorrelation /
+    * grouping-set expansion is exercised through `spark.sql`. */
+  private def sqlOn(s: SparkSession, dir: String, tables: Seq[String],
+      query: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(query)
+  }
+
   /** A fixed retention cutoff keeps archival queries deterministic for the
     * oracle; production uses a per-run `now` snapshot (Retention.predicate). */
   private val Cutoff = "1999-01-01 00:00:00"
@@ -309,6 +319,93 @@ object SparkEntry {
       graft.operators.RangeJoin.intervalOverlap(
           nb, "n_lo", "n_hi", rb, "r_lo", "r_hi", bucketWidth = 700.0)
         .select("n_band", "r_band")
+    }),
+    "q34_exists_subquery" -> ((s, dir) =>
+      // correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
+      // semi/anti joins (RewritePredicateSubquery); the PlanSpec gate
+      // asserts no nested-loop survives
+      sqlOn(s, dir, Seq("customer", "orders"),
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          |AND NOT EXISTS (SELECT 1 FROM orders o2
+          |  WHERE o2.o_custkey = c.c_custkey
+          |  AND o2.o_orderpriority = '1-URGENT')""".stripMargin)),
+    "q35_scalar_subquery" -> ((s, dir) =>
+      // correlated scalar subqueries in the select list — decorrelated to
+      // left outer aggregate joins; count over an empty group must yield 0
+      // (the classic COUNT-bug shape)
+      sqlOn(s, dir, Seq("nation", "customer"),
+        """SELECT n_nationkey, n_name,
+          |(SELECT count(*) FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+          |(SELECT CAST(floor(coalesce(max(c.c_acctbal), 0.0) * 100.0) / 100.0
+          |  AS DOUBLE)
+          |  FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+          |FROM nation n""".stripMargin)),
+    "q36_range_frame" -> ((s, dir) => {
+      // interval RANGE window frame: per-user trailing-hour event count and
+      // value sum. Ordering on unix micros keeps the frame arithmetic
+      // integral and engine-portable (events.parquet is TIMESTAMP(NANOS),
+      // truncated to micros by Tables.load on the Spark side and by
+      // epoch_us on the oracle side). RANGE frames include peers, so
+      // duplicate timestamps stay deterministic.
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+    }),
+    "q37_setops_all" -> ((s, dir) => {
+      // bag semantics set ops (q9 covers the DISTINCT forms): EXCEPT ALL /
+      // INTERSECT ALL preserve multiplicity — one hash shuffle each on the
+      // value, no row explosion
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_totalprice") < 100000).select("o_custkey")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
+    "q38_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS lattice with grouping() indicators — the
+      // general form behind q12's ROLLUP and q31's CUBE; grouping() is cast
+      // to BIGINT on both sides (Spark emits TINYINT natively)
+      sqlOn(s, dir, Seq("orders"),
+        """SELECT o_orderstatus, o_orderpriority,
+          |CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |count(*) AS n_orders,
+          |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority), ())""".stripMargin)),
+    "q39_lateral" -> ((s, dir) =>
+      // correlated LATERAL subquery with per-group ORDER BY + LIMIT (top-2
+      // customers per nation) — the SQL-surface twin of q6's window top-k
+      sqlOn(s, dir, Seq("nation", "customer"),
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)),
+    "q40_window_nav" -> ((s, dir) => {
+      // navigation window functions: percent_rank/cume_dist (default
+      // growing frame) and first/last/nth_value over the full partition —
+      // last_value needs the explicit unbounded frame on both engines
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        fround(percent_rank().over(w), 6).as("pr"),
+        fround(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(wf).as("first_key"),
+        last_value(col("o_orderkey")).over(wf).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
     }),
     "q19b_asof_tolerance" -> ((s, dir) => {
       // bounded-staleness as-of: a prior error older than 30 minutes no
@@ -904,6 +1001,64 @@ object SparkEntry {
         |FROM customer JOIN nation
         |ON c_acctbal >= n_nationkey * 400.0 - 1000.0
         |AND c_acctbal < n_nationkey * 400.0 + 1000.0""".stripMargin,
+    "q34_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |AND NOT EXISTS (SELECT 1 FROM orders o2
+        |  WHERE o2.o_custkey = c.c_custkey
+        |  AND o2.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q35_scalar_subquery" ->
+      """SELECT n_nationkey, n_name,
+        |(SELECT count(*) FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+        |(SELECT floor(coalesce(max(c.c_acctbal), 0.0) * 100.0) / 100.0
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+        |FROM nation n""".stripMargin,
+    "q36_range_frame" ->
+      """SELECT event_id, user_id,
+        |count(*) OVER w AS n_1h,
+        |(sum(value::DECIMAL(18,2)) OVER w)::DOUBLE AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q37_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_totalprice < 100000)
+        |SELECT o_custkey, 'except_all' AS op FROM
+        |(SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'intersect_all' AS op FROM
+        |(SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)""".stripMargin,
+    "q38_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())""".stripMargin,
+    "q39_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+    "q40_window_nav" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |floor(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pr,
+        |floor(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cd,
+        |first_value(o_orderkey) OVER wf AS first_key,
+        |last_value(o_orderkey) OVER wf AS last_key,
+        |nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey),
+        |wf AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q19b_asof_tolerance" ->
       """WITH errors AS (SELECT user_id, ts, max(event_id) AS err_id
         |FROM events WHERE event_type = 'error' GROUP BY 1, 2),

@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("correlated EXISTS/NOT EXISTS decorrelate to hash semi/anti joins (q34)") {
+    val p = plan("q34_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS should decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should decorrelate to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not leave a nested loop:\n$p")
+  }
+
   test("bucketized range join is an equi-join, never a nested loop (q32)") {
     val p = plan("q32_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
