@@ -619,6 +619,53 @@ object SparkEntry {
         .select("doc_id", "lang", "bucket")),
     "dd4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+    "dd11_chunk_dedup" -> ((s, dir) =>
+      // sub-document (paragraph-level) exact dedup: 20-word chunks, first
+      // corpus occurrence survives, documents reassembled without the
+      // repeated boilerplate
+      Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 20)),
+    "dc1_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th document plays the held-out
+      // eval set; training docs sharing any 5-word shingle with it are
+      // flagged (broadcast join against the tiny benchmark shingle set)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      graft.operators.Decontaminate.contaminationReport(train, bench,
+        "doc_id", "text", n = 5, minOverlap = 1L)
+    }),
+    "pk1_sequence_pack" -> ((s, dir) =>
+      // token-budget sequence packing (concat-and-chunk): deterministic
+      // (bucket, seq, offset) slot per document, parallel across 8 hash
+      // buckets — integral arithmetic end to end
+      graft.operators.Packing.sequencePack(t(s, dir, "documents"),
+        "doc_id", "text", budgetTokens = 512, buckets = 8)),
+    "bf1_bloom_semi_join" -> ((s, dir) => {
+      // bloom-pruned semi join: the big side is filtered by a native
+      // might_contain probe before the exact join — identical result,
+      // ~99% of non-matching rows never reach the shuffle
+      val big = t(s, dir, "lineitem")
+      val keys = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      graft.operators.BloomPrune.bloomPrunedSemiJoin(big, keys,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+    "tx12_top_ngrams" -> ((s, dir) =>
+      // corpus-level top-20 bigrams by occurrence (distinct=false: counts
+      // occurrences, not documents) — the vocabulary/boilerplate probe
+      t(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+        .select(explode(TextFunctions.shinglesOfTokens(col("toks"), 2,
+          distinct = false)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "st2_sliding_window" -> ((s, dir) =>
+      // sliding-window event counts (2h window, 30m hop: each event in
+      // exactly 4 windows) — the streaming-compatible window() operator
+      // run in batch for the oracle
+      EventsStreaming.slidingAgg(t(s, dir, "events"))),
     "dd5_embed_neardup" -> ((s, dir) =>
       // brute-force form: the small-n oracle baseline (O(n^2) pairs)
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1310,6 +1357,69 @@ object SparkEntry {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 128 WHEN 'und' THEN 256
          |ELSE 204 END""".stripMargin,
+    "dd11_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk
+         |FROM (SELECT doc_id, t,
+         |unnest(range(0, ((greatest(len(t), 1) - 1) // 20) + 1)) AS i FROM toks)),
+         |chf AS (SELECT * FROM ch WHERE strlen(chunk) > 0),
+         |base AS (SELECT doc_id, count(*) AS n_chunks FROM chf GROUP BY 1),
+         |kept AS (SELECT doc_id, chunk_idx, chunk FROM (
+         |SELECT doc_id, chunk_idx, chunk,
+         |row_number() OVER (PARTITION BY md5(chunk)
+         |ORDER BY doc_id, chunk_idx) AS rn FROM chf) WHERE rn = 1),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+         |FROM kept GROUP BY 1)
+         |SELECT b.doc_id, b.n_chunks, coalesce(a.n_kept, 0) AS n_kept,
+         |coalesce(a.dedup_text, '') AS dedup_text
+         |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""".stripMargin,
+    "dc1_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i FROM toks)),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "pk1_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
+         |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
+         | strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)))::INT % 8
+         |  AS bucket
+         |FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         | - n_tokens)::BIGINT AS prev
+         |FROM d)
+         |SELECT doc_id, bucket, n_tokens,
+         |prev // 512 AS seq_in_bucket, prev % 512 AS tok_offset
+         |FROM c""".stripMargin,
+    "bf1_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    "tx12_top_ngrams" ->
+      s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+         |ng AS (SELECT array_to_string(t[i:i+1], ' ') AS ngram
+         |FROM (SELECT t,
+         |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
+         |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
+         |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "st2_sliding_window" ->
+      """SELECT time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP)
+        |  - to_minutes((30 * k)::BIGINT) AS win_start,
+        |event_type, count(*) AS n_events
+        |FROM events, range(0, 4) rk(k)
+        |GROUP BY 1, 2""".stripMargin,
     "dd4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,

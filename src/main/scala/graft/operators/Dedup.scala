@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface.
@@ -49,6 +50,55 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
       .distinct()
+
+  /** Sub-document exact dedup (the "paragraph-level" pass of an LLM data
+    * pipeline, à la deduplicating-training-data): each document is chopped
+    * into consecutive `chunkWords`-word chunks, every chunk that already
+    * appeared earlier in the corpus (first occurrence = lowest
+    * (doc_id, chunk_idx)) is dropped, and the survivors are reassembled
+    * in order. Catches boilerplate shared across otherwise-distinct
+    * documents that whole-document dedup (dd1) cannot see.
+    *
+    * Scale shape: one shuffle keyed on the 128-bit chunk hash decides
+    * survivorship; one shuffle on doc_id reassembles. No joins between
+    * documents, no all-pairs anything; chunk text rides the shuffle here
+    * for reassembly — a footprint-sensitive deployment would dedup on
+    * hashes alone and re-slice surviving chunks from the source.
+    *
+    * Output: (doc_id, n_chunks, n_kept, dedup_text).
+    */
+  def chunkDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords >= 1")
+    val chunks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+          // (n-1) div chunkWords, clamped at 0: Column./ is double division,
+          // so truncate back to int (exact: token counts << 2^31)
+          sequence(lit(0),
+            greatest(((size(col("toks")) - 1) / lit(chunkWords)).cast("int"),
+              lit(0))),
+          i => array_join(
+            slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val kept = chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val base = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("dedup_text"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
 
   /** n-gram Jaccard near-dup pairs with similarity >= threshold.
     * Exact set semantics: |A∩B| via the shingle equi-join, |A∪B| via

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing for LLM pre-training: assign every
+  * document a (bucket, sequence, offset) slot in a virtual concatenated
+  * token stream chopped into fixed-size training sequences — the
+  * concat-and-chunk packing scheme (documents may straddle sequence
+  * boundaries; the trainer masks across them).
+  *
+  * Scale design: a single global running sum would serialize the corpus
+  * through one task. Instead the corpus is hash-bucketed (deterministic
+  * md5 bucket of the id — same RNG-free trick as [[Sampling]]) and packing
+  * runs independently per bucket: the window ordering is only within a
+  * bucket, so parallelism = `buckets` and each task's state is one
+  * running counter. At 100 TB raise `buckets` so each bucket's document
+  * stream fits a task comfortably; sequence ids stay globally unique as
+  * (bucket, seq_in_bucket) pairs. All arithmetic is integral — bit-for-bit
+  * reproducible on any engine, cluster size, or partitioning.
+  */
+object Packing {
+
+  /** Output: (doc_id, bucket, n_tokens, seq_in_bucket, tok_offset) where
+    * `seq_in_bucket` is the training sequence the document STARTS in and
+    * `tok_offset` its first token's position inside that sequence.
+    */
+  def sequencePack(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, buckets: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    require(buckets > 0 && buckets <= 256, "buckets in [1, 256]")
+    val d = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(Sampling.hashBucket(col("doc_id")), lit(buckets)))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("prev", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"prev div $budgetTokens").as("seq_in_bucket"),
+        (col("prev") % budgetTokens).as("tok_offset"))
+  }
+}

@@ -56,6 +56,19 @@ object EventsStreaming {
   /** Batch form (oracle-checkable). */
   def hourlyBatch(events: DataFrame): DataFrame = hourlyAgg(events)
 
+  /** Sliding-window counts (window `size`, hop `slide`): each event lands
+    * in size/slide windows — the overlap factor is the only row
+    * amplification, and state per key stays bounded under a watermark in
+    * the streaming form (same operator; `window()` is stream-compatible). */
+  def slidingAgg(
+      events: DataFrame,
+      size: String = "2 hours", slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
   /** Streaming form: file-source stream over the parquet path, watermarked;
     * complete-mode memory sink for test observation. */
   def hourlyStream(

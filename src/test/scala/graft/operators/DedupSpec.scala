@@ -38,6 +38,31 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.count() === 0)
   }
 
+  test("chunk dedup drops repeated chunks, keeps first occurrence, reassembles") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // chunks(3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" repeats doc 1 -> dropped
+      (3L, "d e f")          // whole doc is a repeat -> empty survivor
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(d, "doc_id", "text", chunkWords = 3)
+      .select("doc_id", "n_chunks", "n_kept", "dedup_text")
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 2L, 2L, "a b c d e f")))
+    assert(r(2L) === ((2L, 2L, 1L, "x y z")))
+    assert(r(3L) === ((3L, 1L, 0L, "")))
+  }
+
+  test("chunk dedup keeps short and partial-tail documents intact") {
+    val d = Seq(
+      (1L, "only two"),            // single sub-width chunk
+      (2L, "one two three four")   // chunk "one two three" + tail "four"
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(d, "doc_id", "text", chunkWords = 3)
+      .select("doc_id", "dedup_text").as[(Long, String)].collect().toMap
+    assert(r(1L) === "only two")
+    assert(r(2L) === "one two three four")
+  }
+
   test("minhash LSH catches exact dups as candidates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 2, numHashes = 16, rowsPerBand = 4)

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("single-bucket packing fills sequences in doc order, straddling boundaries") {
+    val docs = Seq(
+      (1L, "w w w"),     // 3 tokens -> seq 0, offset 0
+      (2L, "w w w"),     // 3 tokens -> seq 0, offset 3
+      (3L, "w w"),       // 2 tokens -> starts at cum 6 -> seq 1, offset 1
+      (4L, "w w w w")    // 4 tokens -> starts at cum 8 -> seq 1, offset 3
+    ).toDF("doc_id", "text")
+    val r = Packing.sequencePack(docs, "doc_id", "text",
+        budgetTokens = 5, buckets = 1)
+      .select("doc_id", "n_tokens", "seq_in_bucket", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 3L, 0L, 0L)))
+    assert(r(2L) === ((2L, 3L, 0L, 3L)))
+    assert(r(3L) === ((3L, 2L, 1L, 1L)))
+    assert(r(4L) === ((4L, 4L, 1L, 3L)))
+  }
+
+  test("packing is deterministic under repartitioning and covers every doc") {
+    val docs = (1L to 500L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val a = Packing.sequencePack(docs, "doc_id", "text", 128, buckets = 8)
+    val b = Packing.sequencePack(docs.repartition(13), "doc_id", "text",
+      128, buckets = 8)
+    assert(a.count() === 500L)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "slot assignment must not depend on physical partitioning")
+    // offsets always inside the sequence budget
+    assert(a.filter("tok_offset < 0 OR tok_offset >= 128").count() === 0)
+  }
+}

@@ -14,6 +14,10 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("id", "lang")
     val sampled = Sampling.stratifiedHashSample(
       rows, "id", "lang", Map("en" -> 64), default256 = 256)
+    // the internal bucket column must not leak into the output schema
+    assert(sampled.columns.toSeq === rows.columns.toSeq)
+    assert(Sampling.stratifiedHashSample(rows, "id", "lang", Map("en" -> 64),
+      default256 = 256, keepBucket = true).columns.contains("bucket"))
     val counts = sampled.groupBy("lang").count()
       .as[(String, Long)].collect().toMap
     // fr untouched; en ~ 25% (md5 buckets are uniform; allow 5 points)

@@ -23,6 +23,15 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("sliding windows place every event in exactly size/slide windows") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val slid = EventsStreaming.slidingAgg(ev) // 2h window, 30m hop -> 4x
+    val total = slid.agg(sum("n_events")).head().getLong(0)
+    assert(total === ev.count() * 4)
+    // every (win_start, event_type) is a real aggregation key (no zeros)
+    assert(slid.filter(col("n_events") <= 0).count() === 0)
+  }
+
   test("streaming dedup suppresses duplicate ids within the watermark") {
     // source with every event duplicated across two files
     val dir = TestSpark.tmpDir("dup-events")
