@@ -392,6 +392,25 @@ object SparkEntry {
           |  SELECT c_custkey, c_acctbal FROM customer c
           |  WHERE c.c_nationkey = n.n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)),
+    "q41_recursive_cte" -> ((s, dir) =>
+      // recursive CTE month spine (Spark 4 WITH RECURSIVE) + calendar fill:
+      // empty months surface with zero counts — the gap-filling reporting
+      // shape a plain GROUP BY cannot produce
+      sqlOn(s, dir, Seq("orders"),
+        """WITH RECURSIVE spine(m) AS (
+          |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+          |  UNION ALL
+          |  SELECT m + INTERVAL 1 MONTH FROM spine
+          |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+          |),
+          |agg AS (SELECT date_trunc('month', o_orderdate) AS m,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |  FROM orders GROUP BY 1)
+          |SELECT spine.m AS month_start,
+          |coalesce(agg.n_orders, 0) AS n_orders,
+          |coalesce(agg.sum_price, CAST(0 AS DOUBLE)) AS sum_price
+          |FROM spine LEFT JOIN agg ON spine.m = agg.m""".stripMargin)),
     "q40_window_nav" -> ((s, dir) => {
       // navigation window functions: percent_rank/cume_dist (default
       // growing frame) and first/last/nth_value over the full partition —
@@ -1093,6 +1112,21 @@ object SparkEntry {
         |  SELECT c_custkey, c_acctbal FROM customer c
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+    "q41_recursive_cte" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        |),
+        |agg AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.m AS month_start,
+        |coalesce(agg.n_orders, 0) AS n_orders,
+        |coalesce(agg.sum_price, CAST(0 AS DOUBLE)) AS sum_price
+        |FROM spine LEFT JOIN agg ON spine.m = agg.m""".stripMargin,
     "q40_window_nav" ->
       """SELECT o_orderkey, o_orderpriority,
         |floor(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pr,
