@@ -825,8 +825,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
+      // tf is already one row per distinct (doc, term), so document
+      // frequency is a reaggregation of tf — the corpus is tokenized ONCE
+      // and the tok.distinct() shuffle disappears; persist because tf
+      // feeds both the join and the df reaggregation
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df_ = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count()
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(df_, "term")

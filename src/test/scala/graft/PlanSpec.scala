@@ -80,6 +80,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("chunk dedup never compares documents against documents (dd11)") {
+    val p = plan("dd11_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must stay hash-based:\n$p")
+  }
+
+  test("sequence packing is a single bucket exchange feeding one window (pk1)") {
+    val p = plan("pk1_sequence_pack")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"packing should shuffle exactly once (on the bucket), saw $shuffles:\n$p")
+  }
+
+  test("interval RANGE frame runs over a single per-user exchange (q36)") {
+    val p = plan("q36_range_frame")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"range-frame window should shuffle once (on user_id), saw $shuffles:\n$p")
+  }
+
   test("running sum uses one exchange then a window, no re-sort cascade (q7)") {
     val p = plan("q7_running_sum")
     assert(p.contains("Window") || p.contains("WindowGroupLimit"))
