@@ -728,6 +728,15 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 3, planes = 4)
     }),
+    "ss5_quantized_rerank" -> ((s, dir) => {
+      // two-stage retrieval: int8-dequantized approximate scoring over the
+      // SRP-bucket candidates, exact full-precision re-rank of the top-10
+      // shortlist — the memory-bandwidth-saving production shape
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedRerankTopK(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 3, planes = 4, shortlist = 10)
+    }),
 
     // ----- text analysis -----
     "tx1_textstats" -> ((s, dir) =>
@@ -845,6 +854,15 @@ object SparkEntry {
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.metadata(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())),
+    "mm5_phash_dedup" -> ((s, dir) => {
+      // media near-dup groups keyed on the integer-exact perceptual hash:
+      // signature pass is narrow, grouping is one hash aggregation — no
+      // pairwise payload comparison
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.perceptualHash(media)
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("keep_id"))
+    }),
     "mm3_frame_sample" -> ((s, dir) => {
       // video-keyframe shape through the typed-Dataset flatMap: one media
       // row fans out to its kept frames (64-byte frames, every 2nd);
@@ -1517,6 +1535,43 @@ object SparkEntry {
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss5_quantized_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |dq AS (SELECT vec_id, v,
+        |CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |ELSE list_transform(list_transform(v, x -> floor(x / sc + 0.5)), q -> q * sc)
+        |END AS dv FROM (SELECT vec_id, v,
+        |list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS sc
+        |FROM v WHERE vec_id >= 20)),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |qv.v AS qvv, dq.v AS cvv, dq.dv AS dvv
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id < 20 AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = q.vec_id
+        |JOIN dq ON dq.vec_id = c.vec_id),
+        |s1 AS (SELECT query_id, neighbor_id, qvv, cvv,
+        |CASE WHEN list_inner_product(dvv, dvv) = 0 THEN 0.0
+        |ELSE list_inner_product(qvv, dvv) /
+        |(sqrt(list_inner_product(qvv, qvv)) * sqrt(list_inner_product(dvv, dvv)))
+        |END AS acos FROM cand),
+        |shortl AS (SELECT query_id, neighbor_id, qvv, cvv FROM (
+        |SELECT *, row_number() OVER (PARTITION BY query_id
+        |ORDER BY acos DESC, neighbor_id) AS r1 FROM s1) WHERE r1 <= 10),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |list_cosine_similarity(qvv, cvv) AS cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY list_cosine_similarity(qvv, cvv) DESC, neighbor_id) AS rank
+        |FROM shortl)
+        |SELECT query_id, rank, neighbor_id,
+        |floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "ss2_lsh_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |proj AS (SELECT vec_id, p, sum(v[d::INT] *
@@ -1658,6 +1713,19 @@ object SparkEntry {
          |FROM scored)
          |SELECT doc_id, term, floor(score * 1000.0) / 1000.0 AS score FROM ranked WHERE rn = 1""".stripMargin,
 
+    "mm5_phash_dedup" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+        |lanes AS (SELECT doc_id, ((i - 1) % 8)::INT AS j,
+        |sum(ascii(substr(text, i::INT, 1)))::BIGINT AS s
+        |FROM pos GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(s)::BIGINT AS total FROM lanes GROUP BY 1),
+        |sig AS (SELECT lanes.doc_id,
+        |sum(CASE WHEN s * 8 > total THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |  AS phash
+        |FROM lanes JOIN tot ON lanes.doc_id = tot.doc_id GROUP BY 1)
+        |SELECT phash, count(*) AS n_media, min(doc_id) AS keep_id
+        |FROM sig GROUP BY 1""".stripMargin,
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

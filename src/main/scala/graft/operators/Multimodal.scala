@@ -123,6 +123,31 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash for media near-dup detection: 8 integer byte-lane
+    * sums (lane j = bytes at positions ≡ j mod 8), one bit per lane set
+    * when the lane is above the payload average. INTEGER arithmetic
+    * throughout — unlike the double-valued FakeCodec features, lane sums
+    * are exact and order-independent, so the signature is bit-identical
+    * on any engine/partitioning (the property a dedup key must have).
+    *
+    * Scale: one narrow typed map to an 8-bit signature; near-dup grouping
+    * is then a plain hash aggregation on (phash) — no pairwise comparison
+    * of payloads, ever. A production build swaps the lane sums for a real
+    * pHash/aHash over decoded pixels; the pipeline shape is identical. */
+  def perceptualHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val lanes = new Array[Long](8)
+      var i = 0
+      while (i < r.payload.length) { lanes(i % 8) += (r.payload(i) & 0xff); i += 1 }
+      val total = lanes.sum
+      var sig = 0L
+      var j = 0
+      while (j < 8) { if (lanes(j) * 8L > total) sig |= (1L << j); j += 1 }
+      (r.media_id, r.media_type, sig)
+    }.toDF("media_id", "media_type", "phash")
+  }
+
   /** Pure-SQL metadata path (oracle-checkable): byte length + md5 checksum
     * of the payload, no decode. */
   def metadata(media: DataFrame): DataFrame =

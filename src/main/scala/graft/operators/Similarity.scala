@@ -215,6 +215,53 @@ object Similarity {
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
   }
 
+  /** Two-stage retrieval: SRP-bucketed candidates are first scored against
+    * the INT8-DEQUANTIZED corpus vectors (stage 1 — at scale the quantized
+    * store is 4x smaller than float32, so the candidate scan is memory-
+    * bandwidth-cheap), the per-query `shortlist` best advance, and only
+    * those pay the exact full-precision cosine re-rank (stage 2). The
+    * production retrieval shape: approximate-score wide, exact-score
+    * narrow.
+    *
+    * Scale: candidates come from the same bucket equi-join as [[lshTopK]]
+    * (no corpus self-join); stage 2 touches |Q| x shortlist rows only.
+    * Same output schema as the other topK operators. Shortlist >> k keeps
+    * quantization-induced boundary swaps away from the final top-k. */
+  def quantizedRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), planes))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), planes))
+      .withColumn("cn", norm2(col("cv")))
+      .withColumn("sc", quantScale(col("cv")))
+      .withColumn("dv", dequantizeInt8(quantizeInt8(col("cv"), col("sc")), col("sc")))
+      .withColumn("dn", norm2(col("dv")))
+    val cand = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // stage 1: approximate cosine on the dequantized vector
+      .withColumn("acos",
+        when(col("dn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("dv")) / (col("qn") * col("dn"))))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val short = cand.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= shortlist)
+    // stage 2: exact full-precision re-rank of the shortlist
+    val exact = short.withColumn("cos",
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
+  }
+
   /** Deterministic distributed Lloyd's k-means over an embedding column —
     * the offline coarse-quantizer trainer for [[ivfTopKWithCentroids]].
     *

@@ -71,4 +71,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(meta(f.media_id) === ((f.n_bytes, f.checksum)))
     }
   }
+
+  test("perceptual hash groups identical payloads, stable under repartition") {
+    import spark.implicits._
+    val rows = Seq(
+      // identical payloads -> identical phash
+      Multimodal.MediaRow(1L, "image", "aaaa bbbb cccc".getBytes("UTF-8"), 64, 64, 0),
+      Multimodal.MediaRow(2L, "image", "aaaa bbbb cccc".getBytes("UTF-8"), 64, 64, 0),
+      // heavy-tail byte distribution -> different signature
+      Multimodal.MediaRow(3L, "image",
+        Array.tabulate[Byte](64)(i => if (i % 8 == 0) 0x7f else 0x01), 64, 64, 0)
+    )
+    val ds = spark.createDataset(rows)
+    val h = Multimodal.perceptualHash(ds)
+      .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    // signature is a pure function of the payload: repartitioning is a no-op
+    val h2 = Multimodal.perceptualHash(spark.createDataset(rows).repartition(3))
+      .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    assert(h === h2)
+    // 8-bit signature domain
+    assert(h.values.forall(s => s >= 0 && s < 256))
+  }
 }

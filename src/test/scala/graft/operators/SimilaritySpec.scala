@@ -140,4 +140,48 @@ class SimilaritySpec extends AnyFunSuite {
       assert(brute((qid, nid)) === cos) // same pair scores identically
     }
   }
+
+  test("quantized rerank emits exact final scores and stays bucket-joined") {
+    val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 1000)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val rr = Similarity.quantizedRerankTopK(q, c, "vec_id", "embedding",
+      k = 3, planes = 4, shortlist = 10)
+    val rows = rr.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // stage 2 is FULL precision: every returned score must equal the
+    // brute-force cosine for that pair (quantization affects candidate
+    // ordering only, never the reported value)
+    rows.foreach { case (qid, nid, cos) =>
+      assert(brute((qid, nid)) === cos)
+    }
+    // the candidate join must be the bucket equi-join, not all-pairs
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quantized rerank must stay bucket-joined:\n$plan")
+  }
+
+  test("quantized rerank shortlist recovers the exact top-k on same-bucket pairs") {
+    // clone + small perturbations land in the query's bucket; the int8
+    // stage-1 ordering may shuffle the shortlist but the exact re-rank
+    // must restore the true order
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (12L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (13L, Array(0.90f, 0.10f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizedRerankTopK(queries, corpus, "vec_id",
+        "embedding", k = 3, planes = 2, shortlist = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(r.toSeq === Seq(10L, 11L, 12L))
+  }
 }
