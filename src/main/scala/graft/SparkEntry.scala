@@ -392,6 +392,27 @@ object SparkEntry {
           |  SELECT c_custkey, c_acctbal FROM customer c
           |  WHERE c.c_nationkey = n.n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)),
+    "q42_histogram" -> ((s, dir) =>
+      // equi-width histogram via width_bucket: the plan is one hash
+      // aggregation over a scalar binning expression — the distributed
+      // histogram shape (no sort, no per-bin pass)
+      t(s, dir, "orders").select(
+          width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(20))
+            .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_orders"))),
+    "q43_ordered_set" -> ((s, dir) =>
+      // ordered-set aggregates: discrete + continuous percentiles via
+      // WITHIN GROUP — percentile_disc returns an actual data value,
+      // percentile_cont interpolates
+      sqlOn(s, dir, Seq("orders"),
+        """SELECT o_orderstatus,
+          |CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+          |  AS DOUBLE) AS p50_disc,
+          |CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+          |  * 100.0) / 100.0 AS DOUBLE) AS p50_cont,
+          |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+          |  AS DOUBLE) AS p90_disc
+          |FROM orders GROUP BY o_orderstatus""".stripMargin)),
     "q41_recursive_cte" -> ((s, dir) =>
       // recursive CTE month spine (Spark 4 WITH RECURSIVE) + calendar fill:
       // empty months surface with zero counts — the gap-filling reporting
@@ -1135,6 +1156,21 @@ object SparkEntry {
         |  SELECT c_custkey, c_acctbal FROM customer c
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+    "q42_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |WHEN o_totalprice >= 600000.0 THEN 21
+        |ELSE floor(o_totalprice / 30000.0)::BIGINT + 1 END AS bin,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q43_ordered_set" ->
+      """SELECT o_orderstatus,
+        |CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+        |  AS DOUBLE) AS p50_disc,
+        |CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+        |  * 100.0) / 100.0 AS DOUBLE) AS p50_cont,
+        |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+        |  AS DOUBLE) AS p90_disc
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q41_recursive_cte" ->
       """WITH RECURSIVE spine(m) AS (
         |  SELECT TIMESTAMP '1995-01-01 00:00:00'
