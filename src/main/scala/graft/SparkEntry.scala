@@ -413,6 +413,42 @@ object SparkEntry {
           |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
           |  AS DOUBLE) AS p90_disc
           |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+    "q44_approx_topk" -> ((s, dir) => {
+      // Misra-Gries heavy-hitter sketch (custom TypedImperativeAggregate):
+      // with capacity >= the column's distinct count no counter is ever
+      // evicted, so the sketch IS the exact count table on any partitioning
+      // — which lets the oracle pin exact values, while the sub-capacity
+      // regime (underestimate-within-N/(m+1)) is property-tested in
+      // MisraGriesSpec
+      graft.functions.GraftExtensions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_mg")
+      s.sql("""SELECT mp.event_type, mp.n_events FROM (
+              |  SELECT explode(graft_approx_topk(event_type, 64))
+              |    AS (event_type, n_events)
+              |  FROM events_mg) mp""".stripMargin)
+    }),
+    "q45_kmv_distinct" -> ((s, dir) => {
+      // KMV (bottom-k) distinct sketch: the k smallest multiplicative-hash
+      // values per group; estimate = (k-1) / h_k normalized. Unlike HLL the
+      // summary itself is engine-portable integer arithmetic, so the oracle
+      // matches the sketch CONTENTS bit-for-bit, not just an accuracy gate
+      val k = 16
+      val h = pmod(col("o_custkey") * lit(2654435761L), lit(2147483648L))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), h.as("h"))
+        .groupBy("o_orderpriority")
+        .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("kmv"),
+          countDistinct(col("o_custkey")).as("exact_distinct"))
+        .select(col("o_orderpriority"),
+          array_join(transform(col("kmv"), x => x.cast("string")), ",")
+            .as("kmv_sketch"),
+          fround(when(size(col("kmv")) < k,
+              size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(2147483648.0) /
+              element_at(col("kmv"), k).cast("double")), 2)
+            .as("est_distinct"),
+          col("exact_distinct"))
+    }),
     "q41_recursive_cte" -> ((s, dir) =>
       // recursive CTE month spine (Spark 4 WITH RECURSIVE) + calendar fill:
       // empty months surface with zero counts — the gap-filling reporting
@@ -701,6 +737,28 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx13_quality_model" -> ((s, dir) => {
+      // model-based quality scoring: a trained linear classifier applied as
+      // one codegen'd projection — sigmoid(w · features + b). Weights here
+      // are fixed stand-ins; production swaps in learned ones (the
+      // fastText-classifier reduction). No UDF, no broadcast state.
+      val txt = col("text")
+      val score = graft.functions.NumericFunctions.linearModelScore(
+        Seq(log(lit(1.0) + col("n_chars").cast("double")),
+          TextFunctions.stopwordRatio(txt),
+          TextFunctions.punctRatio(txt),
+          TextFunctions.meanTokenLen(txt)),
+        weights = Seq(0.35, 2.0, -3.0, 0.12), bias = -2.2)
+      t(s, dir, "documents").select(col("doc_id"),
+        fround(score, 4).as("model_score"),
+        (score >= 0.5).as("keep"))
+    }),
+    "tx14_bigram_lm" -> ((s, dir) =>
+      // CCNet-style perplexity filter: corpus-trained add-one word-bigram
+      // LM, per-doc mean negative log-likelihood (micro-nat integer
+      // arithmetic — order-independent, engine-portable)
+      graft.operators.LanguageModel.bigramNll(
+        t(s, dir, "documents"), "doc_id", "text")),
     "st2_sliding_window" -> ((s, dir) =>
       // sliding-window event counts (2h window, 30m hop: each event in
       // exactly 4 windows) — the streaming-compatible window() operator
@@ -720,6 +778,21 @@ object SparkEntry {
       // differently; no fixture vector is near that boundary.)
       Dedup.embeddingNearDupPairsBucketed(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.35, planes = 4)),
+    "dd12_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup-style: coarse k-means cells bound candidate generation —
+      // within-cell equi-join pairs only, no corpus self-join; cells follow
+      // the data distribution where SRP buckets are direction-random
+      Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 8, threshold = 0.35)),
+    "dd13_domain_cap" -> ((s, dir) =>
+      // per-domain cap: no source may contribute more than 10 documents,
+      // preferring the longest (n_chars desc, doc_id tiebreak) — the
+      // C4/RefinedWeb guard against hot-domain corpus capture
+      graft.operators.Sampling.domainCap(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          strataCol = "source", orderBy = col("n_chars").desc,
+          idCol = "doc_id", cap = 10)
+        .select("source", "doc_id", "n_chars", "cap_rank")),
 
     // ----- similarity search -----
     "ss1_brute_topk" -> ((s, dir) => {
@@ -1171,6 +1244,24 @@ object SparkEntry {
         |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
         |  AS DOUBLE) AS p90_disc
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // capacity (64) >= distinct event types, so the MG sketch is exactly
+    // the count table — the oracle checks real values, not a tolerance
+    "q44_approx_topk" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q45_kmv_distinct" ->
+      """WITH h AS (SELECT o_orderpriority, o_custkey,
+        |(o_custkey * 2654435761) % 2147483648 AS h FROM orders),
+        |g AS (SELECT o_orderpriority,
+        |list_sort(list(DISTINCT h))[1:16] AS kmv,
+        |count(DISTINCT o_custkey) AS exact_distinct FROM h GROUP BY 1)
+        |SELECT o_orderpriority,
+        |array_to_string(kmv, ',') AS kmv_sketch,
+        |floor((CASE WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE
+        |  ELSE 15.0 * 2147483648.0 / kmv[16] END) * 100.0) / 100.0
+        |  AS est_distinct,
+        |exact_distinct
+        |FROM g""".stripMargin,
     "q41_recursive_cte" ->
       """WITH RECURSIVE spine(m) AS (
         |  SELECT TIMESTAMP '1995-01-01 00:00:00'
@@ -1507,6 +1598,39 @@ object SparkEntry {
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "tx13_quality_model" ->
+      s"""WITH toks AS (SELECT doc_id, text, n_chars, $duckToks AS t
+         |FROM documents),
+         |f AS (SELECT doc_id,
+         |ln(1.0 + n_chars::DOUBLE) AS f1,
+         |len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         |  / greatest(len(t), 1) AS f2,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS f3,
+         |list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+         |  / greatest(len(t), 1) AS f4
+         |FROM toks),
+         |sc AS (SELECT doc_id, 1.0 / (1.0 + exp(-(
+         |  -2.2 + 0.35 * f1 + 2.0 * f2 - 3.0 * f3 + 0.12 * f4))) AS s
+         |FROM f)
+         |SELECT doc_id, floor(s * 10000.0) / 10000.0 AS model_score,
+         |s >= 0.5 AS keep FROM sc""".stripMargin,
+    "tx14_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, t[i::INT] AS w1, t[(i + 1)::INT] AS w2
+         |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+         |scored AS (SELECT doc_id,
+         |floor(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) * 1e6)::BIGINT
+         |  AS lp_u
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |floor(-(sum(lp_u)::DOUBLE / 1e6) / count(*) * 1000.0) / 1000.0 AS nll
+         |FROM scored GROUP BY doc_id""".stripMargin,
     "st2_sliding_window" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP)
         |  - to_minutes((30 * k)::BIGINT) AS win_start,
@@ -1549,6 +1673,27 @@ object SparkEntry {
         |floor(list_cosine_similarity(va.v, vb.v) * 1000.0) / 1000.0 AS cos
         |FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
         |WHERE floor(list_cosine_similarity(va.v, vb.v) * 1000.0) / 1000.0 >= 0.35""".stripMargin,
+    "dd12_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM v),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv,
+        |list_inner_product(v, v) / 2 AS chs FROM v ORDER BY vec_id LIMIT 8),
+        |assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |SELECT n.vec_id, n.v, n.nrm, ce.cent_id, row_number() OVER (
+        |PARTITION BY n.vec_id
+        |ORDER BY (list_inner_product(n.v, ce.centv) - ce.chs) DESC, ce.cent_id) AS rk
+        |FROM n CROSS JOIN cents ce) WHERE rk = 1)
+        |SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
+        |  / 1000.0 AS cos
+        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
+        |  / 1000.0 >= 0.35""".stripMargin,
+    "dd13_domain_cap" ->
+      """SELECT source, doc_id, n_chars, cap_rank FROM (
+        |SELECT source, doc_id, n_chars, row_number() OVER (
+        |PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cap_rank
+        |FROM documents) WHERE cap_rank <= 10""".stripMargin,
     "ss4_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

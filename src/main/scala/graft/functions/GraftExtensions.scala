@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, RollingMinHash, WordShingles}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, MisraGries, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -45,6 +45,11 @@ object GraftExtensions {
     "graft_hll_distinct" -> (args =>
       HyperLogLog(args(0),
         if (args.length > 1) intArg(args(1), "precision") else 12)
+        .toAggregateExpression()),
+    // graft_approx_topk(col[, capacity]) — Misra-Gries heavy-hitter map
+    "graft_approx_topk" -> (args =>
+      MisraGries(args(0),
+        if (args.length > 1) intArg(args(1), "capacity") else 64)
         .toAggregateExpression()),
     // graft_word_shingles(tokens, n[, distinct]) — n-token shingles of a
     // token array; third arg false keeps the repetition multiset

@@ -435,6 +435,47 @@ object Dedup {
     * the Hamming-1 probes; tune `planes` down / band the signature for
     * higher recall, up for fewer candidates.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embeddings are
+    * clustered into `nCells` coarse cells, and near-duplicate pairs are
+    * searched ONLY within a cell — the clustering bounds candidate
+    * generation the way LSH buckets do, but follows the data distribution
+    * instead of random hyperplanes (dense regions, where semantic dups
+    * live, get their own cells).
+    *
+    * Cells here come from the same deterministic first-N-by-id centroid
+    * stand-in as [[Similarity.ivfTopK]] (swap in [[Similarity.trainKMeans]]
+    * output for the production path — the pair-generation shape is
+    * identical). Assignment is one broadcast-centroid pass; candidates are
+    * an EQUI-JOIN on the cell id (no corpus self-join); only within-cell
+    * pairs pay the cosine. Missed pairs are exactly the cross-cell ones —
+    * the SemDeDup recall tradeoff.
+    *
+    * Output: (cell, id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    */
+  def semanticNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double): DataFrame = {
+    Similarity.requireNumericId(emb, idCol)
+    val v = emb.select(col(idCol).as("id"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm2(col("v")))
+    val cents = v.orderBy("id").limit(nCells)
+      .select(col("id").cast("long").as("cent_id"), col("v").as("centv"))
+    // assignment is the expensive narrow pass; persist so both join sides
+    // compute it once (plan-keyed cache, shared across sibling queries)
+    val assigned = Similarity.assignCells(v, "v", cents, keep = 1)
+      .withColumnRenamed("cent_id", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.cell").as("cell"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.NumericFunctions.fround(
+          VectorFunctions.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 3).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def embeddingNearDupPairsBucketed(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       planes: Int = 4): DataFrame = {

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the CCNet/KenLM-style
+  * "perplexity filter" of an LLM data pipeline, reduced to its distributed
+  * essentials: train a word-bigram model on the corpus itself (one
+  * aggregation), then score every document by its mean negative
+  * log-likelihood under that model. High-NLL documents are the gibberish /
+  * boilerplate / wrong-language tail a pretraining pipeline drops.
+  *
+  * Scale shape: bigram extraction is one narrow pass (slice + zip, no
+  * self-join); the model is two aggregations over the bigram stream
+  * (map-side combined); scoring is an equi-join of the bigram stream
+  * against the (much smaller) model table — each row matches exactly one
+  * model row, so the join cannot blow up. No driver-side state: the vocab
+  * size joins in as a broadcast scalar.
+  *
+  * Determinism across engines and partitionings: per-bigram log-probs are
+  * truncated to integer micro-nats (floor(lp * 1e6) as BIGINT) BEFORE the
+  * per-document aggregation, so the sum is exact integer arithmetic —
+  * immune to floating-point addition order, which a plain avg() over
+  * doubles is not.
+  */
+object LanguageModel {
+
+  /** Add-one-smoothed word-bigram NLL per document.
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = corpus vocabulary size.
+    * Output: (doc_id, n_bigrams, nll) — nll in nats, truncated to 3
+    * decimals; documents with fewer than 2 tokens are dropped (no bigrams
+    * to score).
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one cheap shuffle on the id spreads few-large-file corpora across the
+    // cluster before the expensive tokenize/explode stages (see shingleSet)
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigr = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // the bigram stream feeds three consumers (c12, vocab, scoring);
+      // persist is plan-keyed so all three read one materialization
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c(w1,·) folds from the bigram counts — no second pass over the corpus
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = bigr.select(col("w1").as("w"))
+      .unionAll(bigr.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bigr
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      // integer micro-nats: exact, order-independent summation
+      .withColumn("lp_u",
+        floor(log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double")) * lit(1e6)).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.functions.NumericFunctions.fround(
+          -(col("lp_sum").cast("double") / lit(1e6)) /
+            col("n_bigrams").cast("double"), 3).as("nll"))
+  }
+}

@@ -45,4 +45,29 @@ object Sampling {
       .filter(col("bucket") < rate)
     if (keepBucket) sampled else sampled.drop("bucket")
   }
+
+  /** Per-domain cap: keep at most `cap` rows per stratum, preferring rows
+    * by `orderBy` (then `idCol` ascending as the deterministic tiebreak).
+    * The C4/RefinedWeb-style guard against any one domain dominating a web
+    * corpus: a single hot source (a crawler trap, a mirror farm) is
+    * truncated to its best `cap` documents instead of swamping the mixture.
+    *
+    * One window over the stratum — a single hash shuffle on `strataCol`;
+    * per-stratum state is the top-`cap` heap inside the window sort, never
+    * the whole stratum in memory. Skew note: a stratum with billions of
+    * rows makes this window the hot partition; at that scale pre-filter
+    * with a per-stratum count and only window the offenders, or salt the
+    * stratum and take per-salt caps followed by a cap over the union.
+    *
+    * Output: the kept rows plus a `cap_rank` column (1 = best).
+    */
+  def domainCap(
+      df: DataFrame, strataCol: String, orderBy: Column, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(orderBy, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= cap)
+  }
 }

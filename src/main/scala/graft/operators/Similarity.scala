@@ -110,7 +110,7 @@ object Similarity {
     * non-numeric id would cast to null and silently collapse every
     * centroid into one null-keyed cell — fail loudly at call time
     * instead. */
-  private def requireNumericId(df: DataFrame, idCol: String): Unit = {
+  private[operators] def requireNumericId(df: DataFrame, idCol: String): Unit = {
     val dt = df.schema(idCol).dataType
     require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"id column '$idCol' must be numeric to derive cent_id (got $dt)")
@@ -135,7 +135,7 @@ object Similarity {
     * distinct vectors to one, corrupting k-means means. The nonce value
     * never leaves this function — each single-row partition's ranking
     * depends only on row content, so results stay deterministic. */
-  private def assignCells(
+  private[operators] def assignCells(
       df: DataFrame, vc: String, cents: DataFrame, keep: Int): DataFrame = {
     val withHalf = cents.withColumn("cent_half_sq",
       dot(col("centv"), col("centv")) / 2)

@@ -120,4 +120,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(o_orderkey,5000)") || p.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan"))
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"))
   }
+
+  test("domain cap is one stratum exchange feeding a rank-limited window (dd13)") {
+    val p = plan("dd13_domain_cap")
+    // WindowGroupLimit pushes the cap below the window sort (top-k per
+    // partition, not a full per-stratum sort at the reducer)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"domain cap should shuffle exactly once (on source), saw $shuffles:\n$p")
+  }
+
+  test("bigram LM scoring joins stay equi-joins; only the scalar vocab broadcasts (tx14)") {
+    val p = plan("tx14_bigram_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"bigram LM must not cartesian-join:\n$p")
+    // the model joins (bigrams->c12, ->c1) must be hash/merge equi-joins
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("w1")),
+      s"model lookup is not an equi-join on the bigram key:\n$p")
+  }
+
+  test("semantic dedup pair generation is an equi-join on the cell id (dd12)") {
+    val p = plan("dd12_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup degraded to a cartesian pair join:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("cell")),
+      s"pair generation is not an equi-join on the cell id:\n$p")
+  }
 }

@@ -230,4 +230,40 @@ class DedupSpec extends AnyFunSuite {
     assert(bucketed.contains((1L, 2L)),
       "identical vectors always share every SRP bucket")
   }
+
+  test("semantic dedup finds within-cell pairs only, a subset of brute force") {
+    // two tight clusters around orthogonal directions; centroids = first 2
+    // vectors by id, one per cluster, so cells align with the clusters
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.02f, 0.0f)),
+      (4L, Array(0.98f, 0.01f, 0.0f)),
+      (5L, Array(0.01f, 0.97f, 0.0f)),
+      (6L, Array(0.5f, 0.5f, 0.0f)) // between clusters: lands in one cell
+    ).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      nCells = 2, threshold = 0.95)
+    val pairs = sem.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute),
+      "within-cell pairs must never add pairs brute force rejects")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 4L)) &&
+      pairs.contains((3L, 4L)), "cluster-1 near-dups missed")
+    assert(pairs.contains((2L, 5L)), "cluster-2 near-dup missed")
+    assert(!pairs.exists { case (a, b) => a == 6L || b == 6L },
+      "the between-clusters vector is no one's 0.95 near-dup")
+    // candidate generation must be the cell equi-join, never an unbounded
+    // all-pairs product. (The centroid ASSIGNMENT is a broadcast nested
+    // loop by design — its small side is the `nCells` centroid table, a
+    // size bounded by configuration, not by data.)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup degraded to a cartesian pair join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("cell")),
+      s"pair generation is not an equi-join on the cell id:\n$plan")
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LanguageModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // hand-computable corpus:
+  //   bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b); doc3 (c,c)
+  //   c12: (a,b)=3 (b,a)=1 (c,c)=1 ; c1: a=3 b=1 c=1 ; V=3
+  //   p(a,b)=(3+1)/(3+3)=2/3  p(b,a)=p(c,c)=(1+1)/(1+3)=1/2
+  private def docs = Seq(
+    (1L, "a b a b"),
+    (2L, "a b"),
+    (3L, "c c"),
+    (4L, "solo") // < 2 tokens: no bigrams, dropped
+  ).toDF("doc_id", "text")
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    LanguageModel.bigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("bigram NLL matches hand computation with add-one smoothing") {
+    val r = run(docs)
+    // ln(2/3) -> floor(-405465.1) = -405466 micro-nats; ln(1/2) -> -693148
+    // doc1: -(2*(-405466) + (-693148))/1e6/3 = 0.501360 -> 0.501
+    assert(r(1L) === ((3L, 0.501)))
+    assert(r(2L) === ((1L, 0.405)))
+    assert(r(3L) === ((1L, 0.693)))
+    assert(!r.contains(4L))
+  }
+
+  test("NLL is partitioning-independent (integer micro-nat summation)") {
+    assert(run(docs.repartition(5)) === run(docs.repartition(1)))
+  }
+
+  test("repetitive text scores lower NLL than novel combinations") {
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "mat the on sat cat the")).toDF("doc_id", "text"))
+    val r = run(corpus)
+    // the 20 identical docs share high-count bigrams; the scrambled doc
+    // pays unseen-bigram smoothing penalties
+    assert(r(1L)._2 < r(99L)._2)
+  }
+}

@@ -39,4 +39,26 @@ class SamplingSpec extends AnyFunSuite {
         rows.withColumn("bucket", lit(1)), "id", "lang", Map.empty, 256)
     }
   }
+
+  test("domain cap keeps at most cap rows per stratum, preferring the order") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.domainCap(docs, "source", col("n_chars").desc,
+        "doc_id", cap = 2)
+      .select("doc_id", "source", "cap_rank")
+      .as[(Long, String, Int)].collect().toSet
+    // source a: n_chars 300 ties between docs 2 and 4 -> id ascending wins
+    assert(kept === Set((2L, "a", 1), (4L, "a", 2), (5L, "b", 1)))
+    // deterministic under repartitioning
+    val again = Sampling.domainCap(docs.repartition(7), "source",
+        col("n_chars").desc, "doc_id", cap = 2)
+      .select("doc_id", "source", "cap_rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(again === kept)
+    assertThrows[IllegalArgumentException] {
+      Sampling.domainCap(docs, "source", col("n_chars").desc, "doc_id", 0)
+    }
+  }
 }
