@@ -38,7 +38,14 @@ object JoinStrategies {
       pmod(xxhash64(hashed: _*), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    // Pin the SHUFFLE hash strategy: salting only does anything for
+    // shuffle joins (a broadcast join never partitions by key, so it has
+    // no skewed reducer to fix) — and without the hint the planner happily
+    // BROADCASTS the replicated dim, paying a saltFactor-times-larger
+    // broadcast build for zero benefit. If the dim were broadcastable,
+    // the caller should broadcast-join the plain dim instead of salting.
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt")
+      .drop("__salt")
   }
 
   /** Hybrid skew join — the shape that survives 100 TB. Full-dim
@@ -58,7 +65,11 @@ object JoinStrategies {
       big: DataFrame, dim: DataFrame, keys: Seq[String],
       saltFactor: Int, hotKeys: DataFrame,
       saltCols: Seq[String] = Nil): DataFrame = {
-    val hot = broadcast(hotKeys.select(keys.map(col): _*).distinct())
+    // materialize the (tiny) distinct hot-key set once: it feeds THREE
+    // consumers (big semi, big anti, dim semi), and without the eager
+    // checkpoint each would recompute the distinct aggregation + exchange
+    val hot = broadcast(
+      hotKeys.select(keys.map(col): _*).distinct().localCheckpoint(true))
     val bigHot = big.join(hot, keys, "left_semi")
     val bigCold = big.join(hot, keys, "left_anti")
     val dimHot = dim.join(hot, keys, "left_semi")

@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       s"model lookup is not an equi-join on the bigram key:\n$p")
   }
 
+  test("salted join shuffles on (key, salt) — never broadcasts the replicated dim (q20)") {
+    val p = plan("q20_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffle join (broadcast has no skew to fix):\n$p")
+    assert(p.linesIterator.filter(_.contains("__salt")).exists(_.contains("ShuffledHashJoin")),
+      s"the salt must be part of the shuffle join key:\n$p")
+  }
+
   test("semantic dedup pair generation is an equi-join on the cell id (dd12)") {
     val p = plan("dd12_semantic_dedup")
     assert(!p.contains("CartesianProduct"),
