@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Archive maintenance: compact a parquet directory to a target file size.
   *
@@ -33,5 +34,27 @@ object Compaction {
     }
     fs.delete(backup, true)
     parts
+  }
+
+  /** Cluster-and-write: range-partition on `clusterCols`, sort within each
+    * partition, write parquet. Every output file then owns a DISJOINT key
+    * range, so parquet min/max column statistics let any later scan skip
+    * every file (and row group) outside its predicate range — the
+    * data-layout investment that turns a 100 TB archive scan into a
+    * few-file read for time- or key-bounded queries. The single-dimension
+    * cousin of Z-ordering; pay the one range shuffle at write time, save
+    * it on every read after.
+    *
+    * `parts` sizes the files (aim for ~128 MB each); the range partitioner
+    * samples the data, so file boundaries follow the actual distribution
+    * (a skewed key space still yields even files).
+    */
+  def clusteredWrite(
+      df: DataFrame, path: String, clusterCols: Seq[String],
+      parts: Int): Unit = {
+    require(clusterCols.nonEmpty, "at least one cluster column")
+    df.repartitionByRange(parts, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
   }
 }
