@@ -449,6 +449,48 @@ object SparkEntry {
             .as("est_distinct"),
           col("exact_distinct"))
     }),
+    "q46_unpivot" -> ((s, dir) =>
+      // wide-to-long melt: four measure columns become (metric, val) rows —
+      // one narrow Expand projection, no shuffle
+      t(s, dir, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")),
+    "q47_running_distinct" -> ((s, dir) => {
+      // running COUNT(DISTINCT) over an ordered window — not directly
+      // expressible in either engine; the standard two-window reduction:
+      // mark each (event_type, user_id)'s first occurrence, then running-sum
+      // the markers. Both windows shuffle on the same event_type key.
+      val firstSeen = row_number().over(Window
+        .partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id")))
+      val running = sum(when(col("rn") === 1, 1L).otherwise(0L)).over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("user_id"))
+        .withColumn("rn", firstSeen)
+        .withColumn("users_so_far", running)
+        .select("event_id", "event_type", "users_so_far")
+    }),
+    "q48_mode" -> ((s, dir) =>
+      // mode() aggregate — modes are unique in the fixtures (no tie
+      // nondeterminism crosses the engine boundary)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.mode(col("l_linestatus")).as("status_mode"),
+          count(lit(1)).as("n_rows"))),
+    "q49_stats_agg" -> ((s, dir) =>
+      // second-moment statistics: correlation, covariance, stddev, variance
+      // — single-pass mergeable aggregates (Welford-style merge), truncated
+      // below the engines' float-merge-order noise floor
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          fround(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          fround(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_cov"),
+          fround(stddev_pop(col("l_extendedprice")), 2).as("price_sd"),
+          fround(var_pop(col("l_quantity")), 4).as("qty_var"))),
     "q41_recursive_cte" -> ((s, dir) =>
       // recursive CTE month spine (Spark 4 WITH RECURSIVE) + calendar fill:
       // empty months surface with zero counts — the gap-filling reporting
@@ -1262,6 +1304,38 @@ object SparkEntry {
         |  AS est_distinct,
         |exact_distinct
         |FROM g""".stripMargin,
+    "q46_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  l_tax FROM lineitem""".stripMargin,
+    "q47_running_distinct" ->
+      """SELECT event_id, event_type,
+        |(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+        |  PARTITION BY event_type ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |  AS users_so_far
+        |FROM (SELECT event_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events)""".stripMargin,
+    "q48_mode" ->
+      """SELECT l_returnflag, mode(l_linestatus) AS status_mode,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q49_stats_agg" ->
+      """SELECT l_returnflag,
+        |floor(corr(l_quantity, l_extendedprice) * 10000.0) / 10000.0
+        |  AS qty_price_corr,
+        |floor(covar_pop(l_quantity, l_extendedprice) * 100.0) / 100.0
+        |  AS qty_price_cov,
+        |floor(stddev_pop(l_extendedprice) * 100.0) / 100.0 AS price_sd,
+        |floor(var_pop(l_quantity) * 10000.0) / 10000.0 AS qty_var
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q41_recursive_cte" ->
       """WITH RECURSIVE spine(m) AS (
         |  SELECT TIMESTAMP '1995-01-01 00:00:00'
