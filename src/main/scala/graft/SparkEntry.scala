@@ -826,6 +826,15 @@ object SparkEntry {
       // the data distribution where SRP buckets are direction-random
       Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, threshold = 0.35)),
+    "dd14_curation_pipeline" -> ((s, dir) =>
+      // the end-to-end composition: gopher gate -> exact dedup -> LSH
+      // near-dup -> domain cap -> mixture sample; every doc gets exactly
+      // one disposition status (an auditable curation ledger)
+      graft.operators.CurationPipeline.curate(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        minTokens = 50, shingleN = 2, numHashes = 16, rowsPerBand = 4,
+        jaccardThreshold = 0.5, cap = 10,
+        rates256 = Map("en" -> 128, "und" -> 256), default256 = 204)),
     "dd13_domain_cap" -> ((s, dir) =>
       // per-domain cap: no source may contribute more than 10 documents,
       // preferring the longest (n_chars desc, doc_id tiebreak) — the
@@ -1763,6 +1772,70 @@ object SparkEntry {
         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
         |  / 1000.0 >= 0.35""".stripMargin,
+    "dd14_curation_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, text, source, $duckToks AS t FROM documents),
+         |feat AS (SELECT doc_id, text, source, t, len(t) AS n_tokens,
+         |list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+         |  / greatest(len(t), 1) AS mtl,
+         |len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS stops,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS punct FROM toks),
+         |flag AS (SELECT *, (n_tokens >= 50 AND n_tokens <= 100000
+         |  AND mtl >= 3.0 AND mtl <= 10.0 AND stops >= 2 AND punct < 0.1)
+         |  AS gkeep FROM feat),
+         |e AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |  ORDER BY doc_id) AS dup_rn FROM flag WHERE gkeep),
+         |es AS (SELECT * FROM e WHERE dup_rn = 1),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM es)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh GROUP BY 1, 2),
+         |nd AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0)
+         |  / 10000.0 >= 0.5),
+         |ns AS (SELECT * FROM es
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY n_tokens DESC, doc_id) AS cap_rank FROM ns),
+         |cs AS (SELECT * FROM c WHERE cap_rank <= 10),
+         |sc2 AS (SELECT doc_id, n_tokens,
+         |len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+         |len(list_filter(t, x -> x IN ('le','la','et'))) AS s_fr,
+         |len(list_filter(t, x -> x IN ('el','los','que'))) AS s_es,
+         |len(list_filter(t, x -> x IN ('der','die','und'))) AS s_de,
+         |len(list_filter(t, x -> x IN ('de','shi','le'))) AS s_zh FROM cs),
+         |lang AS (SELECT doc_id, n_tokens, CASE
+         |WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         |WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         |WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         |WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         |WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+         |ELSE 'und' END AS lang FROM sc2),
+         |b AS (SELECT doc_id, n_tokens, lang,
+         |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
+         | strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)))::INT AS bucket
+         |FROM lang),
+         |rated AS (SELECT doc_id, n_tokens, bucket, CASE lang
+         |  WHEN 'en' THEN 128 WHEN 'und' THEN 256 ELSE 204 END AS rate FROM b)
+         |SELECT doc_id, n_tokens, 'gopher' AS status FROM flag WHERE NOT gkeep
+         |UNION ALL SELECT doc_id, n_tokens, 'exact_dup' FROM e WHERE dup_rn > 1
+         |UNION ALL SELECT doc_id, n_tokens, 'near_dup' FROM es
+         |  WHERE doc_id IN (SELECT doc_id FROM nd)
+         |UNION ALL SELECT doc_id, n_tokens, 'domain_cap' FROM c WHERE cap_rank > 10
+         |UNION ALL SELECT doc_id, n_tokens, 'sampled_out' FROM rated WHERE bucket >= rate
+         |UNION ALL SELECT doc_id, n_tokens, 'kept' FROM rated WHERE bucket < rate""".stripMargin,
     "dd13_domain_cap" ->
       """SELECT source, doc_id, n_chars, cap_rank FROM (
         |SELECT source, doc_id, n_chars, row_number() OVER (
