@@ -61,6 +61,9 @@ object CurationPipeline {
         jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_drop", lit(true))
+      // tiny, but its lineage is the whole LSH pipeline — four output
+      // branches read it, so cache the drop set, not the pipeline re-run
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = exactSurv.join(nearDrops, Seq("doc_id"), "left")
     val nearSurv = n.filter(col("near_drop").isNull)
     // stage 4: per-domain cap, longest-first
@@ -68,13 +71,22 @@ object CurationPipeline {
       .orderBy(col("n_tokens").desc, col("doc_id"))
     val c = nearSurv.withColumn("cap_rank", row_number().over(wCap))
     val capSurv = c.filter(col("cap_rank") <= cap)
-    // stage 5: language mixture sampling (deterministic hash buckets)
-    val rate = rates256.foldLeft(lit(default256): org.apache.spark.sql.Column) {
-      case (acc, (k, r)) => when(col("lang") === k, lit(r)).otherwise(acc)
-    }
+    // stage 5: language mixture sampling (deterministic hash buckets);
+    // map-literal rate lookup so the computed lang column is referenced
+    // once, not once per stratum (see Sampling.stratifiedHashSample)
+    val rate =
+      if (rates256.isEmpty) lit(default256)
+      else coalesce(
+        element_at(
+          map(rates256.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
+          col("lang")),
+        lit(default256))
     val sampled = capSurv
       .withColumn("lang", TextFunctions.langId(col("text")))
       .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      // both the sampled-out and kept branches read this; langId is the
+      // expensive part — evaluate it once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def out(df: DataFrame, status: String): DataFrame =
       df.select(col("doc_id"), col("n_tokens"), lit(status).as("status"))

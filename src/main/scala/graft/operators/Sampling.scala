@@ -38,9 +38,19 @@ object Sampling {
     require(!df.columns.contains("bucket"),
       "input already has a 'bucket' column — it would be silently " +
         "overwritten by the sample bucket; rename or drop it first")
-    val rate = rates256.foldLeft(lit(default256): Column) { case (acc, (k, r)) =>
-      when(col(strataCol) === k, lit(r)).otherwise(acc)
-    }
+    // Map-literal lookup, NOT a when-chain: a chain of `WHEN strata = k`
+    // branches references the strata column once per stratum, and when the
+    // strata value is itself a computed expression (langId is a ~30-term
+    // CASE over tokenization), filter pushdown inlines that expression at
+    // EVERY reference — measured ~3x the whole query's cost at 256 strata.
+    // element_at(map, strata) evaluates the strata expression exactly once.
+    val rate =
+      if (rates256.isEmpty) lit(default256)
+      else coalesce(
+        element_at(
+          map(rates256.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
+          col(strataCol)),
+        lit(default256))
     val sampled = df.withColumn("bucket", hashBucket(col(idCol)))
       .filter(col("bucket") < rate)
     if (keepBucket) sampled else sampled.drop("bucket")
