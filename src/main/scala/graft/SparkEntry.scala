@@ -674,6 +674,41 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "st3_stream_dedup" -> ((s, dir) => {
+      // duplicate-laden replay: the same events file arrives as TWO stream
+      // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
+      // suppresses every second-batch row — late ones via the watermark,
+      // in-horizon ones via dedup state — so the output is each event once
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st3")
+      Seq("a", "b").foreach { n =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          tmp.resolve(s"$n.parquet"))
+      }
+      val qn = "graft_st3_" + math.abs(dir.hashCode).toString
+      val q = EventsStreaming.dedupStream(s, tmp.toString, qn)
+      q.awaitTermination()
+      s.table(qn).select("event_id", "user_id", "event_type", "value")
+    }),
+    "q50_preagg_join" -> ((s, dir) => {
+      // aggregate-below-join: per-order revenue is reduced BEFORE joining
+      // order metadata, so the join shuffle carries one row per order
+      // instead of one per lineitem — the canonical shuffle-volume
+      // optimization for fact-to-fact rollups
+      val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"), count(lit(1)).as("n_items"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .join(rev, "l_orderkey")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("revenue").cast("decimal(18,2)")).cast("double")
+            .as("total_revenue"),
+          sum(col("n_items")).as("total_items"))
+    }),
+
     // ----- dedup (LLM-pipeline) -----
     "dd1_exact_dedup" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -1489,6 +1524,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the duplicated replay collapses back to each event exactly once
+    "st3_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events""".stripMargin,
+    "q50_preagg_join" ->
+      """WITH rev AS (SELECT l_orderkey,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |sum(n_items)::BIGINT AS total_items
+        |FROM orders JOIN rev ON rev.l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "dd1_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs

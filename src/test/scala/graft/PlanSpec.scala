@@ -150,6 +150,19 @@ class PlanSpec extends AnyFunSuite {
       s"the salt must be part of the shuffle join key:\n$p")
   }
 
+  test("pre-aggregation runs below the join — the join shuffles orders, not lineitems (q50)") {
+    val p = plan("q50_preagg_join")
+    // the per-order reduction must shuffle on l_orderkey BEFORE any join
+    // operator consumes lineitem rows
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey"))
+    val joinIdx = lines.indexWhere(l => l.contains("Join"))
+    assert(aggIdx >= 0, s"no per-order aggregate found:\n$p")
+    assert(joinIdx >= 0 && joinIdx < aggIdx,
+      s"the per-order aggregate must be a child of the join (appear below it):\n$p")
+  }
+
   test("semantic dedup pair generation is an equi-join on the cell id (dd12)") {
     val p = plan("dd12_semantic_dedup")
     assert(!p.contains("CartesianProduct"),
