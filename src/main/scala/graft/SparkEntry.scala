@@ -917,6 +917,28 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 3, planes = 4, shortlist = 10)
     }),
+    "ss6_label_centroids" -> ((s, dir) =>
+      // class centroids (prototype vectors) per label: one posexplode +
+      // one (label, dim) aggregation; DECIMAL sums are order-independent
+      // exact addition, so centroids are identical on any partitioning
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(
+          graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          fround(sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("mean_x"))),
+    "ss7_jl_project" -> ((s, dir) =>
+      // Johnson-Lindenstrauss sign-matrix projection 64 -> 8 dims: the
+      // trained-state-free dimensionality reducer (deterministic md5
+      // hyperplanes, shared with the SRP bucket machinery)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(
+          graft.functions.VectorFunctions.jlProject(
+            graft.functions.VectorFunctions.toDouble(col("embedding")), 8))
+          .as(Seq("p", "proj")))
+        .select(col("vec_id"), col("p"), fround(col("proj"), 4).as("proj"))),
 
     // ----- text analysis -----
     "tx1_textstats" -> ((s, dir) =>
@@ -1889,6 +1911,23 @@ object SparkEntry {
         |SELECT source, doc_id, n_chars, row_number() OVER (
         |PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cap_rank
         |FROM documents) WHERE cap_rank <= 10""".stripMargin,
+    "ss6_label_centroids" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT label, i AS dim, v[(i + 1)::INT] AS x
+        |FROM (SELECT label, v, unnest(range(0, len(v))) AS i FROM v))
+        |SELECT label, dim, count(*) AS n_vecs,
+        |floor((sum(x::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000.0)
+        |  / 1000000.0 AS mean_x
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "ss7_jl_project" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 8) rp(p), range(1, 65) rd(d) GROUP BY 1, 2)
+        |SELECT vec_id, p,
+        |floor(pr / sqrt(8.0) * 10000.0) / 10000.0 AS proj
+        |FROM proj""".stripMargin,
     "ss4_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

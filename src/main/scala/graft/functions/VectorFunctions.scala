@@ -57,6 +57,18 @@ object VectorFunctions {
       when(srpProjection(vec, p) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions using
+    * the same deterministic md5 ±1 hyperplanes as [[srpProjection]], scaled
+    * by 1/sqrt(outDims) so expected squared norms are preserved (Achlioptas
+    * 2003 sign-matrix construction). The embedding-pipeline dimensionality
+    * reducer: one narrow pass, no trained state, no broadcast matrix —
+    * every engine/executor reproduces the identical projection. */
+  def jlProject(vec: Column, outDims: Int): Column = {
+    require(outDims >= 1, "outDims >= 1")
+    val s = math.sqrt(outDims.toDouble)
+    array((0 until outDims).map(p => srpProjection(vec, p) / lit(s)): _*)
+  }
+
   /** Symmetric int8 quantization scale: max|x| / 127. At 100 TB an
     * embedding store is usually the largest single asset — int8 cuts it 4x
     * against float32 (8x vs double) with ~1e-3 cosine loss. max is
