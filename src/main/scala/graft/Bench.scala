@@ -55,7 +55,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (skewPlain, skewSplit) = skewDemo(spark, runs)
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
+    // 31.416 as "31,416" and break the harness's JSON parse
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(qs: Seq[(String, Double)], extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -69,24 +72,25 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Stdout gets ONE JSON line sized to survive the tail window: slowest
     // queries first until the byte budget is spent, the rest summarized so
     // the map still reconciles with "value".
     val budget = 1500
+    val extraFor = (omitted: Int, omittedSec: Double) =>
+      s""","n_queries":${results.size},"n_omitted":$omitted,""" +
+        s""""omitted_sec":${fmt(omittedSec)},"queries_file":"$outFile""""
     val byCost = results.sortBy(-_._2)
     var kept = Vector.empty[(String, Double)]
-    var used = 200 + failedJson.length + outFile.length // fixed-field slack
+    // slack = the actually-rendered fixed fields (incl. sfDir of any length)
+    var used = line(Nil, extraFor(results.size, total)).length
     byCost.foreach { case (k, v) =>
       val w = k.length + fmt(v).length + 4
       if (used + w <= budget) { kept :+= (k -> v); used += w }
     }
     val omitted = results.size - kept.size
     val omittedSec = total - kept.map(_._2).sum
-    val extra =
-      s""","n_queries":${results.size},"n_omitted":$omitted,""" +
-        s""""omitted_sec":${fmt(omittedSec)},"queries_file":"$outFile""""
-    println(line(kept.sortBy(_._1), extra))
+    println(line(kept.sortBy(_._1), extraFor(omitted, omittedSec)))
     spark.stop()
   }
 

@@ -688,6 +688,11 @@ object SparkEntry {
       val qn = "graft_st3_" + math.abs(dir.hashCode).toString
       val q = EventsStreaming.dedupStream(s, tmp.toString, qn)
       q.awaitTermination()
+      // the memory sink holds the result; the replay files are done with —
+      // don't litter /tmp across bench/verify runs
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      java.nio.file.Files.deleteIfExists(tmp)
       s.table(qn).select("event_id", "user_id", "event_type", "value")
     }),
     "q50_preagg_join" -> ((s, dir) => {

@@ -102,11 +102,17 @@ case class MisraGries(
       entries.map(_._2: Any))
   }
 
+  // length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF caps keys at 64KB
+  // and this aggregate is registered over arbitrary string columns
+  // (document text can exceed that)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buf.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -116,7 +122,12 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf(new String(kb, "UTF-8")) = in.readLong()
+      i += 1
+    }
     buf
   }
 

@@ -72,15 +72,8 @@ object CurationPipeline {
     val c = nearSurv.withColumn("cap_rank", row_number().over(wCap))
     val capSurv = c.filter(col("cap_rank") <= cap)
     // stage 5: language mixture sampling (deterministic hash buckets);
-    // map-literal rate lookup so the computed lang column is referenced
-    // once, not once per stratum (see Sampling.stratifiedHashSample)
-    val rate =
-      if (rates256.isEmpty) lit(default256)
-      else coalesce(
-        element_at(
-          map(rates256.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
-          col("lang")),
-        lit(default256))
+    // shared map-literal rate lookup (see Sampling.rateLookup scaladoc)
+    val rate = Sampling.rateLookup(rates256, default256, col("lang"))
     val sampled = capSurv
       .withColumn("lang", TextFunctions.langId(col("text")))
       .withColumn("bucket", Sampling.hashBucket(col("doc_id")))

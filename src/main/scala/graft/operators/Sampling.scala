@@ -18,6 +18,23 @@ object Sampling {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** Per-stratum rate as a MAP-LITERAL lookup, not a when-chain: a chain of
+    * `WHEN strata = k` branches references the strata column once per
+    * stratum, and when the strata value is itself a computed expression
+    * (langId is a ~30-term CASE over tokenization), filter pushdown inlines
+    * that expression at EVERY reference — measured ~3x the whole query's
+    * cost at 256 strata. element_at(map, strata) evaluates the strata
+    * expression exactly once. Shared by the stratified sampler and the
+    * curation pipeline so the lookup semantics cannot drift. */
+  private[operators] def rateLookup(
+      rates256: Map[String, Int], default256: Int, strata: Column): Column =
+    if (rates256.isEmpty) lit(default256)
+    else coalesce(
+      element_at(
+        map(rates256.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
+        strata),
+      lit(default256))
+
   /** Per-stratum keep rates in 1/256ths: rows whose bucket falls below
     * their stratum's rate survive. `rates256` maps stratum values to
     * rates (256 = keep all, 128 = keep half); unlisted strata use
@@ -38,19 +55,7 @@ object Sampling {
     require(!df.columns.contains("bucket"),
       "input already has a 'bucket' column — it would be silently " +
         "overwritten by the sample bucket; rename or drop it first")
-    // Map-literal lookup, NOT a when-chain: a chain of `WHEN strata = k`
-    // branches references the strata column once per stratum, and when the
-    // strata value is itself a computed expression (langId is a ~30-term
-    // CASE over tokenization), filter pushdown inlines that expression at
-    // EVERY reference — measured ~3x the whole query's cost at 256 strata.
-    // element_at(map, strata) evaluates the strata expression exactly once.
-    val rate =
-      if (rates256.isEmpty) lit(default256)
-      else coalesce(
-        element_at(
-          map(rates256.toSeq.flatMap { case (k, r) => Seq(lit(k), lit(r)) }: _*),
-          col(strataCol)),
-        lit(default256))
+    val rate = rateLookup(rates256, default256, col(strataCol))
     val sampled = df.withColumn("bucket", hashBucket(col(idCol)))
       .filter(col("bucket") < rate)
     if (keepBucket) sampled else sampled.drop("bucket")
