@@ -866,6 +866,17 @@ object SparkEntry {
       // the data distribution where SRP buckets are direction-random
       Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, threshold = 0.35)),
+    "dd15_incremental_dedup" -> ((s, dir) => {
+      // continuous-ingest dedup: every 5th document plays the NEW batch;
+      // each batch doc is classified exact/near/novel against the corpus
+      // with batch↔corpus joins only (the corpus never self-compares)
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedupReport(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    }),
     "dd14_curation_pipeline" -> ((s, dir) =>
       // the end-to-end composition: gopher gate -> exact dedup -> LSH
       // near-dup -> domain cap -> mixture sample; every doc gets exactly
@@ -1847,6 +1858,51 @@ object SparkEntry {
         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
         |  / 1000.0 >= 0.35""".stripMargin,
+    "dd15_incremental_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+         |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         |chash AS (SELECT md5(text) AS fp, min(doc_id) AS match_id
+         |FROM c GROUP BY 1),
+         |ex AS (SELECT b.doc_id, chash.match_id FROM b
+         |JOIN chash ON md5(b.text) = chash.fp),
+         |rest AS (SELECT * FROM b
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+         |btoks AS (SELECT doc_id, $duckToks AS t FROM rest),
+         |ctoks AS (SELECT doc_id, $duckToks AS t FROM c),
+         |bsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM btoks)),
+         |csh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM ctoks)),
+         |bmh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM bsh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |cmh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM csh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bbands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM bmh GROUP BY 1, 2),
+         |cbands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM cmh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id, m.doc_id AS match_id
+         |FROM bbands a JOIN cbands m
+         |ON a.band = m.band AND a.sig = m.sig),
+         |bsz AS (SELECT doc_id, count(*) AS bsz FROM bsh GROUP BY 1),
+         |csz AS (SELECT doc_id AS match_id, count(*) AS csz FROM csh GROUP BY 1),
+         |inter AS (SELECT cand.doc_id, cand.match_id, count(*) AS inter
+         |FROM cand JOIN bsh a ON a.doc_id = cand.doc_id
+         |JOIN csh m ON m.doc_id = cand.match_id AND m.sh = a.sh GROUP BY 1, 2),
+         |scored AS (SELECT inter.doc_id, inter.match_id,
+         |floor(inter::DOUBLE / (bsz + csz - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM inter JOIN bsz ON bsz.doc_id = inter.doc_id
+         |JOIN csz ON csz.match_id = inter.match_id),
+         |nr AS (SELECT doc_id, match_id, jaccard FROM (
+         |SELECT doc_id, match_id, jaccard, row_number() OVER (
+         |PARTITION BY doc_id ORDER BY jaccard DESC, match_id) AS rk
+         |FROM scored WHERE jaccard >= 0.5) WHERE rk = 1)
+         |SELECT doc_id, match_id, 'exact' AS kind, 1.0 AS jaccard FROM ex
+         |UNION ALL SELECT doc_id, match_id, 'near', jaccard FROM nr
+         |UNION ALL SELECT doc_id, NULL::BIGINT, 'novel', NULL::DOUBLE
+         |FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM nr)""".stripMargin,
     "dd14_curation_pipeline" ->
       s"""WITH toks AS (SELECT doc_id, text, source, $duckToks AS t FROM documents),
          |feat AS (SELECT doc_id, text, source, t, len(t) AS n_tokens,

@@ -175,21 +175,31 @@ object Dedup {
     * band's minhashes). Output distinct (doc_a, doc_b). The only shuffles
     * are the signature groupBy and the equi-join on (band, sig) — tiny
     * fixed-width keys, the LSH scale path. */
-  def minhashLshPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, band, sig) rows from a shingle set: `numHashes` minhashes
+    * folded into numHashes/rowsPerBand band signatures (j-ordered concat).
+    * The LSH candidate key — shared by the self-join (near-dup pairs) and
+    * the batch-vs-corpus (incremental dedup) forms. */
+  private[operators] def bandSignatures(
+      sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
-    val sigs = minhashSignatures(shingleSet(docs, idCol, textCol, shingleN), numHashes)
+    val sigs = minhashSignatures(sh, numHashes)
     val bandCols = (0 until numBands).map { b =>
       concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j")): _*)
         .as(s"band$b")
     }
-    val stacked = sigs.select(col("doc_id") +: bandCols: _*)
+    sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), expr(
         s"stack($numBands, " +
           (0 until numBands).map(b => s"$b, band$b").mkString(", ") +
           ") as (band, sig)"))
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val stacked = bandSignatures(
+        shingleSet(docs, idCol, textCol, shingleN), numHashes, rowsPerBand)
       // both self-join sides read this subtree; persist (plan-keyed, see
       // shingle note) so the signature computation runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -221,6 +231,76 @@ object Dedup {
     val inter = cand.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     scoreJaccard(inter, sizes, threshold)
+  }
+
+  /** Incremental dedup: classify each NEW batch document against an
+    * already-ingested corpus — the continuous-ingest shape, where the
+    * corpus×corpus comparison never runs (it was paid when those documents
+    * were ingested) and each increment costs only batch-side work plus
+    * batch↔corpus equi-joins.
+    *
+    *   - 'exact': content hash matches a corpus doc (cheap pass, first);
+    *   - 'near':  best LSH-candidate corpus doc with verified exact
+    *              Jaccard >= threshold (ties: lowest corpus id), computed
+    *              only for batch docs with no exact match;
+    *   - 'novel': everything else.
+    *
+    * One row per batch document: (doc_id, match_id, kind, jaccard) —
+    * match_id/jaccard are null for 'novel', jaccard is 1.0 for 'exact'.
+    * Shuffle keys are hashes and fixed-width band signatures throughout;
+    * at 100 TB the corpus-side shingle/signature pass is the incremental
+    * cost to amortize by persisting corpus signatures between ingests.
+    */
+  def incrementalDedupReport(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // exact pass: min corpus id per content hash
+    val cHash = c.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("match_id"))
+    val exact = b.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(cHash, "fp")
+      .select(col("doc_id"), col("match_id"),
+        lit("exact").as("kind"), lit(1.0).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near pass over the exact-miss remainder only
+    val rest = b.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSh = shingleSet(rest, "doc_id", "text", n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSh = shingleSet(c, "doc_id", "text", n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandSignatures(bSh, numHashes, rowsPerBand)
+    val cBands = bandSignatures(cSh, numHashes, rowsPerBand)
+      .withColumnRenamed("doc_id", "match_id")
+    val cand = bBands.join(cBands, Seq("band", "sig"))
+      .select("doc_id", "match_id").distinct()
+    val bSizes = bSh.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
+    val cSizes = cSh.groupBy(col("doc_id").as("match_id"))
+      .agg(count(lit(1)).as("csz"))
+    val inter = cand
+      .join(bSh, "doc_id")
+      .join(cSh.select(col("doc_id").as("match_id"), col("sh")),
+        Seq("match_id", "sh"))
+      .groupBy("doc_id", "match_id").agg(count(lit(1)).as("inter"))
+    val scored = inter.join(bSizes, "doc_id").join(cSizes, "match_id")
+      .withColumn("jaccard",
+        graft.functions.NumericFunctions.fround(col("inter").cast("double") /
+          (col("bsz") + col("csz") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("match_id"))
+    val near = scored.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("match_id"),
+        lit("near").as("kind"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val novel = rest.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("bigint").as("match_id"),
+        lit("novel").as("kind"), lit(null).cast("double").as("jaccard"))
+    exact.unionByName(near).unionByName(novel)
   }
 
   /** SimHash signature per doc over `bits` bits (bit b of md5(token) nibble

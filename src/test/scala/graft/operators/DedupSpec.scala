@@ -231,6 +231,26 @@ class DedupSpec extends AnyFunSuite {
       "identical vectors always share every SRP bucket")
   }
 
+  test("incremental dedup classifies batch docs exact/near/novel against the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "completely different corpus content with other words here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every day"), // exact of 1
+      (11L, "the quick brown fox jumps over the lazy dog every night"), // near of 1
+      (12L, "entirely novel material nothing shared with anything else at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedupReport(corpus, batch, "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id", "match_id", "kind")
+      .as[(Long, Option[Long], String)].collect().map(x => x._1 -> x).toMap
+    assert(r(10L) === ((10L, Some(1L), "exact")))
+    assert(r(11L) === ((11L, Some(1L), "near")))
+    assert(r(12L) === ((12L, None, "novel")))
+    assert(r.size === 3) // one row per batch doc, corpus never reported
+  }
+
   test("semantic dedup finds within-cell pairs only, a subset of brute force") {
     // two tight clusters around orthogonal directions; centroids = first 2
     // vectors by id, one per cluster, so cells align with the clusters
