@@ -945,6 +945,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"),
           fround(sum(col("x").cast("decimal(28,12)")).cast("double") /
             count(lit(1)), 6).as("mean_x"))),
+    "ss8_centroid_outliers" -> ((s, dir) => {
+      // embedding-space label QC: distance from each vector to its class
+      // centroid; far vectors are mislabel/noise candidates. DECIMAL sums
+      // for both the centroid means and the distance accumulation keep
+      // every value partitioning-independent, so the outlier flag is exact
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(
+          graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .as(Seq("dim", "x")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = e.groupBy("label", "dim")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+      e.join(m, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sqrt(sum(((col("x") - col("m")) * (col("x") - col("m")))
+          .cast("decimal(28,12)")).cast("double")).as("d0"))
+        .select(col("vec_id"), col("label"),
+          fround(col("d0"), 3).as("dist"),
+          (col("d0") > 1.01).as("is_outlier"))
+    }),
     "ss7_jl_project" -> ((s, dir) =>
       // Johnson-Lindenstrauss sign-matrix projection 64 -> 8 dims: the
       // trained-state-free dimensionality reducer (deterministic md5
@@ -1980,6 +2001,17 @@ object SparkEntry {
         |floor((sum(x::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000.0)
         |  / 1000000.0 AS mean_x
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "ss8_centroid_outliers" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, label, i AS dim, v[(i + 1)::INT] AS x
+        |FROM (SELECT vec_id, label, v, unnest(range(0, len(v))) AS i FROM v)),
+        |m AS (SELECT label, dim,
+        |sum(x::DECIMAL(28,12))::DOUBLE / count(*) AS m FROM e GROUP BY 1, 2),
+        |d AS (SELECT vec_id, e.label,
+        |sqrt(sum(((x - m) * (x - m))::DECIMAL(28,12))::DOUBLE) AS d0
+        |FROM e JOIN m ON m.label = e.label AND m.dim = e.dim GROUP BY 1, 2)
+        |SELECT vec_id, label, floor(d0 * 1000.0) / 1000.0 AS dist,
+        |d0 > 1.01 AS is_outlier FROM d""".stripMargin,
     "ss7_jl_project" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |proj AS (SELECT vec_id, p, sum(v[d::INT] *
