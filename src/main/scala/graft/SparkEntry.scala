@@ -413,6 +413,22 @@ object SparkEntry {
           |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
           |  AS DOUBLE) AS p90_disc
           |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+    "s8_column_stats" -> ((s, dir) => {
+      // ANALYZE-style catalog statistics: ndv / null count / min / max per
+      // column in ONE aggregation pass (Spark expands the multi-distinct
+      // internally), stacked to the long (column_name, ...) catalog shape
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max")))
+      t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', ${c}__ndv, ${c}__nulls, ${c}__min, ${c}__max")
+            .mkString(", ") +
+          ") as (column_name, ndv, n_nulls, min_v, max_v)"))
+    }),
     "q44_approx_topk" -> ((s, dir) => {
       // Misra-Gries heavy-hitter sketch (custom TypedImperativeAggregate):
       // with capacity >= the column's distinct count no counter is ever
@@ -448,6 +464,21 @@ object SparkEntry {
               element_at(col("kmv"), k).cast("double")), 2)
             .as("est_distinct"),
           col("exact_distinct"))
+    }),
+    "q51_share_of_total" -> ((s, dir) => {
+      // percent-of-total via a partition-spanning window over the grouped
+      // aggregate: two shuffles total (group, then the unpartitioned window
+      // over the tiny aggregate — constant rows, never the fact table)
+      val g = t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      // divide as DOUBLE: decimal/decimal division scale rules differ
+      // across engines; the decimal SUMS are exact, their double casts
+      // identical, and double division is IEEE-deterministic
+      g.select(col("l_returnflag"), col("l_linestatus"),
+          col("qty").cast("double").as("sum_qty"),
+          fround(col("qty").cast("double") /
+            sum(col("qty")).over(Window.partitionBy()).cast("double"), 6)
+            .as("share"))
     }),
     "q46_unpivot" -> ((s, dir) =>
       // wide-to-long melt: four measure columns become (metric, val) rows —
@@ -819,6 +850,15 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx15_type_token" -> ((s, dir) =>
+      // per-source vocabulary richness (type-token ratio) — the Heaps-law
+      // corpus diagnostic; one explode + one two-level aggregation
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          fround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))),
     "tx13_quality_model" -> ((s, dir) => {
       // model-based quality scoring: a trained linear classifier applied as
       // one codegen'd projection — sigmoid(w · features + b). Weights here
@@ -866,6 +906,28 @@ object SparkEntry {
       // the data distribution where SRP buckets are direction-random
       Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, threshold = 0.35)),
+    "dd16_minhash_estimate" -> ((s, dir) => {
+      // estimator-quality audit: per candidate pair, the MinHash Jaccard
+      // ESTIMATE (fraction of agreeing signature slots — multiples of 1/16,
+      // binary-exact) next to the verified exact Jaccard. Signatures are
+      // deterministic md5 minhashes, so the estimate itself is oracle-able
+      // bit-for-bit, not just within a tolerance
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingleSet(docs, "doc_id", "text", 2), 16)
+      val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.0)
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"a$j")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(j => col(s"mh$j").as(s"b$j")): _*)
+      pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          col("jaccard").as("jaccard_exact"),
+          fround((0 until 16).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / lit(16.0), 4).as("jaccard_est"))
+    }),
     "dd15_incremental_dedup" -> ((s, dir) => {
       // continuous-ingest dedup: every 5th document plays the NEW batch;
       // each batch doc is classified exact/near/novel against the corpus
@@ -1407,6 +1469,14 @@ object SparkEntry {
         |  AS est_distinct,
         |exact_distinct
         |FROM g""".stripMargin,
+    "q51_share_of_total" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, qty::DOUBLE AS sum_qty,
+        |floor(qty::DOUBLE / (sum(qty) OVER ())::DOUBLE * 1000000.0)
+        |  / 1000000.0 AS share
+        |FROM g""".stripMargin,
     "q46_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
         |  l_quantity AS val FROM lineitem
@@ -1879,6 +1949,52 @@ object SparkEntry {
         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
         |  / 1000.0 >= 0.35""".stripMargin,
+    "dd16_minhash_estimate" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b,
+         |floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0
+         |  AS jaccard_exact
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |floor(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0
+         |  * 10000.0) / 10000.0 AS jaccard_est
+         |FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+         |JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard_exact, jaccard_est
+         |FROM ex JOIN est USING (doc_a, doc_b)""".stripMargin,
+    "tx15_type_token" ->
+      s"""WITH w AS (SELECT source, unnest($duckToks) AS w FROM documents)
+         |SELECT source, count(*) AS n_tokens,
+         |count(DISTINCT w) AS n_types,
+         |floor(count(DISTINCT w)::DOUBLE / count(*) * 1000000.0) / 1000000.0
+         |  AS ttr
+         |FROM w GROUP BY source""".stripMargin,
+    "s8_column_stats" ->
+      """SELECT 'o_orderkey' AS column_name, count(DISTINCT o_orderkey) AS ndv,
+        |sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |min(o_orderkey)::DOUBLE AS min_v, max(o_orderkey)::DOUBLE AS max_v
+        |FROM orders
+        |UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey),
+        |sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(DISTINCT o_totalprice),
+        |sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE FROM orders""".stripMargin,
     "dd15_incremental_dedup" ->
       s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
          |c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
