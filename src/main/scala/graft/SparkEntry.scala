@@ -705,6 +705,16 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "st4_stateful_user_agg" -> ((s, dir) => {
+      // Spark 4 transformWithState: RocksDB-backed ValueState per user,
+      // integer-cent arithmetic so the streaming state equals the batch
+      // groupBy bit-for-bit (the oracle)
+      val qn = "graft_st4_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StatefulUserAgg.userAggStream(
+        s, s"$dir/events.parquet", qn)
+      q.awaitTermination()
+      s.table(qn)
+    }),
     "st3_stream_dedup" -> ((s, dir) => {
       // duplicate-laden replay: the same events file arrives as TWO stream
       // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
@@ -1653,6 +1663,10 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st4_stateful_user_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |sum(floor(value * 100.0)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     // the duplicated replay collapses back to each event exactly once
     "st3_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery,
+  TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** Arbitrary per-key streaming state on the Spark 4 `transformWithState`
+  * API (the successor to mapGroupsWithState: versioned state variables,
+  * TTL, timers, RocksDB-backed). Here: a running per-user aggregate held
+  * in a `ValueState`, updated as event batches stream in — the
+  * unbounded-ingest form of a per-user groupBy, with state the engine can
+  * TTL/evict instead of an ever-growing shuffle.
+  *
+  * Value amounts are aggregated as integer CENTS (floor(value·100)) so the
+  * running state is exact integer arithmetic: replays, batch boundaries,
+  * and partitioning cannot change the result — which is what lets the
+  * batch oracle check a streaming-state query at all.
+  */
+class UserAggProcessor
+  extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("agg",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    state.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
+
+object StatefulUserAgg {
+
+  /** Per-user running (event count, value cents) over a parquet file
+    * stream; memory-sink observation named `queryName`. Each trigger emits
+    * the keys it saw with their UPDATED running totals (so with one input
+    * batch the emission is the final per-user aggregate). */
+  def userAggStream(
+      spark: SparkSession, parquetPath: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val (dir, glob) = EventsStreaming.splitDirGlob(parquetPath)
+    val stream = graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir))
+    stream
+      .select(col("user_id"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserAggProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "value_cents")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
