@@ -413,6 +413,33 @@ object SparkEntry {
           |CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
           |  AS DOUBLE) AS p90_disc
           |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+    "s9_csv_roundtrip" -> ((s, dir) => {
+      // CSV writer + reader fidelity: doubles survive because Spark writes
+      // shortest-roundtrip representations; the oracle reads the SAME rows
+      // from parquet, so any text-format loss would hash-mismatch
+      val out = java.nio.file.Files.createTempDirectory("graft-csv")
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") % 100 === 0)
+      src.write.mode("overwrite").option("header", "true")
+        .csv(out.toString)
+      out.toFile.listFiles().foreach(_.deleteOnExit())
+      out.toFile.deleteOnExit()
+      s.read.option("header", "true").schema(src.schema).csv(out.toString)
+    }),
+    "s10_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines writer + reader fidelity, schema-first read (no
+      // inference pass — the 100 TB contract: schema travels with the
+      // catalog, not re-derived per scan)
+      val out = java.nio.file.Files.createTempDirectory("graft-json")
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") % 100 === 0)
+      src.write.mode("overwrite").json(out.toString)
+      out.toFile.listFiles().foreach(_.deleteOnExit())
+      out.toFile.deleteOnExit()
+      s.read.schema(src.schema).json(out.toString)
+    }),
     "s8_column_stats" -> ((s, dir) => {
       // ANALYZE-style catalog statistics: ndv / null count / min / max per
       // column in ONE aggregation pass (Spark expands the multi-distinct
@@ -1998,6 +2025,12 @@ object SparkEntry {
          |floor(count(DISTINCT w)::DOUBLE / count(*) * 1000000.0) / 1000000.0
          |  AS ttr
          |FROM w GROUP BY source""".stripMargin,
+    "s9_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "s10_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "s8_column_stats" ->
       """SELECT 'o_orderkey' AS column_name, count(DISTINCT o_orderkey) AS ndv,
         |sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
