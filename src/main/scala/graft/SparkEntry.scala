@@ -423,8 +423,10 @@ object SparkEntry {
         .filter(col("o_orderkey") % 100 === 0)
       src.write.mode("overwrite").option("header", "true")
         .csv(out.toString)
-      out.toFile.listFiles().foreach(_.deleteOnExit())
+      // deleteOnExit runs in REVERSE registration order: register the
+      // directory first so it is deleted last (after its files)
       out.toFile.deleteOnExit()
+      out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.option("header", "true").schema(src.schema).csv(out.toString)
     }),
     "s10_json_roundtrip" -> ((s, dir) => {
@@ -436,8 +438,8 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .filter(col("o_orderkey") % 100 === 0)
       src.write.mode("overwrite").json(out.toString)
+      out.toFile.deleteOnExit() // before the files: reverse deletion order
       out.toFile.listFiles().foreach(_.deleteOnExit())
-      out.toFile.deleteOnExit()
       s.read.schema(src.schema).json(out.toString)
     }),
     "s8_column_stats" -> ((s, dir) => {
@@ -950,8 +952,11 @@ object SparkEntry {
       // deterministic md5 minhashes, so the estimate itself is oracle-able
       // bit-for-bit, not just within a tolerance
       val docs = t(s, dir, "documents")
+      // both join sides and (via plan-keyed cache subtree reuse) the band
+      // construction read the signatures — one materialization
       val sigs = Dedup.minhashSignatures(
-        Dedup.shingleSet(docs, "doc_id", "text", 2), 16)
+          Dedup.shingleSet(docs, "doc_id", "text", 2), 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
         n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.0)
       val sa = sigs.select(col("doc_id").as("doc_a") +:

@@ -170,11 +170,6 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing at least one band signature
-    * (bands of `rowsPerBand` hashes, signature = j-ordered concat of the
-    * band's minhashes). Output distinct (doc_a, doc_b). The only shuffles
-    * are the signature groupBy and the equi-join on (band, sig) — tiny
-    * fixed-width keys, the LSH scale path. */
   /** (doc_id, band, sig) rows from a shingle set: `numHashes` minhashes
     * folded into numHashes/rowsPerBand band signatures (j-ordered concat).
     * The LSH candidate key — shared by the self-join (near-dup pairs) and
@@ -195,6 +190,11 @@ object Dedup {
           ") as (band, sig)"))
   }
 
+  /** MinHash-LSH candidate pairs: docs sharing at least one band signature
+    * (bands of `rowsPerBand` hashes, signature = j-ordered concat of the
+    * band's minhashes). Output distinct (doc_a, doc_b). The only shuffles
+    * are the signature groupBy and the equi-join on (band, sig) — tiny
+    * fixed-width keys, the LSH scale path. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
@@ -297,8 +297,12 @@ object Dedup {
       .select(col("doc_id"), col("match_id"),
         lit("near").as("kind"), col("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // null match_id typed as the CALLER's id type (string ids are
+    // supported, as in the components API) — a hardcoded bigint would
+    // widen or break the union for non-numeric ids
+    val idType = corpus.schema(idCol).dataType
     val novel = rest.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(null).cast("bigint").as("match_id"),
+      .select(col("doc_id"), lit(null).cast(idType).as("match_id"),
         lit("novel").as("kind"), lit(null).cast("double").as("jaccard"))
     exact.unionByName(near).unionByName(novel)
   }

@@ -42,17 +42,26 @@ object StatefulUserAgg {
     * stream; memory-sink observation named `queryName`. Each trigger emits
     * the keys it saw with their UPDATED running totals (so with one input
     * batch the emission is the final per-user aggregate). */
+  /** transformWithState requires the RocksDB state store. The provider is
+    * a session-global conf read at query START, so flip it only for this
+    * start and put the previous value back immediately after — later
+    * streaming queries in the same session keep their own backend. */
+  private def withRocksDbProvider[A](spark: SparkSession)(start: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def userAggStream(
       spark: SparkSession, parquetPath: String, queryName: String): StreamingQuery = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(parquetPath).schema
-    val (dir, glob) = EventsStreaming.splitDirGlob(parquetPath)
-    val stream = graft.Tables.normalizeNanos(
-      spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir))
-    stream
+    val writer = EventsStreaming.fileStream(spark, parquetPath)
       .select(col("user_id"),
         floor(col("value") * 100.0).cast("long").as("cents"))
       .as[(Long, Long)]
@@ -63,6 +72,6 @@ object StatefulUserAgg {
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .start()
+    withRocksDbProvider(spark)(writer.start())
   }
 }
