@@ -494,6 +494,32 @@ object SparkEntry {
             .as("est_distinct"),
           col("exact_distinct"))
     }),
+    "q52_winsorize" -> ((s, dir) => {
+      // winsorization: clip each group's values at its own p01/p99 — the
+      // standard outlier-robust cleaning pass. The percentile pair is one
+      // tiny per-group aggregate broadcast back onto the fact rows
+      val p = t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+          expr("percentile(o_totalprice, 0.99)").as("p99"))
+      t(s, dir, "orders").join(broadcast(p), "o_orderpriority")
+        .withColumn("clipped",
+          least(greatest(col("o_totalprice"), col("p01")), col("p99")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_raw"),
+          fround(sum(col("clipped").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_winsorized"))
+    }),
+    "q53_argminmax" -> ((s, dir) =>
+      // arg-extremes: the id carrying each group's max/min value (max_by /
+      // min_by; DuckDB arg_max/arg_min). Extreme prices are unique per
+      // group in the fixtures at both test scales, so no tie ambiguity
+      // crosses the engine boundary
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+          fround(max(col("o_totalprice")), 2).as("top_price"))),
     "q51_share_of_total" -> ((s, dir) => {
       // percent-of-total via a partition-spanning window over the grouped
       // aggregate: two shuffles total (group, then the unpartitioned window
@@ -1511,6 +1537,23 @@ object SparkEntry {
         |  AS est_distinct,
         |exact_distinct
         |FROM g""".stripMargin,
+    "q52_winsorize" ->
+      """WITH p AS (SELECT o_orderpriority,
+        |quantile_cont(o_totalprice, 0.01) AS p01,
+        |quantile_cont(o_totalprice, 0.99) AS p99
+        |FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+        |floor(CAST(sum(CAST(least(greatest(o_totalprice, p01), p99)
+        |  AS DECIMAL(18,2))) AS DOUBLE) * 100.0) / 100.0 AS sum_winsorized
+        |FROM orders JOIN p USING (o_orderpriority)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q53_argminmax" ->
+      """SELECT o_orderpriority,
+        |arg_max(o_orderkey, o_totalprice) AS top_order,
+        |arg_min(o_orderkey, o_totalprice) AS bottom_order,
+        |floor(max(o_totalprice) * 100.0) / 100.0 AS top_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q51_share_of_total" ->
       """WITH g AS (SELECT l_returnflag, l_linestatus,
         |sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
