@@ -52,4 +52,8 @@ class CurationPipelineSpec extends AnyFunSuite {
   test("disposition is deterministic under repartitioning") {
     assert(run(docs.repartition(7)) === run(docs.repartition(1)))
   }
+
+  test("empty corpus flows through every stage to an empty ledger") {
+    assert(run(docs.filter(col("doc_id") < 0)).isEmpty)
+  }
 }

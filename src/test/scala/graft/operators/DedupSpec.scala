@@ -251,6 +251,19 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size === 3) // one row per batch doc, corpus never reported
   }
 
+  test("incremental dedup: empty corpus means all-novel; empty batch means no rows") {
+    val docs = Seq(
+      (1L, "some document text with enough words to shingle properly here")
+    ).toDF("doc_id", "text")
+    val none = docs.filter($"doc_id" < 0)
+    val allNovel = Dedup.incrementalDedupReport(none, docs, "doc_id", "text",
+      n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    assert(allNovel.select("kind").as[String].collect().toSeq === Seq("novel"))
+    val empty = Dedup.incrementalDedupReport(docs, none, "doc_id", "text",
+      n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    assert(empty.count() === 0)
+  }
+
   test("semantic dedup finds within-cell pairs only, a subset of brute force") {
     // two tight clusters around orthogonal directions; centroids = first 2
     // vectors by id, one per cluster, so cells align with the clusters
