@@ -494,6 +494,38 @@ object SparkEntry {
             .as("est_distinct"),
           col("exact_distinct"))
     }),
+    "q54_streaks" -> ((s, dir) => {
+      // gaps-and-islands: consecutive-day activity streaks per user via
+      // the day_index - row_number constant-key trick; one shuffle on
+      // user_id feeds both windows and the final reduction
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1990-01-01")).as("di"))
+        .distinct()
+      val keyed = days.withColumn("streak_key",
+        col("di") - row_number().over(
+          Window.partitionBy("user_id").orderBy("di")))
+      val streaks = keyed.groupBy("user_id", "streak_key")
+        .agg(count(lit(1)).as("len"), min(col("di")).as("start_day"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start_day"))
+      streaks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("len").as("longest_streak"),
+          col("start_day").as("streak_start_day"))
+    }),
+    "q55_transitions" -> ((s, dir) => {
+      // first-order event-type transition matrix (Markov edge counts):
+      // lag over the per-user timeline, then one aggregation
+      val prev = lag(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", prev)
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
     "q52_winsorize" -> ((s, dir) => {
       // winsorization: clip each group's values at its own p01/p99 — the
       // standard outlier-robust cleaning pass. The percentile pair is one
@@ -915,6 +947,14 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx16_readability" -> ((s, dir) =>
+      // Flesch reading-ease + its inputs — the classic readability feature
+      // of a corpus quality filter, as pure column arithmetic
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        TextFunctions.syllableCount(col("text")).as("n_syllables"),
+        fround(TextFunctions.fleschScore(col("text")), 3).as("flesch"))),
     "tx15_type_token" -> ((s, dir) =>
       // per-source vocabulary richness (type-token ratio) — the Heaps-law
       // corpus diagnostic; one explode + one two-level aggregation
@@ -1537,6 +1577,23 @@ object SparkEntry {
         |  AS est_distinct,
         |exact_distinct
         |FROM g""".stripMargin,
+    "q54_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |datediff('day', DATE '1990-01-01', ts::DATE) AS di FROM events),
+        |keyed AS (SELECT user_id, di, di - row_number() OVER (
+        |  PARTITION BY user_id ORDER BY di) AS streak_key FROM days),
+        |streaks AS (SELECT user_id, streak_key, count(*) AS len,
+        |min(di) AS start_day FROM keyed GROUP BY 1, 2)
+        |SELECT user_id, len AS longest_streak, start_day AS streak_start_day
+        |FROM (SELECT user_id, len, start_day, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY len DESC, start_day) AS rn
+        |  FROM streaks) WHERE rn = 1""".stripMargin,
+    "q55_transitions" ->
+      """SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        |FROM (SELECT event_type, lag(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q52_winsorize" ->
       """WITH p AS (SELECT o_orderpriority,
         |quantile_cont(o_totalprice, 0.01) AS p01,
@@ -2066,6 +2123,16 @@ object SparkEntry {
          |JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j GROUP BY 1, 2)
          |SELECT doc_a, doc_b, jaccard_exact, jaccard_est
          |FROM ex JOIN est USING (doc_a, doc_b)""".stripMargin,
+    "tx16_readability" ->
+      s"""WITH f AS (SELECT doc_id,
+         |greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         |len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         |greatest(len($duckToks), 1) AS w
+         |FROM documents)
+         |SELECT doc_id, n_sentences, n_syllables,
+         |floor((206.835 - 1.015 * (w::DOUBLE / n_sentences)
+         |  - 84.6 * (n_syllables::DOUBLE / w)) * 1000.0) / 1000.0 AS flesch
+         |FROM f""".stripMargin,
     "tx15_type_token" ->
       s"""WITH w AS (SELECT source, unnest($duckToks) AS w FROM documents)
          |SELECT source, count(*) AS n_tokens,

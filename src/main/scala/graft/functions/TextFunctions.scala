@@ -144,6 +144,27 @@ object TextFunctions {
       stops.geq(2) && punctRatio(text) < 0.1
   }
 
+  /** Sentence count via terminal-punctuation runs, clamped to >= 1 (a
+    * fragment with no terminal punctuation is one sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Syllable proxy: vowel-group runs (the standard cheap approximation —
+    * exact syllabification needs a dictionary). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading-ease score: 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words). Higher = simpler text; a standard
+    * readability feature for corpus quality filtering. Pure column
+    * arithmetic over the regex counts — engine-portable. */
+  def fleschScore(text: Column): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
+  }
+
   /** Karp-Rabin rolling fingerprint (native codegen'd expression): min
     * base-31 polynomial hash over 8-byte windows of the normalized text.
     * The scale path — O(n) per doc, zero allocation per window. */
