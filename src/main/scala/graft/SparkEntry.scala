@@ -1011,6 +1011,24 @@ object SparkEntry {
       // the data distribution where SRP buckets are direction-random
       Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, threshold = 0.35)),
+    "dd17_edit_verify" -> ((s, dir) => {
+      // fuzzy dedup with an O(len^2) metric made affordable: Levenshtein
+      // runs ONLY on LSH candidate pairs (never all-pairs), the same
+      // candidates-then-verify shape as dd9 with edit similarity instead
+      // of Jaccard. Both engines implement classic integer DP Levenshtein,
+      // so the distance is oracle-exact
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+        .withColumn("edit_sim", fround(lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4))
+        .filter(col("edit_sim") >= 0.8)
+        .select("doc_a", "doc_b", "lev", "edit_sim")
+    }),
     "dd16_minhash_estimate" -> ((s, dir) => {
       // estimator-quality audit: per candidate pair, the MinHash Jaccard
       // ESTIMATE (fraction of agreeing signature slots — multiples of 1/16,
@@ -2095,6 +2113,27 @@ object SparkEntry {
         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000.0)
         |  / 1000.0 >= 0.35""".stripMargin,
+    "dd17_edit_verify" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |scored AS (SELECT doc_a, doc_b,
+         |levenshtein(da.text, db.text) AS lev,
+         |floor((1.0 - levenshtein(da.text, db.text)::DOUBLE /
+         |  greatest(strlen(da.text), strlen(db.text))) * 10000.0) / 10000.0
+         |  AS edit_sim
+         |FROM cand JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b)
+         |SELECT doc_a, doc_b, lev, edit_sim FROM scored
+         |WHERE edit_sim >= 0.8""".stripMargin,
     "dd16_minhash_estimate" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
