@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite {
       s"the per-order aggregate must be a child of the join (appear below it):\n$p")
   }
 
+  test("incremental dedup never degrades to batch-cross-corpus all-pairs (dd15)") {
+    val p = plan("dd15_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must stay equi-join based:\n$p")
+  }
+
+  test("edit-distance verification is gated by LSH candidates, never all-pairs (dd17)") {
+    val p = plan("dd17_edit_verify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Levenshtein must only run on candidate pairs:\n$p")
+  }
+
   test("semantic dedup pair generation is an equi-join on the cell id (dd12)") {
     val p = plan("dd12_semantic_dedup")
     assert(!p.contains("CartesianProduct"),

@@ -40,6 +40,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("rateLookup equals a when-chain reference on random strata and rates") {
+    val rnd = new scala.util.Random(42)
+    val strata = (0 until 50).map(i => s"s$i")
+    val rates = strata.filter(_ => rnd.nextBoolean())
+      .map(_ -> rnd.nextInt(257)).toMap
+    val default = 77
+    val df = (strata ++ Seq("unseen1", "unseen2")).toDF("lang")
+    val ref = rates.foldLeft(lit(default): org.apache.spark.sql.Column) {
+      case (acc, (k, r)) => when(col("lang") === k, lit(r)).otherwise(acc)
+    }
+    val got = df.select(
+      Sampling.rateLookup(rates, default, col("lang")).as("a"), ref.as("b"))
+    assert(got.filter(col("a") =!= col("b")).count() === 0)
+    assert(got.filter(col("a").isNull).count() === 0)
+  }
+
   test("domain cap keeps at most cap rows per stratum, preferring the order") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
