@@ -1326,7 +1326,40 @@ object SparkEntry {
             (col("n_bytes") === 0 ||
               aggregate(col("feat"), lit(0.0), (a, x) => a + x) > 0.0))
             .as("feat_ok"))
-    })
+    }),
+
+    // ----- graph operators (distributed edge lists) -----
+    "g1_pagerank" -> ((s, dir) => {
+      // PageRank over the nation trade graph (customer nation -> supplier
+      // nation, weighted by lineitem count): 5 fixed iterations in integer
+      // micro-units, exact on any partitioning. The graph build is the
+      // heavy part (lineitem x orders join); the iterations run on the
+      // tiny aggregated edge list
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.as("cn")),
+          col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.as("sn")),
+          col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRankInt(edges, "src", "dst", "w",
+          iterations = 5)
+        .select(col("node").as("nation_name"), col("rank_u"))
+    }),
+    "g2_triangles" -> ((s, dir) =>
+      // triangle counts on the LSH near-dup candidate graph — the motif
+      // query behind dup-cluster diagnostics; two equi-joins, no Cartesian
+      graft.operators.Graph.triangleCounts(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 4),
+        "doc_a", "doc_b"))
   )
 
   // ---------------------------------------------------------------------
@@ -2590,6 +2623,55 @@ object SparkEntry {
         |ELSE 'video' END AS media_type,
         |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum,
         |true AS feat_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "g1_pagerank" -> {
+      // unrolled fixed-point iterations (aggregates are not allowed in a
+      // recursive CTE term); integer micro-unit arithmetic matches
+      // Graph.pageRankInt bit for bit. Every sum is ::BIGINT so no HUGEINT
+      // reaches the output.
+      val head =
+        """WITH e0 AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+          |count(*)::BIGINT AS w
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w)::BIGINT AS out_w FROM e0 GROUP BY 1),
+          |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0
+          |JOIN ow USING (src)),
+          |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          |r0 AS (SELECT node, (1000000000000 // p.n)::BIGINT AS r
+          |FROM nodes, p)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |((150000000000 // p.n) + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS r
+           |FROM nodes nd CROSS JOIN p LEFT JOIN
+           |(SELECT e.dst AS node, sum((r.r * e.w) // e.out_w)::BIGINT AS s
+           |FROM r${k - 1} r JOIN e ON e.src = r.node GROUP BY 1) c
+           |ON c.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters +
+        "\nSELECT node AS nation_name, r AS rank_u FROM r5"
+    },
+    "g2_triangles" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |FROM cand e1 JOIN cand e2 ON e2.a = e1.b
+         |JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, count(*)::BIGINT AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |GROUP BY node""".stripMargin
   )
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph operators over edge-list DataFrames.
+  *
+  * The reference's only graph is the FK dependency graph it topologically
+  * sorts on the driver (`/root/reference/osarchiver/source/db.py:187-214`) —
+  * small enough to collect. These operators cover the other regime a
+  * training-data pipeline hits: graphs whose EDGE LIST is itself data-scale
+  * (similarity edges between documents, entity co-occurrence), where every
+  * step must stay a distributed join/aggregation.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank carried in integer micro-units.
+    *
+    * Ranks live as BIGINT micro-units (`Unit1` = rank 1.0) and every
+    * per-edge contribution is an integral division, so the per-node sum is
+    * order-independent — the result is bit-identical on any partitioning,
+    * any engine (the DuckDB oracle reproduces it exactly). A production
+    * float variant just drops the quantization; the plan shape is the same.
+    *
+    * Variant notes (both sides implement the same one): teleport term
+    * `(1-d)/N`, no dangling-mass redistribution (a node without out-edges
+    * leaks its damped mass), weighted edges normalized by the source's
+    * total out-weight.
+    *
+    * Scale shape: the edge list is materialized ONCE (with out-weights
+    * pre-joined) and persisted; each iteration is then
+    * `join(ranks) -> groupBy(dst)` — a shuffle bounded by |V| on the rank
+    * side while the heavy |E| side keeps its partitioning. Ranks are tiny
+    * (|V| rows) so the per-iteration join broadcasts them. On a real
+    * cluster, checkpoint every ~5 iterations to truncate lineage.
+    *
+    * Overflow guard: `r * w` with r <= Unit1 requires max edge weight
+    * below ~9e6 for Long; `require`d so a bigger corpus fails loudly
+    * rather than wrapping.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val unit1 = 1000000000000L
+    val maxW = e0.agg(max(col("w"))).head().getLong(0)
+    require(maxW < Long.MaxValue / unit1,
+      s"edge weight $maxW would overflow rank arithmetic")
+    val outW = e0.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val e = e0.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; every iteration reuses the same blocks
+    val teleport = (unit1 * (100 - dampingPct) / 100) / n
+    var ranks = nodes.select(col("node"), lit(unit1 / n).as("r"))
+    var prevPersisted: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"))
+        // integral DIV per edge keeps the sum order-independent
+        .agg(sum(expr("r * w DIV out_w")).as("s"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"coalesce(s, 0L) * $dampingPct DIV 100")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // cut lineage growth: each iteration reads a materialized rank set
+      if (prevPersisted != null) prevPersisted.unpersist(false)
+      prevPersisted = next
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("r").as("rank_u"))
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
+  /** Triangle count per node over an UNDIRECTED graph given as canonical
+    * (a < b) edge pairs. Classic two-join motif counting: for each wedge
+    * (a<b, b<c) probe the closing edge (a, c); every triangle is found
+    * exactly once in its canonical orientation, then credited to all three
+    * corners. Scale shape: two equi-joins on node ids — shuffle-partitioned
+    * by join key, no Cartesian anywhere; at 100 TB the standard
+    * degree-ordering trick (orient edges low-degree -> high-degree) bounds
+    * the wedge fan-out and drops in here without changing the contract.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct() // canonicalize; drop self-loops
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

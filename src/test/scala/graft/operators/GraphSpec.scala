@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val unit1 = 1000000000000L
+
+  test("pageRankInt: symmetric cycle stays uniform and is partition-invariant") {
+    // 4-node directed cycle, equal weights: perfect symmetry, so every
+    // iteration must return exactly unit/4-derived ranks on every node
+    val edges = Seq(("a", "b", 2L), ("b", "c", 2L), ("c", "d", 2L),
+      ("d", "a", 2L)).toDF("src", "dst", "w")
+    val ranks = Graph.pageRankInt(edges, "src", "dst", "w", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(ranks.size === 4)
+    assert(ranks.values.toSet.size === 1, s"cycle ranks diverged: $ranks")
+    // integer recurrence fixed point: r = 0.15/4 + 0.85*r (to quantization)
+    val r = ranks("a")
+    assert(math.abs(r - unit1 / 4) <= 5L, s"uniform rank drifted: $r")
+    // bit-identical on a different partitioning (order-independent sums)
+    val again = Graph.pageRankInt(edges.repartition(7), "src", "dst", "w", 5)
+      .as[(String, Long)].collect().toMap
+    assert(again === ranks)
+  }
+
+  test("pageRankInt: hub of a star accumulates rank; spokes keep teleport") {
+    // spokes -> hub only; hub has no out-edges (dangling, mass leaks —
+    // the documented variant), spokes receive teleport only
+    val edges = (1 to 4).map(i => (s"s$i", "hub", 1L)).toDF("src", "dst", "w")
+    val ranks = Graph.pageRankInt(edges, "src", "dst", "w", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val teleport = (unit1 * 15 / 100) / 5
+    (1 to 4).foreach(i => assert(ranks(s"s$i") === teleport))
+    assert(ranks("hub") > 2 * teleport, s"hub rank too small: ${ranks("hub")}")
+  }
+
+  test("pageRankInt: weighted split follows edge weights") {
+    // a sends 3/4 of its damped mass to b, 1/4 to c
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val ranks = Graph.pageRankInt(edges, "src", "dst", "w", iterations = 8)
+      .as[(String, Long)].collect().toMap
+    assert(ranks("b") > ranks("c"))
+    assert(ranks("a") > ranks("b"), "both feeders return mass to a")
+  }
+
+  test("triangleCounts: K4 gives 3 per node; square gives none") {
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val counts = Graph.triangleCounts(k4, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(square, "a", "b").count() === 0)
+
+    // non-canonical + duplicate edges are normalized, not double-counted
+    val messy = k4.union(k4.select(col("b").as("a"), col("a").as("b")))
+    val again = Graph.triangleCounts(messy, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(again === counts)
+  }
+}
