@@ -1359,7 +1359,72 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
-        "doc_a", "doc_b"))
+        "doc_a", "doc_b")),
+
+    "dd18_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sample without replacement: md5
+      // uniforms, ln(u)/w keys, one top-k — length-weighted corpus
+      // subsampling with exact reproducibility
+      graft.operators.Sampling.weightedTopKSample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"),
+          fround(col("es_key"), 9).as("es_key"))),
+    "pk2_stride_chunks" -> ((s, dir) =>
+      // overlapping context windows (64 tokens, stride 32) for embedding /
+      // retrieval corpora — narrow fan-out, no shuffle; the md5 is the
+      // chunk-level dedup key
+      graft.operators.Packing.strideChunks(t(s, dir, "documents"),
+        "doc_id", "text", window = 64, stride = 32)),
+    "q56_scd2" -> ((s, dir) => {
+      // SCD2 dimension build from the event log: per-user event_type
+      // timeline, consecutive duplicates collapsed, validity intervals
+      // [valid_from, valid_to) from each change to the next — two windows
+      // over ONE shuffle on user_id
+      val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(ordW))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(ordW))
+        .withColumn("valid_to", lead(col("ts"), 1).over(ordW))
+        .select(col("user_id"), col("event_type").as("state"), col("version"),
+          col("ts").as("valid_from"), col("valid_to"))
+    }),
+    "q57_mad_outliers" -> ((s, dir) => {
+      // robust per-group outlier gate: median + MAD instead of mean/stddev
+      // (one wild value cannot move the fence). Exact percentile for the
+      // oracle; the 100 TB mode swaps approx_percentile exactly as tx7b
+      val ev = t(s, dir, "events").select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+      val outl = ev.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+      stats.join(outl, Seq("event_type"), "left")
+        .select(col("event_type"), fround(col("med"), 6).as("med"),
+          fround(col("mad"), 6).as("mad"), col("n"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+    }),
+    "s11_orc_roundtrip" -> ((s, dir) => {
+      // ORC writer + reader fidelity, schema-first read — same contract as
+      // the CSV/JSON round-trips; ORC is the third columnar interchange
+      // format the sinks speak
+      val out = java.nio.file.Files.createTempDirectory("graft-orc")
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") % 100 === 0)
+      src.write.mode("overwrite").orc(out.toString)
+      out.toFile.deleteOnExit() // before the files: reverse deletion order
+      out.toFile.listFiles().foreach(_.deleteOnExit())
+      s.read.schema(src.schema).orc(out.toString)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2672,6 +2737,62 @@ object SparkEntry {
          |JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT node, count(*)::BIGINT AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
-         |GROUP BY node""".stripMargin
+         |GROUP BY node""".stripMargin,
+    "dd18_weighted_sample" -> {
+      // first 32 md5 bits as a uniform, nibble-by-nibble (strpos returns
+      // 0 for '0' ... 15 for 'f'); ORDER BY the unfloored key so selection
+      // matches Spark's top-k, then floor-round for display
+      val h32 = (1 to 8).map(i =>
+        s"strpos('123456789abcdef', substr(h, $i, 1))::BIGINT * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH hx AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h
+         |FROM documents WHERE n_chars > 0),
+         |keyed AS (SELECT doc_id, n_chars,
+         |ln(($h32 + 1) / 4294967296.0) / n_chars AS k FROM hx)
+         |SELECT doc_id, n_chars,
+         |floor(k * 1000000000.0) / 1000000000.0 AS es_key
+         |FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin
+    },
+    "pk2_stride_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |idx AS (SELECT doc_id, t,
+         |unnest(range(0, greatest((n - 64 + 31) // 32 + 1, 1))) AS i FROM nn),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |t[(i * 32 + 1):(i * 32 + 64)] AS c FROM idx)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |len(c)::BIGINT AS n_tokens,
+         |md5(array_to_string(c, ' ')) AS chunk_md5 FROM ch""".stripMargin,
+    "q56_scd2" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS prev_type FROM e),
+        |f AS (SELECT * FROM ch
+        |WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT
+        |  AS version,
+        |ts AS valid_from,
+        |lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS valid_to
+        |FROM f""".stripMargin,
+    "q57_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |FROM events GROUP BY 1),
+        |stats AS (SELECT e.event_type, any_value(m.med) AS med,
+        |median(abs(e.value - m.med)) AS mad, count(*)::BIGINT AS n
+        |FROM events e JOIN med m USING (event_type) GROUP BY 1),
+        |outl AS (SELECT e.event_type, count(*)::BIGINT AS n_outliers
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs(e.value - s.med) > 3.0 * s.mad GROUP BY 1)
+        |SELECT s.event_type, floor(s.med * 1000000.0) / 1000000.0 AS med,
+        |floor(s.mad * 1000000.0) / 1000000.0 AS mad, s.n,
+        |coalesce(o.n_outliers, 0)::BIGINT AS n_outliers
+        |FROM stats s LEFT JOIN outl o USING (event_type)""".stripMargin,
+    "s11_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
   )
 }

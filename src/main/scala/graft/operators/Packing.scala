@@ -43,4 +43,38 @@ object Packing {
         expr(s"prev div $budgetTokens").as("seq_in_bucket"),
         (col("prev") % budgetTokens).as("tok_offset"))
   }
+
+  /** Overlapping token windows (size `window`, stride `stride`) per
+    * document — the standard context-window chunking for embedding /
+    * retrieval corpora, where consecutive chunks share `window - stride`
+    * tokens so no span is split across a boundary unseen.
+    *
+    * Emits one row per chunk: (doc_id, chunk_idx, n_tokens, chunk_md5).
+    * The md5 is over the space-joined window — a content fingerprint the
+    * downstream chunk-level dedup (dd11) can key on directly. A document
+    * shorter than `window` yields its single truncated chunk. Purely
+    * narrow work (tokenize once, sequence fan-out, no shuffle at all);
+    * chunk counts are data-bounded: ceil((n_tokens - window)/stride) + 1.
+    */
+  def strideChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    // chunk start positions 0, stride, 2*stride ... while start < n
+    // (at least one chunk even for empty docs' single empty token slot)
+    val nChunks = greatest(
+      ceil((size(col("t")) - lit(window)).cast("double") / stride)
+        .cast("int") + 1,
+      lit(1))
+    toks
+      .select(col("doc_id"), col("t"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("t"), i * stride + 1, lit(window)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_md5"))
+  }
 }

@@ -85,4 +85,31 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w))
       .filter(col("cap_rank") <= cap)
   }
+
+  /** Weighted sample WITHOUT replacement of size k (Efraimidis–Spirakis
+    * A-Res), RNG-free: the per-row uniform u comes from the first 32 md5
+    * bits of the id (shifted into (0, 1]), the selection key is ln(u)/w
+    * — a monotone transform of the classical u^(1/w) — and the k largest
+    * keys win, ties broken by id. Inclusion probability is proportional
+    * to weight, membership is identical on any engine/partitioning/rerun,
+    * and selection is a top-k (per-partition bounded heaps + one merge),
+    * never a global sort. Rows with non-positive weight are excluded (a
+    * zero-weight row can never win).
+    *
+    * FP caveat (same class as dd5b's): keys are transcendental doubles, so
+    * two rows whose keys agree to within one ulp could order differently
+    * across libm implementations. The top-k boundary gap on real corpora
+    * is ~1/n — astronomically wider than an ulp.
+    */
+  def weightedTopKSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h32 + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
 }

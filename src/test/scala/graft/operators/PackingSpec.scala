@@ -37,4 +37,31 @@ class PackingSpec extends AnyFunSuite {
     // offsets always inside the sequence budget
     assert(a.filter("tok_offset < 0 OR tok_offset >= 128").count() === 0)
   }
+
+  test("stride chunks overlap by window - stride and cover every token") {
+    // 10 tokens, window 4, stride 2 -> starts 0,2,4,6: every token covered,
+    // the last window ends exactly at n (no redundant tail chunk)
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val ch = Packing.strideChunks(docs, "doc_id", "text", window = 4, stride = 2)
+      .select("chunk_idx", "n_tokens").as[(Int, Long)].collect().sorted
+    assert(ch === Array((0, 4L), (1, 4L), (2, 4L), (3, 4L)))
+    // 9 tokens -> starts 0,2,4,6; final chunk truncated to 3 tokens
+    val ch9 = Packing.strideChunks(
+        Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 4, stride = 2)
+      .select("chunk_idx", "n_tokens").as[(Int, Long)].collect().sorted
+    assert(ch9 === Array((0, 4L), (1, 4L), (2, 4L), (3, 3L)))
+    // short doc: one truncated chunk
+    val short = Packing.strideChunks(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 64, 32)
+    assert(short.select("n_tokens").as[Long].collect().toSeq === Seq(2L))
+    // chunk fingerprints are content-derived: identical windows hash equal
+    val twin = Packing.strideChunks(
+      Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 4)
+    assert(twin.select("chunk_md5").distinct().count() === 1)
+    assertThrows[IllegalArgumentException] {
+      Packing.strideChunks(docs, "doc_id", "text", window = 4, stride = 5)
+    }
+  }
 }

@@ -77,4 +77,24 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.domainCap(docs, "source", col("n_chars").desc, "doc_id", 0)
     }
   }
+
+  test("weighted top-k sample favors heavy rows and is partition-invariant") {
+    // weights 1 vs 1000: the heavy half should dominate a k=20 sample
+    val rows = (1L to 200L)
+      .map(i => (i, if (i <= 100) 1000L else 1L)).toDF("id", "w")
+    val picked = Sampling.weightedTopKSample(rows, "id", "w", k = 20)
+    assert(picked.count() === 20)
+    val heavy = picked.filter(col("w") === 1000L).count()
+    assert(heavy >= 17, s"only $heavy of 20 picks were heavy-weight rows")
+    // identical membership on any partitioning (md5 keys, no RNG)
+    val again = Sampling.weightedTopKSample(rows.repartition(7), "id", "w", 20)
+    assert(picked.select("id").exceptAll(again.select("id")).count() === 0)
+    // zero/negative weights can never be selected
+    val withZero = rows.union(Seq((999L, 0L), (998L, -5L)).toDF("id", "w"))
+    assert(Sampling.weightedTopKSample(withZero, "id", "w", 300)
+      .filter(col("id") >= 998L).count() === 0)
+    assertThrows[IllegalArgumentException] {
+      Sampling.weightedTopKSample(rows, "id", "w", 0)
+    }
+  }
 }
