@@ -1412,6 +1412,17 @@ object SparkEntry {
           fround(col("mad"), 6).as("mad"), col("n"),
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
     }),
+    "tx17_tfidf_cosine" -> ((s, dir) =>
+      // sparse TF-IDF cosine via the inverted-index (postings) join with a
+      // document-frequency cap — the sparse-vector similarity engine: only
+      // docs sharing a sub-cap term are ever compared
+      Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        dfCap = 100, threshold = 0.3)),
+    "ss9_pq_adc" -> ((s, dir) =>
+      // product-quantization ADC: vectors stored as 8 integer codes, query
+      // scoring via broadcast lookup tables — integer-exact end to end
+      Similarity.pqAdcTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nSub = 8, subDim = 8, nCodes = 16, queryMaxId = 3, k = 10)),
     "s11_orc_roundtrip" -> ((s, dir) => {
       // ORC writer + reader fidelity, schema-first read — same contract as
       // the CSV/JSON round-trips; ORC is the third columnar interchange
@@ -2793,6 +2804,46 @@ object SparkEntry {
         |FROM stats s LEFT JOIN outl o USING (event_type)""".stripMargin,
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "tx17_tfidf_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |w AS (SELECT doc_id, term,
+         |floor(tf * ln(nn.n / df) * 1000.0)::BIGINT AS wm
+         |FROM tf JOIN dfr USING (term) CROSS JOIN nn WHERE df <= 100),
+         |nrm AS (SELECT doc_id, sum(wm * wm)::BIGINT AS n2 FROM w GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |sum(a.wm * b.wm)::BIGINT AS d
+         |FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b,
+         |d::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS c
+         |FROM dt JOIN nrm na ON na.doc_id = doc_a
+         |JOIN nrm nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, floor(c * 1000000.0) / 1000000.0 AS cosine
+         |FROM c WHERE c >= 0.3""".stripMargin,
+    "ss9_pq_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM v WHERE vec_id < 16),
+        |d0 AS (SELECT a.vec_id, rs.s, c.code,
+        |(a.v[(rs.s * 8 + rj.j)::INT] - c.cv[(rs.s * 8 + rj.j)::INT]) AS df
+        |FROM v a, range(0, 8) rs(s), range(1, 9) rj(j), cb c),
+        |d AS (SELECT vec_id, s, code,
+        |sum(floor(df * df * 1000000000.0)::BIGINT)::BIGINT AS d_u
+        |FROM d0 GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, s, code FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |ORDER BY d_u, code) = 1),
+        |qd AS (SELECT vec_id AS query_id, s, code, d_u FROM d
+        |WHERE vec_id < 3),
+        |adc AS (SELECT q.query_id, e.vec_id, sum(q.d_u)::BIGINT AS adc_u
+        |FROM enc e JOIN qd q ON q.s = e.s AND q.code = e.code
+        |GROUP BY 1, 2)
+        |SELECT query_id, vec_id, adc_u, rank FROM (
+        |SELECT query_id, vec_id, adc_u,
+        |row_number() OVER (PARTITION BY query_id ORDER BY adc_u, vec_id)::INT
+        |  AS rank FROM adc) WHERE rank <= 10""".stripMargin
   )
 }

@@ -583,4 +583,49 @@ object Dedup {
             (col("a.nrm") * col("b.nrm")), 3).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Sparse TF-IDF cosine similarity between documents via an inverted
+    * index — the term-postings join every sparse-vector engine runs:
+    * postings are (term, doc, weight) rows, candidate pairs come from an
+    * equi-join on the term, and only documents sharing a term are ever
+    * compared. The document-frequency cap (`dfCap`) drops corpus-wide
+    * stop terms BEFORE the join, which is the scale guarantee: a term
+    * shared by df documents contributes df^2 join rows, so bounding df
+    * bounds the worst-case candidate blow-up exactly like dd2b's shingle
+    * cap (cosine is then defined over the capped vocabulary — standard
+    * stop-word semantics, applied to weights and norms alike).
+    *
+    * Determinism contract: weights are quantized to integer milli-units
+    * after the idf product, so dots and norms are exact BIGINT sums
+    * (order-free); the final cosine divides exact integers under IEEE
+    * division — bit-identical on both engines.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      dfCap: Long, threshold: Double): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = tf.join(dfr, "term").filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("term"),
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000.0)
+          .cast("long").as("wm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm = w.groupBy("doc_id").agg(sum(col("wm") * col("wm")).as("n2"))
+    val dot = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wm") * col("b.wm")).as("d"))
+    dot
+      .join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .withColumn("c", col("d").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.NumericFunctions.fround(col("c"), 6).as("cosine"))
+  }
 }

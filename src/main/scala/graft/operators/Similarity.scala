@@ -305,4 +305,61 @@ object Similarity {
     v.unpersist()
     cents
   }
+
+  /** Product-quantization encode + asymmetric-distance (ADC) top-k — the
+    * memory-compressed ANN path: each vector is stored as `nSub` one-byte
+    * codes (here 4 bits: `nCodes`=16) instead of `nSub * subDim` floats, a
+    * 64x compression at the fixture shape, and query scoring touches only
+    * the tiny per-query lookup table, never the original vectors.
+    *
+    * Determinism contract: subspace distances are element-quantized to
+    * integer nano-units (each squared-diff floored to BIGINT before the
+    * sum), so every distance, code assignment (ties to the lowest code)
+    * and ADC score is exact integer arithmetic — bit-identical on any
+    * partitioning and reproduced exactly by the oracle. The codebook is
+    * the deterministic first-`nCodes`-by-id stand-in (ss3 precedent);
+    * production swaps an offline-trained one without touching the plan.
+    *
+    * Scale shape: codebook and query tables are broadcast (nCodes * nSub
+    * rows); the corpus makes ONE narrow pass to encode (no shuffle until
+    * the |corpus| x 1 code rows aggregate), and ADC is an equi-join on
+    * (subspace, code) followed by a k-bounded window. No pairwise vector
+    * math anywhere after encoding.
+    */
+  def pqAdcTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, nCodes: Int, queryMaxId: Long,
+      k: Int): DataFrame = {
+    require(nSub > 0 && subDim > 0 && nCodes > 1 && k > 0)
+    requireNumericId(emb, idCol)
+    val v = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cb = v.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").as("code"), col("v").as("cv"))
+    val subIdx = sequence(lit(0), lit(nSub - 1))
+    def subspaces(vc: org.apache.spark.sql.Column) =
+      transform(subIdx, sIdx => slice(vc, sIdx * subDim + 1, lit(subDim)))
+    val expanded = v.select(col("vec_id"), posexplode(subspaces(col("v"))))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("sv"))
+    val cbExp = cb.select(col("code"), posexplode(subspaces(col("cv"))))
+      .select(col("code"), col("pos").as("s"), col("col").as("csv"))
+    // per (vector, subspace, code): integer nano-unit squared distance;
+    // the fold is over BIGINTs, so evaluation order cannot matter
+    val dist = expanded.join(broadcast(cbExp), "s")
+      .select(col("vec_id"), col("s"), col("code"),
+        aggregate(zip_with(col("sv"), col("csv"),
+            (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encW = Window.partitionBy("vec_id", "s").orderBy(col("d_u"), col("code"))
+    val enc = dist.withColumn("rn", row_number().over(encW))
+      .filter(col("rn") === 1).select("vec_id", "s", "code")
+    val qd = dist.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("s"), col("code"), col("d_u"))
+    val adc = enc.join(broadcast(qd), Seq("s", "code"))
+      .groupBy("query_id", "vec_id").agg(sum("d_u").as("adc_u"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("adc_u"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adc_u", "rank")
+  }
 }

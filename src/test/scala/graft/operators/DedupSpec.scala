@@ -299,4 +299,24 @@ class DedupSpec extends AnyFunSuite {
         l.contains("cell")),
       s"pair generation is not an equi-join on the cell id:\n$plan")
   }
+
+  test("tfidfCosinePairs: twins score 1, disjoint docs never pair, cap drops stop terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact twin of 1
+      (3L, "epsilon zeta eta theta"),   // disjoint from 1/2
+      (4L, "alpha beta epsilon zeta")   // half-overlaps both groups
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "text",
+        dfCap = 4, threshold = 0.0)
+      .select("doc_a", "doc_b", "cosine")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9, s"twin cosine ${pairs.get((1L, 2L))}")
+    assert(!pairs.contains((1L, 3L)), "disjoint docs share no postings")
+    assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
+    // df-cap 1 drops every term appearing twice -> only unique terms left,
+    // so no pair shares a term at all
+    assert(Dedup.tfidfCosinePairs(docs, "doc_id", "text",
+      dfCap = 1, threshold = 0.0).count() === 0)
+  }
 }

@@ -184,4 +184,27 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("rank").select("neighbor_id").as[Long].collect()
     assert(r.toSeq === Seq(10L, 11L, 12L))
   }
+
+  test("pqAdcTopK: codebook self-query ranks itself first with zero distance") {
+    // 20 vectors of dim 8, 2 subspaces x 4 dims, 4 codes; vector 0 is both
+    // a codebook entry and a query, so its own code distance is exactly 0
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+      nSub = 2, subDim = 4, nCodes = 4, queryMaxId = 1, k = 5)
+    val rows = r.select("query_id", "vec_id", "adc_u", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(rows.length === 5)
+    assert(rows.head === ((0L, 0L, 0L, 1)), s"self not first: ${rows.head}")
+    // ADC scores are non-decreasing with rank and non-negative
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    assert(rows.forall(_._3 >= 0L))
+    // partition-invariant (integer arithmetic end to end)
+    val again = Similarity.pqAdcTopK(vecs.repartition(7), "vec_id",
+        "embedding", nSub = 2, subDim = 4, nCodes = 4, queryMaxId = 1, k = 5)
+      .select("query_id", "vec_id", "adc_u", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(again.toSeq === rows.toSeq)
+  }
 }
