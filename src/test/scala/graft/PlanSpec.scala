@@ -184,4 +184,36 @@ class PlanSpec extends AnyFunSuite {
         l.contains("cell")),
       s"pair generation is not an equi-join on the cell id:\n$p")
   }
+
+  test("tfidf cosine candidates come from the postings equi-join, never all-pairs (tx17)") {
+    val p = plan("tx17_tfidf_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"postings join degraded to all-pairs:\n$p")
+  }
+
+  test("PQ ADC scoring broadcasts the lookup tables, no pairwise vector join (ss9)") {
+    val p = plan("ss9_pq_adc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC must stay an equi-join on (subspace, code):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/query tables should broadcast:\n$p")
+  }
+
+  test("pagerank stays equi-join only; rank vector broadcasts into edges (g1)") {
+    val p = plan("g1_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank contribution join degraded:\n$p")
+  }
+
+  test("triangle counting is two equi-joins on node ids (g2)") {
+    val p = plan("g2_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"motif join degraded to all-pairs:\n$p")
+  }
+
+  test("stride chunking is a pure narrow fan-out: zero shuffles (pk2)") {
+    val p = plan("pk2_stride_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+  }
 }
