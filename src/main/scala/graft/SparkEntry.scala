@@ -1412,6 +1412,44 @@ object SparkEntry {
           fround(col("mad"), 6).as("mad"), col("n"),
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
     }),
+    "ss10_ann_recall" -> ((s, dir) => {
+      // offline ANN index evaluation: recall@k of the LSH path against the
+      // exact baseline, per query — the measurement loop a production
+      // index ships with (run on a sampled query set at scale)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20)
+      val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(q, c, "vec_id", "embedding",
+          k = 3, planes = 4)
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      exact.join(approx,
+          exact("query_id") === approx("a_qid") &&
+            exact("neighbor_id") === approx("a_nid"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(when(col("a_qid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("query_id"), col("k_exact"), col("n_hit"),
+          fround(col("n_hit").cast("double") / col("k_exact"), 4).as("recall"))
+    }),
+    "tx18_char_entropy" -> ((s, dir) => {
+      // character-unigram Shannon entropy — the classic low-entropy
+      // (repetitive / binary-junk) quality gate; each -p*ln(p) term is
+      // quantized to integer nano-nats before the sum, so the aggregate is
+      // order-free and engine-exact
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n")
+      counts
+        .join(counts.groupBy("doc_id").agg(sum("c").as("n")), "doc_id")
+        .withColumn("term_u", floor(-p * log(p) * 1e9).cast("long"))
+        .groupBy("doc_id")
+        .agg(fround(sum(col("term_u")).cast("double") / 1e9, 6).as("entropy"),
+          countDistinct(col("ch")).as("n_distinct_chars"))
+    }),
     "tx17_tfidf_cosine" -> ((s, dir) =>
       // sparse TF-IDF cosine via the inverted-index (postings) join with a
       // document-frequency cap — the sparse-vector similarity engine: only
@@ -2805,6 +2843,52 @@ object SparkEntry {
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "ss10_ann_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20)
+        |WHERE rank <= 3),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rank
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id < 20 AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id)
+        |WHERE rank <= 3)
+        |SELECT ex.query_id, count(*)::BIGINT AS k_exact,
+        |sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |  AS n_hit,
+        |floor(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |  / count(*) * 10000.0) / 10000.0 AS recall
+        |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+        |AND ap.neighbor_id = ex.neighbor_id
+        |GROUP BY 1""".stripMargin,
+    "tx18_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, i::INT, 1) AS ch
+        |FROM (SELECT doc_id, text,
+        |unnest(range(1, strlen(text) + 1)) AS i FROM documents)),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+        |terms AS (SELECT cnt.doc_id,
+        |floor(-(c::DOUBLE / n) * ln(c::DOUBLE / n) * 1000000000.0)::BIGINT
+        |  AS term_u, ch
+        |FROM cnt JOIN tot USING (doc_id))
+        |SELECT doc_id,
+        |floor(sum(term_u)::DOUBLE / 1000000000.0 * 1000000.0) / 1000000.0
+        |  AS entropy,
+        |count(DISTINCT ch) AS n_distinct_chars
+        |FROM terms GROUP BY doc_id""".stripMargin,
     "tx17_tfidf_cosine" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
