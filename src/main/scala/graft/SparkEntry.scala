@@ -1312,6 +1312,13 @@ object SparkEntry {
           octet_length(col("payload")).cast("long").as("n_bytes"),
           upper(hex(col("payload"))).as("payload_hex"))
     }),
+    "mm6_frame_energy" -> ((s, dir) =>
+      // audio-feature shape: overlapping 32-byte frames (hop 16), integer
+      // energy + peak per frame through the typed flatMap — exact on any
+      // partitioning, fully reproduced by the oracle from the hex payload
+      Multimodal.frameEnergy(
+        Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+        window = 32, stride = 16).toDF()),
     "mm2_media_features" -> ((s, dir) => {
       // decode-path oracle: media_id/media_type/n_bytes/checksum are computed
       // INSIDE the mapPartitions decode pass (not mm1's SQL path), plus an
@@ -1412,6 +1419,81 @@ object SparkEntry {
           fround(col("mad"), 6).as("mad"), col("n"),
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
     }),
+    "dd19_containment" -> ((s, dir) =>
+      // asymmetric containment: short-doc-inside-long-doc duplication that
+      // Jaccard under-scores; directed pairs from the same shingle
+      // postings join as dd2, exact integer count ratio
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)),
+    "q59_id_gaps" -> ((s, dir) => {
+      // sequence-completeness audit: missing event_id runs in the 'click'
+      // subset. Scale-correct two-level shape: per-block windows (block =
+      // id div 1024) find interior gaps in parallel; block summaries (one
+      // row per block) stitch the boundaries — no global single-task sort
+      val ids = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), expr("event_id div 1024").as("blk"))
+      val wIn = Window.partitionBy("blk").orderBy("event_id")
+      val interior = ids
+        .withColumn("next_id", lead(col("event_id"), 1).over(wIn))
+        .filter(col("next_id") - col("event_id") > 1)
+        .select(col("event_id").as("gap_after"),
+          (col("next_id") - col("event_id") - 1).as("n_missing"))
+      val wBlk = Window.orderBy("blk") // one row per block: tiny
+      val boundary = ids.groupBy("blk")
+        .agg(min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .withColumn("next_first", lead(col("first_id"), 1).over(wBlk))
+        .filter(col("next_first") - col("last_id") > 1)
+        .select(col("last_id").as("gap_after"),
+          (col("next_first") - col("last_id") - 1).as("n_missing"))
+      interior.unionByName(boundary)
+    }),
+    "s12_schema_evolution" -> ((s, dir) => {
+      // additive schema evolution: generation-1 parquet lacks a column that
+      // generation-2 adds; mergeSchema unifies, old files surface NULL —
+      // the long-lived-archive contract (new columns never rewrite history)
+      val out = java.nio.file.Files.createTempDirectory("graft-evo")
+      val v1 = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val v2 = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 50)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      v1.write.parquet(s"$out/g1")
+      v2.write.parquet(s"$out/g2")
+      out.toFile.deleteOnExit() // reverse registration: dir deleted last
+      Seq("g1", "g2").foreach { g =>
+        val d = new java.io.File(s"$out/$g")
+        d.deleteOnExit()
+        d.listFiles().foreach(_.deleteOnExit())
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+    "d5_snapshot_diff" -> ((s, dir) => {
+      // post-archival audit: classify every PK as removed / changed
+      // between the live table and a simulated post-run state (every 7th
+      // row deleted, every 11th price doubled) — one full outer join on
+      // the PK, column-wise null-safe compare, no rendered row hashes
+      val before = t(s, dir, "orders")
+      val after = before.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.operators.TableDiff.diff(before, after, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+    "q58_equidepth_hist" -> ((s, dir) =>
+      // equi-depth (quantile) histogram: ntile splits each priority's
+      // price distribution into 4 equal-count buckets; per-bucket bounds
+      // + counts are the optimizer-statistics shape (complements q42's
+      // equi-width bins)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"),
+          fround(min(col("o_totalprice")), 2).as("lo"),
+          fround(max(col("o_totalprice")), 2).as("hi"))),
     "ss10_ann_recall" -> ((s, dir) => {
       // offline ANN index evaluation: recall@k of the LSH path against the
       // exact baseline, per query — the measurement loop a production
@@ -2738,6 +2820,20 @@ object SparkEntry {
         |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum,
         |true AS feat_ok
         |FROM documents""".stripMargin,
+    "mm6_frame_energy" ->
+      """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+        |octet_length(encode(text)) AS n FROM documents),
+        |fr AS (SELECT media_id, ph, n,
+        |unnest(range(0, greatest((n - 32 + 15) // 16 + 1, 1))) AS f FROM m),
+        |byt AS (SELECT media_id, f,
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 1)::INT, 1)) * 16 +
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
+        |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n)
+        |SELECT media_id, f::INT AS frame_idx, count(*)::INT AS n_bytes,
+        |sum(b * b)::BIGINT AS energy, max(b)::INT AS peak
+        |FROM byt GROUP BY 1, 2""".stripMargin,
     "g1_pagerank" -> {
       // unrolled fixed-point iterations (aggregates are not allowed in a
       // recursive CTE term); integer micro-unit arithmetic matches
@@ -2843,6 +2939,53 @@ object SparkEntry {
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "dd19_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |count(*) AS inter FROM sh a
+         |JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |floor(inter::DOUBLE / sz * 10000.0) / 10000.0 AS containment
+         |FROM inter JOIN sizes ON sizes.doc_id = doc_a
+         |WHERE inter::DOUBLE / sz >= 0.6""".stripMargin,
+    "q59_id_gaps" ->
+      """WITH ids AS (SELECT event_id FROM events WHERE event_type = 'click'),
+        |g AS (SELECT event_id,
+        |lead(event_id) OVER (ORDER BY event_id) AS next_id FROM ids)
+        |SELECT event_id AS gap_after, (next_id - event_id - 1) AS n_missing
+        |FROM g WHERE next_id - event_id > 1""".stripMargin,
+    "s12_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 100 = 50""".stripMargin,
+    "d5_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |a AS (SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+        |ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |CASE WHEN a.o_orderkey IS NULL THEN 'removed'
+        |WHEN b.o_orderkey IS NULL THEN 'added'
+        |ELSE 'changed' END AS diff_status
+        |FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    "q58_equidepth_hist" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |ntile(4) OVER (PARTITION BY o_orderpriority
+        |ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
+        |SELECT o_orderpriority, bucket::INT AS bucket, count(*)::BIGINT AS n,
+        |floor(min(o_totalprice) * 100.0) / 100.0 AS lo,
+        |floor(max(o_totalprice) * 100.0) / 100.0 AS hi
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "ss10_ann_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex AS (SELECT query_id, neighbor_id FROM (

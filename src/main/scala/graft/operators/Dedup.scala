@@ -584,6 +584,43 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Asymmetric n-gram containment pairs: containment(A in B) =
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches quoting/subset
+    * duplication that symmetric Jaccard under-scores (a short document
+    * fully embedded in a long one has low Jaccard but containment 1.0).
+    * Output is DIRECTED: (doc_a, doc_b, containment) with doc_a the
+    * contained side; both directions of a pair can appear.
+    *
+    * Same postings-equi-join scale shape as [[ngramJaccardPairs]],
+    * including the hot-shingle df cap; containment divides exact integer
+    * counts, so the score is engine-identical.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val shAll = shingleSet(docs, idCol, textCol, n)
+    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+      else {
+        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh")
+        shAll.join(rare, "sh").select("doc_id", "sh")
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .withColumn("c", col("inter").cast("double") / col("sz_a"))
+      .filter(col("c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.NumericFunctions.fround(col("c"), 4).as("containment"))
+  }
+
   /** Sparse TF-IDF cosine similarity between documents via an inverted
     * index — the term-postings join every sparse-vector engine runs:
     * postings are (term, doc, weight) rows, candidate pairs come from an

@@ -155,4 +155,38 @@ object Multimodal {
       col("media_id"), col("media_type"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
+
+  final case class FrameEnergy(
+      media_id: Long, frame_idx: Int, n_bytes: Int, energy: Long, peak: Int)
+
+  /** Audio-style windowed energy features: overlapping payload frames
+    * (`window` bytes, hop `stride`), per-frame energy = sum of squared
+    * unsigned bytes, peak = max byte — the RMS/onset-detection shape over
+    * a PCM decode, computed here over raw payload bytes (FakeCodec-level
+    * stand-in; a real decoder slots in front without changing the shape).
+    * INTEGER arithmetic throughout — exact on any engine/partitioning.
+    * One narrow flatMap; frames per row = ceil((n - window)/stride) + 1,
+    * every byte covered, the final frame truncated. */
+  def frameEnergy(
+      media: Dataset[MediaRow], window: Int, stride: Int): Dataset[FrameEnergy] = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length
+      val frames = math.max((n - window + stride - 1) / stride + 1, 1)
+      (0 until frames).map { f =>
+        val start = f * stride
+        val end = math.min(start + window, n)
+        var e = 0L; var p = 0; var i = start
+        while (i < end) {
+          val b = r.payload(i) & 0xff
+          e += b.toLong * b
+          if (b > p) p = b
+          i += 1
+        }
+        FrameEnergy(r.media_id, f, end - start, e, p)
+      }
+    }
+  }
 }

@@ -94,4 +94,31 @@ class MultimodalSpec extends AnyFunSuite {
     // 8-bit signature domain
     assert(h.values.forall(s => s >= 0 && s < 256))
   }
+
+  test("frame energy: hand-computed frames, truncated tail, overlap") {
+    import spark.implicits._
+    // 6 bytes [1,2,3,4,5,6], window 4, stride 2 -> frames at 0 and 2:
+    // f0 = 1+4+9+16 = 30, f1 = 9+16+25+36 = 86 (covers to the end)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", Array[Byte](1, 2, 3, 4, 5, 6), 0, 0, 16000)))
+    val got = Multimodal.frameEnergy(ds, window = 4, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(f => (f.frame_idx, f.n_bytes, f.energy, f.peak)).toSeq ===
+      Seq((0, 4, 30L, 4), (1, 4, 86L, 6)))
+    // unsigned byte semantics: -1 is 255, energy 255^2
+    val neg = spark.createDataset(Seq(
+      Multimodal.MediaRow(2L, "audio", Array[Byte](-1), 0, 0, 0)))
+    val g2 = Multimodal.frameEnergy(neg, 4, 2).collect()
+    assert(g2.map(f => (f.n_bytes, f.energy, f.peak)).toSeq ===
+      Seq((1, 65025L, 255)))
+    // empty payload still yields its single empty frame
+    val empty = spark.createDataset(Seq(
+      Multimodal.MediaRow(3L, "audio", Array.empty[Byte], 0, 0, 0)))
+    assert(Multimodal.frameEnergy(empty, 4, 2).collect()
+      .map(f => (f.frame_idx, f.n_bytes, f.energy, f.peak)).toSeq ===
+      Seq((0, 0, 0L, 0)))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.frameEnergy(ds, window = 2, stride = 4)
+    }
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed and drops unchanged keys") {
+    val before = Seq(
+      (1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"), (4L, 40.0, "D")
+    ).toDF("pk", "price", "status")
+    val after = Seq(
+      (1L, 10.0, "A"),   // unchanged
+      (2L, 25.0, "B"),   // price changed
+      (4L, 40.0, "E"),   // status changed
+      (5L, 50.0, "F")    // added
+    ).toDF("pk", "price", "status")
+    val got = TableDiff.diff(before, after, "pk", Seq("price", "status"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  test("diff treats nulls with null-safe equality") {
+    val before = Seq((1L, Some(1.0)), (2L, None: Option[Double]))
+      .toDF("pk", "v")
+    val sameNull = Seq((1L, Some(1.0)), (2L, None: Option[Double]))
+      .toDF("pk", "v")
+    assert(TableDiff.diff(before, sameNull, "pk", Seq("v")).count() === 0,
+      "null == null under null-safe compare")
+    val nullToValue = Seq((1L, Some(1.0)), (2L, Some(2.0))).toDF("pk", "v")
+    val got = TableDiff.diff(before, nullToValue, "pk", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed"))
+    assertThrows[IllegalArgumentException] {
+      TableDiff.diff(before, sameNull, "pk", Nil)
+    }
+  }
+
+  test("identical snapshots produce an empty diff on any partitioning") {
+    val t0 = (1L to 1000L).map(i => (i, i * 1.5, s"s${i % 7}"))
+      .toDF("pk", "v", "s")
+    assert(TableDiff.diff(t0, t0.repartition(13), "pk", Seq("v", "s"))
+      .count() === 0)
+  }
+}
