@@ -1419,6 +1419,36 @@ object SparkEntry {
           fround(col("mad"), 6).as("mad"), col("n"),
           coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
     }),
+    "q60_star_join" -> ((s, dir) => {
+      // TPC-H Q5 shape: local-supplier revenue per nation inside one
+      // region and one order year — the canonical star join. Dims
+      // broadcast; only the fact-side keys drive shuffles. Revenue is
+      // summed in integer cents (floored per row), so the aggregate is
+      // order-free and engine-exact
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("cents", floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100.0).cast("long"))
+        .groupBy(col("n_name").as("nation_name"))
+        .agg(fround(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     "dd19_containment" -> ((s, dir) =>
       // asymmetric containment: short-doc-inside-long-doc duplication that
       // Jaccard under-scores; directed pairs from the same shingle
@@ -2939,6 +2969,19 @@ object SparkEntry {
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q60_star_join" ->
+      """SELECT n_name AS nation_name,
+        |floor(sum(floor(l_extendedprice * (1 - l_discount) * 100.0)::BIGINT)::DOUBLE
+        |  / 100.0 * 100.0) / 100.0 AS revenue,
+        |count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+        |AND o_orderdate < '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "dd19_containment" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh

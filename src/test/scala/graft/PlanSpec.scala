@@ -216,4 +216,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking must not shuffle:\n$p")
   }
+
+  test("star join broadcasts every dimension; facts drive the shuffles (q60)") {
+    val p = plan("q60_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the date filter must reach the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"order-date filter not pushed:\n$p")
+  }
+
+  test("snapshot diff is one full-outer PK join, pruned to audited columns (d5)") {
+    val p = plan("d5_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected full outer join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_orderdate") &&
+      !readSchema.contains("o_orderpriority"),
+      s"diff must prune to pk+compare columns: $readSchema")
+  }
+
+  test("frame energy is a narrow typed fan-out: zero shuffles (mm6)") {
+    val p = plan("mm6_frame_energy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame extraction must not shuffle:\n$p")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.TestSpark
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite {
@@ -66,5 +67,31 @@ class GraphSpec extends AnyFunSuite {
     val again = Graph.triangleCounts(messy, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(again === counts)
+  }
+
+  test("property: triangle counts equal brute-force enumeration on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(3, 9)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges) { edges =>
+      val canon = edges.map { case (a, b) => (a min b, a max b) }.toSet
+      val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val brute = nodes.map { v =>
+        v -> (for {
+          x <- nodes; y <- nodes; z <- nodes
+          if x < y && y < z && Seq(x, y, z).contains(v)
+          if canon((x, y)) && canon((y, z)) && canon((x, z))
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      got == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
   }
 }
