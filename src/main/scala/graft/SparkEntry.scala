@@ -1563,11 +1563,13 @@ object SparkEntry {
           countDistinct(col("ch")).as("n_distinct_chars"))
     }),
     "tx17_tfidf_cosine" -> ((s, dir) =>
-      // sparse TF-IDF cosine via the inverted-index (postings) join with a
-      // document-frequency cap — the sparse-vector similarity engine: only
-      // docs sharing a sub-cap term are ever compared
+      // sparse TF-IDF cosine via the inverted-index (postings) join: only
+      // docs sharing a sub-cap term are ever compared. Bigram terms (the
+      // fixture's unigram vocab is 31 words, df ~ N — no sparsity) and a
+      // FRACTIONAL df cap (2% of the corpus) keep the same semantics and
+      // the same bounded join fan-out at every scale factor
       Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
-        dfCap = 100, threshold = 0.3)),
+        dfCapShare = 0.02, threshold = 0.5, ngramSize = 2)),
     "ss9_pq_adc" -> ((s, dir) =>
       // product-quantization ADC: vectors stored as 8 integer codes, query
       // scoring via broadcast lookup tables — integer-exact end to end
@@ -3076,13 +3078,18 @@ object SparkEntry {
         |count(DISTINCT ch) AS n_distinct_chars
         |FROM terms GROUP BY doc_id""".stripMargin,
     "tx17_tfidf_cosine" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
          |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |cap AS (SELECT greatest(floor(n * 0.02), 1)::BIGINT AS c FROM nn),
          |w AS (SELECT doc_id, term,
          |floor(tf * ln(nn.n / df) * 1000.0)::BIGINT AS wm
-         |FROM tf JOIN dfr USING (term) CROSS JOIN nn WHERE df <= 100),
+         |FROM tf JOIN dfr USING (term) CROSS JOIN nn CROSS JOIN cap
+         |WHERE df <= cap.c),
          |nrm AS (SELECT doc_id, sum(wm * wm)::BIGINT AS n2 FROM w GROUP BY 1),
          |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |sum(a.wm * b.wm)::BIGINT AS d
@@ -3093,7 +3100,7 @@ object SparkEntry {
          |FROM dt JOIN nrm na ON na.doc_id = doc_a
          |JOIN nrm nb ON nb.doc_id = doc_b)
          |SELECT doc_a, doc_b, floor(c * 1000000.0) / 1000000.0 AS cosine
-         |FROM c WHERE c >= 0.3""".stripMargin,
+         |FROM c WHERE c >= 0.5""".stripMargin,
     "ss9_pq_adc" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS (SELECT vec_id AS code, v AS cv FROM v WHERE vec_id < 16),

@@ -625,12 +625,15 @@ object Dedup {
     * index — the term-postings join every sparse-vector engine runs:
     * postings are (term, doc, weight) rows, candidate pairs come from an
     * equi-join on the term, and only documents sharing a term are ever
-    * compared. The document-frequency cap (`dfCap`) drops corpus-wide
-    * stop terms BEFORE the join, which is the scale guarantee: a term
-    * shared by df documents contributes df^2 join rows, so bounding df
-    * bounds the worst-case candidate blow-up exactly like dd2b's shingle
-    * cap (cosine is then defined over the capped vocabulary — standard
-    * stop-word semantics, applied to weights and norms alike).
+    * compared. Terms are `ngramSize`-token shingles (use > 1 when the
+    * unigram vocabulary is too small/dense to discriminate). The
+    * FRACTIONAL document-frequency cap (`dfCapShare` of the corpus)
+    * drops corpus-wide stop terms BEFORE the join, which is the scale
+    * guarantee: a term shared by df documents contributes df^2 join rows,
+    * so bounding df at share*N bounds the worst-case candidate blow-up
+    * exactly like dd2b's shingle cap, and the cap keeps its meaning as
+    * the corpus grows (cosine is then defined over the capped vocabulary
+    * — standard stop-term semantics, applied to weights and norms alike).
     *
     * Determinism contract: weights are quantized to integer milli-units
     * after the idf product, so dots and norms are exact BIGINT sums
@@ -639,13 +642,23 @@ object Dedup {
     */
   def tfidfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      dfCap: Long, threshold: Double): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+      dfCapShare: Double, threshold: Double,
+      ngramSize: Int = 1): DataFrame = {
+    require(dfCapShare > 0.0 && dfCapShare <= 1.0, "dfCapShare in (0, 1]")
+    require(ngramSize >= 1, "ngramSize >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val tok =
+      if (ngramSize == 1) toks.select(col("doc_id"),
+        explode(col("toks")).as("term"))
+      else toks.select(col("doc_id"),
+        explode(shinglesOfTokens(col("toks"), ngramSize, distinct = false))
+          .as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count()
+    val dfCap = math.max(1L, (dfCapShare * n).toLong)
     val w = tf.join(dfr, "term").filter(col("df") <= dfCap)
       .select(col("doc_id"), col("term"),
         floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000.0)

