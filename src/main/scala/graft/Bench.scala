@@ -54,7 +54,10 @@ object Bench {
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val (skewPlain, skewSplit) = skewDemo(spark, runs)
+    // single run: this is a macro A/B demo over generated in-memory data
+    // (no cold-IO to amortize), and two runs of the deliberately-slow
+    // plain side cost more wall-clock than the comparison is worth
+    val (skewPlain, skewSplit) = skewDemo(spark, runs = 1)
     // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
     // 31.416 as "31,416" and break the harness's JSON parse
     def fmt(v: Double): String =
