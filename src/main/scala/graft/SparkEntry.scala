@@ -792,6 +792,15 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "st5_stream_static_join" -> ((s, dir) => {
+      // stream-static enrichment: the event stream probes a broadcast
+      // user-tier dimension per micro-batch (no join state, no second
+      // watermark) — run as a REAL streaming query into a memory sink
+      val qn = "graft_st5_" + math.abs(dir.hashCode).toString
+      val q = EventsStreaming.tierAggStream(s, s"$dir/events.parquet", qn)
+      q.awaitTermination()
+      s.table(qn)
+    }),
     "st4_stateful_user_agg" -> ((s, dir) => {
       // Spark 4 transformWithState: RocksDB-backed ValueState per user,
       // integer-cent arithmetic so the streaming state equals the batch
@@ -2074,6 +2083,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st5_stream_static_join" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nu
+        |FROM per),
+        |dim AS (SELECT user_id, CASE WHEN n * nu >= tot THEN 'heavy'
+        |ELSE 'light' END AS user_tier FROM per, tot)
+        |SELECT date_trunc('hour', e.ts) AS win_start, d.user_tier,
+        |count(*) AS n_events
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "st4_stateful_user_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |sum(floor(value * 100.0)::BIGINT)::BIGINT AS value_cents

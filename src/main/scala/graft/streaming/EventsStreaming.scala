@@ -162,6 +162,50 @@ object EventsStreaming {
       .select("click_id", "user_id", "click_ts", "error_id", "error_ts")
   }
 
+  /** Static user-tier dimension: split at the corpus mean events-per-user.
+    * The compare cross-multiplies integers (n * n_users >= total) — no
+    * division, exact on any engine, and the split stays meaningful at any
+    * scale factor. */
+  def userTierDim(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("tot"), count(lit(1)).as("nu"))
+    per.crossJoin(broadcast(tot))
+      .select(col("user_id"),
+        when(col("n") * col("nu") >= col("tot"), lit("heavy"))
+          .otherwise(lit("light")).as("user_tier"))
+  }
+
+  /** Shared stream-static enrichment aggregation: events joined to the
+    * (small, broadcast) dimension, then windowed counts per tier. */
+  def tierAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("user_tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("user_tier"),
+        col("n_events"))
+
+  /** Stream-static join — the canonical enrichment pattern: each
+    * micro-batch probes the broadcast static dimension snapshot; no second
+    * watermark and no join state to expire (dims update by swapping the
+    * static side between restarts). Complete-mode memory sink for test
+    * observation; production appends with the watermark. */
+  def tierAggStream(
+      spark: SparkSession, parquetPath: String,
+      queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(parquetPath).schema
+    val (dir, glob) = splitDirGlob(parquetPath)
+    val static = graft.Tables.normalizeNanos(
+      spark.read.schema(schema).parquet(parquetPath))
+    val dim = userTierDim(static)
+    val stream = graft.Tables.normalizeNanos(
+      spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        .parquet(dir))
+    tierAgg(stream.withWatermark("ts", "1 hour"), dim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Watermarked append-mode variant (drops late data; state bounded by the
     * watermark) — the production shape for continuous ingest. */
   def hourlyStreamAppend(

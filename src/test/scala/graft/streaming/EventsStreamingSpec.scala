@@ -82,4 +82,21 @@ class EventsStreamingSpec extends AnyFunSuite {
       .filter(col("s.n_events") =!= col("b.n_events"))
     assert(mismatched.count() === 0)
   }
+
+  test("stream-static enrichment join equals the batch join, tiers are exact") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val batch = EventsStreaming.tierAgg(ev, EventsStreaming.userTierDim(ev))
+    val q = EventsStreaming.tierAggStream(
+      spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_tier")
+    q.awaitTermination()
+    val stream = spark.table("st_spec_tier")
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(stream).count() === 0,
+      "stream-static join must equal the batch join row-for-row")
+    // the dim itself: mean split is exhaustive and two-valued
+    val dim = EventsStreaming.userTierDim(ev)
+    assert(dim.count() === ev.select("user_id").distinct().count())
+    assert(dim.select("user_tier").distinct().count() <= 2)
+  }
 }
