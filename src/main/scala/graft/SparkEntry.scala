@@ -1458,6 +1458,23 @@ object SparkEntry {
         .agg(fround(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    "dd20_lsh_tuning" -> ((s, dir) => {
+      // LSH index calibration sweep: candidate-pair volume per (bands,
+      // rows-per-band) configuration of the SAME 16 minhashes, plus the
+      // theoretical 50%-collision threshold s* = (1/b)^(1/r). The
+      // signature pass is computed once (plan-keyed cache) and re-banded
+      // three ways — how an index parameter study actually runs at scale
+      val docs = t(s, dir, "documents")
+      Seq(2, 4, 8).map { r =>
+        val b = 16 / r
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+            shingleN = 2, numHashes = 16, rowsPerBand = r)
+          .agg(count(lit(1)).as("n_candidate_pairs"))
+          .select(lit(r).as("rows_per_band"), lit(b).as("n_bands"),
+            col("n_candidate_pairs"),
+            fround(pow(lit(1.0) / b, lit(1.0) / r), 4).as("s_star"))
+      }.reduce(_ unionByName _)
+    }),
     "dd19_containment" -> ((s, dir) =>
       // asymmetric containment: short-doc-inside-long-doc duplication that
       // Jaccard under-scores; directed pairs from the same shingle
@@ -3003,6 +3020,31 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
         |AND o_orderdate < '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "dd20_lsh_tuning" -> {
+      val head =
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+           |FROM (SELECT doc_id, t,
+           |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+           |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+           |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2)""".stripMargin
+      val cfgs = Seq(2, 4, 8).map { r =>
+        s"""b$r AS (SELECT doc_id, j // $r AS band,
+           |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+           |c$r AS (SELECT count(*)::BIGINT AS n FROM (
+           |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y FROM b$r a
+           |JOIN b$r b ON a.band = b.band AND a.sig = b.sig
+           |AND a.doc_id < b.doc_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(2, 4, 8).map { r =>
+        val b = 16 / r
+        s"""SELECT $r AS rows_per_band, $b AS n_bands,
+           |(SELECT n FROM c$r) AS n_candidate_pairs,
+           |floor(pow(1.0 / $b, 1.0 / $r) * 10000.0) / 10000.0 AS s_star"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      head + ",\n" + cfgs + "\n" + rows
+    },
     "dd19_containment" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
