@@ -1462,8 +1462,9 @@ object SparkEntry {
       // LSH index calibration sweep: candidate-pair volume per (bands,
       // rows-per-band) configuration of the SAME 16 minhashes, plus the
       // theoretical 50%-collision threshold s* = (1/b)^(1/r). The
-      // signature pass is computed once (plan-keyed cache) and re-banded
-      // three ways — how an index parameter study actually runs at scale
+      // signature pass is computed once (minhashSignatures persists the
+      // pre-banding plan, shared by all three configs) and re-banded —
+      // how an index parameter study actually runs at scale
       val docs = t(s, dir, "documents")
       Seq(2, 4, 8).map { r =>
         val b = 16 / r
@@ -2899,9 +2900,13 @@ object SparkEntry {
         |strpos('123456789abcdef',
         |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
         |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n)
-        |SELECT media_id, f::INT AS frame_idx, count(*)::INT AS n_bytes,
-        |sum(b * b)::BIGINT AS energy, max(b)::INT AS peak
-        |FROM byt GROUP BY 1, 2""".stripMargin,
+        |SELECT fr.media_id, fr.f::INT AS frame_idx,
+        |count(byt.b)::INT AS n_bytes,
+        |coalesce(sum(byt.b * byt.b), 0)::BIGINT AS energy,
+        |coalesce(max(byt.b), 0)::INT AS peak
+        |FROM fr LEFT JOIN byt
+        |ON byt.media_id = fr.media_id AND byt.f = fr.f
+        |GROUP BY 1, 2""".stripMargin,
     "g1_pagerank" -> {
       // unrolled fixed-point iterations (aggregates are not allowed in a
       // recursive CTE term); integer micro-unit arithmetic matches
@@ -3126,7 +3131,7 @@ object SparkEntry {
     "tx18_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substr(text, i::INT, 1) AS ch
         |FROM (SELECT doc_id, text,
-        |unnest(range(1, strlen(text) + 1)) AS i FROM documents)),
+        |unnest(range(1, length(text) + 1)) AS i FROM documents)),
         |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
         |terms AS (SELECT cnt.doc_id,

@@ -167,7 +167,13 @@ object Dedup {
       md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")
     }: _*)
     val mins = (0 until numHashes).map(j => min(col(s"h$j")).as(s"mh$j"))
+    // persist the PRE-banding signatures: the plan is independent of the
+    // band layout, so every consumer re-banding the same (shingles,
+    // numHashes) pass — dd20's r=2/4/8 sweep, dd3/dd9/dd17's candidate
+    // joins — shares one cache entry instead of recomputing the corpus
+    // hash pass per configuration (plan-keyed reuse, see shingle note)
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** (doc_id, band, sig) rows from a shingle set: `numHashes` minhashes

@@ -25,18 +25,25 @@ object TableDiff {
   def diff(before: DataFrame, after: DataFrame, pk: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
-    require(!(pk +: compareCols).contains("diff_status"),
-      "'diff_status' is the output classification column; rename the input")
-    val b = before.select((pk +: compareCols).map(col): _*).as("b")
-    val a = after.select((pk +: compareCols).map(col): _*).as("a")
+    require(!(pk +: compareCols).exists(
+        Set("diff_status", "__b_present", "__a_present")),
+      "diff_status/__b_present/__a_present are reserved; rename the input")
+    // presence MARKERS, not pk-null tests: a row whose pk itself is NULL
+    // never matches in the join (null != null) and would otherwise be
+    // classified by which side's pk happened to be null rather than by
+    // which side the row actually came from
+    val b = before.select((pk +: compareCols).map(col): _*)
+      .withColumn("__b_present", lit(true)).as("b")
+    val a = after.select((pk +: compareCols).map(col): _*)
+      .withColumn("__a_present", lit(true)).as("a")
     val joined = b.join(a, col(s"b.$pk") === col(s"a.$pk"), "full_outer")
     val changed: Column = compareCols
       .map(c => !(col(s"b.$c") <=> col(s"a.$c")))
       .reduce(_ || _)
     joined
       .withColumn("diff_status",
-        when(col(s"a.$pk").isNull, "removed")
-          .when(col(s"b.$pk").isNull, "added")
+        when(col("__a_present").isNull, "removed")
+          .when(col("__b_present").isNull, "added")
           .when(changed, "changed"))
       .filter(col("diff_status").isNotNull)
       .select(coalesce(col(s"b.$pk"), col(s"a.$pk")).as(pk),

@@ -192,16 +192,11 @@ object EventsStreaming {
   def tierAggStream(
       spark: SparkSession, parquetPath: String,
       queryName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema: StructType = spark.read.parquet(parquetPath).schema
-    val (dir, glob) = splitDirGlob(parquetPath)
+    val stream = fileStream(spark, parquetPath)
     val static = graft.Tables.normalizeNanos(
-      spark.read.schema(schema).parquet(parquetPath))
-    val dim = userTierDim(static)
-    val stream = graft.Tables.normalizeNanos(
-      spark.readStream.schema(schema).option("pathGlobFilter", glob)
-        .parquet(dir))
-    tierAgg(stream.withWatermark("ts", "1 hour"), dim)
+      spark.read.schema(spark.read.parquet(parquetPath).schema)
+        .parquet(parquetPath))
+    tierAgg(stream.withWatermark("ts", "1 hour"), userTierDim(static))
       .writeStream.outputMode("complete").format("memory")
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
   }

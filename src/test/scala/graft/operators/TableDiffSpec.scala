@@ -47,4 +47,15 @@ class TableDiffSpec extends AnyFunSuite {
     assert(TableDiff.diff(t0, t0.repartition(13), "pk", Seq("v", "s"))
       .count() === 0)
   }
+
+  test("null primary keys classify by side presence, not by pk nullness") {
+    val before = Seq((Some(1L), 1.0), (None: Option[Long], 9.0)).toDF("pk", "v")
+    val after = Seq((Some(1L), 1.0), (None: Option[Long], 9.0)).toDF("pk", "v")
+    // null pks never join: the before-side null is a removal, the
+    // after-side null an addition — classified by origin, not pk value
+    val got = TableDiff.diff(before, after, "pk", Seq("v"))
+      .groupBy("diff_status").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("removed" -> 1L, "added" -> 1L))
+  }
 }
