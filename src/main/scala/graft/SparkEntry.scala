@@ -1551,6 +1551,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           fround(min(col("o_totalprice")), 2).as("lo"),
           fround(max(col("o_totalprice")), 2).as("hi"))),
+    "ss11_filtered_ann" -> ((s, dir) => {
+      // filtered ANN: the metadata predicate narrows the corpus BEFORE
+      // bucketing (pre-filter, not post-filter: the k survivors are
+      // guaranteed eligible, and bucket joins only touch eligible rows)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20),
+        emb.filter(col("vec_id") >= 20 && col("label") === 1),
+        "vec_id", "embedding", k = 3, planes = 4)
+    }),
     "ss10_ann_recall" -> ((s, dir) => {
       // offline ANN index evaluation: recall@k of the LSH path against the
       // exact baseline, per query — the measurement loop a production
@@ -3097,6 +3107,29 @@ object SparkEntry {
         |floor(min(o_totalprice) * 100.0) / 100.0 AS lo,
         |floor(max(o_totalprice) * 100.0) / 100.0 AS hi
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "ss11_filtered_ann" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id < 20 AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = q.vec_id
+        |JOIN v cv ON cv.vec_id = c.vec_id
+        |WHERE cv.label = 1),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id,
+        |floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "ss10_ann_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex AS (SELECT query_id, neighbor_id FROM (

@@ -241,4 +241,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"frame extraction must not shuffle:\n$p")
   }
+
+  test("SCD2 runs both windows over one user_id exchange (q56)") {
+    val p = plan("q56_scd2")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1,
+      s"change-detection and interval windows must share the user shuffle, saw $shuffles:\n$p")
+  }
+
+  test("id-gap audit shuffles only on the block key — no global sort of ids (q59)") {
+    val p = plan("q59_id_gaps")
+    // interior pass partitions by blk; the boundary pass windows over the
+    // tiny per-block summary (rangepartitioning over ~|blocks| rows is fine)
+    assert(p.contains("hashpartitioning(blk"),
+      s"interior gaps must use per-block windows:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort") && l.contains("event_id ASC") && l.contains("global=true")),
+      s"raw ids must never be globally sorted:\n$p")
+  }
 }

@@ -69,6 +69,32 @@ class GraphSpec extends AnyFunSuite {
     assert(again === counts)
   }
 
+  test("property: rank mass stays within [teleport * n, unit] on random graphs") {
+    val genGraph = for {
+      n <- Gen.choose(2, 8)
+      extra <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+        w <- Gen.choose(1L, 5L)
+      } yield (s"n$a", s"n$b", w))
+      // a ring so every node has an out-edge (no dangling leak in the base)
+      ring = (0 until n).map(i => (s"n$i", s"n${(i + 1) % n}", 1L))
+    } yield ring ++ extra
+    val prop = Prop.forAll(genGraph) { edges =>
+      val ranks = Graph.pageRankInt(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4).as[(String, Long)].collect()
+      val n = ranks.length
+      val teleport = (unit1 * 15 / 100) / n
+      val total = ranks.map(_._2).sum
+      // every node keeps at least the teleport mass; integral floors only
+      // ever LOSE mass, so the total never exceeds the unit and never
+      // drops below the pure-teleport floor
+      ranks.forall(_._2 >= teleport) && total <= unit1 && total >= teleport * n
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: triangle counts equal brute-force enumeration on random graphs") {
     val genEdges = for {
       n <- Gen.choose(3, 9)
