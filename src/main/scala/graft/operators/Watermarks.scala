@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** High-watermark store for INCREMENTAL archival runs.
+  *
+  * The reference re-scans every table each run and relies on the keyset
+  * loop + idempotent upsert to make that cheap-ish
+  * (`/root/reference/osarchiver/source/db.py:242-277`). At 100 TB a full
+  * re-scan per run is the bill that matters: this store records, per
+  * (table, column), the highest value already archived, and the next run
+  * filters `col > watermark` — a predicate Catalyst pushes into the scan,
+  * so incremental cost is proportional to NEW data, with partition/row-
+  * group pruning doing the skipping.
+  *
+  * Storage is a tiny single-partition parquet KV (table_name, col_name,
+  * wm_value as string) rewritten atomically via the same temp+rename swap
+  * the sinks use. Values round-trip as strings with the column's type
+  * recorded, so timestamps/longs/decimals all work; `advance` is
+  * monotone (max of old and new) making re-runs and replays safe.
+  */
+final class Watermarks(spark: SparkSession, path: String) {
+
+  private val schema = "table_name string, col_name string, " +
+    "wm_value string, wm_type string"
+
+  def load(): DataFrame = {
+    val dir = new java.io.File(path)
+    if (dir.exists() && dir.listFiles() != null &&
+      dir.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** Current watermark for (table, column), or None on first run. */
+  def get(table: String, column: String): Option[(String, String)] =
+    load().filter(col("table_name") === table && col("col_name") === column)
+      .select("wm_value", "wm_type").collect()
+      .headOption.map(r => (r.getString(0), r.getString(1)))
+
+  /** The incremental filter: rows strictly beyond the watermark (all rows
+    * on first run). Comparison happens in the COLUMN's type, so pushdown
+    * stays type-correct. */
+  def beyond(df: DataFrame, table: String, column: String): DataFrame =
+    get(table, column) match {
+      case Some((v, t)) => df.filter(col(column) > lit(v).cast(t))
+      case None => df
+    }
+
+  /** Record the max archived value of `column` in `archived`; monotone
+    * merge with any existing watermark. No-op on an empty batch (the
+    * watermark must never regress or go null). */
+  def advance(table: String, column: String, archived: DataFrame): Unit = {
+    val typ = archived.schema(column).dataType.simpleString
+    val head = archived.agg(max(col(column)).cast("string")).collect().head
+    if (!head.isNullAt(0)) {
+      val newVal = head.getString(0)
+      val merged = load()
+        .filter(!(col("table_name") === table && col("col_name") === column))
+        .unionByName(
+          get(table, column) match {
+            case Some((old, _)) =>
+              // compare in the column's type, not lexicographically
+              val winner = spark.range(1).select(
+                when(lit(newVal).cast(typ) > lit(old).cast(typ), lit(newVal))
+                  .otherwise(lit(old)).as("w")).collect().head.getString(0)
+              kvRow(table, column, winner, typ)
+            case None => kvRow(table, column, newVal, typ)
+          })
+      writeSwap(merged)
+    }
+  }
+
+  private def kvRow(t: String, c: String, v: String, typ: String): DataFrame =
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(t, c, v, typ)),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  /** Crash-safe swap: write to a temp dir, rename over the old store
+    * (the ParquetUpsertSink pattern). */
+  private def writeSwap(df: DataFrame): Unit = {
+    val tmp = path + ".tmp"
+    val bak = path + ".bak"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(path)
+    val fBak = new java.io.File(bak)
+    if (fBak.exists()) deleteRec(fBak)
+    if (fs.exists() && !fs.renameTo(fBak))
+      throw new java.io.IOException(s"cannot back up watermark store $path")
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      fBak.renameTo(fs) // restore
+      throw new java.io.IOException(s"cannot swap watermark store $path")
+    }
+    deleteRec(fBak)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+    ()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WatermarksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-wm").toString + "/wm"
+
+  test("incremental runs archive only rows beyond the advancing watermark") {
+    val wm = new Watermarks(spark, tmpStore())
+    val batch1 = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "payload")
+    // first run: no watermark, everything passes
+    assert(wm.beyond(batch1, "t", "id").count() === 100)
+    wm.advance("t", "id", batch1)
+    assert(wm.get("t", "id").map(_._1).contains("100"))
+    // second run over old+new data: only the new rows pass
+    val batch2 = (1L to 150L).map(i => (i, s"r$i")).toDF("id", "payload")
+    val inc = wm.beyond(batch2, "t", "id")
+    assert(inc.count() === 50)
+    assert(inc.agg(min("id")).head().getLong(0) === 101L)
+    wm.advance("t", "id", inc)
+    assert(wm.get("t", "id").map(_._1).contains("150"))
+  }
+
+  test("advance is monotone: replays and empty batches never regress it") {
+    val wm = new Watermarks(spark, tmpStore())
+    val full = (1L to 60L).toDF("id")
+    wm.advance("t", "id", full)
+    // replay of an OLD batch must not pull the watermark back
+    wm.advance("t", "id", (1L to 10L).toDF("id"))
+    assert(wm.get("t", "id").map(_._1).contains("60"))
+    // empty batch is a no-op
+    wm.advance("t", "id", full.filter(col("id") > 1000))
+    assert(wm.get("t", "id").map(_._1).contains("60"))
+    // all-null batch is a no-op too
+    wm.advance("t", "id", Seq[Option[Long]](None, None).toDF("id"))
+    assert(wm.get("t", "id").map(_._1).contains("60"))
+  }
+
+  test("timestamp watermarks compare in the column type and filters push down") {
+    val wm = new Watermarks(spark, tmpStore())
+    val ev = Seq("2023-01-01 00:00:00", "2023-06-01 00:00:00",
+        "2023-12-01 00:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    wm.advance("events", "ts", ev.filter(col("ts") < "2023-07-01"))
+    assert(wm.get("events", "ts").map(_._2).contains("timestamp"))
+    val inc = wm.beyond(ev, "events", "ts")
+    assert(inc.count() === 1)
+    // the watermark predicate is a plain comparison (the optimizer even
+    // constant-folds it through a LocalRelation; over a file source it is
+    // a pushable Filter — see the analyzed plan)
+    val plan = wm.beyond(ev, "events", "ts").queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("filter"),
+      s"expected a plain comparison filter:\n$plan")
+    // stores are independent per (table, column)
+    assert(wm.get("events", "other").isEmpty)
+  }
+}
