@@ -108,16 +108,26 @@ object Bench {
     */
   private def skewDemo(spark: SparkSession, runs: Int): (Double, Double) = {
     import org.apache.spark.sql.functions._
-    val big = spark.range(0, 8L * 1000 * 1000).select(
-      when(col("id") % 4 =!= 0, 1L).otherwise(col("id")).as("k"),
+    // fact: one hot key owns 3/4 of 4M rows; cold keys spread over the dim
+    // key space. dim: 1M rows — dimension-sized but above the broadcast
+    // threshold, so the plain join sort-merges and the hot key lands in
+    // ONE reducer. The hot partition is byte-thin (~70MB, below AQE's
+    // 256MB skew-split threshold) but compute-hot: the per-row chained
+    // digest below stands in for real post-join work (tokenize, parse,
+    // feature-extract). That byte-thin/compute-hot blind spot is exactly
+    // what the hybrid split covers; a shuffle-bound demo (cheap per-row
+    // work) would instead be dominated by the split's extra passes.
+    val big = spark.range(0, 4L * 1000 * 1000).select(
+      when(col("id") % 4 =!= 0, 1L).otherwise(col("id") % 1000000).as("k"),
       col("id").as("payload"))
-    val dim = spark.range(0, 8L * 1000 * 1000)
+    val dim = spark.range(0, 1000 * 1000)
       .select(col("id").as("k"), (col("id") * 2).as("dval"))
     // per-row work downstream of the join, evaluated in the join's output
     // partitioning — the skew carrier
     def work(df: org.apache.spark.sql.DataFrame): Unit = {
       df.select(xxhash64(
-          md5(concat_ws(":", col("k"), col("payload"), col("dval")))).as("h"))
+          md5(md5(md5(concat_ws(":", col("k"), col("payload"), col("dval"))))))
+          .as("h"))
         .agg(bit_xor(col("h")), count(lit(1))).collect()
       ()
     }
