@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * and the Verify/Bench mains, which receive their session from outside).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             classOf[GraftExtensions].getName, name),
           builder))
     }
+    // flag-gated COUNT(DISTINCT) -> HLL++ rewrite (off by default; see
+    // graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
+  }
 }
 
 object GraftExtensions {
@@ -62,10 +66,18 @@ object GraftExtensions {
         } else true))
   )
 
-  /** Register on a live session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on a live session: temp functions + the flag-gated
+    * optimizer rule (idempotent). */
+  def register(spark: SparkSession): Unit = {
     injections.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    val already = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite])
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxDistinctRewrite(spark)
+  }
 }
