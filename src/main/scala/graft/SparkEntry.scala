@@ -1392,6 +1392,36 @@ object SparkEntry {
       // chunk-level dedup key
       graft.operators.Packing.strideChunks(t(s, dir, "documents"),
         "doc_id", "text", window = 64, stride = 32)),
+    "q61_rolling_anomaly" -> ((s, dir) => {
+      // time-series anomaly gate: hourly event counts vs a trailing-24h
+      // baseline (RANGE frame over epoch seconds, excluding the current
+      // hour). Mean/variance come from integer frame sums (sum, sum of
+      // squares, n are BIGINT window aggs — order-free), so the z-score
+      // divides exact integers: engine-identical
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("epoch", unix_timestamp(col("hour")))
+      val w = Window.partitionBy("event_type").orderBy("epoch")
+        .rangeBetween(-86400L, -3600L)
+      hourly
+        .withColumn("cnt_sum", sum(col("n")).over(w))
+        .withColumn("cnt_sq", sum(col("n") * col("n")).over(w))
+        .withColumn("cnt_k", count(col("n")).over(w))
+        .filter(col("cnt_k") >= 12) // need a real baseline
+        // var = (k*sumsq - sum^2) / (k*(k-1)); z = (n - mean)/sqrt(var)
+        .withColumn("z",
+          (col("n") * col("cnt_k") - col("cnt_sum")).cast("double") /
+            (col("cnt_k").cast("double") *
+              sqrt(greatest((col("cnt_k") * col("cnt_sq") -
+                col("cnt_sum") * col("cnt_sum")).cast("double") /
+                (col("cnt_k") * (col("cnt_k") - 1)).cast("double"),
+                lit(1e-12)))))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_type"), col("hour"), col("n"),
+          col("cnt_k").as("baseline_hours"), fround(col("z"), 4).as("z"))
+    }),
     "q56_scd2" -> ((s, dir) => {
       // SCD2 dimension build from the event log: per-user event_type
       // timeline, consecutive duplicates collapsed, validity intervals
@@ -2991,6 +3021,23 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx::INT AS chunk_idx,
          |len(c)::BIGINT AS n_tokens,
          |md5(array_to_string(c, ' ')) AS chunk_md5 FROM ch""".stripMargin,
+    "q61_rolling_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+        |event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |we AS (SELECT *, epoch(hour)::BIGINT AS ep FROM hourly),
+        |fr AS (SELECT event_type, hour, n,
+        |sum(n) OVER w AS cnt_sum, sum(n * n) OVER w AS cnt_sq,
+        |count(n) OVER w AS cnt_k
+        |FROM we WINDOW w AS (PARTITION BY event_type ORDER BY ep
+        |RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
+        |z AS (SELECT event_type, hour, n, cnt_k,
+        |(n * cnt_k - cnt_sum)::DOUBLE / (cnt_k::DOUBLE *
+        |sqrt(greatest((cnt_k * cnt_sq - cnt_sum * cnt_sum)::DOUBLE
+        |  / (cnt_k * (cnt_k - 1))::DOUBLE, 1e-12))) AS z
+        |FROM fr WHERE cnt_k >= 12)
+        |SELECT event_type, hour, n, cnt_k AS baseline_hours,
+        |floor(z * 10000.0) / 10000.0 AS z
+        |FROM z WHERE abs(z) > 3.0""".stripMargin,
     "q56_scd2" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
         |FROM events),
