@@ -1488,6 +1488,26 @@ object SparkEntry {
         .agg(fround(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    "dd21_lsh_quality" -> ((s, dir) => {
+      // dedup-index quality measurement: precision/recall of the LSH
+      // candidate set against exact-Jaccard ground truth over the SAME
+      // 2-gram shingle space — the dedup analogue of ss10's recall@k.
+      // Counts divide exactly, so the metrics are engine-identical
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.5).select("doc_a", "doc_b")
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+          fround(col("n_hit").cast("double") /
+            greatest(col("n_candidates"), lit(1L)), 4).as("precision"),
+          fround(col("n_hit").cast("double") /
+            greatest(col("n_truth"), lit(1L)), 4).as("recall"))
+    }),
     "dd20_lsh_tuning" -> ((s, dir) => {
       // LSH index calibration sweep: candidate-pair volume per (bands,
       // rows-per-band) configuration of the SAME 16 minhashes, plus the
@@ -3082,6 +3102,39 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
         |AND o_orderdate < '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "dd21_lsh_quality" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |count(*) AS inter FROM sh a
+         |JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0)
+         |  / 10000.0 >= 0.5),
+         |hit AS (SELECT c.doc_a, c.doc_b FROM cand c
+         |JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |counts AS (SELECT
+         |(SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         |(SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         |(SELECT count(*) FROM hit)::BIGINT AS n_hit)
+         |SELECT n_candidates, n_truth, n_hit,
+         |floor(n_hit::DOUBLE / greatest(n_candidates, 1) * 10000.0)
+         |  / 10000.0 AS precision,
+         |floor(n_hit::DOUBLE / greatest(n_truth, 1) * 10000.0)
+         |  / 10000.0 AS recall
+         |FROM counts""".stripMargin,
     "dd20_lsh_tuning" -> {
       val head =
         s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
