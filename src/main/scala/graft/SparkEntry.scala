@@ -1662,6 +1662,38 @@ object SparkEntry {
       // scoring via broadcast lookup tables — integer-exact end to end
       Similarity.pqAdcTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nSub = 8, subDim = 8, nCodes = 16, queryMaxId = 3, k = 10)),
+    "s13_join_overlap_est" -> ((s, dir) => {
+      // optimizer-statistics shape: estimate the JOIN KEY OVERLAP of two
+      // tables from their KMV bottom-k sketches (q45's hash, sketch
+      // contents engine-exact) next to the exact answer — what a CBO
+      // consults before picking join order/strategy, computed without
+      // ever joining the full tables
+      val k = 64
+      def kmv(df: DataFrame, c: String) = df
+        .select(pmod(col(c) * lit(2654435761L), lit(2147483648L)).as("h"))
+        .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("kmv"))
+      val li = t(s, dir, "lineitem")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      val a = kmv(li, "l_orderkey").select(col("kmv").as("kmv_a"))
+      val b = kmv(bigOrders, "o_orderkey").select(col("kmv").as("kmv_b"))
+      val exact = li.join(bigOrders,
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(countDistinct(col("l_orderkey")).as("exact_overlap"))
+      a.crossJoin(b).crossJoin(exact)
+        .withColumn("kmv_u",
+          slice(sort_array(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+        .withColumn("n_u", size(col("kmv_u")))
+        .withColumn("inter_u", size(array_intersect(col("kmv_u"),
+          array_intersect(col("kmv_a"), col("kmv_b")))))
+        .withColumn("union_est",
+          when(col("n_u") < k, col("n_u").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(2147483648.0) /
+              element_at(col("kmv_u"), k).cast("double")))
+        .select(col("exact_overlap"),
+          fround(col("inter_u").cast("double") / col("n_u") *
+            col("union_est"), 2).as("est_overlap"),
+          col("inter_u"), col("n_u"))
+    }),
     "s11_orc_roundtrip" -> ((s, dir) => {
       // ORC writer + reader fidelity, schema-first read — same contract as
       // the CSV/JSON round-trips; ORC is the third columnar interchange
@@ -3089,6 +3121,31 @@ object SparkEntry {
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "s13_join_overlap_est" ->
+      """WITH ha AS (SELECT DISTINCT (l_orderkey * 2654435761) % 2147483648
+        |  AS h FROM lineitem),
+        |hb AS (SELECT DISTINCT (o_orderkey * 2654435761) % 2147483648 AS h
+        |FROM orders WHERE o_totalprice > 200000),
+        |ka AS (SELECT (list_sort(list(h)))[1:64] AS kmv FROM ha),
+        |kb AS (SELECT (list_sort(list(h)))[1:64] AS kmv FROM hb),
+        |ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS exact_overlap
+        |FROM lineitem WHERE l_orderkey IN
+        |(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)),
+        |m AS (SELECT ka.kmv AS kmv_a, kb.kmv AS kmv_b,
+        |(list_sort(list_distinct(ka.kmv || kb.kmv)))[1:64] AS kmv_u
+        |FROM ka, kb),
+        |st AS (SELECT kmv_u, len(kmv_u) AS n_u,
+        |len(list_filter(kmv_u, x -> list_contains(kmv_a, x)
+        |  AND list_contains(kmv_b, x))) AS inter_u FROM m),
+        |est AS (SELECT n_u, inter_u,
+        |CASE WHEN n_u < 64 THEN n_u::DOUBLE
+        |ELSE 63.0 * 2147483648.0 / kmv_u[64]::DOUBLE END AS union_est
+        |FROM st)
+        |SELECT ex.exact_overlap,
+        |floor(inter_u::DOUBLE / n_u * union_est * 100.0) / 100.0
+        |  AS est_overlap,
+        |inter_u::INT AS inter_u, n_u::INT AS n_u
+        |FROM est, ex""".stripMargin,
     "q60_star_join" ->
       """SELECT n_name AS nation_name,
         |floor(sum(floor(l_extendedprice * (1 - l_discount) * 100.0)::BIGINT)::DOUBLE
