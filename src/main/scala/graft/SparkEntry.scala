@@ -1488,12 +1488,43 @@ object SparkEntry {
         .agg(fround(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    "dd22_simhash_hamming" -> ((s, dir) =>
+      // SimHash near-dup at hamming <= 2 over 32 bits: banded equi-join
+      // candidates (pigeonhole over 4 8-bit bands), exact popcount verify
+      // — no pairwise text comparison. 32 bits keeps the band space
+      // sparse enough that candidate volume stays near-linear
+      Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 2)),
+    "q62_timed_funnel" -> ((s, dir) => {
+      // conversion funnel with a TIME BOUND: click -> purchase within 1h,
+      // counted once per user — the interval-join form of q29's ordered
+      // funnel, with the conversion share of clicking users
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      val conv = clicks.join(buys, col("user_id") === col("b_user") &&
+          col("buy_ts") > col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id").distinct()
+      clicks.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_click_users"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_click_users"), col("n_converted"),
+          fround(col("n_converted").cast("double") /
+            greatest(col("n_click_users"), lit(1L)), 4).as("conversion"))
+    }),
     "dd21_lsh_quality" -> ((s, dir) => {
       // dedup-index quality measurement: precision/recall of the LSH
       // candidate set against exact-Jaccard ground truth over the SAME
       // 2-gram shingle space — the dedup analogue of ss10's recall@k.
-      // Counts divide exactly, so the metrics are engine-identical
-      val docs = t(s, dir, "documents")
+      // Ground truth is computed on a 1-in-5 document SAMPLE: exact
+      // all-pairs truth over a full corpus is exactly the cost LSH
+      // exists to avoid, and sampled evaluation is the standard practice
+      // (the sample is hash-deterministic, so the oracle sees the same
+      // one). Counts divide exactly — metrics are engine-identical
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
       val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 2, numHashes = 16, rowsPerBand = 4)
       val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -3159,8 +3190,45 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
         |AND o_orderdate < '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "dd22_simhash_hamming" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |bits AS (SELECT doc_id, b,
+         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |FROM toks, range(0, 32) rb(b)),
+         |votes AS (SELECT doc_id, b,
+         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |FROM bits GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
+         |  AS simhash
+         |FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, bb,
+         |(simhash >> (bb * 8)::INT) & 255 AS bsig
+         |FROM sig, range(0, 4) rbb(bb)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |a.simhash AS sa, b2.simhash AS sb
+         |FROM banded a JOIN banded b2
+         |ON a.bb = b2.bb AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2""".stripMargin,
+    "q62_timed_funnel" ->
+      """WITH clicks AS (SELECT user_id, ts AS click_ts FROM events
+        |WHERE event_type = 'click'),
+        |buys AS (SELECT user_id, ts AS buy_ts FROM events
+        |WHERE event_type = 'purchase'),
+        |conv AS (SELECT DISTINCT c.user_id FROM clicks c JOIN buys b
+        |ON b.user_id = c.user_id AND b.buy_ts > c.click_ts
+        |AND b.buy_ts <= c.click_ts + INTERVAL 1 HOUR)
+        |SELECT
+        |(SELECT count(DISTINCT user_id) FROM clicks)::BIGINT
+        |  AS n_click_users,
+        |(SELECT count(*) FROM conv)::BIGINT AS n_converted,
+        |floor((SELECT count(*) FROM conv)::DOUBLE /
+        |greatest((SELECT count(DISTINCT user_id) FROM clicks), 1)
+        |  * 10000.0) / 10000.0 AS conversion""".stripMargin,
     "dd21_lsh_quality" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+         |WHERE doc_id % 5 = 0),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
          |FROM (SELECT doc_id, t,
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),

@@ -339,6 +339,39 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs within `maxHamming` bit flips: banded
+    * signature equi-join (pigeonhole: two signatures within d flips share
+    * at least one of bands > d bands), candidates verified with an exact
+    * popcount on the XOR. Completes the SimHash path beyond [[simhash]]'s
+    * exact-signature grouping — same tiny-fixed-width-key equi-join scale
+    * shape as MinHash-LSH, no pairwise text comparison anywhere. */
+  def simhashHammingPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0, "bits must divide into bands")
+    require(maxHamming < bands,
+      "pigeonhole needs maxHamming < bands for full recall")
+    val w = bits / bands
+    val sig = simhash(docs, idCol, textCol, bits)
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("bsig"))
+    }: _*)
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over near-dup candidate pairs: resolves pairwise
     * matches into dedup clusters, labeling every member with the minimum
     * doc id of its component (the canonical survivor).

@@ -319,4 +319,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.tfidfCosinePairs(docs, "doc_id", "text",
       dfCapShare = 0.25, threshold = 0.0).count() === 0)
   }
+
+  test("simhash hamming pairs: twins at distance 0, disjoint docs filtered") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // exact twin
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 2)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.contains((1L, 2L, 0)), s"twins must pair at distance 0: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 2))
+    // partition-invariant (integer signatures)
+    val again = Dedup.simhashHammingPairs(docs.repartition(5), "doc_id",
+        "text", 32, 4, 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(again.toSet === pairs.toSet)
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(docs, "doc_id", "text", 32, 4, maxHamming = 4)
+    }
+  }
 }
