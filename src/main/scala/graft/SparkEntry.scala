@@ -1488,6 +1488,16 @@ object SparkEntry {
         .agg(fround(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    "dd23_incr_chunk_dedup" -> ((s, dir) => {
+      // continuous-ingest chunk dedup: every 10th document plays the new
+      // batch; its 20-word chunks probe the corpus chunk-FINGERPRINT set
+      // (hash equi-join, no text shipped, corpus never self-compares)
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalChunkDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", chunkWords = 20)
+    }),
     "dd22_simhash_hamming" -> ((s, dir) =>
       // SimHash near-dup at hamming <= 2 over 32 bits: banded equi-join
       // candidates (pigeonhole over 4 8-bit bands), exact popcount verify
@@ -3190,6 +3200,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
         |AND o_orderdate < '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "dd23_incr_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk
+         |FROM (SELECT doc_id, t,
+         |unnest(range(0, ((greatest(len(t), 1) - 1) // 20) + 1)) AS i
+         |FROM toks)),
+         |chf AS (SELECT doc_id, chunk_idx, md5(chunk) AS ch FROM ch
+         |WHERE strlen(chunk) > 0),
+         |corp AS (SELECT DISTINCT ch FROM chf WHERE doc_id % 10 <> 0),
+         |b AS (SELECT * FROM chf WHERE doc_id % 10 = 0)
+         |SELECT b.doc_id, count(*)::BIGINT AS n_chunks,
+         |sum(CASE WHEN corp.ch IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |  AS n_dup_vs_corpus,
+         |(count(*) - sum(CASE WHEN corp.ch IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         |  AS n_novel
+         |FROM b LEFT JOIN corp ON corp.ch = b.ch GROUP BY 1""".stripMargin,
     "dd22_simhash_hamming" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,

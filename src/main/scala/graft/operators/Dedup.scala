@@ -339,6 +339,40 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Incremental CHUNK-level dedup: the new batch's chunks are probed
+    * against the corpus's chunk-fingerprint set. The continuous-ingest
+    * form of [[chunkDedup]]: the corpus side contributes only distinct
+    * 128-bit hashes (never text, never a self-compare), so at scale it is
+    * a maintained append-only fingerprint store, not a corpus rescan, and
+    * the probe is one hash equi-join. Output per batch doc:
+    * (doc_id, n_chunks, n_dup_vs_corpus, n_novel). */
+  def incrementalChunkDedup(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords >= 1")
+    def chunkHashes(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            greatest(((size(col("toks")) - 1) / lit(chunkWords)).cast("int"),
+              lit(0))),
+          i => array_join(
+            slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("ch"))
+    val corpusHashes = chunkHashes(corpus).select("ch").distinct()
+      .withColumn("dup", lit(1))
+    chunkHashes(batch)
+      .join(corpusHashes, Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_vs_corpus"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_vs_corpus"),
+        (col("n_chunks") - col("n_dup_vs_corpus")).as("n_novel"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` bit flips: banded
     * signature equi-join (pigeonhole: two signatures within d flips share
     * at least one of bands > d bands), candidates verified with an exact
