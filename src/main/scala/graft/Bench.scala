@@ -97,14 +97,14 @@ object Bench {
     spark.stop()
   }
 
-  /** Skewed-join microbenchmark: one key owns 3/4 of an 8M-row fact side.
-    * The hot input partition (~100MB) sits BELOW AQE's skew-split byte
+  /** Skewed-join microbenchmark: one key owns 3/4 of a 4M-row fact side.
+    * The hot input partition (~70MB) sits BELOW AQE's skew-split byte
     * threshold (256MB), so plain+AQE leaves it whole — yet the per-row
-    * post-join work (an md5, standing in for the per-row cost every real
-    * training-data pipeline pays after an enrichment join) runs serially
-    * in that one reducer. This is precisely the blind spot the hybrid
-    * skew-split join covers: byte-thin but compute-hot keys. Reported as
-    * skew_plain_sec / skew_split_sec alongside the query map.
+    * post-join work (a chained digest, standing in for the per-row cost
+    * every real training-data pipeline pays after an enrichment join)
+    * runs serially in that one reducer. This is precisely the blind spot
+    * the hybrid skew-split join covers: byte-thin but compute-hot keys.
+    * Reported as skew_plain_sec / skew_split_sec alongside the query map.
     */
   private def skewDemo(spark: SparkSession, runs: Int): (Double, Double) = {
     import org.apache.spark.sql.functions._

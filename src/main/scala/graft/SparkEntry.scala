@@ -476,14 +476,24 @@ object SparkEntry {
       // KMV (bottom-k) distinct sketch: the k smallest multiplicative-hash
       // values per group; estimate = (k-1) / h_k normalized. Unlike HLL the
       // summary itself is engine-portable integer arithmetic, so the oracle
-      // matches the sketch CONTENTS bit-for-bit, not just an accuracy gate
+      // matches the sketch CONTENTS bit-for-bit, not just an accuracy gate.
+      // Bottom-k is selected with a rank-limited window over DISTINCT
+      // hashes — bounded per-group state, never a collect_set of every
+      // distinct value into one aggregation buffer
       val k = 16
       val h = pmod(col("o_custkey") * lit(2654435761L), lit(2147483648L))
-      t(s, dir, "orders")
+      val hashed = t(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_custkey"), h.as("h"))
+      val bottomK = hashed.select("o_orderpriority", "h").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority").orderBy("h")))
+        .filter(col("rn") <= k)
         .groupBy("o_orderpriority")
-        .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("kmv"),
-          countDistinct(col("o_custkey")).as("exact_distinct"))
+        .agg(sort_array(collect_list(col("h"))).as("kmv"))
+      bottomK
+        .join(hashed.groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct")),
+          "o_orderpriority")
         .select(col("o_orderpriority"),
           array_join(transform(col("kmv"), x => x.cast("string")), ",")
             .as("kmv_sketch"),
@@ -1710,9 +1720,12 @@ object SparkEntry {
       // consults before picking join order/strategy, computed without
       // ever joining the full tables
       val k = 64
+      // bottom-k via global sort-limit (TakeOrderedAndProject): bounded
+      // memory at any ndv, identical result to sorting the full set
       def kmv(df: DataFrame, c: String) = df
         .select(pmod(col(c) * lit(2654435761L), lit(2147483648L)).as("h"))
-        .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("kmv"))
+        .distinct().orderBy("h").limit(k)
+        .agg(sort_array(collect_list(col("h"))).as("kmv"))
       val li = t(s, dir, "lineitem")
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
       val a = kmv(li, "l_orderkey").select(col("kmv").as("kmv_a"))

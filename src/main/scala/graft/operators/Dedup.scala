@@ -67,11 +67,14 @@ object Dedup {
     *
     * Output: (doc_id, n_chunks, n_kept, dedup_text).
     */
-  def chunkDedup(
+  /** (doc_id, chunk_idx, chunk): consecutive `chunkWords`-word chunks —
+    * ONE definition shared by the in-corpus and incremental forms so
+    * chunk boundaries can never drift between them (their oracles mirror
+    * this expression exactly). */
+  private def chunkRows(
       docs: DataFrame, idCol: String, textCol: String,
-      chunkWords: Int): DataFrame = {
-    require(chunkWords >= 1, "chunkWords >= 1")
-    val chunks = docs.repartition(col(idCol))
+      chunkWords: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), posexplode(transform(
           // (n-1) div chunkWords, clamped at 0: Column./ is double division,
@@ -83,6 +86,13 @@ object Dedup {
             slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
         .as(Seq("chunk_idx", "chunk")))
       .filter(length(col("chunk")) > 0)
+
+  def chunkDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords >= 1")
+    val chunks = chunkRows(docs.repartition(col(idCol)), idCol, textCol,
+        chunkWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(md5(col("chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
@@ -350,16 +360,7 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, chunkWords: Int): DataFrame = {
     require(chunkWords >= 1, "chunkWords >= 1")
-    def chunkHashes(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0),
-            greatest(((size(col("toks")) - 1) / lit(chunkWords)).cast("int"),
-              lit(0))),
-          i => array_join(
-            slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
-        .as(Seq("chunk_idx", "chunk")))
-      .filter(length(col("chunk")) > 0)
+    def chunkHashes(df: DataFrame) = chunkRows(df, idCol, textCol, chunkWords)
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("ch"))
     val corpusHashes = chunkHashes(corpus).select("ch").distinct()
       .withColumn("dup", lit(1))
@@ -402,8 +403,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: candidates failing the popcount
+      // are discarded map-side instead of riding the distinct() exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over near-dup candidate pairs: resolves pairwise

@@ -41,12 +41,19 @@ final class Watermarks(spark: SparkSession, path: String) {
       .select("wm_value", "wm_type").collect()
       .headOption.map(r => (r.getString(0), r.getString(1)))
 
-  /** The incremental filter: rows strictly beyond the watermark (all rows
-    * on first run). Comparison happens in the COLUMN's type, so pushdown
+  /** The incremental filter: rows at or beyond the watermark (all rows on
+    * first run). INCLUSIVE on purpose: rows inserted later with a value
+    * exactly equal to the stored max (same-second inserts under coarse
+    * timestamps) must not be lost, and the idempotent upsert sinks make
+    * re-archiving the boundary rows free. NULL-valued rows always pass —
+    * a watermark cannot order them, so their archivability is decided by
+    * the caller's own predicate (e.g. retention's IS NOT NULL), not by
+    * run order. Comparison happens in the COLUMN's type, so pushdown
     * stays type-correct. */
   def beyond(df: DataFrame, table: String, column: String): DataFrame =
     get(table, column) match {
-      case Some((v, t)) => df.filter(col(column) > lit(v).cast(t))
+      case Some((v, t)) =>
+        df.filter(col(column).isNull || col(column) >= lit(v).cast(t))
       case None => df
     }
 

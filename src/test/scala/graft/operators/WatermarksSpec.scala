@@ -19,11 +19,13 @@ class WatermarksSpec extends AnyFunSuite {
     assert(wm.beyond(batch1, "t", "id").count() === 100)
     wm.advance("t", "id", batch1)
     assert(wm.get("t", "id").map(_._1).contains("100"))
-    // second run over old+new data: only the new rows pass
+    // second run over old+new data: new rows pass, PLUS the boundary row
+    // (inclusive compare: same-valued late arrivals are never lost; the
+    // idempotent sinks make re-archiving the boundary free)
     val batch2 = (1L to 150L).map(i => (i, s"r$i")).toDF("id", "payload")
     val inc = wm.beyond(batch2, "t", "id")
-    assert(inc.count() === 50)
-    assert(inc.agg(min("id")).head().getLong(0) === 101L)
+    assert(inc.count() === 51)
+    assert(inc.agg(min("id")).head().getLong(0) === 100L)
     wm.advance("t", "id", inc)
     assert(wm.get("t", "id").map(_._1).contains("150"))
   }
@@ -51,7 +53,11 @@ class WatermarksSpec extends AnyFunSuite {
     wm.advance("events", "ts", ev.filter(col("ts") < "2023-07-01"))
     assert(wm.get("events", "ts").map(_._2).contains("timestamp"))
     val inc = wm.beyond(ev, "events", "ts")
-    assert(inc.count() === 1)
+    assert(inc.count() === 2) // the boundary row (inclusive) + the new one
+    // NULL-valued rows always pass: the watermark cannot order them
+    val withNull = ev.unionByName(
+      Seq("x").toDF("s").select(lit(null).cast("timestamp").as("ts")))
+    assert(wm.beyond(withNull, "events", "ts").count() === 3)
     // the watermark predicate is a plain comparison (the optimizer even
     // constant-folds it through a LocalRelation; over a file source it is
     // a pushable Filter — see the analyzed plan)
