@@ -1402,6 +1402,22 @@ object SparkEntry {
       // chunk-level dedup key
       graft.operators.Packing.strideChunks(t(s, dir, "documents"),
         "doc_id", "text", window = 64, stride = 32)),
+    "q63_mom_change" -> ((s, dir) => {
+      // reporting staple: month-over-month revenue change per priority —
+      // integer-cent monthly series, lag window, exact-int ratio
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderpriority"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      monthly.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .select(col("month"), col("o_orderpriority"),
+          fround(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          fround(col("prev_cents").cast("double") / 100.0, 2)
+            .as("prev_revenue"),
+          fround((col("cents") - col("prev_cents")).cast("double") /
+            col("prev_cents"), 6).as("mom_change"))
+    }),
     "q61_rolling_anomaly" -> ((s, dir) => {
       // time-series anomaly gate: hourly event counts vs a trailing-24h
       // baseline (RANGE frame over epoch seconds, excluding the current
@@ -3127,6 +3143,20 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx::INT AS chunk_idx,
          |len(c)::BIGINT AS n_tokens,
          |md5(array_to_string(c, ' ')) AS chunk_md5 FROM ch""".stripMargin,
+    "q63_mom_change" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |o_orderpriority,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1, 2),
+        |l AS (SELECT month, o_orderpriority, cents,
+        |lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY month)
+        |  AS prev FROM m)
+        |SELECT month, o_orderpriority,
+        |floor(cents::DOUBLE / 100.0 * 100.0) / 100.0 AS revenue,
+        |floor(prev::DOUBLE / 100.0 * 100.0) / 100.0 AS prev_revenue,
+        |floor((cents - prev)::DOUBLE / prev * 1000000.0) / 1000000.0
+        |  AS mom_change
+        |FROM l""".stripMargin,
     "q61_rolling_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
         |event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -48,6 +48,38 @@ object SchemaGuard {
   }
 }
 
+/** W-layer delivery manifest: after a successful write, a
+  * `_graft_manifest.json` beside the data records the row count and the
+  * file inventory (name + bytes). Downstream consumers — and a
+  * belt-and-braces delete-back gate — can verify delivery without
+  * reading the data; the `_` prefix keeps Spark readers from ever
+  * scanning it. Written through the Hadoop FS API, so it works on any
+  * URI the sinks accept (file://, s3a://, ...). The reference's closest
+  * analogue is its per-file success/error logging on Swift upload
+  * (/root/reference/osarchiver/destination/file/remote_store/swift.py:48-61);
+  * this makes the delivery record machine-checkable.
+  */
+object Manifest {
+  def write(spark: SparkSession, dir: String, table: String,
+      rows: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    val fileJson = files.map(st =>
+        s"""{"name":"${st.getPath.getName}","bytes":${st.getLen}}""")
+      .mkString("[", ",", "]")
+    val json = s"""{"table":"$table","rows":$rows,""" +
+      s""""n_files":${files.length},"files":$fileJson}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, ManifestName), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  val ManifestName = "_graft_manifest.json"
+}
+
 /** W2/W3/W4 — idempotent keyed archive store on parquet.
   *
   * Re-archiving the same rows must not duplicate them (the whole point of
@@ -72,6 +104,10 @@ final class ParquetUpsertSink(root: String) extends Sink {
     if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.exists(target)) {
       df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      // store-level manifest: df is persisted by the archiver before the
+      // fan-out, so the count is a cache scan. (A 100 TB deployment would
+      // maintain the count incrementally instead of recounting the store.)
+      Manifest.write(spark, path, spec.name, df.count())
     } else {
       val existing = spark.read.parquet(path)
       SchemaGuard.check(existing.schema, df.schema, path)
@@ -91,6 +127,8 @@ final class ParquetUpsertSink(root: String) extends Sink {
         throw new java.io.IOException(s"rename $tmp -> $target failed")
       }
       fs.delete(backup, true)
+      Manifest.write(spark, path, spec.name,
+        spark.read.parquet(path).count())
     }
   }
 
@@ -105,9 +143,10 @@ final class CsvSink(root: String, compression: Option[String] = None) extends Si
   override def name: String = s"csv:$root"
   override def write(db: String, spec: TableSpec, df: DataFrame, dryRun: Boolean): Unit = {
     if (dryRun) { df.count(); return }
+    val path = s"$root/$db.${spec.name}.csv"
     val w = df.write.mode(SaveMode.Overwrite).option("header", "true")
-    compression.fold(w)(c => w.option("compression", c))
-      .csv(s"$root/$db.${spec.name}.csv")
+    compression.fold(w)(c => w.option("compression", c)).csv(path)
+    Manifest.write(df.sparkSession, path, spec.name, df.count())
   }
 }
 

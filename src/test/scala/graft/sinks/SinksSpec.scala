@@ -101,4 +101,29 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === 5)
     assert(back.columns.toSeq === Seq("r_regionkey", "r_name"))
   }
+
+  test("sinks write a delivery manifest: rows + file inventory, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val spec = TableSpec("t", Seq("id"), None, Nil)
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("id", "payload").persist()
+    val sink = new ParquetUpsertSink(root)
+    sink.write("db", spec, df, dryRun = false)
+    def manifest(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/db/t/${Manifest.ManifestName}")), "UTF-8")
+    val m1 = manifest()
+    assert(m1.contains("\"rows\":500"), s"manifest rows wrong: $m1")
+    assert(m1.contains("\"table\":\"t\""))
+    // the inventory lists the real part files (and never the manifest itself)
+    val parts = new java.io.File(s"$root/db/t").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(m1.contains(s"\"n_files\":${parts.length}"))
+    assert(!m1.contains(Manifest.ManifestName))
+    // re-running the idempotent upsert refreshes the manifest, same rows
+    sink.write("db", spec, df, dryRun = false)
+    assert(manifest().contains("\"rows\":500"))
+    // the manifest never pollutes reads (underscore-prefixed)
+    assert(sink.read(spark, "db", "t").count() === 500)
+    df.unpersist()
+  }
 }
