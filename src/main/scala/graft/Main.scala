@@ -87,30 +87,9 @@ object Main {
       archivers.foreach { conf =>
         log(s"[graft] archiver '${conf.name}' starting " +
           s"(dry-run=${conf.dryRun}, archive=${conf.archiveData}, delete=${conf.deleteData})")
-        // Live-store delete-back for the parquet testbed: rewrite the source
-        // table without the archived rows (write-aside, then atomic swap —
-        // the archived snapshot is persisted, so the rewrite is consistent).
-        // Against JDBC this becomes the keyed DELETE of SURVEY.md D1.
-        val liveStore: (Tables.TableSpec, org.apache.spark.sql.DataFrame) => Unit =
-          (spec, rest) => {
-            val path = s"${conf.source.dir}/${spec.name}.parquet"
-            val target = new org.apache.hadoop.fs.Path(path)
-            val backup = new org.apache.hadoop.fs.Path(path + ".__old__")
-            val tmp = new org.apache.hadoop.fs.Path(path + ".__new__")
-            val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            // recover a previous run that died mid-swap
-            if (fs.exists(backup) && !fs.exists(target)) fs.rename(backup, target)
-            if (fs.exists(backup)) fs.delete(backup, true)
-            rest.write.mode("overwrite").parquet(tmp.toString)
-            // backup-rename swap: the live table is never deleted before its
-            // replacement is in place
-            fs.rename(target, backup)
-            if (!fs.rename(tmp, target)) {
-              fs.rename(backup, target)
-              throw new java.io.IOException(s"rename $tmp -> $target failed")
-            }
-            fs.delete(backup, true)
-          }
+        // Live-store delete-back for the parquet testbed (shared with the
+        // flagship entry; see Archiver.parquetLiveStore).
+        val liveStore = Archiver.parquetLiveStore(spark, conf.source.dir)
         val parallelism = sys.env.getOrElse("SPARK_GRAFT_TABLE_PARALLELISM", "1").toInt
         val results = new Archiver(spark, conf)
           .run(if (conf.deleteData && !conf.dryRun) Some(liveStore) else None,

@@ -41,29 +41,46 @@ object SparkEntry {
   private def archivedOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(Retention.predicateAt("o_orderdate", Cutoff))
 
-  /** Flagship: full archiver run on sf0.001 (elect → FK order → retention
-    * filter → fan-out to parquet+csv+sqldump sinks → delete-back counts).
-    * Returns the per-table result summary; driver smoke-checks rows>0. */
+  /** Flagship: the COMPLETE archival semantic on a writable copy of
+    * sf0.001 — elect → FK order → retention filter → fan-out to
+    * parquet+csv+sqldump sinks → delete-back from the live store → then a
+    * SECOND run proving idempotence (everything already archived and
+    * deleted, so it archives 0). Returns the per-table summary of both
+    * runs; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val src = s"$out/live"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Tables.names.foreach { tname =>
+      val from = java.nio.file.Paths.get(
+        s"/root/testdata/sf0.001/$tname.parquet")
+      if (java.nio.file.Files.exists(from))
+        java.nio.file.Files.copy(from,
+          java.nio.file.Paths.get(s"$src/$tname.parquet"))
+    }
     val conf = ArchiverConfig(
       name = "smoke",
-      source = SourceConfig(name = "sf0001", dir = "/root/testdata/sf0.001",
+      source = SourceConfig(name = "sf0001", dir = src,
         retention = "12 MONTH"),
       destinations = Seq(
         ParquetDestination("arch", s"$out/parquet"),
         CsvDestination("csv", s"$out/csv"),
         SqlDumpDestination("sql", s"$out/sql")),
-      // archive-only: the fixture source is read-only, so no live store is
-      // wired and no delete-back is claimed
-      archiveData = true, deleteData = false)
+      archiveData = true, deleteData = true)
     // fixed snapshot past every fixture's time range (orders/lineitem end
     // 2001, events end 2024-01) so each elected table archives rows
-    val results = new Archiver(spark, conf,
-      now = Instant.parse("2025-06-01T00:00:00Z")).run()
+    def runOnce() = new Archiver(spark, conf,
+      now = Instant.parse("2025-06-01T00:00:00Z"))
+      .run(Some(Archiver.parquetLiveStore(spark, src)))
+    val first = runOnce()
+    val second = runOnce().map(r => r.table -> r).toMap
     import spark.implicits._
-    results.map(r => (r.table, r.archivedCount, r.deletedCount, r.vetoed))
-      .toDF("table_name", "archived", "deleted", "vetoed")
+    first.map { r =>
+      val r2 = second(r.table)
+      (r.table, r.archivedCount, r.deletedCount, r.vetoed,
+        r2.archivedCount, r2.archivedCount == 0L)
+    }.toDF("table_name", "archived", "deleted", "vetoed",
+      "rerun_archived", "rerun_idempotent")
   }
 
   // ---------------------------------------------------------------------

@@ -38,6 +38,32 @@ object Archiver {
       archivedCount: Long,
       deletedCount: Long,
       vetoed: Boolean)
+
+  /** Parquet-testbed delete-back: rewrite the live table without the
+    * archived rows (write-aside + backup-rename swap — the live table is
+    * never deleted before its replacement is durable; a run that dies
+    * mid-swap is recovered by `recoverLiveStore` on the next run).
+    * Against JDBC this becomes the keyed DELETE of SURVEY.md D1. Shared
+    * by the CLI and the flagship `entry`. */
+  def parquetLiveStore(spark: SparkSession, sourceDir: String): (
+      graft.Tables.TableSpec, org.apache.spark.sql.DataFrame) => Unit =
+    (spec, rest) => {
+      val path = s"$sourceDir/${spec.name}.parquet"
+      val target = new org.apache.hadoop.fs.Path(path)
+      val backup = new org.apache.hadoop.fs.Path(path + ".__old__")
+      val tmp = new org.apache.hadoop.fs.Path(path + ".__new__")
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // recover a previous run that died mid-swap
+      if (fs.exists(backup) && !fs.exists(target)) fs.rename(backup, target)
+      if (fs.exists(backup)) fs.delete(backup, true)
+      rest.write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(target, backup)
+      if (!fs.rename(tmp, target)) {
+        fs.rename(backup, target)
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      }
+      fs.delete(backup, true)
+    }
 }
 
 final class Archiver(

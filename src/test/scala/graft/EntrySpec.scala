@@ -11,6 +11,9 @@ class EntrySpec extends AnyFunSuite {
     assert(rows.length === 3) // events, lineitem, orders elected
     assert(rows.forall(r => r.getAs[Long]("archived") > 0))
     assert(rows.forall(r => !r.getAs[Boolean]("vetoed")))
+    // the full semantic: delete-back applied, and the re-run archived 0
+    assert(rows.forall(r => r.getAs[Long]("deleted") > 0))
+    assert(rows.forall(r => r.getAs[Boolean]("rerun_idempotent")))
   }
 
   test("every oracle entry has a matching query") {
