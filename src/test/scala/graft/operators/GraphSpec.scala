@@ -69,6 +69,28 @@ class GraphSpec extends AnyFunSuite {
     assert(again === counts)
   }
 
+  test("property: pagerank is bit-identical under repartitioning on random graphs") {
+    val genGraph = for {
+      n <- Gen.choose(2, 7)
+      extra <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+        w <- Gen.choose(1L, 9L)
+      } yield (s"n$a", s"n$b", w))
+      ring = (0 until n).map(i => (s"n$i", s"n${(i + 1) % n}", 1L))
+    } yield ring ++ extra
+    val prop = Prop.forAll(genGraph) { edges =>
+      val base = Graph.pageRankInt(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 3).as[(String, Long)].collect().toMap
+      val repart = Graph.pageRankInt(
+        edges.toDF("src", "dst", "w").repartition(5),
+        "src", "dst", "w", iterations = 3).as[(String, Long)].collect().toMap
+      base == repart
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: rank mass stays within [teleport * n, unit] on random graphs") {
     val genGraph = for {
       n <- Gen.choose(2, 8)
