@@ -1716,6 +1716,24 @@ object SparkEntry {
         .select(col("query_id"), col("k_exact"), col("n_hit"),
           fround(col("n_hit").cast("double") / col("k_exact"), 4).as("recall"))
     }),
+    "tx19_lang_consistency" -> ((s, dir) => {
+      // code-switch / concatenated-source detection: language votes on
+      // each half of the document must agree with each other — a mismatch
+      // flags docs stitched from different sources (a real corpus-hygiene
+      // gate: mixed-language docs poison monolingual training mixes)
+      val toks = TextFunctions.tokens(col("text"))
+      val half = (size(toks) / 2).cast("int")
+      t(s, dir, "documents")
+        .withColumn("t1", array_join(slice(toks, lit(1), half), " "))
+        .withColumn("t2",
+          array_join(slice(toks, half + 1, size(toks) - half), " "))
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_full"),
+          TextFunctions.langId(col("t1")).as("lang_head"),
+          TextFunctions.langId(col("t2")).as("lang_tail"),
+          (TextFunctions.langId(col("t1")) ===
+            TextFunctions.langId(col("t2"))).as("consistent"))
+    }),
     "tx18_char_entropy" -> ((s, dir) => {
       // character-unigram Shannon entropy — the classic low-entropy
       // (repetitive / binary-junk) quality gate; each -p*ln(p) term is
@@ -3473,6 +3491,38 @@ object SparkEntry {
         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
         |AND ap.neighbor_id = ex.neighbor_id
         |GROUP BY 1""".stripMargin,
+    "tx19_lang_consistency" -> {
+      // the lang CASE is generated per token-list expression so the three
+      // votes (full / head half / tail half) share one definition
+      def scores(expr: String, sfx: String) = Seq(
+        ("en", "('the','a','of')"), ("fr", "('le','la','et')"),
+        ("es", "('el','los','que')"), ("de", "('der','die','und')"),
+        ("zh", "('de','shi','le')")).map { case (l, set) =>
+        s"len(list_filter($expr, x -> x IN $set)) AS s_${l}_$sfx"
+      }.mkString(",\n")
+      def lang(sfx: String) = {
+        val g = s"greatest(s_en_$sfx, s_fr_$sfx, s_es_$sfx, s_de_$sfx, s_zh_$sfx)"
+        s"""CASE
+           |WHEN s_en_$sfx > 0 AND s_en_$sfx >= $g THEN 'en'
+           |WHEN s_fr_$sfx > 0 AND s_fr_$sfx >= $g THEN 'fr'
+           |WHEN s_es_$sfx > 0 AND s_es_$sfx >= $g THEN 'es'
+           |WHEN s_de_$sfx > 0 AND s_de_$sfx >= $g THEN 'de'
+           |WHEN s_zh_$sfx > 0 AND s_zh_$sfx >= $g THEN 'zh'
+           |ELSE 'und' END""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |parts AS (SELECT doc_id, t, (len(t) // 2)::INT AS h FROM toks),
+         |sc AS (SELECT doc_id,
+         |${scores("t", "f")},
+         |${scores("t[1:h]", "h1")},
+         |${scores("t[(h+1):len(t)]", "h2")}
+         |FROM parts)
+         |SELECT doc_id, ${lang("f")} AS lang_full,
+         |${lang("h1")} AS lang_head,
+         |${lang("h2")} AS lang_tail,
+         |(${lang("h1")}) = (${lang("h2")}) AS consistent
+         |FROM sc""".stripMargin
+    },
     "tx18_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substr(text, i::INT, 1) AS ch
         |FROM (SELECT doc_id, text,
