@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g: the bench machine has ~125 GiB; an 8g heap made the 155-query
+  // suite GC-thrash once ~40 persisted frames accumulated (late-alphabet
+  // queries measured 5-25x slower than on a clean session purely from
+  // eviction churn).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -36,7 +36,26 @@ object Bench {
     // subtrees (dd2's persisted shingle set feeds dd6) actually reuse them
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,g1_pagerank — local profiling filter;
+    // the driver never sets it, so the full suite runs per-round.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Bound cache growth: queries persist intermediates and deliberately
+    // share cached subtrees WITHIN a family (dd2's shingle set feeds dd6),
+    // but across all 150+ queries the accumulated blocks eventually crowd
+    // the unified region and the tail of the suite measures eviction/GC
+    // churn instead of query cost. Clearing at family boundaries keeps the
+    // intended reuse and caps resident cache at one family's worth.
+    var lastFamily = ""
+    def family(n: String) = n.takeWhile(_.isLetter)
+    val results = selected.map { case (name, fn) =>
+      if (family(name) != lastFamily) {
+        lastFamily = family(name)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
       // min of N runs: one-time costs (codegen, cache materialization)
       // land in run 1; the min is the steady-state per-query time
       val times = (1 to runs).map { _ =>
@@ -54,10 +73,7 @@ object Bench {
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // single run: this is a macro A/B demo over generated in-memory data
-    // (no cold-IO to amortize), and two runs of the deliberately-slow
-    // plain side cost more wall-clock than the comparison is worth
-    val (skewPlain, skewSplit) = skewDemo(spark, runs = 1)
+    val (skewPlain, skewSplit) = skewDemo(spark)
     // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
     // 31.416 as "31,416" and break the harness's JSON parse
     def fmt(v: Double): String =
@@ -106,8 +122,16 @@ object Bench {
     * the hybrid skew-split join covers: byte-thin but compute-hot keys.
     * Reported as skew_plain_sec / skew_split_sec alongside the query map.
     */
-  private def skewDemo(spark: SparkSession, runs: Int): (Double, Double) = {
+  private def skewDemo(spark: SparkSession): (Double, Double) = {
     import org.apache.spark.sql.functions._
+    // The query suite leaves ~150 queries' persisted blocks in the unified
+    // memory region; left in place they squeeze execution memory for the
+    // demo's 4M-row shuffles and the A/B numbers measure cache-eviction
+    // pressure instead of join strategy (observed: the split side losing
+    // 4.5x under pollution while winning 2x on a clean session). Clear
+    // everything so both sides run on the same clean slate.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // fact: one hot key owns 3/4 of 4M rows; cold keys spread over the dim
     // key space. dim: 1M rows — dimension-sized but above the broadcast
     // threshold, so the plain join sort-merges and the hot key lands in
@@ -131,16 +155,23 @@ object Bench {
         .agg(bit_xor(col("h")), count(lit(1))).collect()
       ()
     }
-    def time(f: => Unit): Double = (1 to runs).map { _ =>
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
-    val plain = time { work(big.join(dim, Seq("k"))) }
+    }
     val hot = graft.operators.JoinStrategies.sampleHotKeys(
       big, Seq("k"), fraction = 0.001, minShare = 0.05)
-    val split = time {
+    def plainOnce() = time { work(big.join(dim, Seq("k"))) }
+    def splitOnce() = time {
       work(graft.operators.JoinStrategies.skewSplitJoin(big, dim, Seq("k"), 32,
         hot, saltCols = Seq("payload")))
     }
-    (plain, split)
+    // INTERLEAVED min-of-2 per side (plain, split, plain, split): a
+    // transient stall (GC, noisy-neighbor CPU, disk contention) hits one
+    // round, not one side, so neither number can be wrecked by a single
+    // unlucky window — which is exactly what a sequential single-shot
+    // measurement suffered in a contended environment.
+    val p1 = plainOnce(); val s1 = splitOnce()
+    val p2 = plainOnce(); val s2 = splitOnce()
+    (math.min(p1, p2), math.min(s1, s2))
   }
 }

@@ -1811,6 +1811,43 @@ object SparkEntry {
       out.toFile.deleteOnExit() // before the files: reverse deletion order
       out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.schema(src.schema).orc(out.toString)
+    }),
+    "s14_bucketed_join" -> ((s, dir) => {
+      // bucketed co-located join: both sides written bucketBy(join key)
+      // once, so every later join on that key is exchange-free — the
+      // 100 TB layout investment (one clustering write, zero shuffles on
+      // each downstream join/agg). JoinStrategiesSpec gates the plan
+      // (SortMergeJoin, no Exchange); this entry oracle-checks that the
+      // bucketed layout preserves join semantics exactly
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val (bl, bo) = graft.operators.JoinStrategies.bucketizePair(s,
+        li, "graft_s14_lineitem", "l_orderkey",
+        ord, "graft_s14_orders", "o_orderkey", buckets = 8)
+      bl.join(bo, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+    "s15_clustered_skip" -> ((s, dir) => {
+      // cluster-and-write then bounded read: orders range-partitioned and
+      // sorted on o_orderdate, so every output file owns a DISJOINT date
+      // range and a date-bounded scan skips all files outside it via
+      // parquet min/max stats (CompactionSpec asserts the physical skip;
+      // this entry oracle-checks the re-layout preserves semantics)
+      val out = java.nio.file.Files.createTempDirectory("graft-clustered")
+      graft.operators.Compaction.clusteredWrite(
+        t(s, dir, "orders"), out.toString, Seq("o_orderdate"), parts = 4)
+      out.toFile.deleteOnExit() // before the files: reverse deletion order
+      out.toFile.listFiles().foreach(_.deleteOnExit())
+      s.read.parquet(out.toString)
+        .filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1998-01-01")
+        .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
     })
   )
 
@@ -3265,6 +3302,17 @@ object SparkEntry {
         |  AS est_overlap,
         |inter_u::INT AS inter_u, n_u::INT AS n_u
         |FROM est, ex""".stripMargin,
+    "s14_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "s15_clustered_skip" ->
+      """SELECT month(o_orderdate) AS m, count(*) AS n_orders,
+        |sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY month(o_orderdate)""".stripMargin,
     "q60_star_join" ->
       """SELECT n_name AS nation_name,
         |floor(sum(floor(l_extendedprice * (1 - l_discount) * 100.0)::BIGINT)::DOUBLE

@@ -34,20 +34,38 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** ±1 hyperplane coefficient for (plane, dim), derived from md5 so every
-    * engine/executor reproduces the identical hyperplanes with no random
-    * state to broadcast: +1 iff the first md5 hex nibble of "p:d" is >= 8. */
-  private def coef(plane: Int, dim: Column): Column =
-    when(substring(md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 1) >= "8",
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Max vector dimensionality the precomputed hyperplanes cover. */
+  private val MaxPlaneDims = 1024
 
-  /** Signed-random-projection value of `vec` (double array) onto plane p. */
-  def srpProjection(vec: Column, plane: Int): Column = {
-    val dims = sequence(lit(1), size(vec))
-    aggregate(
-      zip_with(vec, dims, (x, d) => x * coef(plane, d)),
-      lit(0.0), (acc, v) => acc + v)
-  }
+  /** ±1 hyperplane coefficients for plane p over dims 1..MaxPlaneDims,
+    * derived from md5("p:d") — +1 iff the first md5 hex nibble is >= 8 —
+    * exactly the derivation the previous per-row expression used (and the
+    * one the DuckDB oracle reproduces), but evaluated ONCE on the driver
+    * and shipped as a literal array. Every engine/executor still sees
+    * identical hyperplanes with no random state to broadcast, and the
+    * per-row cost drops from (dims × planes) md5 calls to a single
+    * codegen'd dot product. */
+  private val planeCoefs =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Double]]
+  private def coefs(plane: Int): Array[Double] =
+    planeCoefs.getOrElseUpdate(plane, {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to MaxPlaneDims).map { d =>
+        md.reset()
+        val h = md.digest(s"$plane:$d".getBytes("UTF-8"))
+        // first hex nibble >= '8' — in hex chars '8'..'9','a'..'f' all
+        // compare >= "8", i.e. the high bit of the first byte is set
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }.toArray
+    })
+
+  /** Signed-random-projection value of `vec` (double array, up to
+    * MaxPlaneDims dims) onto plane p: a pure dot product against the
+    * precomputed ±1 coefficients, sliced to the vector's length so the
+    * strict left-to-right fold matches the previous per-row form
+    * bit for bit. */
+  def srpProjection(vec: Column, plane: Int): Column =
+    dot(vec, slice(lit(coefs(plane)), lit(1), size(vec)))
 
   /** LSH bucket id in [0, 2^planes): bit p set iff projection on plane p is
     * positive. The scale path for ANN — one narrow pass to bucket, then a

@@ -65,6 +65,8 @@ object Graph {
     e0.unpersist(false)
     val teleport = (unit1 * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(unit1 / n).as("r"))
+    val iterCaches =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -74,18 +76,31 @@ object Graph {
       // LAZY persist: no per-iteration action. Each broadcast build pulls
       // the previous iteration through its cache entry exactly once, so
       // total work stays linear in the iteration count while the driver
-      // issues a single job at the end. (Cache entries are keyed by
-      // logical plan — repeated calls reuse them rather than leaking; on
-      // a many-iteration production run swap in checkpoint() every ~10
-      // rounds to also truncate lineage.)
+      // issues a single job at the end. (On a many-iteration production
+      // run swap in checkpoint() every ~10 rounds to also truncate
+      // lineage.)
       ranks = nodes
         .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"coalesce(s, 0L) * $dampingPct DIV 100")).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      iterCaches += ranks
     }
-    ranks.select(col("node"), col("r").as("rank_u"))
+    // Materialize the FINAL ranks (one job pulls the whole chain through
+    // the per-iteration cache entries), then drop every intermediate:
+    // plan-keyed reuse stops per-call growth only for identical inputs,
+    // so a long-lived session calling over distinct graphs would
+    // otherwise accumulate cache entries without bound. The final frame
+    // stays persisted (callers typically reuse it); everything upstream
+    // is released eagerly.
+    val result = ranks.select(col("node"), col("r").as("rank_u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    iterCaches.foreach(_.unpersist(false))
+    nodes.unpersist(false)
+    e.unpersist(false)
+    result
   }
 
   /** Triangle count per node over an UNDIRECTED graph given as canonical

@@ -25,11 +25,33 @@ final class Watermarks(spark: SparkSession, path: String) {
   private val schema = "table_name string, col_name string, " +
     "wm_value string, wm_type string"
 
+  // All store IO goes through the Hadoop FileSystem API so the store works
+  // on any URI the sinks accept (file://, hdfs://, s3a://) — a java.io.File
+  // store would silently see "no store" on a remote URI and degrade every
+  // incremental run to a full rescan.
+  private def fsFor(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def target = new org.apache.hadoop.fs.Path(path)
+  private def bakPath = new org.apache.hadoop.fs.Path(path + ".bak")
+  private def tmpPath = new org.apache.hadoop.fs.Path(path + ".tmp")
+
+  /** Crash recovery (the parquetLiveStore pattern): a previous run that
+    * died between renaming the store to .bak and renaming .tmp into place
+    * leaves only the backup — restore it so the watermark is never lost. */
+  private def recover(): Unit = {
+    val fs = fsFor(target)
+    if (fs.exists(bakPath) && !fs.exists(target)) fs.rename(bakPath, target)
+    if (fs.exists(bakPath)) fs.delete(bakPath, true)
+    ()
+  }
+
   def load(): DataFrame = {
-    val dir = new java.io.File(path)
-    if (dir.exists() && dir.listFiles() != null &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(path)
+    recover()
+    val fs = fsFor(target)
+    val hasData = fs.exists(target) &&
+      fs.listStatus(target).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -87,27 +109,21 @@ final class Watermarks(spark: SparkSession, path: String) {
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
   /** Crash-safe swap: write to a temp dir, rename over the old store
-    * (the ParquetUpsertSink pattern). */
+    * (the ParquetUpsertSink pattern), via the Hadoop FS API so remote
+    * URIs work. A crash at any point is recovered by `recover()` on the
+    * next load/advance: the store is either at `path` or at `path.bak`,
+    * never gone. */
   private def writeSwap(df: DataFrame): Unit = {
-    val tmp = path + ".tmp"
-    val bak = path + ".bak"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new java.io.File(path)
-    val fBak = new java.io.File(bak)
-    if (fBak.exists()) deleteRec(fBak)
-    if (fs.exists() && !fs.renameTo(fBak))
+    val fs = fsFor(target)
+    df.coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
+    if (fs.exists(bakPath)) fs.delete(bakPath, true)
+    if (fs.exists(target) && !fs.rename(target, bakPath))
       throw new java.io.IOException(s"cannot back up watermark store $path")
-    if (!new java.io.File(tmp).renameTo(fs)) {
-      fBak.renameTo(fs) // restore
+    if (!fs.rename(tmpPath, target)) {
+      fs.rename(bakPath, target) // restore
       throw new java.io.IOException(s"cannot swap watermark store $path")
     }
-    deleteRec(fBak)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete()
+    fs.delete(bakPath, true)
     ()
   }
 }

@@ -60,6 +60,20 @@ object SchemaGuard {
   * this makes the delivery record machine-checkable.
   */
 object Manifest {
+  /** Minimal JSON string escaping: quotes, backslashes and control chars.
+    * Table/file names are caller-supplied — an unescaped quote would make
+    * the manifest unparseable for downstream verifiers. */
+  private[sinks] def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   def write(spark: SparkSession, dir: String, table: String,
       rows: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -69,9 +83,9 @@ object Manifest {
         !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     val fileJson = files.map(st =>
-        s"""{"name":"${st.getPath.getName}","bytes":${st.getLen}}""")
+        s"""{"name":${jstr(st.getPath.getName)},"bytes":${st.getLen}}""")
       .mkString("[", ",", "]")
-    val json = s"""{"table":"$table","rows":$rows,""" +
+    val json = s"""{"table":${jstr(table)},"rows":$rows,""" +
       s""""n_files":${files.length},"files":$fileJson}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(p, ManifestName), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()

@@ -45,6 +45,25 @@ class WatermarksSpec extends AnyFunSuite {
     assert(wm.get("t", "id").map(_._1).contains("60"))
   }
 
+  test("a crash between the backup and swap renames is recovered on load") {
+    val store = tmpStore()
+    val wm = new Watermarks(spark, store)
+    wm.advance("t", "id", (1L to 40L).toDF("id"))
+    assert(wm.get("t", "id").map(_._1).contains("40"))
+    // simulate a process death mid-writeSwap: the store was renamed to
+    // .bak but the .tmp never made it into place
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".bak")))
+    // next load restores the backup: the watermark survives (no silent
+    // full-rescan), and advance keeps working on the restored store
+    assert(wm.get("t", "id").map(_._1).contains("40"))
+    wm.advance("t", "id", (1L to 55L).toDF("id"))
+    assert(wm.get("t", "id").map(_._1).contains("55"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
+  }
+
   test("timestamp watermarks compare in the column type and filters push down") {
     val wm = new Watermarks(spark, tmpStore())
     val ev = Seq("2023-01-01 00:00:00", "2023-06-01 00:00:00",

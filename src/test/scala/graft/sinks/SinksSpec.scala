@@ -126,4 +126,11 @@ class SinksSpec extends AnyFunSuite {
     assert(sink.read(spark, "db", "t").count() === 500)
     df.unpersist()
   }
+
+  test("manifest escapes quotes/backslashes/control chars in names") {
+    // a hostile table name must still yield parseable JSON
+    assert(Manifest.jstr("""ta"ble\x""") === """"ta\"ble\\x"""")
+    assert(Manifest.jstr("a\nb\tc") === "\"a\\u000ab\\u0009c\"")
+    assert(Manifest.jstr("plain") === "\"plain\"")
+  }
 }
