@@ -819,6 +819,18 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "st6_session_window" -> ((s, dir) =>
+      // native session windows: a 30-minute inactivity gap closes the
+      // session. The same declarative groupBy runs unchanged under
+      // readStream (session_window is the streaming-native sessionizer
+      // with watermark-bounded state); q16 is the window-function
+      // formulation of the same islands, cross-checked here
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
     "st5_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment: the event stream probes a broadcast
       // user-tier dimension per micro-batch (no join state, no second
@@ -983,6 +995,36 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx20_zipf_audit" -> ((s, dir) => {
+      // Zipf conformance audit: log-log OLS slope of token frequency vs
+      // rank over the top corpus tokens. Natural corpora slope toward -1;
+      // templated/bot corpora flatten or cliff, so the slope is a
+      // one-number corpus-health gate. One explode+count shuffle, then a
+      // window over the tiny aggregated vocabulary; every OLS sum runs in
+      // BIGINT micro-nat units so the slope is identical on any
+      // partitioning (the repo-wide integer-quantization pattern).
+      val freqs = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val ranked = freqs
+        // global window over the POST-AGGREGATION vocabulary (tiny), not
+        // the token stream — single-partition is fine here
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .filter(col("rk") <= 200)
+        .select(
+          floor(log(col("rk").cast("double")) * 1e6).cast("long").as("xu"),
+          floor(log(col("freq").cast("double")) * 1e6).cast("long").as("yu"))
+      ranked.agg(count(lit(1)).as("n_terms"),
+          sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+          sum(col("xu") * col("yu")).as("sxy"),
+          sum(col("xu") * col("xu")).as("sxx"))
+        .select(col("n_terms"),
+          fround(
+            (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            4).as("zipf_slope"))
+    }),
     "tx16_readability" -> ((s, dir) =>
       // Flesch reading-ease + its inputs — the classic readability feature
       // of a corpus quality filter, as pure column arithmetic
@@ -2335,6 +2377,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st6_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, ts, us,
+        |lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |sf AS (SELECT user_id, event_id, ts, us,
+        |CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END
+        |  AS new_sess FROM l),
+        |sid AS (SELECT user_id, ts, sum(new_sess) OVER (
+        |PARTITION BY user_id ORDER BY us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM sf)
+        |SELECT user_id, min(ts) AS session_start,
+        |max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |count(*) AS n_events FROM sid GROUP BY user_id, sid""".stripMargin,
     "st5_stream_static_join" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |tot AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nu
@@ -2554,6 +2609,22 @@ object SparkEntry {
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "tx20_zipf_audit" ->
+      s"""WITH tk AS (SELECT $duckToks AS t FROM documents),
+         |toks AS (SELECT unnest(t) AS tok FROM tk),
+         |f AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+         |r AS (SELECT freq,
+         |row_number() OVER (ORDER BY freq DESC, tok) AS rk FROM f),
+         |q AS (SELECT floor(ln(rk::DOUBLE) * 1e6)::BIGINT AS xu,
+         |floor(ln(freq::DOUBLE) * 1e6)::BIGINT AS yu FROM r WHERE rk <= 200),
+         |st AS (SELECT count(*)::BIGINT AS n_terms, sum(xu)::BIGINT AS sx,
+         |sum(yu)::BIGINT AS sy, sum(xu * yu)::BIGINT AS sxy,
+         |sum(xu * xu)::BIGINT AS sxx FROM q)
+         |SELECT n_terms,
+         |floor((n_terms * sxy - sx * sy)::DOUBLE
+         |  / (n_terms * sxx - sx * sx)::DOUBLE * 10000.0) / 10000.0
+         |  AS zipf_slope
+         |FROM st""".stripMargin,
     "tx13_quality_model" ->
       s"""WITH toks AS (SELECT doc_id, text, n_chars, $duckToks AS t
          |FROM documents),
