@@ -931,6 +931,27 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("survivor_id"), col("q"))
     }),
+    "dd24_soft_dedup_weight" -> ((s, dir) => {
+      // soft dedup: downweight instead of drop — every near-dup cluster
+      // member gets sampling weight 1/cluster_size, so the cluster
+      // contributes one document's worth of training mass while keeping
+      // the variants (the modern alternative to hard dedup when
+      // duplicates carry formatting/recency signal). Docs outside any
+      // cluster are their own singleton at weight 1.0. Same candidate
+      // graph as dd6; one extra tiny aggregation + a left join
+      val docs = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("doc_a", "doc_b"))
+      val sized = cc.groupBy("cluster_id").agg(count(lit(1)).as("cl_n"))
+      docs.select("doc_id")
+        .join(cc.join(sized, "cluster_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("cl_n"), lit(1L)).as("cluster_size"),
+          fround(lit(1.0) / coalesce(col("cl_n"), lit(1L)).cast("double"), 6)
+            .as("weight"))
+    }),
     "dd8_hash_split" -> ((s, dir) =>
       // deterministic held-out splitting: md5 of the id buckets every doc
       // into train/val/test with no RNG state — reproducible on any engine
@@ -1461,6 +1482,27 @@ object SparkEntry {
       // chunk-level dedup key
       graft.operators.Packing.strideChunks(t(s, dir, "documents"),
         "doc_id", "text", window = 64, stride = 32)),
+    "pk3_curriculum" -> ((s, dir) => {
+      // curriculum ordering: rank the corpus by quality into 4 phases
+      // (highest-quality first) with a deterministic md5 shuffle INSIDE
+      // each phase, so training streams a phase in hash order instead of
+      // source/ingest order (no source-locality bias within a phase).
+      // ntile here is the oracle-exact formulation; at 100 TB the phase
+      // boundary comes from approx_percentile cutoffs broadcast into a
+      // stateless filter (no global window), and the in-phase order is
+      // already just a sort key — both engine-portable
+      val docs = t(s, dir, "documents")
+        .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4))
+      docs
+        .withColumn("phase",
+          ntile(4).over(Window.orderBy(col("q").desc, col("doc_id")))
+            .cast("long"))
+        .withColumn("phase_pos",
+          row_number().over(Window.partitionBy("phase")
+            .orderBy(md5(concat(lit("curr:"), col("doc_id").cast("string"))),
+              col("doc_id"))).cast("long"))
+        .select("doc_id", "phase", "phase_pos", "q")
+    }),
     "q63_mom_change" -> ((s, dir) => {
       // reporting staple: month-over-month revenue change per priority —
       // integer-cent monthly series, lag window, exact-int ratio
@@ -2529,6 +2571,31 @@ object SparkEntry {
         |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
         |ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "dd24_soft_dedup_weight" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a),
+         |w AS (SELECT cluster_id, count(*) AS cl_n FROM cc GROUP BY 1)
+         |SELECT d.doc_id,
+         |coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |coalesce(w.cl_n, 1)::BIGINT AS cluster_size,
+         |floor(1.0 / coalesce(w.cl_n, 1)::DOUBLE * 1000000.0) / 1000000.0
+         |  AS weight
+         |FROM documents d
+         |LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |LEFT JOIN w ON w.cluster_id = cc.cluster_id""".stripMargin,
     "dd10_mixture_sample" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |scores AS (SELECT doc_id,
@@ -3286,6 +3353,22 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx::INT AS chunk_idx,
          |len(c)::BIGINT AS n_tokens,
          |md5(array_to_string(c, ' ')) AS chunk_md5 FROM ch""".stripMargin,
+    "pk3_curriculum" ->
+      s"""WITH q0 AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+         |f AS (SELECT doc_id, len(t) AS n_tokens,
+         |len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+         |  / greatest(len(t), 1) AS stop_ratio,
+         |(strlen(text) - strlen(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+         |  / greatest(strlen(text), 1) AS punct FROM q0),
+         |sc AS (SELECT doc_id, floor(least(greatest(
+         |least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_ratio * 5.0, 1.0) * 0.3
+         |+ (1.0 - punct) * 0.2, 0.0), 1.0) * 10000.0) / 10000.0 AS q FROM f),
+         |ph AS (SELECT doc_id, q,
+         |ntile(4) OVER (ORDER BY q DESC, doc_id) AS phase FROM sc)
+         |SELECT doc_id, phase::BIGINT AS phase,
+         |row_number() OVER (PARTITION BY phase
+         |ORDER BY md5('curr:' || doc_id::VARCHAR), doc_id)::BIGINT AS phase_pos,
+         |q FROM ph""".stripMargin,
     "q63_mom_change" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
         |o_orderpriority,
