@@ -1211,6 +1211,16 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 3, planes = 4)
     }),
+    "ss12_knn_graph" -> ((s, dir) => {
+      // full self-kNN graph: every vector's top-3 neighbors among its SRP
+      // bucket-mates — the materialized neighborhood graph that seeds
+      // semantic dedup (dd12-style) and graph analytics (g1/g2) over an
+      // embedding corpus. Same bucket equi-join as ss2 with
+      // queries = corpus; self-pairs are excluded inside the operator and
+      // there is no all-pairs join anywhere
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
+    }),
     "ss5_quantized_rerank" -> ((s, dir) => {
       // two-stage retrieval: int8-dequantized approximate scoring over the
       // SRP-bucket candidates, exact full-precision re-rank of the top-10
@@ -3080,6 +3090,25 @@ object SparkEntry {
         |list_cosine_similarity(qv.v, cv.v) AS cosraw
         |FROM buck q JOIN buck c ON q.bucket = c.bucket
         |AND q.vec_id < 20 AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "ss12_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id <> c.vec_id
         |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
         |ranked AS (SELECT query_id, neighbor_id, cosraw,
         |row_number() OVER (PARTITION BY query_id
