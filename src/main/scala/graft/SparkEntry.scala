@@ -931,6 +931,17 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("survivor_id"), col("q"))
     }),
+    "dd25_distributed_cc" -> ((s, dir) =>
+      // the 100 TB cluster-resolution path itself under the oracle: the
+      // same candidate graph as dd6 but with the driver union-find
+      // DISABLED (driverThreshold = 0), so labels come from the
+      // alternating large-star/small-star distributed contraction. The
+      // oracle is dd6's — both paths must produce the min-id-per-component
+      // labeling bit for bit
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5).select("doc_a", "doc_b"),
+        driverThreshold = 0L)),
     "dd24_soft_dedup_weight" -> ((s, dir) => {
       // soft dedup: downweight instead of drop — every near-dup cluster
       // member gets sampling weight 1/cluster_size, so the cluster
@@ -1016,6 +1027,34 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx21_corpus_drift" -> ((s, dir) => {
+      // ingest drift monitor: add-1-smoothed unigram distributions of two
+      // corpus halves (even/odd doc ids stand in for yesterday/today),
+      // KL(A||B) accumulated from per-token BIGINT nano-nat contributions
+      // — order-free, so the drift number is identical on any
+      // partitioning. Scale shape: one token-count shuffle plus a
+      // broadcast one-row totals join; the 100 TB ingest pipeline runs
+      // this per batch against the trailing corpus distribution
+      val counts = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val totals = counts.agg(
+        (sum(col("ca")) + count(lit(1))).as("na"),
+        (sum(col("cb")) + count(lit(1))).as("nb"),
+        count(lit(1)).as("v"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("v"),
+          floor((col("ca") + 1).cast("double") / col("na").cast("double") *
+            log(((col("ca") + 1).cast("double") / col("na").cast("double")) /
+              ((col("cb") + 1).cast("double") / col("nb").cast("double"))) *
+            lit(1e9)).cast("long").as("klu"))
+        .groupBy("v")
+        .agg(fround(sum(col("klu")).cast("double") / 1e9, 6).as("kl_a_b"))
+        .select(col("v").as("n_vocab"), col("kl_a_b"))
+    }),
     "tx20_zipf_audit" -> ((s, dir) => {
       // Zipf conformance audit: log-log OLS slope of token frequency vs
       // rank over the top corpus tokens. Natural corpora slope toward -1;
@@ -1906,6 +1945,26 @@ object SparkEntry {
       out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.schema(src.schema).orc(out.toString)
     }),
+    "s16_partition_pruned" -> ((s, dir) => {
+      // directory-level partition pruning: orders re-laid-out with
+      // partitionBy(year), then a year-bounded read lists ONLY that
+      // partition's directory — at 100 TB this is the difference between
+      // listing one year and scanning seven (PartitionPruningSpec asserts
+      // the physical file set; this entry oracle-checks the re-layout +
+      // pruned-read semantics end to end)
+      val out = java.nio.file.Files.createTempDirectory("graft-part")
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(out.toString)
+      // register the partition tree for cleanup (reverse order: dirs first)
+      java.nio.file.Files.walk(out).forEach(p => p.toFile.deleteOnExit())
+      s.read.parquet(out.toString)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
     "s14_bucketed_join" -> ((s, dir) => {
       // bucketed co-located join: both sides written bucketBy(join key)
       // once, so every later join on that key is exchange-free — the
@@ -2581,6 +2640,22 @@ object SparkEntry {
         |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
         |ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "dd25_distributed_cc" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "dd24_soft_dedup_weight" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
@@ -2686,6 +2761,22 @@ object SparkEntry {
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "tx21_corpus_drift" ->
+      s"""WITH tk AS (SELECT doc_id % 2 = 0 AS in_a, unnest($duckToks) AS tok
+         |FROM documents),
+         |c AS (SELECT tok,
+         |sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS cb
+         |FROM tk GROUP BY 1),
+         |tt AS (SELECT (sum(ca) + count(*))::BIGINT AS na,
+         |(sum(cb) + count(*))::BIGINT AS nb, count(*)::BIGINT AS v FROM c),
+         |k AS (SELECT v,
+         |floor((ca + 1)::DOUBLE / na::DOUBLE *
+         |ln(((ca + 1)::DOUBLE / na::DOUBLE) / ((cb + 1)::DOUBLE / nb::DOUBLE))
+         |* 1e9)::BIGINT AS klu FROM c, tt)
+         |SELECT v AS n_vocab,
+         |floor(sum(klu)::DOUBLE / 1e9 * 1000000.0) / 1000000.0 AS kl_a_b
+         |FROM k GROUP BY v""".stripMargin,
     "tx20_zipf_audit" ->
       s"""WITH tk AS (SELECT $duckToks AS t FROM documents),
          |toks AS (SELECT unnest(t) AS tok FROM tk),
@@ -3485,6 +3576,11 @@ object SparkEntry {
         |  AS est_overlap,
         |inter_u::INT AS inter_u, n_u::INT AS n_u
         |FROM est, ex""".stripMargin,
+    "s16_partition_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority""".stripMargin,
     "s14_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
