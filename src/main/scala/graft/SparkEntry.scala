@@ -279,6 +279,34 @@ object SparkEntry {
       EventsStreaming.hourlyBatch(t(s, dir, "events"))),
     "q16_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessionsBatch(t(s, dir, "events"), gapMinutes = 30)),
+    "q64_event_paths" -> ((s, dir) => {
+      // session path mining: the top-10 three-step event-type flows inside
+      // 30-minute sessions. Islands via the q16 lag/cumsum shape; trigrams
+      // via two lead() windows INSIDE the session — no sequence
+      // collect_list, so per-row state stays bounded and the whole thing
+      // is two user-partitioned window passes plus one count shuffle
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = ev
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_sess").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wSess = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("e2", lead(col("event_type"), 1).over(wSess))
+        .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
     "q17_full_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer").groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"))
@@ -2162,6 +2190,23 @@ object SparkEntry {
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
         |count(*) AS n_events FROM sid GROUP BY user_id, sid""".stripMargin,
+    "q64_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |event_type FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |ORDER BY us, event_id) AS prev FROM e),
+        |sflag AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |THEN 1 ELSE 0 END AS new_sess FROM l),
+        |sid AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |ORDER BY us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM sflag),
+        |tri AS (SELECT event_type AS e1,
+        |lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        |FROM sid WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)),
+        |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM tri
+        |WHERE e3 IS NOT NULL)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q17_full_outer" ->
       """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
         |n_cust, n_supp FROM
