@@ -296,11 +296,15 @@ object SparkEntry {
             .otherwise(0L))
         .withColumn("sid", sum("new_sess").over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val wSess = Window.partitionBy("user_id", "sid")
-        .orderBy(col("ts"), col("event_id"))
+      // leads run over the SAME user_id window, masked by session-id
+      // equality — a (user_id, sid)-partitioned window would be a second
+      // full shuffle; this way session flags, ids and trigrams all ride
+      // one exchange + one sort (PlanSpec gates it)
       sess
-        .withColumn("e2", lead(col("event_type"), 1).over(wSess))
-        .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+        .withColumn("e2", when(lead(col("sid"), 1).over(wOrd) === col("sid"),
+          lead(col("event_type"), 1).over(wOrd)))
+        .withColumn("e3", when(lead(col("sid"), 2).over(wOrd) === col("sid"),
+          lead(col("event_type"), 2).over(wOrd)))
         .filter(col("e3").isNotNull)
         .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
           .as("path"))

@@ -249,6 +249,19 @@ class PlanSpec extends AnyFunSuite {
       s"change-detection and interval windows must share the user shuffle, saw $shuffles:\n$p")
   }
 
+  test("path mining rides one user exchange: session ids + masked leads (q64)") {
+    val p = plan("q64_event_paths")
+    // sessionization, session ids, and both trigram leads all window over
+    // the same (user_id) partitioning — a (user_id, sid) window would be a
+    // second full shuffle of the event stream. The only other exchange is
+    // the final path count aggregation.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 2,
+      s"expected user window + count agg only, saw $shuffles:\n$p")
+    assert("hashpartitioning\\([^)]*sid#".r.findFirstIn(p).isEmpty,
+      s"leads must ride the user_id exchange, not re-shuffle on (user_id, sid):\n$p")
+  }
+
   test("id-gap audit shuffles only on the block key — no global sort of ids (q59)") {
     val p = plan("q59_id_gaps")
     // interior pass partitions by blk; the boundary pass windows over the
