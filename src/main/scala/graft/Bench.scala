@@ -17,6 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // Warm the session (parquet column data, codegen, shuffle machinery) so
     // the first timed query isn't charged for one-time JVM/session init.
     // count() alone is answered from parquet FOOTERS (the count-star

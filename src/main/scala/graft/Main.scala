@@ -49,6 +49,13 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
+  /** Session with the graft SQL functions + optimizer rules active. */
+  def registeredSession(): SparkSession = {
+    val s = session()
+    graft.functions.GraftExtensions.register(s)
+    s
+  }
+
   def main(argv: Array[String]): Unit = {
     val args =
       try parseArgs(argv.toSeq)
@@ -80,7 +87,7 @@ object Main {
       println(msg)
       logWriter.foreach { w => w.println(msg); w.flush() }
     }
-    val spark = session()
+    val spark = registeredSession()
     spark.sparkContext.setLogLevel(args.logLevel)
     var failed = false
     try {

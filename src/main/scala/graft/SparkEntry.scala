@@ -1199,6 +1199,23 @@ object SparkEntry {
         .filter(col("edit_sim") >= 0.8)
         .select("doc_a", "doc_b", "lev", "edit_sim")
     }),
+    "dd26_bounded_edit_pairs" -> ((s, dir) => {
+      // absolute-bound fuzzy dedup: LSH candidate pairs within 20 raw
+      // edits — the direct `levenshtein(a,b) <= k` form that the
+      // LevenshteinPrefilter optimizer rule strengthens with a free
+      // abs(length difference) <= k conjunct, so most candidates fail the
+      // O(1) bound and never pay the O(len^2) DP (dd17 is the
+      // relative-similarity cousin of this gate)
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("lev") <= 20)
+        .select("doc_a", "doc_b", "lev")
+    }),
     "dd16_minhash_estimate" -> ((s, dir) => {
       // estimator-quality audit: per candidate pair, the MinHash Jaccard
       // ESTIMATE (fraction of agreeing signature slots — multiples of 1/16,
@@ -2954,6 +2971,22 @@ object SparkEntry {
          |JOIN documents db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b, lev, edit_sim FROM scored
          |WHERE edit_sim >= 0.8""".stripMargin,
+    "dd26_bounded_edit_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, levenshtein(da.text, db.text) AS lev
+         |FROM cand JOIN documents da ON da.doc_id = doc_a
+         |JOIN documents db ON db.doc_id = doc_b
+         |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin,
     "dd16_minhash_estimate" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

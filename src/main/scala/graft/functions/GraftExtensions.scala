@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // flag-gated COUNT(DISTINCT) -> HLL++ rewrite (off by default; see
     // graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
+    // semantics-preserving bounded-levenshtein length pre-filter (on by
+    // default; see graft.plans.LevenshteinPrefilter)
+    ext.injectOptimizerRule(graft.plans.LevenshteinPrefilter(_))
   }
 }
 
@@ -79,5 +82,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.ApproxDistinctRewrite(spark)
+    val alreadyLev = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.LevenshteinPrefilter])
+    if (!alreadyLev)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.LevenshteinPrefilter(spark)
   }
 }
