@@ -1199,6 +1199,15 @@ object SparkEntry {
         .filter(col("edit_sim") >= 0.8)
         .select("doc_a", "doc_b", "lev", "edit_sim")
     }),
+    "dd27_source_overlap" -> ((s, dir) =>
+      // inter-source redundancy matrix from MERGEABLE MinHash sketches: a
+      // source's signature is the slotwise min of its docs' signatures
+      // (= the MinHash of the union of shingle sets, map-side combined),
+      // and slot agreement estimates pairwise source Jaccard — what a
+      // curation pass consults before setting mixture weights, with no
+      // document-level cross compare anywhere
+      Dedup.groupMinhashOverlap(t(s, dir, "documents"), "doc_id", "text",
+        "source", n = 2, numHashes = 16)),
     "dd26_bounded_edit_pairs" -> ((s, dir) => {
       // absolute-bound fuzzy dedup: LSH candidate pairs within 20 raw
       // edits — the direct `levenshtein(a,b) <= k` form that the
@@ -2971,6 +2980,22 @@ object SparkEntry {
          |JOIN documents db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b, lev, edit_sim FROM scored
          |WHERE edit_sim >= 0.8""".stripMargin,
+    "dd27_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |  unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |ws AS (SELECT d.source, mh.j, min(mh.mh) AS mh
+         |FROM mh JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS agree
+         |FROM ws a JOIN ws b ON a.j = b.j AND a.source < b.source
+         |GROUP BY 1, 2)
+         |SELECT src_a, src_b,
+         |floor(agree::DOUBLE / 16.0 * 10000.0) / 10000.0 AS jaccard_est
+         |FROM pairs""".stripMargin,
     "dd26_bounded_edit_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

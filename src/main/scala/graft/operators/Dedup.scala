@@ -754,4 +754,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.NumericFunctions.fround(col("c"), 6).as("cosine"))
   }
+
+  /** Inter-group shingle-overlap matrix from MERGEABLE MinHash sketches.
+    *
+    * A group's signature is the slotwise MIN of its members' document
+    * signatures — min is associative and commutative, so the group
+    * signature equals the MinHash of the union of the group's shingle
+    * sets and the aggregation map-side combines to `numHashes` values
+    * per group per partition. The slot-agreement fraction between two
+    * group signatures estimates the Jaccard overlap of the groups'
+    * shingle sets. At 100 TB this is the inter-source redundancy matrix
+    * a curation pass consults before setting mixture weights: one
+    * shuffle of fixed-width sketches, never a document-level cross
+    * compare. The final pairing is a |groups|² cross over one sketch row
+    * per group — bounded and driver-visible, not data-scale.
+    */
+  def groupMinhashOverlap(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sigs = minhashSignatures(shingleSet(docs, idCol, textCol, n), numHashes)
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
+        "doc_id")
+    val mins = (0 until numHashes).map(j => min(col(s"mh$j")).as(s"mh$j"))
+    val g = sigs.groupBy("grp").agg(mins.head, mins.tail: _*)
+    val a = g.select(col("grp").as("src_a") +:
+      (0 until numHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = g.select(col("grp").as("src_b") +:
+      (0 until numHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        graft.functions.NumericFunctions.fround(
+          (0 until numHashes).map(j =>
+            when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / numHashes.toDouble, 4)
+          .as("jaccard_est"))
+  }
 }
