@@ -1573,6 +1573,15 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b")),
+    "g2b_triangles_degree" -> ((s, dir) =>
+      // the skew-proof formulation: degree-ordered edge orientation caps
+      // wedge fan-out at O(sqrt(|E|)) per node no matter how hot a hub
+      // gets (Suri-Vassilvitskii bound) — same graph, bit-identical
+      // counts, still just degrees + two equi-joins
+      graft.operators.Graph.triangleCountsDegree(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 4),
+        "doc_a", "doc_b")),
 
     "dd18_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sample without replacement: md5
@@ -3539,6 +3548,23 @@ object SparkEntry {
         "\nSELECT node AS nation_name, r AS rank_u FROM r5"
     },
     "g2_triangles" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |FROM cand e1 JOIN cand e2 ON e2.a = e1.b
+         |JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT node, count(*)::BIGINT AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |GROUP BY node""".stripMargin,
+    "g2b_triangles_degree" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
          |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),

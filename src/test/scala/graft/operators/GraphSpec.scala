@@ -136,7 +136,12 @@ class GraphSpec extends AnyFunSuite {
       }.filter(_._2 > 0).toMap
       val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
-      got == brute
+      // the degree-ordered formulation must agree bit for bit — it only
+      // changes WHERE wedges are built (skew-proof orientation), never
+      // which triangles exist
+      val gotDeg = Graph.triangleCountsDegree(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      got == brute && gotDeg == brute
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
