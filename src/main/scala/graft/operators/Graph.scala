@@ -150,6 +150,9 @@ object Graph {
     // orient each edge toward the higher-(degree, id) endpoint; carry the
     // destination's rank so wedges can be ordered by rank, matching the
     // orientation of the closing edge
+    // persist: the oriented list feeds BOTH wedge legs and the closing-
+    // edge probe; without the cache the whole upstream plan (often an
+    // LSH candidate join) runs three times
     val o = und
       .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
@@ -157,6 +160,7 @@ object Graph {
         (col("da") === col("db") && col("a") < col("b")))
       .select(col("a").as("u"), col("b").as("v"),
         col("db").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||
