@@ -75,6 +75,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (skewPlain, skewSplit) = skewDemo(spark)
+    val (levOff, levOn) = levPrefilterDemo(spark)
     // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
     // 31.416 as "31,416" and break the harness's JSON parse
     def fmt(v: Double): String =
@@ -84,7 +85,9 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,""" +
         s""""failed":$failedJson,"skew_plain_sec":${fmt(skewPlain)},""" +
-        s""""skew_split_sec":${fmt(skewSplit)},"sf":"$sfDir"$extra}"""
+        s""""skew_split_sec":${fmt(skewSplit)},""" +
+        s""""lev_rule_off_sec":${fmt(levOff)},"lev_rule_on_sec":${fmt(levOn)},""" +
+        s""""sf":"$sfDir"$extra}"""
     }
     // Full per-query map → file (the harness keeps only a ~2KB stdout tail,
     // which a 100-query map overflows; the judge reads the file instead).
@@ -112,6 +115,37 @@ object Bench {
     val omittedSec = total - kept.map(_._2).sum
     println(line(kept.sortBy(_._1), extraFor(omitted, omittedSec)))
     spark.stop()
+  }
+
+  /** A/B for the LevenshteinPrefilter optimizer rule: 200k candidate
+    * pairs of ~400-char strings where most pairs differ wildly in length
+    * (the realistic fuzzy-dedup candidate mix). With the rule off every
+    * pair pays the O(len^2) DP; with it on, the implied
+    * abs(length diff) <= k conjunct rejects the bulk in O(1). Interleaved
+    * min-of-2 per side, same discipline as the skew demo. */
+  private def levPrefilterDemo(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.register(spark)
+    spark.catalog.clearCache()
+    // deterministic synthetic pairs: id-derived lengths, md5-derived text
+    val pairs = spark.range(0, 200000).select(
+      rpad(md5(concat(lit("a:"), col("id"))), (lit(80) + pmod(col("id"), lit(320))).cast("int"), lit("x")).as("sa"),
+      rpad(md5(concat(lit("b:"), col("id"))), (lit(80) + pmod(col("id") * 7 + 3, lit(320))).cast("int"), lit("y")).as("sb"))
+      .persist()
+    pairs.count()
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      pairs.filter(expr("levenshtein(sa, sb) <= 16")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def withFlag(on: Boolean)(f: => Double): Double = {
+      spark.conf.set("graft.levenshteinPrefilter.enabled", on.toString)
+      try f finally spark.conf.unset("graft.levenshteinPrefilter.enabled")
+    }
+    val off1 = withFlag(false)(run()); val on1 = withFlag(true)(run())
+    val off2 = withFlag(false)(run()); val on2 = withFlag(true)(run())
+    pairs.unpersist()
+    (math.min(off1, off2), math.min(on1, on2))
   }
 
   /** Skewed-join microbenchmark: one key owns 3/4 of a 4M-row fact side.

@@ -123,6 +123,22 @@ object SparkEntry {
     "p3_keyset_page" -> ((s, dir) =>
       t(s, dir, "orders").filter(col("o_orderkey") > 5000)
         .orderBy("o_orderkey").limit(1000)),
+    "p4_watermark_scan" -> ((s, dir) => {
+      // the incremental-scan contract end to end: record the high
+      // watermark of an initial load (orders before 1997), then the next
+      // scan returns only rows AT or beyond it — inclusive boundary, so
+      // same-valued late arrivals are never lost (the idempotent sinks
+      // absorb the overlap). At 100 TB this filter is what turns a full
+      // re-scan per run into a pushed-down read of only NEW data
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-wm-q").toString + "/wm"
+      val wm = new graft.operators.Watermarks(s, store)
+      val orders = t(s, dir, "orders")
+      wm.advance("orders", "o_orderdate",
+        orders.filter(col("o_orderdate") < "1997-01-01"))
+      wm.beyond(orders, "orders", "o_orderdate")
+        .select("o_orderkey", "o_orderdate")
+    }),
     "d1_delete_back" -> ((s, dir) => {
       val live = t(s, dir, "orders")
       val conf = ArchiverConfig("oracle", SourceConfig("g", dir), Nil)
@@ -2106,6 +2122,11 @@ object SparkEntry {
         |AND o_orderdate <= TIMESTAMP '2000-07-01 00:00:00' - INTERVAL 12 MONTH""".stripMargin,
     "p3_keyset_page" ->
       "SELECT * FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 1000",
+    "p4_watermark_scan" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate IS NULL OR o_orderdate >=
+        |(SELECT max(o_orderdate) FROM orders
+        |WHERE o_orderdate < '1997-01-01')""".stripMargin,
     "d1_delete_back" ->
       s"""SELECT * FROM orders WHERE o_orderkey NOT IN
          |(SELECT o_orderkey FROM orders WHERE o_orderdate IS NOT NULL
