@@ -879,6 +879,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))),
+    "st7_stream_left_outer" -> ((s, dir) => {
+      // LEFT OUTER stream-stream interval join, replayed as two disjoint
+      // time halves (ordered micro-batches): matched click→purchase pairs
+      // emit when the match arrives; unmatched clicks emit null-extended
+      // exactly when a watermark advance proves the join window closed.
+      // The oracle reproduces both parts deterministically (see oracleSql).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st7")
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, tmp.resolve(name + ".parquet"))
+        // the file stream orders batches by modification time — pin it
+        tmp.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", ev.filter(col("ts") < split), 1700000000000L)
+      writeHalf("b", ev.filter(col("ts") >= split), 1700000100000L)
+      val qn = "graft_st7_" + math.abs(dir.hashCode).toString
+      val q = EventsStreaming.clickPurchaseLeftOuterStream(s, tmp.toString, qn)
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      java.nio.file.Files.deleteIfExists(tmp)
+      s.table(qn)
+    }),
     "st5_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment: the event stream probes a broadcast
       // user-tier dimension per micro-batch (no join state, no second
@@ -1598,6 +1628,17 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b")),
+    "g3_kcore" -> ((s, dir) =>
+      // k-core of the near-dup candidate graph: iterative peeling strips
+      // loosely-attached docs until only the dense boilerplate clusters
+      // (every member near-dup to >= 2 others among survivors) remain —
+      // the structural "how bad is this duplication nest" audit. 6 peel
+      // rounds reach the fixpoint on any graph of degeneracy depth <= 6;
+      // each round is one equi-join pass over the edge list
+      graft.operators.Graph.kCore(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 4),
+        "doc_a", "doc_b", k = 2, rounds = 6)),
 
     "dd18_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sample without replacement: md5
@@ -2084,6 +2125,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
+    }),
+    "s17_zorder_key" -> ((s, dir) =>
+      // 2-D Z-order (Morton) clustering key: bit-interleave orderkey and
+      // suppkey so rows close in EITHER dimension cluster together — the
+      // multi-column data-skipping layout (CompactionSpec asserts the
+      // two-dimensional file skip on the zorderWrite layout; this entry
+      // oracle-checks the key arithmetic bit for bit)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          graft.operators.Compaction.zorderKey2(
+            col("l_orderkey"), col("l_suppkey"), bits = 20).as("zkey"))),
+    "dd28_bloom_incremental" -> ((s, dir) => {
+      // bloom-gated incremental exact dedup: every 5th doc plays the NEW
+      // batch; a corpus-hash bloom filter prunes the batch map-side before
+      // the exact join (no false negatives, fp tail re-verified), so the
+      // join shuffle carries only probable duplicates — output identical
+      // to the unpruned exact join, and the oracle checks exactly that
+      val docs = t(s, dir, "documents")
+      Dedup.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", expectedItems = 1L << 16, fpp = 0.01)
     })
   )
 
@@ -2606,6 +2669,35 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |max(ts) + INTERVAL 30 MINUTE AS session_end,
         |count(*) AS n_events FROM sid GROUP BY user_id, sid""".stripMargin,
+    "st7_stream_left_outer" -> {
+      // matched pairs: the plain interval join (no match is ever lost —
+      // a purchase that could match an evicted click would have to sit
+      // > 1h past the click, outside the join window by construction).
+      // unmatched clicks: emitted iff the FINAL watermark proved their
+      // window closed. The watermark is min over the two event-time
+      // nodes (Catalyst pushes each side's event-type filter below its
+      // watermark operator, so clicks and purchases track separate
+      // maxes), floored to whole milliseconds (Spark tracks event-time
+      // stats in ms), minus the 1h delay; a click evicts when
+      // click_ts + 1h (the window close) is below that. All in epoch
+      // micros — exactly the integers Spark emits.
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |epoch_us(ts)::BIGINT AS click_us FROM events
+        |WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS buy_id, user_id AS buy_user,
+        |epoch_us(ts)::BIGINT AS buy_us FROM events
+        |WHERE event_type = 'purchase'),
+        |m AS (SELECT c.click_id, c.user_id, c.click_us, p.buy_id, p.buy_us
+        |FROM c JOIN p ON p.buy_user = c.user_id AND p.buy_us > c.click_us
+        |AND p.buy_us <= c.click_us + 3600000000),
+        |wm AS (SELECT least((SELECT max(click_us) FROM c),
+        |(SELECT max(buy_us) FROM p)) // 1000 * 1000 - 3600000000 AS w),
+        |u AS (SELECT c.click_id, c.user_id, c.click_us,
+        |NULL::BIGINT AS buy_id, NULL::BIGINT AS buy_us
+        |FROM c, wm WHERE c.click_us + 3600000000 < wm.w
+        |AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id))
+        |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin
+    },
     "st5_stream_static_join" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |tot AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nu
@@ -3602,6 +3694,32 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS n_triangles
          |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
          |GROUP BY node""".stripMargin,
+    "g3_kcore" -> {
+      // same LSH candidate graph as g2, then the peel rounds unrolled as
+      // chained CTEs (aggregates are not allowed in a recursive CTE term):
+      // round r keeps nodes with >= 2 surviving neighbors among round r-1
+      val rounds = (1 to 6).map { r =>
+        s"""a$r AS (SELECT u.a AS node FROM und u
+           |JOIN a${r - 1} x ON u.a = x.node JOIN a${r - 1} y ON u.b = y.node
+           |GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |und AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+         |a0 AS (SELECT DISTINCT a AS node FROM und),
+         |$rounds
+         |SELECT u.a AS node, count(*)::BIGINT AS core_degree FROM und u
+         |JOIN a6 x ON u.a = x.node JOIN a6 y ON u.b = y.node
+         |GROUP BY 1""".stripMargin
+    },
     "dd18_weighted_sample" -> {
       // first 32 md5 bits as a uniform, nibble-by-nibble (strpos returns
       // 0 for '0' ... 15 for 'f'); ORDER BY the unfloored key so selection
@@ -3746,6 +3864,21 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
         |GROUP BY month(o_orderdate)""".stripMargin,
+    "s17_zorder_key" -> {
+      // the same bit-interleave, spelled as shift/mask arithmetic
+      val terms = (0 until 20).flatMap(i => Seq(
+        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_suppkey,
+         |($terms)::BIGINT AS zkey FROM lineitem""".stripMargin
+    },
+    "dd28_bloom_incremental" ->
+      """WITH cm AS (SELECT md5(text) AS fp, min(doc_id) AS match_id
+        |FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, cm.match_id, cm.match_id IS NOT NULL AS is_dup
+        |FROM b LEFT JOIN cm USING (fp)""".stripMargin,
     "q60_star_join" ->
       """SELECT n_name AS nation_name,
         |floor(sum(floor(l_extendedprice * (1 - l_discount) * 100.0)::BIGINT)::DOUBLE

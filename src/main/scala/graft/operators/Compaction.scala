@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Archive maintenance: compact a parquet directory to a target file size.
   *
@@ -55,6 +55,39 @@ object Compaction {
     require(clusterCols.nonEmpty, "at least one cluster column")
     df.repartitionByRange(parts, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** 2-D Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer columns — x owns the even output bits, y the
+    * odd. Pure shift/mask arithmetic (codegen'd, engine-portable): rows
+    * close in BOTH x and y land close in z, so clustering on the single z
+    * key gives min/max file skipping on either column — the multi-column
+    * generalization of [[clusteredWrite]]'s one-dimensional layout, same
+    * one-shuffle write cost. `bits` must cover the column's value range
+    * (values >= 2^bits would collide); 20 bits each keeps z below 2^40.
+    */
+  def zorderKey2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Cluster-and-write on the Z-order key of (`xCol`, `yCol`): range-
+    * partition + sort on z, write parquet WITHOUT the synthetic key (the
+    * layout is the product; readers filter on the natural columns and the
+    * parquet min/max stats do the skipping for both). */
+  def zorderWrite(
+      df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, parts: Int): Unit = {
+    val z = zorderKey2(col(xCol), col(yCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

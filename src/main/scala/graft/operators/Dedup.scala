@@ -789,4 +789,39 @@ object Dedup {
             .reduce(_ + _).cast("double") / numHashes.toDouble, 4)
           .as("jaccard_est"))
   }
+
+  /** Bloom-gated incremental exact dedup: classify each NEW batch document
+    * as duplicate-of-corpus or unique, with a bloom-filter membership probe
+    * pruning the batch BEFORE the exact join.
+    *
+    * The 100 TB point: in steady-state ingest almost every batch document
+    * is novel, so the expensive part of dd15's exact pass — shuffling the
+    * batch↔corpus hash join — is wasted on rows that match nothing. A
+    * bloom filter over the corpus content hashes (built once per ingest
+    * window, ~1.2 MB per million docs at 1% fpp) is probed MAP-SIDE with
+    * the codegen'd `BloomFilterMightContain`, so only probable duplicates
+    * (true matches + the fp tail) reach the join at all. Blooms have no
+    * false negatives and every survivor is re-verified by the exact join,
+    * so the output is bit-identical to the unpruned join — the filter
+    * only removes shuffle volume.
+    *
+    * Output: one row per batch doc — (doc_id, match_id, is_dup) with
+    * match_id the lowest-id corpus doc of identical content (null when
+    * unique).
+    */
+  def bloomIncrementalDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val cFp = corpus.select(md5(col(textCol)).as("fp"), col(idCol).as("cid"))
+    val bloom = BloomPrune.buildBloom(cFp, "fp", expectedItems, fpp)
+    val bFp = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))
+    val matches =
+      if (bloom.isEmpty) bFp.limit(0).select(col("doc_id"), lit(null).cast("long").as("match_id"))
+      else bFp.filter(BloomPrune.mightContain(bloom, col("fp")))
+        .join(cFp.groupBy("fp").agg(min(col("cid")).as("match_id")), "fp")
+        .select("doc_id", "match_id")
+    bFp.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        col("match_id").isNotNull.as("is_dup"))
+  }
 }

@@ -122,6 +122,67 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes
+    * whose degree (within the surviving subgraph) is below `k`; what
+    * remains after convergence is the k-core — in a near-dup candidate
+    * graph, the tightly inter-duplicated boilerplate clusters that survive
+    * even after their loosely-attached neighbors are peeled away.
+    *
+    * Runs a FIXED `rounds` peel iterations (deterministic, oracle-able by
+    * unrolling the same rounds as chained CTEs; `rounds` >= the graph's
+    * peel depth reaches the true fixpoint — peel depth is bounded by the
+    * degeneracy, tiny for real dup graphs). Each round is one pass over
+    * the persisted edge list semi-joined against the eagerly-materialized
+    * surviving-node set, then a degree aggregation: O(rounds * |E|) total,
+    * every step an equi-join/aggregation on node ids — no Cartesian, no
+    * driver-side graph. The alive set is materialized per round AND its
+    * logical lineage is cut (re-rooted as a LogicalRDD leaf over the
+    * cached data): it is referenced by BOTH endpoint joins, so keeping
+    * lineage would double the analyzed plan every round — 2^rounds copies
+    * of the caller's upstream plan by the end, which melts Catalyst
+    * analysis long before any data is touched. (The same re-rooting trick
+    * GraphFrames-style iterative algorithms use; on a cluster that must
+    * survive executor loss, swap the wrapper for checkpoint().)
+    *
+    * Output: (node, core_degree) for k-core members — core_degree is the
+    * node's degree within the core (>= k by construction).
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = edges.sparkSession
+    // materialize + cut lineage: later plans see a leaf, not the subtree
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def reroot(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      spark.createDataFrame(cached.rdd, cached.schema)
+    }
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    // both directions once: degree = out-degree in the doubled list
+    val und = reroot(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var alive = reroot(und.select(col("a").as("node")).distinct())
+    for (_ <- 1 to rounds) {
+      alive = reroot(und
+        .join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node"))
+    }
+    val core = und
+      .join(alive.withColumnRenamed("node", "a"), "a")
+      .join(alive.select(col("node").as("b")), "b")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+    val result = core.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    caches.foreach(_.unpersist(false))
+    result
+  }
+
   /** Degree-ordered triangle counting — the skew-proof scale path.
     *
     * [[triangleCounts]] builds wedges at the id-canonical low endpoint: a

@@ -201,6 +201,47 @@ object EventsStreaming {
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
   }
 
+  /** LEFT OUTER stream-stream interval join: every click enriched with the
+    * same user's purchases in the following hour — or emitted null-extended
+    * once the watermark PROVES no such purchase can still arrive. The outer
+    * variant of [[clickErrorJoinStream]]'s inner join, and the semantics
+    * production funnels actually need ("every click exactly once, converted
+    * or not").
+    *
+    * Mechanics that make the outer side correct and bounded: watermarks on
+    * BOTH inputs plus the two-sided time bound let Spark expire click state
+    * at watermark > click_ts + 1h; at expiry an unmatched click is emitted
+    * with null purchase columns. Unmatched rows therefore trail the data by
+    * the watermark delay + join window — and clicks still inside that
+    * horizon when the stream ends are never emitted (no final watermark
+    * advance exists to prove them unmatched). Timestamps are surfaced as
+    * epoch micros (`unix_micros`) so the result is engine-portable.
+    */
+  def clickPurchaseLeftOuterStream(
+      spark: SparkSession, parquetPath: String, queryName: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    def side = fileStream(spark, parquetPath, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+    val clicks = side.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val buys = side.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"))
+    clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") > col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("buy_id"), unix_micros(col("buy_ts")).as("buy_us"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked append-mode variant (drops late data; state bounded by the
     * watermark) — the production shape for continuous ingest. */
   def hourlyStreamAppend(

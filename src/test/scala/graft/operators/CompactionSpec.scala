@@ -49,4 +49,53 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.count() === orders.count())
     assert(back.exceptAll(orders).count() === 0)
   }
+
+  test("zorderKey2 interleaves bits exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // x=0b101 (5), y=0b011 (3): z = x on even bits, y on odd bits
+    // = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 0b011011 = 27
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(Compaction.zorderKey2(col("x"), col("y"), 3)).head().getLong(0)
+    assert(got === 27L)
+  }
+
+  test("zorder write clusters BOTH dimensions for file skipping") {
+    val out = TestSpark.tmpDir("zorder") + "/pts"
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, min}
+    // a 64x64 grid: every (x, y) combination once
+    val pts = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    Compaction.zorderWrite(pts, out, "x", "y", bits = 6, parts = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length === 16)
+    // Z-order locality: each file's bounding box covers a small fraction
+    // of the full grid in BOTH dims, so a point/range predicate on EITHER
+    // column prunes most files via parquet min/max stats. A 1-D sort on x
+    // would leave every file spanning the full y range (area share ~1/16
+    // in x but 1 in y); the Morton layout bounds both.
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // every file: neither dimension spans the full grid (range-partition
+    // boundaries are sample-based, so a file can straddle one high-order
+    // Morton boundary — but never unbounded like a 1-D sort's dead dim)
+    boxes.foreach { case (xlo, xhi, ylo, yhi) =>
+      assert(xhi - xlo <= 48, s"file spans x [$xlo,$xhi] — no x locality")
+      assert(yhi - ylo <= 48, s"file spans y [$ylo,$yhi] — no y locality")
+    }
+    // and a bounded predicate on y ALONE skips at least half the files
+    // (with a plain x sort it would have to open every file)
+    val hit = boxes.count { case (_, _, ylo, yhi) => ylo <= 5 && 5 <= yhi }
+    assert(hit <= files.length / 2,
+      s"y=5 touches $hit of ${files.length} files — no 2-D skipping")
+    // layout rewrite loses nothing
+    val back = spark.read.parquet(out)
+    assert(back.count() === pts.count())
+    assert(back.exceptAll(pts).count() === 0)
+  }
 }

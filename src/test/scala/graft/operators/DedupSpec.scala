@@ -251,6 +251,29 @@ class DedupSpec extends AnyFunSuite {
     assert(r.size === 3) // one row per batch doc, corpus never reported
   }
 
+  test("bloom-gated incremental dedup equals the unpruned exact join") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),   // dup of corpus 1 (min id over 1,3)
+      (11L, "eta theta iota"),     // novel
+      (12L, "delta epsilon zeta")  // dup of corpus 2
+    ).toDF("doc_id", "text")
+    val r = Dedup.bloomIncrementalDedup(corpus, batch, "doc_id", "text",
+        expectedItems = 16, fpp = 0.01)
+      .as[(Long, Option[Long], Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(r(10L) === ((10L, Some(1L), true)))
+    assert(r(11L) === ((11L, None, false)))
+    assert(r(12L) === ((12L, Some(2L), true)))
+    assert(r.size === 3)
+    // empty corpus: bloom is empty, everything unique — and no crash
+    val none = corpus.filter($"doc_id" < 0)
+    val allNew = Dedup.bloomIncrementalDedup(none, batch, "doc_id", "text")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(allNew.length === 3 && allNew.forall(x => x._2.isEmpty && !x._3))
+  }
+
   test("incremental dedup: empty corpus means all-novel; empty batch means no rows") {
     val docs = Seq(
       (1L, "some document text with enough words to shingle properly here")

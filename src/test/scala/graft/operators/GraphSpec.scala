@@ -117,6 +117,57 @@ class GraphSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("kCore: triangle with a pendant chain peels to the triangle") {
+    // d-e pendant chain and c-d bridge peel away round by round; the
+    // triangle is the 2-core, every member with core-degree 2
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("a", "b")
+    val core = Graph.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3 empties it: no node has 3 neighbors
+    assert(Graph.kCore(edges, "a", "b", k = 3, rounds = 4).count() === 0)
+  }
+
+  test("property: kCore equals brute-force iterative peeling on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(3, 10)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges, Gen.choose(1, 3)) { (edges, k) =>
+      val canon = edges.map { case (a, b) => (a min b, a max b) }.toSet
+      // brute peel to fixpoint
+      var alive = canon.flatMap { case (a, b) => Seq(a, b) }
+      val initialNodes = alive.size
+      var changed = true
+      while (changed) {
+        val deg = alive.map { v =>
+          v -> canon.count { case (a, b) =>
+            (a == v && alive(b)) || (b == v && alive(a)) }
+        }.toMap
+        val next = alive.filter(deg(_) >= k)
+        changed = next != alive
+        alive = next
+      }
+      val expected = alive.map { v =>
+        v -> canon.count { case (a, b) =>
+          (a == v && alive(b)) || (b == v && alive(a)) }.toLong
+      }.toMap
+      // initial node count always reaches the fixpoint (each round
+      // before convergence removes at least one node)
+      val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k,
+          rounds = math.max(1, initialNodes))
+        .as[(String, Long)].collect().toMap
+        .map { case (n, d) => (n.toLong, d) }
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: triangle counts equal brute-force enumeration on random graphs") {
     val genEdges = for {
       n <- Gen.choose(3, 9)

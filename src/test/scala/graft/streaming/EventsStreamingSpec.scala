@@ -67,6 +67,40 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("left-outer stream-stream join: matches complete, unmatched only past the watermark") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStreaming.clickPurchaseLeftOuterStream(
+      spark, s"${TestSpark.sf0001}/events.parquet", "ss_left_outer",
+      maxFilesPerTrigger = Int.MaxValue)
+    q.awaitTermination()
+    val out = spark.table("ss_left_outer").persist()
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("bu"),
+        unix_micros(col("ts")).as("buy_us"))
+    val batchPairs = clicks.join(buys,
+      col("user_id") === col("bu") && col("buy_us") > col("click_us") &&
+        col("buy_us") <= col("click_us") + lit(3600000000L))
+      .select("click_id", "user_id", "click_us", "buy_id", "buy_us")
+    // every match the batch join finds is emitted, and nothing invented
+    val matched = out.filter(col("buy_id").isNotNull)
+    assert(matched.exceptAll(batchPairs).count() === 0)
+    assert(batchPairs.exceptAll(matched).count() === 0)
+    // null-extended rows: only for clicks the batch join cannot match,
+    // and each click appears at most once across the whole output
+    val unmatched = out.filter(col("buy_id").isNull)
+    assert(unmatched.join(batchPairs, Seq("click_id"), "left_semi")
+      .count() === 0, "a matched click must never also emit null-extended")
+    assert(out.select("click_id").distinct().count() ===
+      out.select("click_id").count() - (matched.count() -
+        matched.select("click_id").distinct().count()),
+      "only multi-purchase matches may repeat a click_id")
+    out.unpersist()
+  }
+
   test("append-mode with watermark emits only finalized windows") {
     val q = EventsStreaming.hourlyStreamAppend(
       spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_append")
