@@ -1364,6 +1364,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
     }),
+    "ss13_mmr_topk" -> ((s, dir) => {
+      // MMR diversified top-5: greedy relevance-minus-redundancy re-rank
+      // (λ = 1/2) against query vector 0 — k pool scans, bounded driver
+      // state (the k picked vectors), no all-pairs anything. The oracle
+      // unrolls the same greedy rounds as chained CTEs
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      graft.operators.Similarity.mmrTopK(
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding", q, k = 5)
+    }),
     "ss5_quantized_rerank" -> ((s, dir) => {
       // two-stage retrieval: int8-dequantized approximate scoring over the
       // SRP-bucket candidates, exact full-precision re-rank of the top-10
@@ -1571,6 +1583,17 @@ object SparkEntry {
       Multimodal.frameEnergy(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
         window = 32, stride = 16).toDF()),
+    "mm7_active_segments" -> ((s, dir) =>
+      // VAD-style activity segmentation over the audio subset: maximal
+      // runs of frames above the energy floor (gaps-and-islands on the
+      // frame index) — the silence-trim pass before transcription/clip
+      // extraction. Integer energies, exact on any partitioning
+      Multimodal.activeSegments(
+        Multimodal.frameEnergy(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+            .filter(col("media_type") === "audio"),
+          window = 32, stride = 16),
+        minEnergy = 310000L)),
     "mm2_media_features" -> ((s, dir) => {
       // decode-path oracle: media_id/media_type/n_bytes/checksum are computed
       // INSIDE the mapPartitions decode pass (not mm1's SQL path), plus an
@@ -3416,6 +3439,37 @@ object SparkEntry {
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "ss13_mmr_topk" -> {
+      // greedy rounds unrolled: p_r = surviving pool with the running
+      // max-similarity to every previous pick; s_r = that round's arg-max
+      // of rel - 0.5 * maxsim (ties by id) — exactly mmrTopK's recurrence
+      val rounds = (3 to 5).map { r =>
+        s"""p$r AS (SELECT p${r - 1}.vec_id, p${r - 1}.v, p${r - 1}.rel,
+           |greatest(p${r - 1}.ms,
+           |list_cosine_similarity(p${r - 1}.v, s${r - 1}.v)) AS ms
+           |FROM p${r - 1}, s${r - 1} WHERE p${r - 1}.vec_id <> s${r - 1}.vec_id),
+           |s$r AS (SELECT vec_id, v, rel, rel - 0.5 * ms AS mmr FROM p$r
+           |ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(r =>
+        s"""SELECT $r::BIGINT AS rank, vec_id AS cand_id,
+           |floor(mmr * 10000.0) / 10000.0 AS mmr FROM s$r""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v FROM v WHERE vec_id = 0),
+         |c AS (SELECT vec_id, v.v AS v,
+         |list_cosine_similarity(v.v, q.v) AS rel FROM v, q
+         |WHERE vec_id >= 20),
+         |s1 AS (SELECT vec_id, v, rel, rel AS mmr FROM c
+         |ORDER BY rel DESC, vec_id LIMIT 1),
+         |p2 AS (SELECT c.vec_id, c.v, c.rel,
+         |list_cosine_similarity(c.v, s1.v) AS ms FROM c, s1
+         |WHERE c.vec_id <> s1.vec_id),
+         |s2 AS (SELECT vec_id, v, rel, rel - 0.5 * ms AS mmr FROM p2
+         |ORDER BY mmr DESC, vec_id LIMIT 1),
+         |$rounds
+         |$out""".stripMargin
+    },
     "ss12_knn_graph" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |proj AS (SELECT vec_id, p, sum(v[d::INT] *
@@ -3628,6 +3682,32 @@ object SparkEntry {
         |FROM fr LEFT JOIN byt
         |ON byt.media_id = fr.media_id AND byt.f = fr.f
         |GROUP BY 1, 2""".stripMargin,
+    "mm7_active_segments" ->
+      // mm6's hex frame expansion restricted to the audio subset, then
+      // gaps-and-islands over the above-floor frames
+      """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+        |octet_length(encode(text)) AS n FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT media_id, ph, n,
+        |unnest(range(0, greatest((n - 32 + 15) // 16 + 1, 1))) AS f FROM m),
+        |byt AS (SELECT media_id, f,
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 1)::INT, 1)) * 16 +
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
+        |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n),
+        |fe AS (SELECT fr.media_id, fr.f AS frame_idx,
+        |coalesce(sum(byt.b * byt.b), 0)::BIGINT AS energy
+        |FROM fr LEFT JOIN byt
+        |ON byt.media_id = fr.media_id AND byt.f = fr.f GROUP BY 1, 2),
+        |act AS (SELECT media_id, frame_idx FROM fe WHERE energy >= 310000),
+        |g AS (SELECT media_id, frame_idx, frame_idx - row_number()
+        |OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp FROM act),
+        |seg AS (SELECT media_id, min(frame_idx)::INT AS start_frame,
+        |max(frame_idx)::INT AS end_frame, count(*)::BIGINT AS n_frames
+        |FROM g GROUP BY media_id, grp)
+        |SELECT media_id, row_number() OVER (PARTITION BY media_id
+        |ORDER BY start_frame)::INT AS seg_idx,
+        |start_frame, end_frame, n_frames FROM seg""".stripMargin,
     "g1_pagerank" -> {
       // unrolled fixed-point iterations (aggregates are not allowed in a
       // recursive CTE term); integer micro-unit arithmetic matches

@@ -189,4 +189,32 @@ object Multimodal {
       }
     }
   }
+
+  /** VAD-style activity segmentation: maximal runs of consecutive frames
+    * with energy >= `minEnergy` — the silence-trim / speech-split pass an
+    * audio pipeline runs before transcription or training-clip extraction.
+    *
+    * Gaps-and-islands on the frame index (frame_idx minus its per-media
+    * row_number is constant within a run): one window + one aggregation,
+    * both partitioned by media_id — integer-exact on any partitioning, and
+    * the only shuffle key is the media id. Output: (media_id, seg_idx,
+    * start_frame, end_frame, n_frames), seg_idx 1-based in time order.
+    */
+  def activeSegments(
+      frames: Dataset[FrameEnergy], minEnergy: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames.toDF()
+      .filter(col("energy") >= minEnergy)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .withColumn("seg_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("start_frame")))
+      .select(col("media_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
 }

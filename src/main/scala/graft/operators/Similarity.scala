@@ -362,4 +362,66 @@ object Similarity {
     adc.withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "adc_u", "rank")
   }
+
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the
+    * candidate maximizing `relevance - λ · max-similarity-to-selected` —
+    * the standard diversity re-rank (Carbonell–Goldstein) a training-data
+    * pipeline uses to sample VARIED exemplars instead of k near-copies of
+    * the single best match. λ = lambdaNum/lambdaDen with a power-of-two
+    * denominator so the product is FP-exact on every engine.
+    *
+    * Scale shape: the candidate pool stays distributed; each of the k
+    * greedy rounds is one pool scan (update the running max-similarity
+    * against the latest pick, take the arg-max). Only the k selected
+    * vectors ever reach the driver — the same bounded-driver-state
+    * contract as [[bruteForceTopK]]'s query batch. k passes over the pool
+    * is the honest cost of exact greedy MMR; cheaper approximations
+    * (cluster-then-pick) trade away the guarantee.
+    *
+    * Output: (rank, cand_id, mmr) — mmr is round 1's plain relevance,
+    * later rounds' penalized score, floor-rounded to 4 decimals.
+    */
+  def mmrTopK(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int,
+      lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
+    require(k >= 1 && lambdaNum >= 0 && lambdaDen > 0)
+    require(Integer.bitCount(lambdaDen) == 1, "lambdaDen must be a power of 2")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lit(lambdaNum.toDouble / lambdaDen.toDouble)
+    val qLit = array(queryVec.map(lit): _*)
+    val pool0 = candidates
+      .select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel", cosine(col("v"), qLit))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // maxsim starts below any cosine so round 1 ranks by pure relevance
+    var pool = pool0.withColumn("maxsim", lit(-2.0))
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Array[Double])]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val mmr = when(col("maxsim") === -2.0, col("rel"))
+        .otherwise(col("rel") - lam * col("maxsim"))
+      val top = pool.withColumn("mmr", mmr)
+        .orderBy(col("mmr").desc, col("cand_id")).limit(1)
+        .select("cand_id", "mmr", "v")
+        .as[(Long, Double, Array[Double])].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (id, score, vec) = top.head
+        picked += ((id, score, vec))
+        val vLit = array(vec.toSeq.map(lit): _*)
+        pool = pool.filter(col("cand_id") =!= id)
+          .withColumn("maxsim", greatest(col("maxsim"), cosine(col("v"), vLit)))
+      }
+      r += 1
+    }
+    pool0.unpersist(false)
+    picked.zipWithIndex.map { case ((id, score, _), i) =>
+      (i + 1L, id, math.floor(score * 10000.0) / 10000.0)
+    }.toSeq.toDF("rank", "cand_id", "mmr")
+  }
 }

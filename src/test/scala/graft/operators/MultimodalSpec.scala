@@ -121,4 +121,29 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.frameEnergy(ds, window = 2, stride = 4)
     }
   }
+
+  test("active segments: islands of loud frames, per-media, partition-invariant") {
+    import spark.implicits._
+    // window=stride=4 -> frame f covers bytes [4f, 4f+4): loud frames
+    // (100^2*4 = 40000) at 0, 1, 3; quiet frame (4) at 2 -> segments
+    // [0..1] and [3..3] at threshold 1000
+    def bytes(pattern: String): Array[Byte] =
+      pattern.flatMap(c => Seq.fill(4)(if (c == 'L') 100.toByte else 1.toByte)).toArray
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", bytes("LLqL"), 0, 0, 16000),
+      Multimodal.MediaRow(2L, "audio", bytes("qqqq"), 0, 0, 16000), // all quiet
+      Multimodal.MediaRow(3L, "audio", bytes("LLLL"), 0, 0, 16000)  // one run
+    ))
+    val segs = Multimodal.activeSegments(
+        Multimodal.frameEnergy(ds, window = 4, stride = 4), minEnergy = 1000L)
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(s => (s._1, s._2))
+    assert(segs.toSeq === Seq(
+      (1L, 1, 0, 1, 2L), (1L, 2, 3, 3, 1L), (3L, 1, 0, 3, 4L)))
+    // repartitioning never changes the segmentation
+    val again = Multimodal.activeSegments(
+        Multimodal.frameEnergy(ds.repartition(7), window = 4, stride = 4),
+        minEnergy = 1000L)
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(s => (s._1, s._2))
+    assert(again.toSeq === segs.toSeq)
+  }
 }

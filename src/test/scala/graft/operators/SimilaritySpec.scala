@@ -26,6 +26,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head._2 === 1.0)
   }
 
+  test("MMR re-rank demotes an exact duplicate below a diverse candidate") {
+    // a and b are identical (rel 0.9 to the query); c has the same
+    // relevance but points the other way. Pure top-3 would order by id
+    // (a, b, c); MMR round 2 penalizes b by sim(b, a) = 1 and picks c
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.436f)),   // a
+      (2L, Array(0.9f, 0.436f)),   // b = exact dup of a
+      (3L, Array(0.9f, -0.436f))   // c: equally relevant, diverse
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrTopK(corpus, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 3)
+      .orderBy("rank").select("rank", "cand_id")
+      .as[(Long, Long)].collect()
+    assert(r.map(_._2).toSeq === Seq(1L, 3L, 2L),
+      s"expected diverse pick before the duplicate, got ${r.toSeq}")
+    // k larger than the pool: returns the whole pool, no crash
+    assert(Similarity.mmrTopK(corpus, "vec_id", "embedding",
+      Seq(1.0, 0.0), k = 10).count() === 3)
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = graft.Tables.load(spark, TestSpark.sf0001, "embeddings")
       .limit(50)
