@@ -30,8 +30,14 @@ object PlanAudit {
     // queries that EXECUTE during construction (streaming memory sinks):
     // their returned plan is a materialized-table scan, so plan columns
     // would describe the observation sink, not the operator
-    val eager = Set("st1_stream_hourly", "st2_sliding_window",
-      "st3_stream_dedup", "st4_stateful_user_agg", "st5_stream_static_join")
+    val eager = Map(
+      "st1_stream_hourly" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st2_sliding_window" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st3_stream_dedup" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st4_stateful_user_agg" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st5_stream_static_join" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st7_stream_left_outer" -> "materialized streaming result; shapes asserted in streaming specs",
+      "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate
     // brute-force baseline whose scale path exists separately. A loop in
@@ -56,10 +62,11 @@ object PlanAudit {
       "dd15_incremental_dedup" -> "1-row batch-stat broadcast crosses",
       "dd16_minhash_estimate" -> "1-row estimator broadcast cross",
       "tx15_type_token" -> "1-row corpus-size broadcast cross",
-      "q30_cohort_retention" -> "1-row cohort-base broadcast cross")
+      "q30_cohort_retention" -> "1-row cohort-base broadcast cross",
+      "tx21_corpus_drift" -> "1-row totals broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
-        s"| $name | — | — | — | — | — | — | materialized streaming result; shapes asserted in streaming specs |"
+        s"| $name | — | — | — | — | — | — | ${eager(name)} |"
       else try {
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         def c(pat: String) = pat.r.findAllIn(p).length
