@@ -1105,6 +1105,18 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx22_feature_hash" -> ((s, dir) =>
+      // hashing-trick featurizer: tokens land in 16 hash buckets (first
+      // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
+      // bag-of-words features a linear quality model consumes — no
+      // vocabulary to build or broadcast, exact on any partitioning.
+      // Long format (doc_id, bucket, n_tok): engine-portable and sparse
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+            lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n_tok"))),
     "tx21_corpus_drift" -> ((s, dir) => {
       // ingest drift monitor: add-1-smoothed unigram distributions of two
       // corpus halves (even/odd doc ids stand in for yesterday/today),
@@ -2981,6 +2993,11 @@ object SparkEntry {
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "tx22_feature_hash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
+         |SELECT doc_id,
+         |('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+         |count(*) AS n_tok FROM tk GROUP BY 1, 2""".stripMargin,
     "tx21_corpus_drift" ->
       s"""WITH tk AS (SELECT doc_id % 2 = 0 AS in_a, unnest($duckToks) AS tok
          |FROM documents),
