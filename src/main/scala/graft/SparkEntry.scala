@@ -24,6 +24,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run `f` with spark.sql.shuffle.partitions temporarily set to `n` —
+    * used around the one-shot STATEFUL streaming queries: every state
+    * partition pays per-batch store commit/snapshot IO on every
+    * micro-batch (a stream-stream join keeps four stores per partition),
+    * so a test-scale stream at the session's 32 partitions spends its
+    * time committing near-empty state files (measured 13s -> 4s on st7).
+    * State partitioning never changes results — state is key-hashed —
+    * only layout; a production deployment sizes it by state volume
+    * instead (this is exactly the knob Spark reads at first query start). */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Register fixture tables as temp views and run a SQL-surface query —
     * used where the DataFrame API cannot express the shape (correlated
     * subqueries, GROUPING SETS, LATERAL) so Catalyst's decorrelation /
@@ -862,8 +878,10 @@ object SparkEntry {
     }),
     "st1_stream_hourly" -> ((s, dir) => {
       val qn = "graft_st1_" + math.abs(dir.hashCode).toString
-      val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = EventsStreaming.hourlyStream(s, s"$dir/events.parquet", qn)
+        q.awaitTermination()
+      }
       s.table(qn)
     }),
 
@@ -902,8 +920,10 @@ object SparkEntry {
       writeHalf("a", ev.filter(col("ts") < split), 1700000000000L)
       writeHalf("b", ev.filter(col("ts") >= split), 1700000100000L)
       val qn = "graft_st7_" + math.abs(dir.hashCode).toString
-      val q = EventsStreaming.clickPurchaseLeftOuterStream(s, tmp.toString, qn)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = EventsStreaming.clickPurchaseLeftOuterStream(s, tmp.toString, qn)
+        q.awaitTermination()
+      }
       Seq("a", "b").foreach(n =>
         java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
       java.nio.file.Files.deleteIfExists(tmp)
@@ -914,8 +934,10 @@ object SparkEntry {
       // user-tier dimension per micro-batch (no join state, no second
       // watermark) — run as a REAL streaming query into a memory sink
       val qn = "graft_st5_" + math.abs(dir.hashCode).toString
-      val q = EventsStreaming.tierAggStream(s, s"$dir/events.parquet", qn)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = EventsStreaming.tierAggStream(s, s"$dir/events.parquet", qn)
+        q.awaitTermination()
+      }
       s.table(qn)
     }),
     "st4_stateful_user_agg" -> ((s, dir) => {
@@ -923,9 +945,11 @@ object SparkEntry {
       // integer-cent arithmetic so the streaming state equals the batch
       // groupBy bit-for-bit (the oracle)
       val qn = "graft_st4_" + math.abs(dir.hashCode).toString
-      val q = graft.streaming.StatefulUserAgg.userAggStream(
-        s, s"$dir/events.parquet", qn)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.StatefulUserAgg.userAggStream(
+          s, s"$dir/events.parquet", qn)
+        q.awaitTermination()
+      }
       s.table(qn)
     }),
     "st3_stream_dedup" -> ((s, dir) => {
@@ -940,8 +964,10 @@ object SparkEntry {
           tmp.resolve(s"$n.parquet"))
       }
       val qn = "graft_st3_" + math.abs(dir.hashCode).toString
-      val q = EventsStreaming.dedupStream(s, tmp.toString, qn)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = EventsStreaming.dedupStream(s, tmp.toString, qn)
+        q.awaitTermination()
+      }
       // the memory sink holds the result; the replay files are done with —
       // don't litter /tmp across bench/verify runs
       Seq("a", "b").foreach(n =>
