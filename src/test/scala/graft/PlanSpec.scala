@@ -163,6 +163,27 @@ class PlanSpec extends AnyFunSuite {
       s"the per-order aggregate must be a child of the join (appear below it):\n$p")
   }
 
+  test("bloom-gated dedup probes the filter BEFORE the join, map-side (dd28)") {
+    val p = plan("dd28_bloom_incremental")
+    assert(p.contains("might_contain("),
+      s"bloom probe missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom dedup must stay equi-join based:\n$p")
+    // the probe must sit under a Filter feeding the join, not after it:
+    // the first might_contain occurrence appears below (later in toString
+    // than) the last join — toString prints parents before children
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.lastIndexOf("HashJoin"), p.lastIndexOf("SortMergeJoin"))
+    assert(probeIdx > joinIdx,
+      s"bloom probe is not below the join (no map-side pruning):\n$p")
+  }
+
+  test("k-core peel rounds stay equi-joins over the re-rooted alive set (g3)") {
+    val p = plan("g3_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"k-core degraded to a loop join:\n$p")
+  }
+
   test("incremental dedup never degrades to batch-cross-corpus all-pairs (dd15)") {
     val p = plan("dd15_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
