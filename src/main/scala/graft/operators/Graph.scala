@@ -226,7 +226,15 @@ object Graph {
     val tri = wedges.join(o.as("e3"),
         col("e3.u") === col("y") && col("e3.v") === col("z"))
       .select(col("x"), col("y"), col("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    // materialize the counts so the oriented list can be released here —
+    // otherwise each call over a distinct graph leaks its cache entry in a
+    // long-lived session (the pageRankInt/kCore discipline)
+    val result = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    o.unpersist(false)
+    result
   }
 }

