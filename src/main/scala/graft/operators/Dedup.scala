@@ -147,7 +147,13 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // Persist the thresholded pairs too (same plan-keyed discipline as the
+    // shingle set above): the self-join is the expensive stage, its output
+    // is tiny (near-dup pairs only), and the downstream cluster operators
+    // (connected components, survivor selection, soft weighting) all start
+    // from this exact plan — one materialization serves them all.
     scoreJaccard(inter, sizes, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Shared exact-Jaccard scoring tail: |A∩B| / (|A| + |B| - |A∩B|) from
