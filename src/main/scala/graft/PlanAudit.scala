@@ -48,6 +48,7 @@ object PlanAudit {
       "dd12_semantic_dedup" -> "tiny centroid-table broadcast cross",
       "ss3_ivf_topk" -> "tiny centroid-table broadcast cross",
       "tx14_bigram_lm" -> "1-row vocab-size broadcast cross",
+      "tx23_bm25_topk" -> "1-row corpus-stats broadcast cross",
       "q29_funnel" -> "1-row stage-count broadcast crosses",
       "q62_timed_funnel" -> "1-row aggregate broadcast crosses",
       "dd21_lsh_quality" -> "1-row count broadcast crosses",

@@ -1131,6 +1131,14 @@ object SparkEntry {
           distinct = false)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram")).limit(20)),
+    "tx23_bm25_topk" -> ((s, dir) =>
+      // BM25 retrieval: rank the corpus against a bag-of-terms query
+      // (targeted decontamination / topic mining). Per-(doc, term)
+      // contributions truncate to integer micro-units before the
+      // per-doc sum — partitioning- and engine-exact (tx14 discipline)
+      graft.operators.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "vector"), k = 10)),
     "tx22_feature_hash" -> ((s, dir) =>
       // hashing-trick featurizer: tokens land in 16 hash buckets (first
       // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
@@ -3019,6 +3027,27 @@ object SparkEntry {
          |unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "tx23_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs,
+         |sum(dl)::BIGINT AS dl_sum FROM base),
+         |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM
+         |(SELECT doc_id, dl, unnest(t) AS w FROM base)
+         |WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, floor(
+         |ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+         |((tf::DOUBLE * (1.2 + 1.0)) /
+         | (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE /
+         |   (dl_sum::DOUBLE / n_docs::DOUBLE))))) *
+         |1e6)::BIGINT AS s_u
+         |FROM tf JOIN dfs USING (w) CROSS JOIN stats),
+         |agg AS (SELECT doc_id, sum(s_u)::BIGINT AS bm25_u FROM scored GROUP BY 1),
+         |ranked AS (SELECT doc_id, bm25_u,
+         |row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS rank FROM agg)
+         |SELECT rank, doc_id, floor(bm25_u::DOUBLE / 1e6 * 1000.0) / 1000.0 AS bm25
+         |FROM ranked WHERE rank <= 10""".stripMargin,
     "tx22_feature_hash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
          |SELECT doc_id,
