@@ -1998,6 +1998,143 @@ object SparkEntry {
       graft.operators.TableDiff.diff(before, after, "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),
+    "d6_cdc_apply" -> ((s, dir) => {
+      // CDC MERGE: a deterministic changelog derived from orders (op class
+      // by orderkey mod, seq = orderkey, every 13th key shifted out of the
+      // snapshot's key space to exercise the fresh-insert path) applied to
+      // the customer snapshot — latest-op-per-key via ONE map-side-
+      // combinable max_by aggregation, then a single full-outer
+      // reconciliation join on the PK (ChangeData.applyChangelog)
+      val snap = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val log = t(s, dir, "orders").select(
+        (col("o_custkey") + when(col("o_orderkey") % 13 === 0, 1000000L)
+          .otherwise(0L)).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 3, "D")
+          .when(col("o_orderkey") % 10 < 7, "U").otherwise("I").as("op"),
+        col("o_totalprice").as("c_acctbal"),
+        concat(lit("SEG_"), col("o_orderpriority")).as("c_mktsegment"))
+      graft.operators.ChangeData
+        .applyChangelog(snap, log, "c_custkey", "seq", "op")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          fround(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))
+    }),
+    "s18_integrity_audit" -> ((s, dir) => {
+      // pre-archival constraint audit on a deliberately-perturbed copy of
+      // the store (duplicated customer keys, orphaned order FKs): PK
+      // uniqueness, key non-nullness, FK orphan counts, value ranges —
+      // the invariants delete-back's safety depends on, each one
+      // aggregate/anti-join reducing to a single report row
+      import graft.operators.QualityAudit
+      import graft.operators.QualityAudit._
+      val customerDup = t(s, dir, "customer").unionByName(
+        t(s, dir, "customer").filter(col("c_custkey") % 500 === 0))
+      val ordersBad = t(s, dir, "orders").withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")))
+      QualityAudit.run(s, Map(
+        "customer" -> customerDup,
+        "orders" -> ordersBad,
+        "lineitem" -> t(s, dir, "lineitem"),
+        "events" -> t(s, dir, "events")), Seq(
+        Unique("customer", Seq("c_custkey")),
+        NotNull("orders", "o_custkey"),
+        Fk("orders", "o_custkey", "customer", "c_custkey"),
+        Fk("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        InRange("orders", "o_totalprice", 0.0, 1e7),
+        Unique("lineitem", Seq("l_orderkey", "l_linenumber")),
+        NotNull("events", "user_id")))
+    }),
+    "q65_regression" -> ((s, dir) =>
+      // per-group simple OLS via the single-pass mergeable regr_*
+      // aggregates (sums of x, y, xy, x², one shuffle with map-side
+      // combine) — the statistics shape behind drift monitors; truncated
+      // below the engines' float-merge-order noise floor
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          fround(regr_slope(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("slope"),
+          fround(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("intercept"),
+          fround(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2"))),
+    "q66_ewma" -> ((s, dir) => {
+      // exponential decay score over each user's daily event counts with
+      // alpha = 1/2 and an 8-observation horizon: weights are powers of
+      // two, counts are integers, so the score is EXACT integer arithmetic
+      // (bit-identical across engines — no float tolerance needed) and the
+      // double form is an exact dyadic rational. One shuffle on user_id
+      // feeds the single window with all eight lag expressions.
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val score = (0 to 7).map(j =>
+        coalesce(lag(col("cnt"), j).over(w), lit(0L)) *
+          lit(1L << (7 - j))).reduce(_ + _)
+      daily.select(col("user_id"), col("day"),
+        col("cnt"), score.as("decay_score"),
+        (score.cast("double") / 128.0).as("ewma"))
+    }),
+    "q67_countmin" -> ((s, dir) => {
+      // Count-Min frequency sketch, engine-portable by construction: d=4
+      // md5-derived hash rows × w=64 buckets (integer arithmetic only, so
+      // the oracle rebuilds the identical sketch in SQL). Sketch build is
+      // one groupBy(depth,bucket) over an explode(d) pass — map-side
+      // combinable, 256 cells total regardless of key cardinality; the
+      // top-10 probe estimates join the tiny sketch and take min over d.
+      // Guarantee checked in-row: CMS never underestimates.
+      val wdt = 64
+      val keyed = t(s, dir, "orders").select(col("o_custkey"))
+      def bucket(depth: Column, key: Column): Column =
+        conv(substring(md5(concat(depth.cast("string"), lit(":"),
+          key.cast("string"))), 1, 8), 16, 10).cast("long") % wdt
+      val exploded = keyed
+        .select(col("o_custkey"), explode(sequence(lit(0), lit(3))).as("d"))
+        .withColumn("bucket", bucket(col("d"), col("o_custkey")))
+      val sketch = exploded.groupBy("d", "bucket")
+        .agg(count(lit(1)).as("cell"))
+      val probes = keyed.groupBy("o_custkey")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("o_custkey")).limit(10)
+      probes
+        .select(col("o_custkey"), col("exact_cnt"),
+          explode(sequence(lit(0), lit(3))).as("d"))
+        .withColumn("bucket", bucket(col("d"), col("o_custkey")))
+        .join(sketch, Seq("d", "bucket"))
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(min(col("cell")).as("cms_estimate"))
+        .select(col("o_custkey"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"))
+    }),
+    "q68_interval_allocate" -> ((s, dir) => {
+      // interval-to-bucket pro-rating: each event becomes a deterministic
+      // [ts, ts + (event_id mod 7200) s) interval whose duration is
+      // allocated to every hour bucket it overlaps — sequence + explode
+      // (a row becomes at most ceil(dur/1h)+1 rows, no join against a
+      // calendar table), overlap computed exactly in BIGINT microseconds.
+      // The utilization/billing shape: shuffle only for the final
+      // per-hour reduction.
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          (col("event_id") % 7200) * 1000000L).as("en"))
+      ev.select(col("ts"), col("en"),
+          explode(sequence(date_trunc("hour", col("ts")),
+            date_trunc("hour", col("en")),
+            expr("interval 1 hour"))).as("h"))
+        .select(col("h"),
+          (least(unix_micros(col("en")),
+              unix_micros(col("h") + expr("interval 1 hour"))) -
+            greatest(unix_micros(col("ts")), unix_micros(col("h"))))
+            .as("overlap_us"))
+        .filter(col("overlap_us") > 0)
+        .groupBy(col("h").as("hour_start"))
+        .agg(sum(col("overlap_us")).as("busy_us"),
+          count(lit(1)).as("n_intervals"))
+    }),
     "q58_equidepth_hist" -> ((s, dir) =>
       // equi-depth (quantile) histogram: ntile splits each priority's
       // price distribution into 4 equal-count buckets; per-bucket bounds
@@ -4195,6 +4332,135 @@ object SparkEntry {
         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
         |OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
         |OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)""".stripMargin,
+    "d6_cdc_apply" ->
+      """WITH log AS (SELECT
+        |  o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1000000 ELSE 0 END AS k,
+        |  o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 10 < 3 THEN 'D'
+        |       WHEN o_orderkey % 10 < 7 THEN 'U' ELSE 'I' END AS op,
+        |  o_totalprice AS acctbal,
+        |  'SEG_' || o_orderpriority AS mkt
+        |FROM orders),
+        |latest AS (SELECT k, op, acctbal, mkt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC,
+        |    CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+        |  FROM log) WHERE rn = 1)
+        |SELECT coalesce(c.k, s.c_custkey) AS c_custkey,
+        |  s.c_name AS c_name,
+        |  s.c_nationkey::BIGINT AS c_nationkey,
+        |  floor((CASE WHEN c.op IS NOT NULL THEN c.acctbal
+        |    ELSE s.c_acctbal END) * 100.0) / 100.0 AS acctbal,
+        |  CASE WHEN c.op IS NOT NULL THEN c.mkt
+        |    ELSE s.c_mktsegment END AS c_mktsegment
+        |FROM customer s FULL JOIN latest c ON s.c_custkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
+    "s18_integrity_audit" ->
+      """WITH customer2 AS (SELECT * FROM customer UNION ALL
+        |  SELECT * FROM customer WHERE c_custkey % 500 = 0),
+        |orders2 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END
+        |    AS o_custkey,
+        |  o_totalprice FROM orders)
+        |SELECT 'customer' AS table_name, 'unique_c_custkey' AS check_name,
+        |  (SELECT count(*) FROM customer2)::BIGINT AS checked_rows,
+        |  ((SELECT count(*) FROM customer2) -
+        |   (SELECT count(DISTINCT c_custkey) FROM customer2))::BIGINT
+        |    AS violations,
+        |  ((SELECT count(*) FROM customer2) =
+        |   (SELECT count(DISTINCT c_custkey) FROM customer2)) AS ok
+        |UNION ALL SELECT 'orders', 'not_null_o_custkey',
+        |  (SELECT count(*) FROM orders2)::BIGINT,
+        |  (SELECT count(*) FROM orders2 WHERE o_custkey IS NULL)::BIGINT,
+        |  (SELECT count(*) FROM orders2 WHERE o_custkey IS NULL) = 0
+        |UNION ALL SELECT 'orders', 'fk_o_custkey_to_customer',
+        |  (SELECT count(*) FROM orders2 WHERE o_custkey IS NOT NULL)::BIGINT,
+        |  (SELECT count(*) FROM orders2 WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer2))::BIGINT,
+        |  (SELECT count(*) FROM orders2 WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer2)) = 0
+        |UNION ALL SELECT 'lineitem', 'fk_l_orderkey_to_orders',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)::BIGINT,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders2))::BIGINT,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders2)) = 0
+        |UNION ALL SELECT 'orders', 'range_o_totalprice',
+        |  (SELECT count(*) FROM orders2 WHERE o_totalprice IS NOT NULL)::BIGINT,
+        |  (SELECT count(*) FROM orders2
+        |    WHERE o_totalprice < 0.0 OR o_totalprice > 10000000.0)::BIGINT,
+        |  (SELECT count(*) FROM orders2
+        |    WHERE o_totalprice < 0.0 OR o_totalprice > 10000000.0) = 0
+        |UNION ALL SELECT 'lineitem', 'unique_l_orderkey_l_linenumber',
+        |  (SELECT count(*) FROM lineitem)::BIGINT,
+        |  ((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT,
+        |  ((SELECT count(*) FROM lineitem) = (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))
+        |UNION ALL SELECT 'events', 'not_null_user_id',
+        |  (SELECT count(*) FROM events)::BIGINT,
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL)::BIGINT,
+        |  (SELECT count(*) FROM events WHERE user_id IS NULL) = 0""".stripMargin,
+    "q65_regression" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |floor(regr_slope(l_extendedprice, l_quantity) * 100.0) / 100.0
+        |  AS slope,
+        |floor(regr_intercept(l_extendedprice, l_quantity) * 100.0) / 100.0
+        |  AS intercept,
+        |floor(regr_r2(l_extendedprice, l_quantity) * 10000.0) / 10000.0
+        |  AS r2
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q66_ewma" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP)
+        |  AS day, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, cnt,
+        |(cnt * 128 + coalesce(lag(cnt, 1) OVER w, 0) * 64
+        | + coalesce(lag(cnt, 2) OVER w, 0) * 32
+        | + coalesce(lag(cnt, 3) OVER w, 0) * 16
+        | + coalesce(lag(cnt, 4) OVER w, 0) * 8
+        | + coalesce(lag(cnt, 5) OVER w, 0) * 4
+        | + coalesce(lag(cnt, 6) OVER w, 0) * 2
+        | + coalesce(lag(cnt, 7) OVER w, 0))::BIGINT AS decay_score,
+        |(cnt * 128 + coalesce(lag(cnt, 1) OVER w, 0) * 64
+        | + coalesce(lag(cnt, 2) OVER w, 0) * 32
+        | + coalesce(lag(cnt, 3) OVER w, 0) * 16
+        | + coalesce(lag(cnt, 4) OVER w, 0) * 8
+        | + coalesce(lag(cnt, 5) OVER w, 0) * 4
+        | + coalesce(lag(cnt, 6) OVER w, 0) * 2
+        | + coalesce(lag(cnt, 7) OVER w, 0)) / 128.0 AS ewma
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day)""".stripMargin,
+    "q67_countmin" ->
+      """WITH keyed AS (SELECT o_custkey FROM orders),
+        |b AS (SELECT o_custkey, d,
+        |  ('0x' || substr(md5(d::VARCHAR || ':' || o_custkey::VARCHAR),
+        |    1, 8))::BIGINT % 64 AS bucket
+        |  FROM keyed CROSS JOIN range(0, 4) r(d)),
+        |sketch AS (SELECT d, bucket, count(*)::BIGINT AS cell
+        |  FROM b GROUP BY 1, 2),
+        |probes AS (SELECT o_custkey, count(*)::BIGINT AS exact_cnt
+        |  FROM keyed GROUP BY 1
+        |  ORDER BY exact_cnt DESC, o_custkey LIMIT 10),
+        |pe AS (SELECT p.o_custkey, p.exact_cnt, r.d AS d,
+        |  ('0x' || substr(md5(r.d::VARCHAR || ':' || p.o_custkey::VARCHAR),
+        |    1, 8))::BIGINT % 64 AS bucket
+        |  FROM probes p CROSS JOIN range(0, 4) r(d))
+        |SELECT pe.o_custkey, pe.exact_cnt,
+        |  min(s.cell)::BIGINT AS cms_estimate,
+        |  min(s.cell) >= pe.exact_cnt AS no_underestimate
+        |FROM pe JOIN sketch s USING (d, bucket)
+        |GROUP BY 1, 2""".stripMargin,
+    "q68_interval_allocate" ->
+      """WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts,
+        |  ts::TIMESTAMP + to_seconds(event_id % 7200) AS en FROM events),
+        |e2 AS (SELECT ts, en,
+        |  unnest(generate_series(date_trunc('hour', ts),
+        |    date_trunc('hour', en), INTERVAL 1 HOUR)) AS h FROM ev),
+        |o AS (SELECT h,
+        |  least(epoch_us(en), epoch_us(h + INTERVAL 1 HOUR)) -
+        |  greatest(epoch_us(ts), epoch_us(h)) AS overlap_us FROM e2)
+        |SELECT h AS hour_start, sum(overlap_us)::BIGINT AS busy_us,
+        |  count(*)::BIGINT AS n_intervals
+        |FROM o WHERE overlap_us > 0 GROUP BY 1""".stripMargin,
     "q58_equidepth_hist" ->
       """WITH t AS (SELECT o_orderpriority, o_totalprice,
         |ntile(4) OVER (PARTITION BY o_orderpriority

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC changelog application — reconcile a keyed snapshot with a stream of
+  * insert/update/delete operations.
+  *
+  * The reference archives by *moving* rows and re-running idempotently
+  * (`/root/reference/osarchiver/destination/db.py:129-179` upserts, D1
+  * deletes back); the general form of that contract is "apply a changelog
+  * to a table": per primary key, the operation with the highest sequence
+  * number wins — `D` removes the row, `I`/`U` upsert the payload over the
+  * existing row, untouched snapshot keys pass through. This is the MERGE
+  * INTO shape every CDC-fed lakehouse table needs and it subsumes the
+  * reference's upsert + delete-back pair into one operator.
+  *
+  * Scale: resolving the winning op is `groupBy(pk).agg(max_by(...))` —
+  * ONE shuffle with map-side partial aggregation (no window, no sort of
+  * the full changelog; max_by merges pairwise so a key with millions of
+  * ops still reduces locally). Reconciliation is a single full-outer
+  * shuffle join on the pk. Both hash-partition on the same key, so AQE
+  * can reuse the exchange; nothing is collected to the driver and no
+  * state grows with history — only with *distinct touched keys*.
+  */
+object ChangeData {
+
+  /** Apply `changelog` to `snapshot`.
+    *
+    * @param snapshot  current table state; must contain `pk`
+    * @param changelog rows of (pk, seqCol, opCol, payload columns...);
+    *                  payload columns REPLACE same-named snapshot columns
+    *                  for the winning I/U op; snapshot-only columns are
+    *                  carried through (NULL for fresh inserts)
+    * @param pk        primary-key column name
+    * @param seqCol    monotone sequence (log position); ties broken by
+    *                  op descending (deterministic, D wins over U/I at
+    *                  the same position — the conservative read)
+    * @param opCol     operation column with values 'I' | 'U' | 'D'
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame, pk: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payloadCols =
+      changelog.columns.filter(c => c != pk && c != seqCol && c != opCol)
+    val snapOnly = snapshot.columns.filter(c => c != pk &&
+      !payloadCols.contains(c))
+
+    // winning op per key: ONE aggregation, map-side combinable
+    val opRank = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1).otherwise(0)
+    val latest = changelog.groupBy(col(pk))
+      .agg(max_by(
+        struct((col(opCol) +: payloadCols.map(col)): _*),
+        struct(col(seqCol), opRank)).as("w"))
+      .select(col(pk), col("w.*"))
+
+    val joined = snapshot.as("s").join(latest.as("c"),
+      snapshot(pk) === latest(pk), "full_outer")
+
+    val touched = col(s"c.$opCol").isNotNull
+    val outCols: Seq[Column] =
+      coalesce(col(s"c.$pk"), col(s"s.$pk")).as(pk) +:
+      (snapOnly.map(c => col(s"s.$c").as(c)) ++
+        payloadCols.map(c =>
+          if (snapshot.columns.contains(c))
+            when(touched, col(s"c.$c")).otherwise(col(s"s.$c")).as(c)
+          else col(s"c.$c").as(c)))
+
+    joined
+      .filter(!touched || col(s"c.$opCol") =!= "D") // latest D → row gone
+      .select(outCols: _*)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constraint audit — machine-checkable table invariants, reported as one
+  * long-format violation table.
+  *
+  * The reference trusts the live store's own constraints and discovers
+  * only PK/FK *structure* (`/root/reference/osarchiver/common/db.py:
+  * 407-450`); it has no way to ASSERT that the data it is about to
+  * archive or delete actually satisfies them. At 100 TB that assertion
+  * is the difference between "delete-back removed archived rows" and
+  * "delete-back removed rows whose children still reference them": this
+  * operator runs the checks the archiver's safety depends on — PK
+  * uniqueness, key non-nullness, FK orphan counts (exactly what D3's
+  * dichotomy recovery repairs after the fact), and value-range sanity —
+  * BEFORE any destructive step.
+  *
+  * Scale, per check kind:
+  *  - NotNull / InRange: a scan-local conditional count (partial agg,
+  *    no shuffle beyond the final 1-row reduce);
+  *  - Unique: `groupBy(key).count` — one shuffle with map-side combine;
+  *    violations = rows in excess of one per key;
+  *  - Fk: LEFT ANTI join child→parent on the key — broadcastable when
+  *    the parent's key projection is small, shuffle-hash otherwise, and
+  *    the parent side is pruned to the single key column so the scan
+  *    never reads its payload.
+  * Every check reduces to one row; the report union is trivially cheap
+  * and each check remains an independent job (fail-fast or run-all both
+  * work).
+  */
+object QualityAudit {
+
+  sealed trait Check { def table: String; def name: String }
+  /** `column` must never be NULL. */
+  final case class NotNull(table: String, column: String) extends Check {
+    def name = s"not_null_$column"
+  }
+  /** `columns` form a unique key; violations counts surplus rows. */
+  final case class Unique(table: String, columns: Seq[String]) extends Check {
+    def name = s"unique_${columns.mkString("_")}"
+  }
+  /** every non-NULL `column` must exist in `parentTable.parentColumn`. */
+  final case class Fk(table: String, column: String, parentTable: String,
+      parentColumn: String) extends Check {
+    def name = s"fk_${column}_to_$parentTable"
+  }
+  /** `column` must lie in [lo, hi] (inclusive); NULLs are NotNull's job. */
+  final case class InRange(table: String, column: String, lo: Double,
+      hi: Double) extends Check {
+    def name = s"range_$column"
+  }
+
+  /** Run every check; one output row per check:
+    * (table_name, check_name, checked_rows, violations, ok). */
+  def run(spark: SparkSession, tables: Map[String, DataFrame],
+      checks: Seq[Check]): DataFrame = {
+    val reports = checks.map { c =>
+      val df = tables(c.table)
+      val report = c match {
+        case NotNull(_, col0) =>
+          df.agg(count(lit(1)).as("checked_rows"),
+            count(when(col(col0).isNull, 1)).as("violations"))
+        case Unique(_, cols) =>
+          df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n")).as("checked_rows"),
+              sum(col("n") - 1).as("violations"))
+        case Fk(_, child, parentT, parentC) =>
+          val parent = tables(parentT).select(col(parentC))
+          df.select(col(child)).filter(col(child).isNotNull)
+            .join(parent, col(child) === col(parentC), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+            .crossJoin(df.agg(count(when(col(child).isNotNull, 1))
+              .as("checked_rows")))
+        case InRange(_, col0, lo, hi) =>
+          df.agg(count(when(col(col0).isNotNull, 1)).as("checked_rows"),
+            count(when(col(col0) < lo || col(col0) > hi, 1))
+              .as("violations"))
+      }
+      report.select(lit(c.table).as("table_name"),
+        lit(c.name).as("check_name"),
+        coalesce(col("checked_rows"), lit(0L)).cast("long")
+          .as("checked_rows"),
+        coalesce(col("violations"), lit(0L)).cast("long").as("violations"),
+        (coalesce(col("violations"), lit(0L)) === 0).as("ok"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChangeDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("pk", "name", "bal")
+
+  test("latest op per key wins: U updates, D deletes, I inserts") {
+    val log = Seq(
+      (1L, 1L, "U", 11.0),  // superseded
+      (1L, 5L, "U", 15.0),  // winner for key 1
+      (2L, 2L, "D", 0.0),   // delete key 2
+      (4L, 3L, "I", 40.0)   // fresh insert
+    ).toDF("pk", "seq", "op", "bal")
+    val got = ChangeData.applyChangelog(snap, log, "pk", "seq", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", 15.0),        // payload applied, snapshot name carried
+      (3L, "c", 30.0),        // untouched
+      (4L, null, 40.0)))      // insert: snapshot-only column is NULL
+  }
+
+  test("delete then later re-insert resurrects the key") {
+    val log = Seq(
+      (2L, 1L, "D", 0.0),
+      (2L, 9L, "I", 99.0)
+    ).toDF("pk", "seq", "op", "bal")
+    val got = ChangeData.applyChangelog(snap, log, "pk", "seq", "op")
+      .filter($"pk" === 2L).as[(Long, String, Double)].collect()
+    assert(got.toSeq === Seq((2L, "b", 99.0)))
+  }
+
+  test("sequence tie: D outranks U outranks I (conservative read)") {
+    val log = Seq(
+      (1L, 7L, "U", 99.0),
+      (1L, 7L, "D", 0.0)
+    ).toDF("pk", "seq", "op", "bal")
+    val got = ChangeData.applyChangelog(snap, log, "pk", "seq", "op")
+    assert(got.filter($"pk" === 1L).count() === 0, "D wins the tie")
+  }
+
+  test("empty changelog is the identity") {
+    val log = Seq.empty[(Long, Long, String, Double)]
+      .toDF("pk", "seq", "op", "bal")
+    val got = ChangeData.applyChangelog(snap, log, "pk", "seq", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0)))
+  }
+
+  test("result is invariant under changelog partitioning") {
+    val log = (1L to 500L).map { i =>
+      (i % 40, i, Seq("I", "U", "D")((i % 3).toInt), i * 1.0)
+    }.toDF("pk", "seq", "op", "bal")
+    val s2 = (0L until 40L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("pk", "name", "bal")
+    val a = ChangeData.applyChangelog(s2, log.repartition(1), "pk", "seq", "op")
+      .orderBy("pk").collect()
+    val b = ChangeData.applyChangelog(s2, log.repartition(13), "pk", "seq", "op")
+      .orderBy("pk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

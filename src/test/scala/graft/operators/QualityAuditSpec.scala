@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.operators.QualityAudit._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def report(checks: Seq[Check],
+      tabs: Map[String, org.apache.spark.sql.DataFrame]) =
+    QualityAudit.run(spark, tabs, checks)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+
+  test("clean table passes every check kind") {
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val child = Seq((10L, 1L, 5.0), (11L, 2L, 6.0)).toDF("cid", "pid", "amt")
+    val got = report(Seq(
+      Unique("parent", Seq("id")), NotNull("child", "pid"),
+      Fk("child", "pid", "parent", "id"),
+      InRange("child", "amt", 0.0, 10.0)),
+      Map("parent" -> parent, "child" -> child))
+    assert(got.values.forall { case (_, v, ok) => v == 0L && ok })
+    assert(got("fk_pid_to_parent")._1 === 2L)
+  }
+
+  test("violations are counted, not just flagged") {
+    val parent = Seq((1L, "x"), (1L, "x2"), (2L, "y"), (2L, "y2"), (3L, "z"))
+      .toDF("id", "v")
+    val child = Seq(
+      (10L, Some(1L), 5.0), (11L, Some(9L), -1.0), (12L, None, 99.0),
+      (13L, Some(8L), 3.0)
+    ).toDF("cid", "pid", "amt")
+    val got = report(Seq(
+      Unique("parent", Seq("id")),       // 2 surplus rows
+      NotNull("child", "pid"),           // 1 null
+      Fk("child", "pid", "parent", "id"),// 9 and 8 are orphans
+      InRange("child", "amt", 0.0, 10.0) // -1 and 99 out of range
+    ), Map("parent" -> parent, "child" -> child))
+    assert(got("unique_id") === ((5L, 2L, false)))
+    assert(got("not_null_pid") === ((4L, 1L, false)))
+    // FK checks only non-NULL children: 3 checked, 2 orphans
+    assert(got("fk_pid_to_parent") === ((3L, 2L, false)))
+    assert(got("range_amt") === ((4L, 2L, false)))
+  }
+
+  test("composite unique key counts surplus rows per full key") {
+    val t = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 2, "c"), (1L, 2, "d"))
+      .toDF("k1", "k2", "v")
+    val got = report(Seq(Unique("t", Seq("k1", "k2"))), Map("t" -> t))
+    assert(got("unique_k1_k2") === ((4L, 2L, false)))
+  }
+
+  test("empty table: zero checked, zero violations, ok") {
+    val t = Seq.empty[(Long, Double)].toDF("id", "amt")
+    val got = report(Seq(NotNull("t", "id"), Unique("t", Seq("id")),
+      InRange("t", "amt", 0, 1)), Map("t" -> t))
+    assert(got.values.forall { case (c, v, ok) => c == 0L && v == 0L && ok })
+  }
+
+  test("FK check prunes the parent scan to the key column") {
+    val parent = (1L to 100L).map(i => (i, s"pad$i" * 10)).toDF("id", "pad")
+    val child = (1L to 50L).map(i => (i * 3 % 120, i)).toDF("pid", "cid")
+    val df = QualityAudit.run(spark,
+      Map("p" -> parent, "c" -> child), Seq(Fk("c", "pid", "p", "id")))
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+          if p.children.isEmpty => p.output.map(_.name)
+    }
+    // no leaf relation under the FK check carries the parent's payload
+    assert(scans.forall(cols => !cols.contains("pad")),
+      s"parent payload column read: $scans")
+  }
+}
