@@ -1139,6 +1139,25 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "vector"), k = 10)),
+    "tx24_jaro_winkler" -> ((s, dir) => {
+      // entity-resolution fuzzy match: block part names on brand (pair
+      // generation is an equi-join, never all-pairs) and verify with the
+      // native codegen'd Jaro-Winkler scalar (DuckDB/RapidFuzz-compatible
+      // semantics — the oracle recomputes the identical score). The
+      // threshold compares the FLOORED score so the cut is engine-exact.
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_partkey").as("pk_a"),
+        col("p_name").as("name_a"), col("p_brand").as("brand"))
+      val b = p.select(col("p_partkey").as("pk_b"),
+        col("p_name").as("name_b"), col("p_brand").as("brand"))
+      a.join(b, "brand").filter(col("pk_a") < col("pk_b"))
+        .withColumn("jw",
+          fround(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+        .filter(col("jw") >= 0.9)
+        .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
+          col("jw"))
+    }),
     "tx22_feature_hash" -> ((s, dir) =>
       // hashing-trick featurizer: tokens land in 16 hash buckets (first
       // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
@@ -3185,6 +3204,15 @@ object SparkEntry {
          |row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS rank FROM agg)
          |SELECT rank, doc_id, floor(bm25_u::DOUBLE / 1e6 * 1000.0) / 1000.0 AS bm25
          |FROM ranked WHERE rank <= 10""".stripMargin,
+    "tx24_jaro_winkler" ->
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |a.p_name AS name_a, b.p_name AS name_b,
+        |floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 AS jw
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9""".stripMargin,
     "tx22_feature_hash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
          |SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, MisraGries, RollingMinHash, WordShingles}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, MisraGries, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -46,6 +46,9 @@ object GraftExtensions {
 
   val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => ArrayDot(args(0), args(1))),
+    // graft_jaro_winkler(a, b) — fuzzy similarity in [0,1], DuckDB/
+    // RapidFuzz-compatible (prefix bonus gated on jaro > 0.7)
+    "graft_jaro_winkler" -> (args => JaroWinkler(args(0), args(1))),
     "graft_rolling_minhash" -> (args =>
       RollingMinHash(args(0),
         if (args.length > 1) intArg(args(1), "width") else 8)),

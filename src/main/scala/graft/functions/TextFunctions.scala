@@ -165,6 +165,18 @@ object TextFunctions {
     lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)
   }
 
+  /** Jaro-Winkler similarity in [0,1] (native codegen'd expression) —
+    * transposition-tolerant fuzzy matching for entity-resolution dedup;
+    * DuckDB/RapidFuzz-compatible semantics (see
+    * [[expressions.JaroWinkler]]). Generate candidate pairs with a
+    * blocking equi-join first; this is the verify step, not the pair
+    * generator. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.JaroWinkler(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Karp-Rabin rolling fingerprint (native codegen'd expression): min
     * base-31 polynomial hash over 8-byte windows of the normalized text.
     * The scale path — O(n) per doc, zero allocation per window. */
