@@ -64,7 +64,8 @@ object PlanAudit {
       "dd16_minhash_estimate" -> "1-row estimator broadcast cross",
       "tx15_type_token" -> "1-row corpus-size broadcast cross",
       "q30_cohort_retention" -> "1-row cohort-base broadcast cross",
-      "tx21_corpus_drift" -> "1-row totals broadcast cross")
+      "tx21_corpus_drift" -> "1-row totals broadcast cross",
+      "s18_integrity_audit" -> "1-row check-aggregate broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"
