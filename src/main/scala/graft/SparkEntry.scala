@@ -920,7 +920,11 @@ object SparkEntry {
       writeHalf("a", ev.filter(col("ts") < split), 1700000000000L)
       writeHalf("b", ev.filter(col("ts") >= split), 1700000100000L)
       val qn = "graft_st7_" + math.abs(dir.hashCode).toString
-      withShufflePartitions(s, 8) {
+      // 4 state partitions, not 8: the interval join keeps FOUR state
+      // stores per partition and every micro-batch commits each one, so
+      // the one-shot test stream pays 4x partitions x batches in store
+      // IO; keys here are few enough that layout, not parallelism, wins
+      withShufflePartitions(s, 4) {
         val q = EventsStreaming.clickPurchaseLeftOuterStream(s, tmp.toString, qn)
         q.awaitTermination()
       }

@@ -690,10 +690,16 @@ object Dedup {
       })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") =!= col("b.doc_id"))
+    // Intersection counts are symmetric: join each unordered pair ONCE
+    // (doc_a < doc_b) and mirror after the aggregation — the directed
+    // =!= join would push 2x the rows through the pair aggregation and
+    // its shuffle for identical counts.
+    val interU = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val inter = interU.unionByName(interU.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("inter")))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
         "doc_a")
