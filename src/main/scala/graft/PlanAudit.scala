@@ -37,6 +37,7 @@ object PlanAudit {
       "st4_stateful_user_agg" -> "materialized streaming result; shapes asserted in streaming specs",
       "st5_stream_static_join" -> "materialized streaming result; shapes asserted in streaming specs",
       "st7_stream_left_outer" -> "materialized streaming result; shapes asserted in streaming specs",
+      "st8_stream_cdc_apply" -> "foreachBatch-folded versioned state; algebra asserted in ChangeDataSpec",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate

@@ -933,6 +933,59 @@ object SparkEntry {
       java.nio.file.Files.deleteIfExists(tmp)
       s.table(qn)
     }),
+    "st8_stream_cdc_apply" -> ((s, dir) => {
+      // streaming CDC ingestion: the d6 changelog replayed as two
+      // OUT-OF-ORDER halves (even seqs, then odd — each batch holds seqs
+      // below AND above the other's), folded through the versioned state
+      // merge in foreachBatch. applyVersioned's latest-op-per-key algebra
+      // is associative + commutative over batches and keeps delete
+      // TOMBSTONES, so the final snapshot is independent of micro-batch
+      // boundaries and equals one global apply — which is exactly what
+      // the oracle computes over the whole log at once.
+      import graft.operators.ChangeData
+      val tmp = java.nio.file.Files.createTempDirectory("graft-st8")
+      val log = t(s, dir, "orders").select(
+        (col("o_custkey") + when(col("o_orderkey") % 13 === 0, 1000000L)
+          .otherwise(0L)).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 < 3, "D")
+          .when(col("o_orderkey") % 10 < 7, "U").otherwise("I").as("op"),
+        col("o_totalprice").as("acctbal"),
+        concat(lit("SEG_"), col("o_orderpriority")).as("mkt"))
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, tmp.resolve(name + ".parquet"))
+        tmp.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", log.filter(col("seq") % 2 === 0), 1700000000000L)
+      writeHalf("b", log.filter(col("seq") % 2 === 1), 1700000100000L)
+      var state = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
+      val q = s.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // materialize INSIDE the batch (a micro-batch DF is not valid
+          // after its batch completes) and truncate lineage per fold
+          state = ChangeData.applyVersioned(state, batch,
+            "c_custkey", "seq", "op").localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      ChangeData.snapshot(state, "op").select(
+        col("c_custkey"), col("seq").as("last_seq"), col("op").as("last_op"),
+        fround(col("acctbal"), 2).as("acctbal"), col("mkt").as("c_mktsegment"))
+    }),
     "st5_stream_static_join" -> ((s, dir) => {
       // stream-static enrichment: the event stream probes a broadcast
       // user-tier dimension per micro-batch (no join state, no second
@@ -2927,6 +2980,25 @@ object SparkEntry {
         |AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id))
         |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin
     },
+    "st8_stream_cdc_apply" ->
+      """WITH log AS (SELECT
+        |  o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1000000 ELSE 0 END
+        |    AS c_custkey,
+        |  o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 10 < 3 THEN 'D'
+        |       WHEN o_orderkey % 10 < 7 THEN 'U' ELSE 'I' END AS op,
+        |  o_totalprice AS acctbal,
+        |  'SEG_' || o_orderpriority AS mkt
+        |FROM orders),
+        |latest AS (SELECT c_custkey, seq, op, acctbal, mkt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY seq DESC,
+        |    CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+        |  FROM log) WHERE rn = 1)
+        |SELECT c_custkey, seq AS last_seq, op AS last_op,
+        |  floor(acctbal * 100.0) / 100.0 AS acctbal,
+        |  mkt AS c_mktsegment
+        |FROM latest WHERE op <> 'D'""".stripMargin,
     "st5_stream_static_join" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |tot AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nu

@@ -70,4 +70,46 @@ object ChangeData {
       .filter(!touched || col(s"c.$opCol") =!= "D") // latest D → row gone
       .select(outCols: _*)
   }
+
+  /** Versioned state merge — the INCREMENTAL form of [[applyChangelog]].
+    *
+    * State and changelog share one schema (pk, seqCol, opCol, payload…);
+    * the new state is simply the winning op per key over `state ∪ batch`.
+    * Deletes are retained as TOMBSTONES (op = 'D' rows with their seq):
+    * without them a late-arriving lower-seq update would resurrect a
+    * deleted key, and incremental apply would diverge from batch apply.
+    * Because "latest op per key" is associative and commutative over
+    * batches, folding ANY partition of the changelog through this
+    * function — in ANY batch order — yields the state of one global
+    * apply. That is the property a streaming `foreachBatch` CDC sink
+    * needs (micro-batch boundaries are arbitrary), and the same single
+    * map-side-combinable aggregation shape as the batch form.
+    */
+  def applyVersioned(state: DataFrame, batch: DataFrame, pk: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payload =
+      state.columns.filter(c => c != pk && c != seqCol && c != opCol)
+    val all = state.unionByName(batch.select(state.columns.map(col): _*))
+    val opRank = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1).otherwise(0)
+    all.groupBy(col(pk))
+      .agg(max_by(
+        struct((Seq(seqCol, opCol) ++ payload).map(col): _*),
+        struct(col(seqCol), opRank)).as("w"))
+      .select(col(pk) +: (Seq(seqCol, opCol) ++ payload)
+        .map(c => col(s"w.$c").as(c)): _*)
+  }
+
+  /** The queryable snapshot of a versioned state: tombstones hidden. */
+  def snapshot(state: DataFrame, opCol: String): DataFrame =
+    state.filter(col(opCol) =!= "D")
+
+  /** Drop tombstones proven unnecessary: once the ingest guarantees no
+    * changelog entry with seq < `horizon` can still arrive (the CDC
+    * analogue of a watermark), a 'D' row below the horizon can never be
+    * out-raced by a late op and is pure storage overhead. Live rows are
+    * never dropped. */
+  def compactTombstones(state: DataFrame, seqCol: String, opCol: String,
+      horizon: Long): DataFrame =
+    state.filter(col(opCol) =!= "D" || col(seqCol) >= horizon)
 }

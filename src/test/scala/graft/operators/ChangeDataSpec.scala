@@ -56,6 +56,48 @@ class ChangeDataSpec extends AnyFunSuite {
       (3L, "c", 30.0)))
   }
 
+  test("versioned apply: any batch order converges to the global apply") {
+    val log = (1L to 300L).map { i =>
+      (i % 25, i, Seq("I", "U", "D")((i % 3).toInt), i * 1.0)
+    }.toDF("pk", "seq", "op", "bal")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
+    val global = ChangeData.applyVersioned(empty, log, "pk", "seq", "op")
+      .orderBy("pk").collect().toSeq
+    // three different batchings, including out-of-order sequence ranges
+    val batchings = Seq(
+      Seq(log.filter($"seq" % 2 === 0), log.filter($"seq" % 2 === 1)),
+      Seq(log.filter($"seq" > 200), log.filter($"seq" <= 100),
+        log.filter($"seq" > 100 && $"seq" <= 200)),
+      Seq(log))
+    batchings.foreach { batches =>
+      val folded = batches.foldLeft(empty)((st, b) =>
+        ChangeData.applyVersioned(st, b, "pk", "seq", "op")
+          .localCheckpoint(true))
+      assert(folded.orderBy("pk").collect().toSeq === global)
+    }
+  }
+
+  test("tombstone blocks a late lower-seq update from resurrecting") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((1L, 1L, "I", 0.0)).toDF("pk", "seq", "op", "bal").schema)
+    val b1 = Seq((7L, 10L, "D", 0.0)).toDF("pk", "seq", "op", "bal")
+    val b2 = Seq((7L, 3L, "U", 33.0)).toDF("pk", "seq", "op", "bal")
+    val st = ChangeData.applyVersioned(
+      ChangeData.applyVersioned(empty, b1, "pk", "seq", "op"),
+      b2, "pk", "seq", "op")
+    assert(ChangeData.snapshot(st, "op").count() === 0,
+      "late seq-3 update must not outrace the seq-10 tombstone")
+    // horizon 5: ops with seq in [5, 10) may still arrive and must find
+    // the seq-10 tombstone — it stays. horizon 11: nothing below 11 can
+    // arrive, the tombstone can never be outraced — compacted away.
+    assert(ChangeData.compactTombstones(st, "seq", "op", 5L).count() === 1,
+      "tombstone at/above horizon is kept")
+    assert(ChangeData.compactTombstones(st, "seq", "op", 11L).count() === 0,
+      "tombstone below horizon is dropped once no older op can arrive")
+  }
+
   test("result is invariant under changelog partitioning") {
     val log = (1L to 500L).map { i =>
       (i % 40, i, Seq("I", "U", "D")((i % 3).toInt), i * 1.0)
