@@ -218,6 +218,31 @@ object SparkEntry {
       t(s, dir, "customer").join(urgent, Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     }),
+    "q69_salted_topk_agg" -> ((s, dir) => {
+      // top-k under GROUP-KEY skew: a 3-value grouping column means a
+      // plain per-group window sorts a third of the table in ONE task.
+      // Salt-and-merge: stage 1 windows over (group, salt) — the hot
+      // group's sort spreads across 8 reducers, each keeping only k
+      // rows — stage 2 re-ranks the 8k survivors per group (tiny).
+      // Same result as the direct window, no single-reducer sort.
+      val salts = 8
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val salted = li.withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag", "salt").orderBy(order: _*)))
+        .filter(col("rn") <= 5)
+      salted
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy(order: _*)))
+        .filter(col("rank") <= 5)
+        .select(col("l_returnflag"), col("rank"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    }),
     "q6_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1705,6 +1730,16 @@ object SparkEntry {
       Multimodal.frameEnergy(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
         window = 32, stride = 16).toDF()),
+    "mm8_patch_grid" -> ((s, dir) =>
+      // ViT-style patchification: the payload as a row-major 64-column
+      // image cut into 16x16 patches (partial edge patches keep true
+      // counts) — one typed flatMap fan-out, integer patch summaries,
+      // bit-identical on any partitioning
+      Multimodal.patchGrid(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+          tile = 16)
+        .toDF().select("media_id", "patch_row", "patch_col",
+          "n_bytes", "byte_sum")),
     "mm7_active_segments" -> ((s, dir) =>
       // VAD-style activity segmentation over the audio subset: maximal
       // runs of frames above the energy floor (gaps-and-islands on the
@@ -2720,6 +2755,13 @@ object SparkEntry {
         |  AS est_distinct,
         |exact_distinct
         |FROM g""".stripMargin,
+    "q69_salted_topk_agg" ->
+      """SELECT l_returnflag, rank, l_extendedprice, l_orderkey,
+        |l_linenumber FROM (
+        |SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |row_number() OVER (PARTITION BY l_returnflag
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        |FROM lineitem) WHERE rank <= 5""".stripMargin,
     "q54_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |datediff('day', DATE '1990-01-01', ts::DATE) AS di FROM events),
@@ -3977,6 +4019,17 @@ object SparkEntry {
         |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum,
         |true AS feat_ok
         |FROM documents""".stripMargin,
+    "mm8_patch_grid" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+        |octet_length(encode(text)) AS n FROM documents),
+        |pos AS (SELECT media_id, i,
+        |('0x' || substr(ph, (i * 2 + 1)::INT, 2))::BIGINT AS bv
+        |FROM (SELECT media_id, ph, unnest(range(0, n)) AS i FROM m))
+        |SELECT media_id,
+        |((i // 64) // 16)::INT AS patch_row,
+        |((i % 64) // 16)::INT AS patch_col,
+        |count(*)::BIGINT AS n_bytes, sum(bv)::BIGINT AS byte_sum
+        |FROM pos GROUP BY 1, 2, 3""".stripMargin,
     "mm6_frame_energy" ->
       """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
         |octet_length(encode(text)) AS n FROM documents),

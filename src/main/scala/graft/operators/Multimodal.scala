@@ -123,6 +123,41 @@ object Multimodal {
     }
   }
 
+  /** One patch of the 2-D tile grid over a media payload (ViT-style
+    * patchification). Integer summary only — a production build would
+    * carry the patch bytes/pixels instead. */
+  final case class MediaPatch(
+      media_id: Long, media_type: String, patch_row: Int, patch_col: Int,
+      n_bytes: Long, byte_sum: Long)
+
+  /** Patch-grid extraction — the image side of [[sampleFrames]]'s fan-out:
+    * the payload is treated as a row-major `width`-column image and cut
+    * into `tile` x `tile` patches (trailing partial patches keep their
+    * true byte counts). One pass per payload in a typed flatMap — a row
+    * fans out to its patches with no driver involvement and no shuffle;
+    * downstream per-patch work (embedding, dedup) is then
+    * embarrassingly parallel. Patch summaries are exact integers, so
+    * results are bit-identical on any engine/partitioning. */
+  def patchGrid(media: Dataset[MediaRow], tile: Int): Dataset[MediaPatch] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val width = math.max(1, r.width)
+      // patch index -> (count, sum); LinkedHashMap keeps first-seen order
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[(Int, Int), (Long, Long)]
+      var i = 0
+      while (i < r.payload.length) {
+        val key = ((i / width) / tile, (i % width) / tile)
+        val (c, s0) = acc.getOrElse(key, (0L, 0L))
+        acc.update(key, (c + 1, s0 + (r.payload(i) & 0xff)))
+        i += 1
+      }
+      acc.iterator.map { case ((pr, pc), (c, s0)) =>
+        MediaPatch(r.media_id, r.media_type, pr, pc, c, s0)
+      }
+    }
+  }
+
   /** Perceptual hash for media near-dup detection: 8 integer byte-lane
     * sums (lane j = bytes at positions ≡ j mod 8), one bit per lane set
     * when the lane is above the payload average. INTEGER arithmetic

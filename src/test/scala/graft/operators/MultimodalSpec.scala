@@ -146,4 +146,40 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, Long)].collect().sortBy(s => (s._1, s._2))
     assert(again.toSeq === segs.toSeq)
   }
+
+  test("patch grid: lossless cover, correct tiling, partition-invariant") {
+    import spark.implicits._
+    // width 4, tile 2: a 4x4-byte payload -> 2x2 full patches; a 10-byte
+    // payload -> rows 0-2 (last row partial) -> patches (0,0)=4+2, (0,1)=4
+    val p16 = Array.tabulate(16)(i => i.toByte)
+    val p10 = Array.tabulate(10)(i => (i + 1).toByte)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", p16, 4, 4, 0),
+      Multimodal.MediaRow(2L, "image", p10, 4, 3, 0)))
+    val got = Multimodal.patchGrid(ds, tile = 2)
+      .as[(Long, String, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._3, r._4) -> ((r._5, r._6))).toMap
+    // media 1: patch (0,0) = bytes 0,1,4,5; (0,1) = 2,3,6,7;
+    //          (1,0) = 8,9,12,13; (1,1) = 10,11,14,15
+    assert(got((1L, 0, 0)) === ((4L, 10L)))
+    assert(got((1L, 0, 1)) === ((4L, 18L)))
+    assert(got((1L, 1, 0)) === ((4L, 42L)))
+    assert(got((1L, 1, 1)) === ((4L, 50L)))
+    // media 2: rows are (1,2,3,4),(5,6,7,8),(9,10): patch (0,0) gets
+    // 1,2,5,6; (0,1) gets 3,4,7,8; (1,0) gets 9,10; (1,1) empty (absent)
+    assert(got((2L, 0, 0)) === ((4L, 14L)))
+    assert(got((2L, 0, 1)) === ((4L, 22L)))
+    assert(got((2L, 1, 0)) === ((2L, 19L)))
+    assert(!got.contains((2L, 1, 1)))
+    // lossless cover: per-media patch byte counts sum to the payload size
+    val sums = Multimodal.patchGrid(ds, tile = 2).groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.sum("n_bytes").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums === Map(1L -> 16L, 2L -> 10L))
+    // partitioning never changes the grid
+    val again = Multimodal.patchGrid(ds.repartition(5), tile = 2)
+      .as[(Long, String, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._3, r._4) -> ((r._5, r._6))).toMap
+    assert(again === got)
+  }
 }
