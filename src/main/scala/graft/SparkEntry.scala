@@ -2159,6 +2159,28 @@ object SparkEntry {
         Unique("lineitem", Seq("l_orderkey", "l_linenumber")),
         NotNull("events", "user_id")))
     }),
+    "s19_kanon_audit" -> ((s, dir) =>
+      // release-gate privacy audit: k-anonymity + l-diversity per
+      // quasi-identifier class (language x document-size band), with
+      // `source` as the sensitive attribute — one two-level hash
+      // aggregation with map-side combine, no joins (operators.Privacy)
+      graft.operators.Privacy.kAnonymityReport(
+        t(s, dir, "documents")
+          .select(col("lang"), expr("n_chars DIV 500").as("size_band"),
+            col("source")),
+        qiCols = Seq("lang", "size_band"), sensitiveCol = "source",
+        k = 10, l = 2)),
+    "dd29_stratified_split" -> ((s, dir) =>
+      // exact-proportion per-stratum train/val/test split: rows ranked
+      // within their source by md5(doc_id) (deterministic, RNG-free),
+      // integer-exact 204/26/26-in-256ths boundaries — every stratum hits
+      // its target counts exactly, unlike the O(1/sqrt n) wobble of the
+      // stateless hash split (dd8); one window shuffle on `source`
+      graft.operators.Sampling.stratifiedExactSplit(
+          t(s, dir, "documents").select("doc_id", "source"),
+          idCol = "doc_id", strataCol = "source",
+          train256 = 204, val256 = 26)
+        .select("doc_id", "source", "split")),
     "q65_regression" -> ((s, dir) =>
       // per-group simple OLS via the single-pass mergeable regr_*
       // aggregates (sums of x, y, xy, x², one shuffle with map-side
@@ -4557,6 +4579,26 @@ object SparkEntry {
         |  (SELECT count(*) FROM events)::BIGINT,
         |  (SELECT count(*) FROM events WHERE user_id IS NULL)::BIGINT,
         |  (SELECT count(*) FROM events WHERE user_id IS NULL) = 0""".stripMargin,
+    "s19_kanon_audit" ->
+      """WITH c AS (SELECT lang, n_chars // 500 AS size_band, source
+        |  FROM documents),
+        |g AS (SELECT lang, size_band, source, count(*) AS n
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT lang, size_band, sum(n)::BIGINT AS class_size,
+        |  count(*)::BIGINT AS n_sensitive,
+        |  sum(n) >= 10 AS k_ok, count(*) >= 2 AS l_ok
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "dd29_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn * 256 <= n * 204 THEN 'train'
+        |       WHEN rn * 256 <= n * 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
     "q65_regression" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         |floor(regr_slope(l_extendedprice, l_quantity) * 100.0) / 100.0

@@ -86,6 +86,40 @@ object Sampling {
       .filter(col("cap_rank") <= cap)
   }
 
+  /** Exact-proportion per-stratum train/val/test split. The hash split
+    * (dd8) is stateless and engine-portable but only approximates its
+    * fractions — each stratum's actual rate wobbles by O(1/sqrt(n)), so a
+    * 50-document language may land 70/30 instead of 80/20. Here rows are
+    * ranked within their stratum by md5(id) (a deterministic shuffle
+    * order — no RNG, stable across engines and re-runs) and the split
+    * boundaries are integer-exact per stratum: rank*256 <= n*train256 is
+    * train, rank*256 <= n*(train256+val256) is val, the rest test. Every
+    * stratum hits its target counts exactly (floor semantics), which is
+    * what held-out evaluation over rare strata needs.
+    *
+    * One window per stratum = a single hash shuffle on `strataCol`; the
+    * same hot-stratum caveat as [[domainCap]] (salt or pre-split a
+    * billion-row stratum; the md5 ranking is order-free so per-salt
+    * ranks + offset merge is exact).
+    */
+  def stratifiedExactSplit(
+      df: DataFrame, idCol: String, strataCol: String,
+      train256: Int, val256: Int): DataFrame = {
+    require(train256 >= 0 && val256 >= 0 && train256 + val256 <= 256,
+      "train256 + val256 <= 256")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("split",
+        when(col("__rn") * 256 <= col("__n") * train256, "train")
+          .when(col("__rn") * 256 <= col("__n") * (train256 + val256), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
+
   /** Weighted sample WITHOUT replacement of size k (Efraimidis–Spirakis
     * A-Res), RNG-free: the per-row uniform u comes from the first 32 md5
     * bits of the id (shifted into (0, 1]), the selection key is ln(u)/w

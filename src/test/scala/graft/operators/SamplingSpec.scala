@@ -97,4 +97,35 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.weightedTopKSample(rows, "id", "w", 0)
     }
   }
+
+  test("stratified exact split hits integer-exact per-stratum proportions") {
+    // strata of deliberately awkward sizes (including n=1 and n=5)
+    val rows = ((1L to 1000L).map(i => (i, "big")) ++
+      (1001L to 1005L).map(i => (i, "tiny")) ++
+      Seq((2000L, "single"))).toDF("id", "src")
+    val split = Sampling.stratifiedExactSplit(rows, "id", "src",
+      train256 = 204, val256 = 26)
+    val counts = split.groupBy("src", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, sp, n) => (s, sp) -> n }.toMap
+    // big: floor-exact boundaries — rn*256 <= n*204 → 796 train,
+    // rn*256 <= n*230 → 898 cumulative → 102 val, 102 test
+    assert(counts(("big", "train")) === 796L)
+    assert(counts(("big", "val")) === 102L)
+    assert(counts(("big", "test")) === 102L)
+    // tiny (n=5): 5*204/256 = 3.98 → 3 train; 5*230/256 = 4.49 → 1 val
+    assert(counts(("tiny", "train")) === 3L)
+    assert(counts(("tiny", "val")) === 1L)
+    assert(counts(("tiny", "test")) === 1L)
+    // n=1: 204/256 < 1 → the lone row is test (never train by rounding up)
+    assert(counts(("single", "test")) === 1L)
+    // deterministic on any partitioning (md5 ranking, no RNG)
+    val again = Sampling.stratifiedExactSplit(rows.repartition(7), "id",
+      "src", 204, 26)
+    assert(split.exceptAll(again).count() === 0)
+    assert(again.exceptAll(split).count() === 0)
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedExactSplit(rows, "id", "src", 200, 100)
+    }
+  }
 }
