@@ -2181,6 +2181,50 @@ object SparkEntry {
           idCol = "doc_id", strataCol = "source",
           train256 = 204, val256 = 26)
         .select("doc_id", "source", "split")),
+    "dd30_prefix_join" -> ((s, dir) =>
+      // prefix-filtered EXACT similarity join (AllPairs/PPJoin): only the
+      // rarest (1-t)-fraction of each doc's shingles join (global-df
+      // order), hot stop-shingles fall out of prefixes instead of fanning
+      // out k² candidates, and a length filter prunes cross-size pairs —
+      // yet the output is bit-identical to the dd2 brute self-join (the
+      // prefix-filter principle is lossless), which the oracle checks
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.4)),
+    "q70_skyline" -> ((s, dir) =>
+      // 2-D Pareto frontier (cheapest-price / largest-size tradeoffs):
+      // two running maxima over one-row-per-distinct-price decide
+      // dominance in O(n log n) — same rows as the oracle's quadratic
+      // NOT EXISTS self-join
+      graft.operators.Skyline.pareto2(
+          t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+          minCol = "p_retailprice", maxCol = "p_size")
+        .select(col("p_partkey"), fround(col("p_retailprice"), 2).as("price"),
+          col("p_size"))),
+    "d7_incremental_agg" -> ((s, dir) => {
+      // incremental view maintenance: a materialized per-customer
+      // (count, sum) rollup is refreshed by folding in a CDC delta
+      // (deletes + inserts) WITHOUT rescanning the base — decimal sums
+      // make the maintained aggregate bit-equal to the full recompute,
+      // which is exactly what the oracle computes
+      import graft.operators.ChangeData
+      val orders = t(s, dir, "orders")
+      val baseAgg = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_val"))
+      val delta = orders.filter(col("o_orderkey") % 7 === 1)
+          .select(col("o_custkey"), lit("D").as("op"),
+            col("o_totalprice").as("v"))
+        .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey"), lit("I").as("op"),
+            col("o_totalprice").as("v")))
+      // sum_val is exact decimal(18,2) on both sides; cast straight to
+      // double (no floor — flooring a double that already sits on the
+      // cent boundary is representation-dependent, the exact decimal is
+      // the canonical value)
+      ChangeData.maintainSumCount(baseAgg, delta, Seq("o_custkey"), "op", "v")
+        .select(col("o_custkey"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_price"))
+    }),
     "q65_regression" -> ((s, dir) =>
       // per-group simple OLS via the single-pass mergeable regr_*
       // aggregates (sums of x, y, xy, x², one shuffle with map-side
@@ -4599,6 +4643,31 @@ object SparkEntry {
         |       WHEN rn * 256 <= n * 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    "dd30_prefix_join" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.4""".stripMargin,
+    "q70_skyline" ->
+      """SELECT p_partkey, floor(p_retailprice * 100.0) / 100.0 AS price,
+        |  p_size
+        |FROM part b
+        |WHERE NOT EXISTS (SELECT 1 FROM part a
+        |  WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+        |    AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))""".stripMargin,
+    "d7_incremental_agg" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 1
+        |GROUP BY o_custkey""".stripMargin,
     "q65_regression" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         |floor(regr_slope(l_extendedprice, l_quantity) * 100.0) / 100.0

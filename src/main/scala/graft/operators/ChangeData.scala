@@ -112,4 +112,46 @@ object ChangeData {
   def compactTombstones(state: DataFrame, seqCol: String, opCol: String,
       horizon: Long): DataFrame =
     state.filter(col(opCol) =!= "D" || col(seqCol) >= horizon)
+
+  /** Incremental view maintenance of a keyed (row count, sum) rollup.
+    *
+    * At 100 TB the expensive thing about a materialized
+    * `GROUP BY key → count, sum` is not storing it but REFRESHING it: a
+    * full recompute rescans the fact table. count and sum form an abelian
+    * group (every delta has an inverse), so a changelog of inserts ('I',
+    * +row) and deletes ('D', -row) folds into the aggregate directly:
+    * aggregate the (tiny) delta batch by key with map-side combine, then
+    * one full-outer merge with the materialized aggregate on the group
+    * key — cost proportional to the DELTA, the fact table is never
+    * touched. Groups whose maintained count reaches zero are dropped
+    * (they no longer exist in the recomputed truth). Updates arrive as
+    * D(old)+I(new) pairs, the standard IVM encoding.
+    *
+    * The sum is maintained in DECIMAL so maintenance is EXACTLY
+    * order-independent — the maintained aggregate is bit-identical to a
+    * from-scratch recompute on any partitioning and any batch order
+    * (a double sum would drift by merge order). Non-invertible aggregates
+    * (min/max/distinct) cannot be maintained this way; they need the
+    * group's full multiset or a mergeable sketch.
+    *
+    * `baseAgg` schema: keyCols ++ (n_rows long, sum_val decimal);
+    * `delta` schema: keyCols ++ (opCol 'I'/'D', valueCol numeric).
+    */
+  def maintainSumCount(baseAgg: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], opCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one group key")
+    val sumType = baseAgg.schema("sum_val").dataType
+    val sign = when(col(opCol) === "I", lit(1)).otherwise(lit(-1))
+    val d = delta.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign.cast("long")).as("__dn"),
+        sum((sign * col(valueCol)).cast(sumType)).as("__dsum"))
+    baseAgg.join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_val"), lit(0).cast(sumType)) +
+          coalesce(col("__dsum"), lit(0).cast(sumType))).cast(sumType)
+          .as("sum_val")): _*)
+      .filter(col("n_rows") > 0)
+  }
 }

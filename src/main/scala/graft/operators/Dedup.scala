@@ -156,6 +156,56 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered EXACT Jaccard join — the scale
+    * path that keeps exact results (unlike MinHash-LSH, which trades
+    * recall for pruning). Every doc's shingles are ordered rarest-first
+    * by global document frequency (ties on the shingle string — one
+    * deterministic total order); for threshold t only the first
+    * `sz - ceil(t*sz) + 1` shingles (the PREFIX) join. The prefix-filter
+    * principle (Bayardo et al. 2007 "Scaling Up All Pairs"; Xiao et al.
+    * 2008 PPJoin): two sets with Jaccard >= t share at least
+    * ceil(t*max(|A|,|B|)) elements, so if their prefixes were disjoint
+    * the intersection would have to fit inside both (t-scaled) suffixes —
+    * too small. Joining prefixes is therefore LOSSLESS: the output is
+    * bit-identical to [[ngramJaccardPairs]] at the same threshold, which
+    * is exactly what the oracle checks.
+    *
+    * Scale shape vs the plain self-join: join keys are only prefix
+    * tokens — the rarest ~(1-t) fraction of each doc — and hot
+    * stop-shingles sit at the END of the df order, so they fall OUT of
+    * prefixes instead of fanning out k² candidate rows; a length filter
+    * (t*|a| <= |b| <= |a|/t) prunes cross-size pairs inside the join. The
+    * verify stage re-joins full shingle sets restricted to candidates
+    * (cost proportional to candidates, not corpus²).
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = shingleSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfs, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * lit(threshold) <= col("b.sz") &&
+          col("b.sz") * lit(threshold) <= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
   /** Shared exact-Jaccard scoring tail: |A∩B| / (|A| + |B| - |A∩B|) from
     * pair intersection counts + per-doc shingle-set sizes, truncated to 4
     * decimals (engine-portable fround), thresholded. One definition so the

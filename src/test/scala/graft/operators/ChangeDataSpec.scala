@@ -110,4 +110,38 @@ class ChangeDataSpec extends AnyFunSuite {
       .orderBy("pk").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("maintainSumCount equals a from-scratch recompute of the rollup") {
+    import org.apache.spark.sql.functions._
+    val facts = (1L to 300L).map(i => (i, s"k${i % 7}", i * 0.25))
+      .toDF("row_id", "k", "v")
+    val base = facts.filter(col("row_id") % 3 =!= 0)
+    val baseAgg = base.groupBy("k").agg(count(lit(1)).as("n_rows"),
+      sum(col("v").cast("decimal(18,2)")).as("sum_val"))
+    // delta: delete every 5th base row, insert the rows held out above
+    val delta = base.filter(col("row_id") % 5 === 0)
+        .select(col("k"), lit("D").as("op"), col("v"))
+      .unionByName(facts.filter(col("row_id") % 3 === 0)
+        .select(col("k"), lit("I").as("op"), col("v")))
+    val maintained = ChangeData.maintainSumCount(
+      baseAgg, delta, Seq("k"), "op", "v")
+    val truth = facts
+      .filter(col("row_id") % 3 === 0 ||
+        (col("row_id") % 3 =!= 0 && col("row_id") % 5 =!= 0))
+      .groupBy("k").agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(18,2)")).as("sum_val"))
+    assert(maintained.exceptAll(truth).count() === 0)
+    assert(truth.exceptAll(maintained).count() === 0)
+  }
+
+  test("maintainSumCount drops groups whose count reaches zero") {
+    import org.apache.spark.sql.functions._
+    val baseAgg = Seq(("a", 2L), ("b", 1L)).toDF("k", "n_rows")
+      .withColumn("sum_val", (col("n_rows") * 10).cast("decimal(18,2)"))
+    val delta = Seq(("b", "D", 10.0), ("c", "I", 5.0)).toDF("k", "op", "v")
+    val out = ChangeData.maintainSumCount(baseAgg, delta, Seq("k"), "op", "v")
+      .orderBy("k").as[(String, Long, java.math.BigDecimal)].collect()
+    assert(out.map(_._1).toSeq === Seq("a", "c")) // b vanished, c was born
+    assert(out.find(_._1 == "c").get._2 === 1L)
+  }
 }

@@ -33,6 +33,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered join equals the brute self-join (lossless pruning)") {
+    // a corpus with a hot boilerplate phrase shared by many docs, plus
+    // genuine near-dups — the shape where prefix filtering prunes
+    val corpus = ((1L to 30L).map(i =>
+        (i, s"all rights reserved copyright notice unique token$i body$i tail$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (102L, "alpha beta gamma delta epsilon zeta eta theta"))).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
+      val pref = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text", 3, t)
+      assert(pref.exceptAll(brute).count() === 0, s"extra pairs at t=$t")
+      assert(brute.exceptAll(pref).count() === 0, s"missed pairs at t=$t")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text", 3, 0.0)
+    }
+  }
+
   test("short docs produce no shingles and no pairs") {
     val sh = Dedup.shingleSet(docs.filter($"doc_id" === 5L), "doc_id", "text", 3)
     assert(sh.count() === 0)
