@@ -118,8 +118,17 @@ object Bench {
     }
     val omitted = results.size - kept.size
     val omittedSec = total - kept.map(_._2).sum
+    // Self-gating: a broken query must not ship silently inside an
+    // otherwise-plausible bench artifact. Leading marker line + non-zero
+    // exit make the breakage visible to both humans and the harness.
+    if (failed.nonEmpty) {
+      val msg = s"BENCH BROKEN: ${failed.size} queries failed: ${failed.mkString(", ")}"
+      println(msg)
+      System.err.println(msg)
+    }
     println(line(kept.sortBy(_._1), extraFor(omitted, omittedSec)))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** A/B for the LevenshteinPrefilter optimizer rule: 200k candidate

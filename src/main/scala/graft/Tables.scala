@@ -56,25 +56,43 @@ object Tables {
   /** Load one fixture table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain declarative read (no RDD hop).
     *
-    * The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright; we read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    * the same truncation DuckDB applies, keeping the oracle aligned.
+    * The events fixture has shipped `ts` under several parquet encodings
+    * across fixture generations: TIMESTAMP(NANOS) (which Spark 4 rejects
+    * outright — we read nanos as long via
+    * spark.sql.legacy.parquet.nanosAsLong and truncate to microseconds,
+    * the same truncation DuckDB applies), TIMESTAMP(MICROS) UTC-adjusted
+    * (read natively as TIMESTAMP), and TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ). [[normalizeTs]] folds all three
+    * into TimestampType so downstream event-time code (unix_micros,
+    * withWatermark) sees one stable type regardless of fixture vintage.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** Convert any nanos-as-long `ts` column back to a real timestamp. */
-  def normalizeNanos(df: DataFrame): DataFrame =
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      // integer `div`, NOT `/`: Column./ is double division, and nanos
-      // epochs (~1.7e18) exceed double precision — off-by-1µs corruption
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+  /** Normalize any `ts` column to TimestampType (micros).
+    *
+    * - nanos-as-long (legacy NANOS fixtures): integer-divide to micros.
+    *   Integer `div`, NOT `/`: Column./ is double division, and nanos
+    *   epochs (~1.7e18) exceed double precision — off-by-1µs corruption.
+    * - TIMESTAMP_NTZ (isAdjustedToUTC=false MICROS fixtures): cast to
+    *   TimestampType. The session timezone is pinned to UTC everywhere
+    *   (Bench/Verify/tests), so the cast is value-exact and the DuckDB
+    *   oracle (which reads the same wall-clock values) is unaffected.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
     }
+  }
+
+  /** Pre-NTZ name kept for source compatibility. */
+  def normalizeNanos(df: DataFrame): DataFrame = normalizeTs(df)
 }

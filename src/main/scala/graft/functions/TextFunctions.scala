@@ -87,12 +87,8 @@ object TextFunctions {
   /** Language-ID via marker-token voting (n-gram heuristic): count
     * language-specific function words, pick the argmax with a fixed
     * precedence order, `und` when no marker hits. */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of"),
-    "fr" -> Seq("le", "la", "et"),
-    "es" -> Seq("el", "los", "que"),
-    "de" -> Seq("der", "die", "und"),
-    "zh" -> Seq("de", "shi", "le"))
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.expressions.LangIdVote.markers
 
   def langScores(text: Column): Seq[(String, Column)] = {
     val t = tokens(text)
@@ -101,7 +97,12 @@ object TextFunctions {
     }
   }
 
-  def langId(text: Column): Column = {
+  /** Composed (reference-semantics) form: kept as the executable spec the
+    * single-pass expression below is tested against. Do NOT use on hot
+    * paths — `filter` is CodegenFallback and every score re-embeds the
+    * tokenizer, ~35 evaluations per row.
+    */
+  def langIdComposed(text: Column): Column = {
     val scores = langScores(text)
     val best = greatest(scores.map(_._2): _*)
     // precedence = declaration order on ties
@@ -109,6 +110,20 @@ object TextFunctions {
       when(s > lit(0) && s === best, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Single-pass marker vote over a token array column (the hot-path
+    * form) — one scan per row, codegen'd, bit-identical to
+    * [[langIdComposed]]. */
+  def langIdOfTokens(t: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.LangIdVote(
+      GraftColumnBridge.expression(t)))
+  }
+
+  def langId(text: Column): Column =
+    // null text: tokens() is null, the expression null-propagates, and
+    // coalesce restores the composed form's `und` answer
+    coalesce(langIdOfTokens(tokens(text)), lit("und"))
 
   // PII / boilerplate patterns — RE2-safe (no backrefs/lookaround) so the
   // DuckDB oracle runs the identical expressions

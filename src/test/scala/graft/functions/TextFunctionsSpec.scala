@@ -106,4 +106,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     // same min-shingle survives the punctuation edit in this sample
     assert(a === b)
   }
+
+  test("single-pass langId is bit-identical to the composed spec on the corpus") {
+    // the LangIdVote expression replaced the 35-evaluations-per-row
+    // composed form on hot paths; this gate keeps them in lockstep
+    val docs = graft.Tables.load(spark, TestSpark.sf0001, "documents")
+    val mismatches = docs.select(
+        TextFunctions.langId($"text").as("fast"),
+        TextFunctions.langIdComposed($"text").as("spec"))
+      .filter($"fast" =!= $"spec").count()
+    assert(mismatches === 0)
+    // edge cases: empty, whitespace-only, null, multi-lang ties
+    val edge = Seq("", "   ", null, "the le", "le la et der die und",
+      "de de shi le le", "el que los la").toDF("text")
+    val bad = edge.select(
+        TextFunctions.langId($"text").as("fast"),
+        TextFunctions.langIdComposed($"text").as("spec"))
+      .filter(!($"fast" <=> $"spec")).count()
+    assert(bad === 0)
+  }
 }

@@ -64,6 +64,27 @@ class WatermarksSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
   }
 
+  test("crash after swap (stale .bak + .tmp beside a live store) is cleaned, not restored") {
+    val store = tmpStore()
+    val wm = new Watermarks(spark, store)
+    wm.advance("t", "id", (1L to 40L).toDF("id"))
+    wm.advance("t", "id", (1L to 70L).toDF("id"))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a death AFTER .tmp was renamed into place but BEFORE the
+    // .bak cleanup: live store holds 70, .bak holds the stale 40
+    (1L to 40L).toDF("id").coalesce(1).write.parquet(store + ".bak")
+    // plus an abandoned .tmp from yet another dead writer
+    (1L to 5L).toDF("id").coalesce(1).write.parquet(store + ".tmp")
+    // recovery must KEEP the live store (never let the stale backup win)
+    assert(wm.get("t", "id").map(_._1).contains("70"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
+    // and the next advance overwrites the abandoned .tmp cleanly
+    wm.advance("t", "id", (1L to 90L).toDF("id"))
+    assert(wm.get("t", "id").map(_._1).contains("90"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".tmp")))
+  }
+
   test("timestamp watermarks compare in the column type and filters push down") {
     val wm = new Watermarks(spark, tmpStore())
     val ev = Seq("2023-01-01 00:00:00", "2023-06-01 00:00:00",
