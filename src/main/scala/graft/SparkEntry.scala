@@ -1240,6 +1240,29 @@ object SparkEntry {
         .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
           col("jw"))
     }),
+    "tx26_bpe_merge" -> ((s, dir) => {
+      // tokenizer induction, one BPE merge-selection step (Sennrich et
+      // al. 2016): adjacent character-pair frequencies over the word
+      // vocabulary weighted by corpus word frequency; the top pair is the
+      // merge a BPE trainer would apply next (top-10 reported). The heavy
+      // stage is the one word-count shuffle; pair expansion runs over the
+      // POST-AGGREGATION vocabulary (tiny), so the per-char lambda cost
+      // never touches the corpus-sized token stream.
+      val words = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val pairs = words.filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      pairs
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("pair"), col("cnt"))
+    }),
     "tx22_feature_hash" -> ((s, dir) =>
       // hashing-trick featurizer: tokens land in 16 hash buckets (first
       // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
@@ -1522,6 +1545,18 @@ object SparkEntry {
         .head().getSeq[Double](0)
       graft.operators.Similarity.mmrTopK(
         emb.filter(col("vec_id") >= 20), "vec_id", "embedding", q, k = 5)
+    }),
+    "ss14_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining for contrastive training (Robinson et al.
+      // 2021): per query vector, the top-3 most-similar vectors with a
+      // DIFFERENT label — same-label hits are positives, and the
+      // highest-similarity cross-label items are the negatives the
+      // objective learns most from. Bounded query batch broadcast, corpus
+      // streamed once through per-partition heaps (the ss1 discipline)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativeTopK(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", "label", k = 3)
     }),
     "ss5_quantized_rerank" -> ((s, dir) => {
       // two-stage retrieval: int8-dequantized approximate scoring over the
@@ -1856,6 +1891,24 @@ object SparkEntry {
               col("doc_id"))).cast("long"))
         .select("doc_id", "phase", "phase_pos", "q")
     }),
+    "pk4_epoch_shard" -> ((s, dir) =>
+      // deterministic epoch shuffle + shard assignment for the training
+      // dataloader: shard = 32-bit md5 of (epoch seed, doc id) mod 8,
+      // within-shard position = rank by the same hash — a global
+      // pseudo-random order with NO global sort anywhere: one hash
+      // shuffle on shard + a per-shard sort, which at 100 TB (shards >=
+      // cluster parallelism) is exactly the shard-file materialization a
+      // dataloader wants. Changing the seed string reshuffles every epoch
+      // reproducibly; any engine recomputes the identical layout.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"), lit(8L)))
+        .withColumn("shard_pos",
+          row_number().over(Window.partitionBy("shard")
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select("doc_id", "shard", "shard_pos")),
     "q63_mom_change" -> ((s, dir) => {
       // reporting staple: month-over-month revenue change per priority —
       // integer-cent monthly series, lag window, exact-int ratio
@@ -2190,6 +2243,38 @@ object SparkEntry {
       // prefix-filter principle is lossless), which the oracle checks
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id",
         "text", n = 3, threshold = 0.4)),
+    "dd31_dsir_weight" -> ((s, dir) => {
+      // DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+      // bag-LM log-likelihood ratio between a target domain (source=src0,
+      // standing in for "looks like wikipedia") and the rest of the
+      // corpus. Add-1-smoothed per-bucket counts -> one broadcast 64-row
+      // log-ratio table -> per-doc weight as a BIGINT nano-nat sum
+      // (order-free, partitioning-exact). Scale shape: tokens are
+      // bucketed ONCE into a persisted (doc, bucket, n) frame that feeds
+      // both the global stats and the per-doc weights — two aggregations,
+      // zero re-tokenization, no vocabulary state anywhere.
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("is_t"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+            lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .persist()
+      val stats = perDoc.groupBy("bucket").agg(
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
+      val totals = stats.agg((sum("ct") + lit(64L)).as("nt"),
+        (sum("cr") + lit(64L)).as("nr"))
+      val ratio = stats.crossJoin(broadcast(totals)).select(col("bucket"),
+        floor(log(((col("ct") + 1).cast("double") / col("nt").cast("double")) /
+            ((col("cr") + 1).cast("double") / col("nr").cast("double"))) *
+          lit(1e9)).cast("long").as("llr"))
+      perDoc.join(broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * col("llr")).as("dsir_nanonats"))
+    }),
     "q70_skyline" -> ((s, dir) =>
       // 2-D Pareto frontier (cheapest-price / largest-size tradeoffs):
       // two running maxima over one-row-per-distinct-price decide
@@ -3402,6 +3487,36 @@ object SparkEntry {
          |SELECT doc_id,
          |('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
          |count(*) AS n_tok FROM tk GROUP BY 1, 2""".stripMargin,
+    "tx26_bpe_merge" ->
+      s"""WITH tk AS (SELECT unnest($duckToks) AS w FROM documents),
+         |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tk GROUP BY 1),
+         |ix AS (SELECT w, freq, unnest(range(1, len(w))) AS i
+         |FROM wf WHERE len(w) >= 2),
+         |p AS (SELECT substr(w, i::INT, 1) || ' ' || substr(w, i::INT + 1, 1)
+         |AS pair, freq FROM ix),
+         |pc AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1),
+         |r AS (SELECT pair, cnt,
+         |row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM pc)
+         |SELECT rank, pair, cnt FROM r WHERE rank <= 10""".stripMargin,
+    "dd31_dsir_weight" ->
+      s"""WITH tk AS (SELECT doc_id, source = 'src0' AS is_t,
+         |unnest($duckToks) AS tok FROM documents),
+         |db AS (SELECT doc_id, is_t,
+         |('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         |count(*)::BIGINT AS c FROM tk GROUP BY 1, 2, 3),
+         |st AS (SELECT bucket,
+         |sum(CASE WHEN is_t THEN c ELSE 0 END)::BIGINT AS ct,
+         |sum(CASE WHEN is_t THEN 0 ELSE c END)::BIGINT AS cr
+         |FROM db GROUP BY 1),
+         |tt AS (SELECT (sum(ct) + 64)::BIGINT AS nt,
+         |(sum(cr) + 64)::BIGINT AS nr FROM st),
+         |r AS (SELECT bucket,
+         |floor(ln(((ct + 1)::DOUBLE / nt::DOUBLE) /
+         |((cr + 1)::DOUBLE / nr::DOUBLE)) * 1e9)::BIGINT AS llr
+         |FROM st, tt)
+         |SELECT db.doc_id, sum(db.c)::BIGINT AS n_tok,
+         |sum(db.c * r.llr)::BIGINT AS dsir_nanonats
+         |FROM db JOIN r USING (bucket) GROUP BY 1""".stripMargin,
     "tx21_corpus_drift" ->
       s"""WITH tk AS (SELECT doc_id % 2 = 0 AS in_a, unnest($duckToks) AS tok
          |FROM documents),
@@ -3804,6 +3919,19 @@ object SparkEntry {
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss14_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(q.v, c.v) AS cosraw
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20
+        |AND q.label <> c.label),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id,
+        |floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "ss5_quantized_rerank" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |proj AS (SELECT vec_id, p, sum(v[d::INT] *
@@ -4273,6 +4401,15 @@ object SparkEntry {
          |row_number() OVER (PARTITION BY phase
          |ORDER BY md5('curr:' || doc_id::VARCHAR), doc_id)::BIGINT AS phase_pos,
          |q FROM ph""".stripMargin,
+    "pk4_epoch_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |md5('epoch1:' || doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT
+        |  AS shard_pos
+        |FROM s""".stripMargin,
     "q63_mom_change" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
         |o_orderpriority,

@@ -94,6 +94,84 @@ object Similarity {
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector
+    * the top-k most-cosine-similar corpus vectors with a DIFFERENT label
+    * (same-label neighbors are positives, not negatives — the
+    * highest-similarity cross-label items are exactly the "hard" negatives
+    * a contrastive objective learns most from; Robinson et al. 2021).
+    *
+    * Same scale contract as [[bruteForceTopK]]: the query batch is
+    * bounded and broadcast (documented driver state), the corpus streams
+    * once through a per-partition bounded heap (map-side top-k, k rows
+    * per query per partition), then one tiny window merge. The label
+    * filter runs inside the partition scan, so excluded pairs never
+    * materialize. For corpus-scale query sets use the bucketed paths
+    * (lshTopK/ivfTopK) with the label predicate pushed into the candidate
+    * join instead.
+    */
+  def hardNegativeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double], Int)] = queries
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)),
+        col(labelCol).cast("int"))
+      .as[(Long, Array[Double], Int)].collect()
+    val qB = spark.sparkContext.broadcast(
+      qRows.map { case (id, v, lbl) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s), lbl)
+      })
+    val localTopK = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"), col(labelCol).cast("int").as("clbl"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        val qs = qB.value
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by[(Double, Long), (Double, Double)] {
+            case (cos, id) => (-cos, id.toDouble)
+          }))
+        rows.foreach { case (nid, cv, clbl) =>
+          var ns = 0.0
+          var i = 0
+          while (i < cv.length) { ns += cv(i) * cv(i); i += 1 }
+          val nn = math.sqrt(ns)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn, qlbl) = qs(qi)
+            // negatives only: different id AND different label
+            if (qid != nid && qlbl != clbl) {
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, cv.length)
+              while (j < n) { d += qv(j) * cv(j); j += 1 }
+              val cos = d / (qn * nn)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, nid))
+              else {
+                val worst = h.head
+                if (cos > worst._1 || (cos == worst._1 && nid < worst._2)) {
+                  h.dequeue(); h.enqueue((cos, nid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((qid, _, _, _), h) =>
+          h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    localTopK.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest coarse
     * centroid ("cell"); queries probe the `nProbe` nearest cells and rank
     * only those candidates. Centroids here are the first `nCentroids`
