@@ -177,6 +177,18 @@ object Dedup {
     * (t*|a| <= |b| <= |a|/t) prunes cross-size pairs inside the join. The
     * verify stage re-joins full shingle sets restricted to candidates
     * (cost proportional to candidates, not corpus²).
+    *
+    * PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), applied during
+    * candidate dedup: a shingle matching at (1-based, df-ordered)
+    * positions (pa, pb) caps the achievable overlap at
+    * `1 + min(|A|-pa, |B|-pb)` — everything before the match in either
+    * prefix is provably outside the intersection *via this alignment*.
+    * A pair survives only if SOME match allows
+    * overlap >= ceil(t/(1+t)·(|A|+|B|)) (the Jaccard-equivalent overlap
+    * bound), i.e. max over matches of the cap clears it — a per-pair
+    * aggregate on the join output, no extra shuffle (it rides the same
+    * groupBy that deduped candidates anyway), and still lossless: only
+    * pairs whose TRUE overlap cannot reach t are cut before verify.
     */
   def prefixFilterJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -192,13 +204,21 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("pos") <=
         col("sz") - ceil(col("sz") * lit(threshold)) + 1)
-      .select(col("doc_id"), col("sh"), col("sz"))
+      .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * lit(threshold) <= col("b.sz") &&
           col("b.sz") * lit(threshold) <= col("a.sz"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      // one groupBy both dedups candidates AND evaluates the positional
+      // filter: ubound = best achievable overlap over all prefix matches
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(
+        max(lit(1) + least(col("a.sz") - col("a.pos"),
+          col("b.sz") - col("b.pos"))).as("ubound"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+      .filter(col("ubound") >=
+        ceil((col("sz_a") + col("sz_b")) * lit(threshold / (1.0 + threshold))))
+      .select("doc_a", "doc_b")
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
