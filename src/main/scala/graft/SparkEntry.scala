@@ -1240,6 +1240,22 @@ object SparkEntry {
         .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
           col("jw"))
     }),
+    "tx27_blocklist" -> ((s, dir) => {
+      // keyword-blocklist gate (the bad-words/NSFW filter every corpus
+      // pipeline runs before training): hits counted in ONE token-array
+      // pass against a broadcast-literal list, doc blocked when flagged
+      // tokens exceed 1% of the doc. Pure codegen-able column arithmetic
+      // per doc, no shuffle at all until the caller aggregates.
+      val block = Seq("slow", "broken", "error", "fail")
+      val tok = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(tok, w => w.isInCollection(block))).as("n_flagged"),
+          size(tok).as("n_tok"))
+        .withColumn("blocked",
+          col("n_flagged") * 100 > col("n_tok"))
+        .select("doc_id", "n_flagged", "blocked")
+    }),
     "tx26_bpe_merge" -> ((s, dir) => {
       // tokenizer induction, one BPE merge-selection step (Sennrich et
       // al. 2016): adjacent character-pair frequencies over the word
@@ -2274,6 +2290,33 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_tok"),
           sum(col("c") * col("llr")).as("dsir_nanonats"))
+    }),
+    "dd32_temperature_mix" -> ((s, dir) => {
+      // temperature-scaled source mixing (the GPT-3/PaLM data-recipe
+      // step): sources are sampled proportional to n^(1/2) so giant
+      // crawls stop drowning small curated sets. Per-source keep
+      // thresholds derive from INTEGER micro-weights (floor(sqrt(n)*1e6))
+      // and integer division, per-doc keep is a 16-bit md5 bucket compare
+      // — deterministic, engine-exact, cluster-size invariant. Plan: one
+      // tiny source-count shuffle, a broadcast 20-row threshold join,
+      // one md5 per doc. (Long arithmetic holds to ~1e9 docs/source;
+      // beyond that lift the products to DECIMAL(38,0).)
+      val counts = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val weights = counts.withColumn("w",
+        floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val totals = weights.agg(sum(col("w")).as("sw"),
+        expr("sum(n) div 2").as("budget"))
+      val thresh = weights.crossJoin(broadcast(totals))
+        .select(col("source"),
+          least(lit(65536L),
+            expr("(budget * w div sw) * 65536 div n")).as("th"))
+      t(s, dir, "documents")
+        .join(broadcast(thresh), "source")
+        .filter(conv(substring(md5(concat(lit("mix:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") < col("th"))
+        .select("doc_id", "source")
     }),
     "q70_skyline" -> ((s, dir) =>
       // 2-D Pareto frontier (cheapest-price / largest-size tradeoffs):
@@ -3487,6 +3530,28 @@ object SparkEntry {
          |SELECT doc_id,
          |('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
          |count(*) AS n_tok FROM tk GROUP BY 1, 2""".stripMargin,
+    "tx27_blocklist" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents)
+         |SELECT doc_id,
+         |len(list_filter(t, x -> x IN ('slow','broken','error','fail')))::INT
+         |  AS n_flagged,
+         |len(list_filter(t, x -> x IN ('slow','broken','error','fail'))) * 100
+         |  > len(t) AS blocked
+         |FROM tk""".stripMargin,
+    "dd32_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |floor(sqrt(n::DOUBLE) * 1e6)::BIGINT AS w FROM c),
+        |t AS (SELECT sum(w)::BIGINT AS sw, (sum(n) // 2)::BIGINT AS budget
+        |FROM w),
+        |th AS (SELECT source,
+        |least(65536, ((budget * w // sw) * 65536) // n)::BIGINT AS th
+        |FROM w, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th ON th.source = d.source
+        |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+        |  < th.th""".stripMargin,
     "tx26_bpe_merge" ->
       s"""WITH tk AS (SELECT unnest($duckToks) AS w FROM documents),
          |wf AS (SELECT w, count(*)::BIGINT AS freq FROM tk GROUP BY 1),

@@ -293,4 +293,34 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Sort") && l.contains("event_id ASC") && l.contains("global=true")),
       s"raw ids must never be globally sorted:\n$p")
   }
+
+  test("blocklist gate is shuffle-free — pure per-doc column work (tx27)") {
+    val p = plan("tx27_blocklist")
+    assert(!p.contains("Exchange"),
+      s"the blocklist filter must not shuffle anything:\n$p")
+  }
+
+  test("temperature mix broadcasts the per-source thresholds (dd32)") {
+    val p = plan("dd32_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the tiny threshold side:\n$p")
+  }
+
+  test("DSIR weights broadcast the bucket log-ratio table (dd31)") {
+    val p = plan("dd31_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row ratio table must broadcast into the per-doc pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+  }
+
+  test("epoch sharding never sorts globally (pk4)") {
+    val p = plan("pk4_epoch_shard")
+    assert(p.contains("hashpartitioning(shard"),
+      s"within-shard rank must partition by shard:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort") && l.contains("global=true")),
+      s"no global sort anywhere in the dataloader layout:\n$p")
+  }
 }
