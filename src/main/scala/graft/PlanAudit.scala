@@ -66,7 +66,9 @@ object PlanAudit {
       "tx15_type_token" -> "1-row corpus-size broadcast cross",
       "q30_cohort_retention" -> "1-row cohort-base broadcast cross",
       "tx21_corpus_drift" -> "1-row totals broadcast cross",
-      "s18_integrity_audit" -> "1-row check-aggregate broadcast crosses")
+      "s18_integrity_audit" -> "1-row check-aggregate broadcast crosses",
+      "dd31_dsir_weight" -> "1-row smoothing-totals broadcast cross",
+      "dd32_temperature_mix" -> "1-row budget-totals broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"
