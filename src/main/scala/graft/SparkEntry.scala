@@ -1870,6 +1870,17 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b", k = 2, rounds = 6)),
+    "g4_label_prop" -> ((s, dir) =>
+      // label-propagation communities of the near-dup candidate graph: 3
+      // synchronous rounds of most-frequent-neighbor-label (ties -> the
+      // smallest label, self-vote included) partition the graph into the
+      // boilerplate families — tighter than connected components, which
+      // merge everything reachable. Deterministic fixed rounds, so the
+      // oracle unrolls them as chained CTEs
+      graft.operators.Graph.labelPropagation(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 4),
+        "doc_a", "doc_b", rounds = 3)),
 
     "dd18_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sample without replacement: md5
@@ -4424,6 +4435,34 @@ object SparkEntry {
          |SELECT u.a AS node, count(*)::BIGINT AS core_degree FROM und u
          |JOIN a6 x ON u.a = x.node JOIN a6 y ON u.b = y.node
          |GROUP BY 1""".stripMargin
+    },
+    "g4_label_prop" -> {
+      // same LSH candidate graph as g2/g3, then the synchronous LPA
+      // rounds unrolled as chained CTEs: votes = neighbor labels + self,
+      // winner = highest count then smallest label
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT u.a AS node, l.lbl FROM und u
+           |JOIN l${r - 1} l ON l.node = u.b
+           |UNION ALL SELECT node, lbl FROM l${r - 1}),
+           |c$r AS (SELECT node, lbl, count(*) AS c FROM v$r GROUP BY 1, 2),
+           |l$r AS (SELECT node, lbl FROM (SELECT node, lbl,
+           |row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |FROM c$r) q WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |und AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+         |$rounds
+         |SELECT node, lbl AS community FROM l3""".stripMargin
     },
     "dd18_weighted_sample" -> {
       // first 32 md5 bits as a uniform, nibble-by-nibble (strpos returns

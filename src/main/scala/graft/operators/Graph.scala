@@ -211,6 +211,64 @@ object Graph {
     result
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over an UNDIRECTED edge list: every node starts in its own
+    * community (label = node id); each round a node adopts the label most
+    * frequent among its neighbors plus itself, ties broken by the
+    * SMALLEST label — a deterministic total rule, so the result is
+    * engine- and partitioning-exact and the oracle can unroll the rounds
+    * as chained CTEs. On a near-dup candidate graph the communities after
+    * a few rounds are the boilerplate families (tighter than connected
+    * components, which merge everything reachable).
+    *
+    * Synchronous LPA can oscillate on bipartite structures; the FIXED
+    * `rounds` budget makes the output well-defined regardless (the
+    * async/randomized variant converges but is not reproducible — wrong
+    * trade for a data-pipeline audit).
+    *
+    * Scale shape: per round one equi-join of the doubled edge list
+    * against the |V|-row label frame plus a two-level (node,label) count
+    * — the same bounded-join/agg discipline as [[kCore]], with the same
+    * per-round lineage re-rooting (labels feed the next round twice; an
+    * uncut plan doubles every round).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = edges.sparkSession
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def reroot(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      spark.createDataFrame(cached.rdd, cached.schema)
+    }
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val und = reroot(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = reroot(und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .select(col("a").as("node"), col("lbl"))
+        .unionByName(labels.select("node", "lbl")) // self-vote
+      labels = reroot(votes
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        // min over (-count, label) = highest count, then smallest label
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl")))
+    }
+    val result = labels.select(col("node"), col("lbl").as("community"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    caches.foreach(_.unpersist(false))
+    result
+  }
+
   /** Degree-ordered triangle counting — the skew-proof scale path.
     *
     * [[triangleCounts]] builds wedges at the id-canonical low endpoint: a

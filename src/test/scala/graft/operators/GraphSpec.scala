@@ -201,4 +201,53 @@ class GraphSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("labelPropagation: two triangles with a bridge resolve to two communities") {
+    // triangle {1,2,3} -- bridge (3,4) -- triangle {4,5,6}: after enough
+    // rounds each triangle converges to its minimum label; the bridge is
+    // outvoted by the triangle majorities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(got(1L), got(2L), got(3L)).size === 1, s"left triangle split: $got")
+    assert(Set(got(4L), got(5L), got(6L)).size === 1, s"right triangle split: $got")
+  }
+
+  test("property: labelPropagation equals brute synchronous LPA on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(3, 10)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(genEdges, Gen.choose(1, 3)) { (edges, rounds) =>
+      val canon = edges.map { case (a, b) => (a min b, a max b) }.toSet
+      canon.isEmpty || {
+        val nodes = canon.flatMap { case (a, b) => Seq(a, b) }
+        val nbrs = nodes.map { v =>
+          v -> canon.collect {
+            case (a, b) if a == v => b
+            case (a, b) if b == v => a
+          }
+        }.toMap
+        var lbl = nodes.map(v => v -> v).toMap
+        for (_ <- 1 to rounds) {
+          lbl = nodes.map { v =>
+            val votes = (nbrs(v).toSeq.map(lbl) :+ lbl(v))
+              .groupBy(identity).map { case (l, vs) => (l, vs.size) }
+            // highest count, then smallest label — the operator's rule
+            v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }.toMap
+        }
+        val got = Graph.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+          .as[(Long, Long)].collect().toMap
+        got == lbl
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
