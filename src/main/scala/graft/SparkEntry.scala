@@ -170,6 +170,21 @@ object SparkEntry {
         t(s, dir, "orders")
           .filter(col("o_orderdate") <= expr("TIMESTAMP '1995-06-01 00:00:00'")),
         "graft", Tables.byName("orders"))),
+    "w13_versioned_publish" -> ((s, dir) => {
+      // atomic versioned publish e2e: v1 = a partial snapshot, v2 = the
+      // full retention snapshot committed by pointer swap; the query
+      // reads BACK through the pointer, so the oracle checks the whole
+      // publish/resolve round-trip (version id + exact surviving rows)
+      import graft.sinks.VersionedPublish
+      val out = java.nio.file.Files.createTempDirectory("graft-w13")
+        .toString + "/ds"
+      VersionedPublish.publish(
+        archivedOrders(s, dir).limit(10), out, keep = 2)
+      val v = VersionedPublish.publish(archivedOrders(s, dir), out, keep = 2)
+      VersionedPublish.readLatest(s, out)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(v).as("version"), col("n_rows"))
+    }),
 
     // ----- relational parity (SURVEY §2.8) -----
     // Decimal sums are computed exactly in decimal and cast to DOUBLE at the
@@ -2705,6 +2720,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderdate FROM orders
         |WHERE o_orderdate IS NOT NULL
         |AND o_orderdate <= TIMESTAMP '2000-07-01 00:00:00' - INTERVAL 12 MONTH""".stripMargin,
+    "w13_versioned_publish" ->
+      """SELECT 2::BIGINT AS version, count(*)::BIGINT AS n_rows FROM orders
+        |WHERE o_orderdate IS NOT NULL
+        |AND o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
     "p3_keyset_page" ->
       "SELECT * FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 1000",
     "p4_watermark_scan" ->
