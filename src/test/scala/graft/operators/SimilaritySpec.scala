@@ -227,4 +227,24 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("ivfAppendReport: batch lands in nearest cells, hot flag fires above 2x mean") {
+    // four well-separated cells on the axes; one indexed vector per cell,
+    // then a skewed batch of 5 all landing in cell 0: totals (6,1,1,1),
+    // mean 9/4 — only cell 0 clears the 2x-mean hot line (6*4 > 9*2)
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val indexed = Seq((0L, vec(10, 0)), (1L, vec(0, 10)),
+      (2L, vec(-10, 0)), (3L, vec(0, -10))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(10.0, 0.0)), (1L, Array(0.0, 10.0)),
+      (2L, Array(-10.0, 0.0)), (3L, Array(0.0, -10.0)))
+      .toDF("cent_id", "centv")
+    val batch = Seq((100L, vec(11, 0)), (101L, vec(9.5, 0.2)),
+      (102L, vec(12, 1)), (103L, vec(9, -1)), (104L, vec(8, 0.5)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfAppendReport(indexed, batch, "embedding", cents)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r === Seq((0L, 1L, 5L, 6L, true), (1L, 1L, 0L, 1L, false),
+      (2L, 1L, 0L, 1L, false), (3L, 1L, 0L, 1L, false)),
+      s"unexpected report: $r")
+  }
 }
