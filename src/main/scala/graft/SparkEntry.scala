@@ -1255,6 +1255,27 @@ object SparkEntry {
         .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
           col("jw"))
     }),
+    "tx28_novelty" -> ((s, dir) => {
+      // per-doc novelty: the fraction of a doc's distinct 3-shingles that
+      // appear NOWHERE else in the corpus — high novelty marks original
+      // content, low marks template/boilerplate-derived docs (the
+      // complement of the dedup signals: diversity rather than
+      // duplication). One shingle-df shuffle + one per-doc aggregation;
+      // the df table is exactly the one the prefix-filter join (dd30)
+      // already computes, so a pipeline materializes it once.
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesOfTokens(col("t"), 3)).as("sh"))
+      val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfs, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          fround(col("n_unique").cast("double") /
+            greatest(col("n_shingles"), lit(1L)), 4).as("novelty"))
+    }),
     "tx27_blocklist" -> ((s, dir) => {
       // keyword-blocklist gate (the bad-words/NSFW filter every corpus
       // pipeline runs before training): hits counted in ONE token-array
@@ -3573,6 +3594,17 @@ object SparkEntry {
          |SELECT doc_id,
          |('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
          |count(*) AS n_tok FROM tk GROUP BY 1, 2""".stripMargin,
+    "tx28_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |dfs AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+         |  / greatest(count(*), 1) * 10000.0) / 10000.0 AS novelty
+         |FROM sh JOIN dfs USING (sh) GROUP BY 1""".stripMargin,
     "tx27_blocklist" ->
       s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents)
          |SELECT doc_id,
