@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, MisraGries, RollingMinHash, WordShingles}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, LangIdVote, MisraGries, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -69,7 +69,10 @@ object GraftExtensions {
           case Literal(b: Boolean, _) => b
           case other => throw new IllegalArgumentException(
             s"distinct must be a boolean literal, got $other")
-        } else true))
+        } else true)),
+    // graft_langid(tokens) — single-pass marker-vote language id over an
+    // already-tokenized array ('en'/'fr'/'es'/'de'/'zh'/'und')
+    "graft_langid" -> (args => LangIdVote(args(0)))
   )
 
   /** Register on a live session: temp functions + the flag-gated

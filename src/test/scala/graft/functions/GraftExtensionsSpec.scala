@@ -23,6 +23,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(fp === fp2)
     assert(fp !== other)
     assert(fp >= 0 && fp < 1000000007L)
+    val lang = spark.sql(
+      "SELECT graft_langid(array('the', 'cat', 'of')) AS l").head().getString(0)
+    assert(lang === "en")
+    val und = spark.sql(
+      "SELECT graft_langid(array('xyz')) AS l").head().getString(0)
+    assert(und === "und")
   }
 
   test("graft_word_shingles is SQL-callable in distinct and multiset forms") {
