@@ -105,8 +105,8 @@ final case class SourceConfig(
 
 /** One destination definition. */
 sealed trait DestinationConfig { def name: String }
-final case class ParquetDestination(name: String, directory: String)
-    extends DestinationConfig
+final case class ParquetDestination(name: String, directory: String,
+    evolveSchema: Boolean = false) extends DestinationConfig
 final case class CsvDestination(name: String, directory: String,
     compression: Option[String] = None) extends DestinationConfig
 final case class SqlDumpDestination(name: String, directory: String,
@@ -179,7 +179,10 @@ object Config {
       throw new IllegalArgumentException(s"[$sec] missing directory"))
     val compression = ini.get(sec, "compression")
     ini.getOrElse(sec, "type", "parquet") match {
-      case "parquet" => ParquetDestination(name, dir)
+      case "parquet" => ParquetDestination(name, dir,
+        // evolve_schema=yes switches the W4 drift guard to additive
+        // evolution (new/dropped columns merge; type changes still fail)
+        evolveSchema = ini.bool(sec, "evolve_schema", default = false))
       case "csv" => CsvDestination(name, dir, compression)
       case "sql" => SqlDumpDestination(name, dir, compression)
       case "jdbc" => JdbcDestination(name,

@@ -86,8 +86,8 @@ final class Archiver(
   private val sinks: Seq[(Sink, String)] = sinkOverride
     .map(_.map(s => s -> conf.source.name))
     .getOrElse(conf.destinations.map {
-      case ParquetDestination(_, dir) =>
-        new ParquetUpsertSink(rt(dir)) -> dbNameFor(rt(dir))
+      case ParquetDestination(_, dir, evolve) =>
+        new ParquetUpsertSink(rt(dir), evolve) -> dbNameFor(rt(dir))
       case CsvDestination(_, dir, comp) =>
         new CsvSink(rt(dir), comp) -> dbNameFor(rt(dir))
       case SqlDumpDestination(_, dir, comp) =>

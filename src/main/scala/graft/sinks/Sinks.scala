@@ -46,6 +46,26 @@ object SchemaGuard {
         s"schema drift at $where: archived=${existing.simpleString} " +
           s"incoming=${incoming.simpleString}")
   }
+
+  /** Additive-evolution variant (W4+): columns may APPEAR in or DISAPPEAR
+    * from the incoming batch (a source ALTER TABLE mid-archival-history —
+    * the case the reference hard-fails on, destination/db/db.py:246-277);
+    * rows on the short side backfill NULL. What still drifts hard: a type
+    * change on any SHARED column — silently unioning int-then-string would
+    * corrupt the archive, and no NULL backfill can represent that.
+    */
+  def checkEvolvable(
+      existing: StructType, incoming: StructType, where: String): Unit = {
+    val ex = existing.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      ex.get(f.name).foreach { et =>
+        if (et != f.dataType)
+          throw new SchemaDriftException(
+            s"type drift at $where on column ${f.name}: " +
+              s"archived=${et.simpleString} incoming=${f.dataType.simpleString}")
+      }
+    }
+  }
 }
 
 /** W-layer delivery manifest: after a successful write, a
@@ -101,8 +121,16 @@ object Manifest {
   * merge-by-PK: existing ∪ incoming, first-writer-wins per key. At 100 TB
   * the same operator runs against a transactional table format; the merge is
   * a single shuffle on the PK either way.
+  *
+  * `evolveSchema = true` switches the W4 drift guard to ADDITIVE evolution:
+  * a source ALTER TABLE ADD/DROP COLUMN between runs merges instead of
+  * failing — new columns appear (old rows NULL), dropped columns survive
+  * (new rows NULL), while a type change on a shared column still fails
+  * hard ([[SchemaGuard.checkEvolvable]]). PK columns are required in every
+  * batch by construction (the anti-join would fail loudly otherwise).
   */
-final class ParquetUpsertSink(root: String) extends Sink {
+final class ParquetUpsertSink(root: String, evolveSchema: Boolean = false)
+    extends Sink {
   override def name: String = s"parquet:$root"
 
   override def write(db: String, spec: TableSpec, df: DataFrame, dryRun: Boolean): Unit = {
@@ -124,12 +152,16 @@ final class ParquetUpsertSink(root: String) extends Sink {
       Manifest.write(spark, path, spec.name, df.count())
     } else {
       val existing = spark.read.parquet(path)
-      SchemaGuard.check(existing.schema, df.schema, path)
+      if (evolveSchema) SchemaGuard.checkEvolvable(existing.schema, df.schema, path)
+      else SchemaGuard.check(existing.schema, df.schema, path)
       // Upsert: keep existing rows for already-archived PKs (pk = pk no-op
       // update), append only genuinely new keys — dedup happens on the PK
       // shuffle, map-side combined by AQE.
       val newRows = df.join(existing.select(spec.pk.map(col): _*), spec.pk, "left_anti")
-      val merged = existing.unionByName(newRows)
+      // under evolution the union backfills NULL on whichever side lacks a
+      // column; with evolution off the schemas are structurally equal and
+      // allowMissingColumns is a no-op
+      val merged = existing.unionByName(newRows, allowMissingColumns = evolveSchema)
       val tmp = new org.apache.hadoop.fs.Path(s"$path.__staging__")
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       // backup-rename swap: the previous archive is never deleted before

@@ -31,6 +31,7 @@ class ConfigSpec extends AnyFunSuite {
       |[dst:arch]
       |type = parquet
       |directory = ${base}/archive
+      |evolve_schema = yes
       |
       |[dst:files]
       |type = csv
@@ -54,6 +55,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(a.deleteData)
     assert(a.destinations.map(_.name) === Seq("arch", "files"))
     assert(a.destinations.head.isInstanceOf[ParquetDestination])
+    assert(a.destinations.head.asInstanceOf[ParquetDestination].evolveSchema)
   }
 
   test("runtime {now}/{date} interpolation") {

@@ -133,4 +133,35 @@ class SinksSpec extends AnyFunSuite {
     assert(Manifest.jstr("a\nb\tc") === "\"a\\u000ab\\u0009c\"")
     assert(Manifest.jstr("plain") === "\"plain\"")
   }
+
+  test("evolve mode merges added and dropped columns; type drift still fails (W4+)") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("evolve")
+    val sink = new ParquetUpsertSink(root, evolveSchema = true)
+    val spec = Tables.TableSpec("t", Seq("id"), None, Nil)
+    sink.write("db", spec,
+      Seq((1L, "a1"), (2L, "a2")).toDF("id", "a"), dryRun = false)
+    // source gained a column: old rows backfill NULL
+    sink.write("db", spec,
+      Seq((3L, "a3", 30L)).toDF("id", "a", "b"), dryRun = false)
+    val afterAdd = sink.read(spark, "db", "t")
+    assert(afterAdd.columns.toSet === Set("id", "a", "b"))
+    assert(afterAdd.filter(col("id") === 1L).head().isNullAt(2))
+    assert(afterAdd.filter(col("id") === 3L).head().getLong(2) === 30L)
+    // source dropped a column: archive keeps it, new rows backfill NULL
+    sink.write("db", spec, Seq((4L, 40L)).toDF("id", "b"), dryRun = false)
+    val afterDrop = sink.read(spark, "db", "t")
+    assert(afterDrop.count() === 4)
+    assert(afterDrop.filter(col("id") === 4L).head()
+      .isNullAt(afterDrop.columns.indexOf("a")))
+    // a TYPE change on a shared column is still a hard drift
+    assertThrows[SchemaDriftException](
+      sink.write("db", spec,
+        Seq((5L, "oops-string")).toDF("id", "b"), dryRun = false))
+    // and with evolution OFF an additive batch drifts as before
+    val strict = new ParquetUpsertSink(root)
+    assertThrows[SchemaDriftException](
+      strict.write("db", spec,
+        Seq((6L, "a6", 60L, true)).toDF("id", "a", "b", "c"), dryRun = false))
+  }
 }
