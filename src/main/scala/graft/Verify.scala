@@ -22,13 +22,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud summary (the bench-gate discipline): a query with no dump gets
+    // NO row in the driver's correctness table — without this line that
+    // absence is silent. Exit code stays 0: the dump itself succeeded and
+    // the driver must still compare the queries that ran.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] BROKEN: ${failed.size} queries produced no dump: " +
+          failed.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
