@@ -1830,6 +1830,16 @@ object SparkEntry {
       Multimodal.frameEnergy(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
         window = 32, stride = 16).toDF()),
+    "mm9_shot_cuts" -> ((s, dir) =>
+      // video cut detection on the frame-energy series: a cut is a >=1e5
+      // energy jump between consecutive frames; shots are the runs
+      // between cuts, counted by a running cut sum — two windows + one
+      // agg on a single media_id shuffle
+      Multimodal.shotBoundaries(
+        Multimodal.frameEnergy(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
+          window = 32, stride = 16),
+        minDelta = 100000L)),
     "mm8_patch_grid" -> ((s, dir) =>
       // ViT-style patchification: the payload as a row-major 64-column
       // image cut into 16x16 patches (partial edge patches keep true
@@ -1967,6 +1977,29 @@ object SparkEntry {
               col("doc_id"))).cast("long"))
         .select("doc_id", "phase", "phase_pos", "q")
     }),
+    "pk5_length_buckets" -> ((s, dir) =>
+      // sequence-length bucketing for padded batching: docs land in
+      // power-of-two token-length buckets (the dataloader trick that
+      // bounds padding waste at <50%); the per-bucket report — docs,
+      // real tokens, padded tokens, waste in ppm (integer division,
+      // engine-exact) — is the audit that sizes batch shapes before a
+      // training run. One narrow pass + one tiny aggregation.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        // next power of two >= n_tok, in INTEGERS: 1 << bitlen(n-1)
+        // (a float log2 would round differently per-engine exactly at the
+        // powers of two — the rows that matter most here)
+        .withColumn("bucket",
+          when(col("n_tok") === 1, 1L).otherwise(
+            expr("shiftleft(1L, cast(length(bin(n_tok - 1)) as int))")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("real_tok"))
+        .withColumn("padded_tok", col("bucket") * col("n_docs"))
+        .withColumn("waste_ppm",
+          expr("(padded_tok - real_tok) * 1000000 div padded_tok"))),
     "pk4_epoch_shard" -> ((s, dir) =>
       // deterministic epoch shuffle + shard assignment for the training
       // dataloader: shard = 32-bit md5 of (epoch seed, doc id) mod 8,
@@ -4409,6 +4442,33 @@ object SparkEntry {
         |FROM fr LEFT JOIN byt
         |ON byt.media_id = fr.media_id AND byt.f = fr.f
         |GROUP BY 1, 2""".stripMargin,
+    "mm9_shot_cuts" ->
+      """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+        |octet_length(encode(text)) AS n FROM documents),
+        |fr AS (SELECT media_id, ph, n,
+        |unnest(range(0, greatest((n - 32 + 15) // 16 + 1, 1))) AS f FROM m),
+        |byt AS (SELECT media_id, f,
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 1)::INT, 1)) * 16 +
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
+        |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n),
+        |fe AS (SELECT fr.media_id, fr.f AS frame_idx,
+        |coalesce(sum(byt.b * byt.b), 0)::BIGINT AS energy
+        |FROM fr LEFT JOIN byt
+        |ON byt.media_id = fr.media_id AND byt.f = fr.f GROUP BY 1, 2),
+        |d AS (SELECT media_id, frame_idx, energy, lag(energy) OVER (
+        |PARTITION BY media_id ORDER BY frame_idx) AS prev_e FROM fe),
+        |c AS (SELECT media_id, frame_idx, energy,
+        |CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) >= 100000
+        |THEN 1 ELSE 0 END AS cut FROM d),
+        |sh AS (SELECT media_id, frame_idx, energy, (sum(cut) OVER (
+        |PARTITION BY media_id ORDER BY frame_idx) + 1)::BIGINT AS shot_idx
+        |FROM c)
+        |SELECT media_id, shot_idx, min(frame_idx)::INT AS start_frame,
+        |max(frame_idx)::INT AS end_frame, count(*)::BIGINT AS n_frames,
+        |sum(energy)::BIGINT AS sum_energy
+        |FROM sh GROUP BY 1, 2""".stripMargin,
     "mm7_active_segments" ->
       // mm6's hex frame expansion restricted to the audio subset, then
       // gaps-and-islands over the above-floor frames
@@ -4596,6 +4656,19 @@ object SparkEntry {
          |row_number() OVER (PARTITION BY phase
          |ORDER BY md5('curr:' || doc_id::VARCHAR), doc_id)::BIGINT AS phase_pos,
          |q FROM ph""".stripMargin,
+    "pk5_length_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tok
+         |FROM documents),
+         |b AS (SELECT doc_id, n_tok, CASE WHEN n_tok = 1 THEN 1
+         |ELSE (1::BIGINT << strlen(bin(n_tok - 1))::INT) END AS bucket
+         |FROM tk WHERE n_tok > 0),
+         |g AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+         |sum(n_tok)::BIGINT AS real_tok FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, real_tok,
+         |(bucket * n_docs)::BIGINT AS padded_tok,
+         |((bucket * n_docs - real_tok) * 1000000 // (bucket * n_docs))::BIGINT
+         |  AS waste_ppm
+         |FROM g""".stripMargin,
     "pk4_epoch_shard" ->
       """WITH h AS (SELECT doc_id,
         |md5('epoch1:' || doc_id::VARCHAR) AS h FROM documents),

@@ -235,6 +235,33 @@ object Multimodal {
     * the only shuffle key is the media id. Output: (media_id, seg_idx,
     * start_frame, end_frame, n_frames), seg_idx 1-based in time order.
     */
+  /** Shot-boundary detection (video cut detection, the energy-delta
+    * heuristic): a CUT is any frame whose energy jumps by >= `minDelta`
+    * from its predecessor; shots are the runs between cuts. The frame
+    * sequence never materializes per-shot — shot_idx is a running count
+    * of cuts (1 + cuts so far), so the whole pass is two windows and one
+    * aggregation riding a single media_id shuffle, integer-exact on any
+    * partitioning. Real decoders swap the energy column for a histogram
+    * distance; the plan shape is identical.
+    */
+  def shotBoundaries(
+      frames: Dataset[FrameEnergy], minDelta: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames.toDF()
+      .withColumn("prev_e", lag(col("energy"), 1).over(w))
+      .withColumn("cut", when(col("prev_e").isNotNull &&
+        abs(col("energy") - col("prev_e")) >= minDelta, 1L).otherwise(0L))
+      .withColumn("shot_idx", sum(col("cut")).over(w) + 1)
+      .groupBy(col("media_id"), col("shot_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"))
+      .select(col("media_id"), col("shot_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("sum_energy"))
+  }
+
   def activeSegments(
       frames: Dataset[FrameEnergy], minEnergy: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
