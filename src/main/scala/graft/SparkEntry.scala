@@ -185,6 +185,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(v).as("version"), col("n_rows"))
     }),
+    "w14_time_travel" -> ((s, dir) => {
+      // time-travel audit across immutable versions: v1 is an earlier
+      // revision (a deterministic subset with rounded prices), v2 the
+      // current snapshot; the query reads v1 back BY VERSION ID through
+      // the store, diffs it against the committed latest, and reports the
+      // per-status change counts — "what changed between v1 and v2" with
+      // both sides served from the versioned store itself.
+      import graft.sinks.VersionedPublish
+      val out = java.nio.file.Files.createTempDirectory("graft-w14")
+        .toString + "/ds"
+      val base = archivedOrders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1 = base.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice", floor(col("o_totalprice")).cast("double"))
+      VersionedPublish.publish(v1, out, keep = 3)
+      val v2 = VersionedPublish.publish(base, out, keep = 3)
+      val before = VersionedPublish.readVersion(s, out, 1L)
+      val after = VersionedPublish.readLatest(s, out)
+      graft.operators.TableDiff
+        .diff(before, after, "o_orderkey", Seq("o_totalprice"))
+        .groupBy("diff_status").agg(count(lit(1)).as("n_keys"))
+        .select(lit(1L).as("from_version"), lit(v2).as("to_version"),
+          col("diff_status"), col("n_keys"))
+    }),
 
     // ----- relational parity (SURVEY §2.8) -----
     // Decimal sums are computed exactly in decimal and cast to DOUBLE at the
@@ -1255,6 +1279,37 @@ object SparkEntry {
         .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
           col("jw"))
     }),
+    "er1_entity_clusters" -> ((s, dir) => {
+      // entity resolution end-to-end: tx24's brand-blocked Jaro-Winkler
+      // match pairs -> connected components -> one canonical entity id
+      // (min member key) per real-world entity, singletons included — the
+      // record-linkage pipeline (Fellegi-Sunter blocking + transitive
+      // closure) that collapses name variants before analytics. Pair
+      // generation is an equi-join on the block key, never all-pairs;
+      // cluster resolution reuses the dedup CC machinery (driver
+      // union-find small, distributed star contraction at scale).
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_partkey").as("pk_a"),
+        col("p_name").as("name_a"), col("p_brand").as("brand"))
+      val b = p.select(col("p_partkey").as("pk_b"),
+        col("p_name").as("name_b"), col("p_brand").as("brand"))
+      val pairs = a.join(b, "brand").filter(col("pk_a") < col("pk_b"))
+        .withColumn("jw",
+          fround(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+        .filter(col("jw") >= 0.9)
+        .select(col("pk_a").as("doc_a"), col("pk_b").as("doc_b"))
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("p_partkey"), col("cluster_id"))
+      val ent = p.select("p_partkey")
+        .join(cc, Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("cluster_id"), col("p_partkey")).as("entity_id"))
+      val sized = ent.groupBy("entity_id")
+        .agg(count(lit(1)).as("entity_size"))
+      ent.join(sized, "entity_id")
+        .select("p_partkey", "entity_id", "entity_size")
+    }),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original
@@ -1623,6 +1678,26 @@ object SparkEntry {
       Similarity.ivfAppendReport(indexed, emb.filter(col("vec_id") < 100),
         "embedding", cents)
     }),
+    "ss16_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: the lexical leg (BM25 over the bag-of-terms
+      // query) and the vector leg (cosine against query vector 0) each
+      // rank their top-50 independently, then reciprocal-rank fusion
+      // combines them — no score calibration across legs, integer
+      // micro-unit contributions, ties by doc id. doc_id and vec_id share
+      // the id space (TESTDATA.md), so the legs rank the same corpus.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", "text", terms = Seq("spark", "join", "vector"),
+        k = 50)
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") >= 1),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq("lex" -> lex.select("doc_id", "rank"), "vec" -> vec),
+        "doc_id", "rank", c = 60, k = 10)
+    }),
     "ss5_quantized_rerank" -> ((s, dir) => {
       // two-stage retrieval: int8-dequantized approximate scoring over the
       // SRP-bucket candidates, exact full-precision re-rank of the top-10
@@ -1861,6 +1936,17 @@ object SparkEntry {
             .filter(col("media_type") === "audio"),
           window = 32, stride = 16),
         minEnergy = 310000L)),
+    "mm10_loudness_gain" -> ((s, dir) =>
+      // loudness normalization over the audio subset: per-clip ppm gain
+      // bringing mean frame energy to the target level, integer floor
+      // division throughout; near-silent clips are limited at 4x and
+      // flagged instead of amplified into noise
+      Multimodal.loudnessGain(
+        Multimodal.frameEnergy(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+            .filter(col("media_type") === "audio"),
+          window = 32, stride = 16),
+        targetEnergy = 500000L, maxGainPpm = 4000000L)),
     "mm2_media_features" -> ((s, dir) => {
       // decode-path oracle: media_id/media_type/n_bytes/checksum are computed
       // INSIDE the mapPartitions decode pass (not mm1's SQL path), plus an
@@ -2000,6 +2086,13 @@ object SparkEntry {
         .withColumn("padded_tok", col("bucket") * col("n_docs"))
         .withColumn("waste_ppm",
           expr("(padded_tok - real_tok) * 1000000 div padded_tok"))),
+    "pk6_fim_split" -> ((s, dir) =>
+      // fill-in-the-middle example generation (Bavarian et al. 2022):
+      // md5-derived split offsets (RNG-free, rerun-identical), PSM
+      // rearrangement fingerprinted rather than materialized — narrow
+      // output, zero shuffles
+      graft.operators.Packing.fimSplit(
+        t(s, dir, "documents"), "doc_id", "text")),
     "pk4_epoch_shard" -> ((s, dir) =>
       // deterministic epoch shuffle + shard assignment for the training
       // dataloader: shard = 32-bit md5 of (epoch seed, doc id) mod 8,
@@ -2332,6 +2425,30 @@ object SparkEntry {
             col("source")),
         qiCols = Seq("lang", "size_band"), sensitiveCol = "source",
         k = 10, l = 2)),
+    "s20_dataset_card" -> ((s, dir) => {
+      // dataset datasheet (Gebru et al. 2021): the per-source release
+      // summary — volume, token mass, language spread, exact-dup mass in
+      // ppm — one tokenize pass feeding two hash aggregations; every
+      // ratio is integer floor division, engine- and partitioning-exact
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+      val dup = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("dup_docs"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          expr("sum(n_tok) div count(1)").as("avg_tok"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .join(dup, "source")
+        .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
+        .select("source", "n_docs", "total_tok", "avg_tok", "n_langs",
+          "total_chars", "dup_docs", "dup_ppm")
+    }),
     "dd29_stratified_split" -> ((s, dir) =>
       // exact-proportion per-stratum train/val/test split: rows ranked
       // within their source by md5(doc_id) (deterministic, RNG-free),
@@ -2532,6 +2649,30 @@ object SparkEntry {
         .groupBy(col("h").as("hour_start"))
         .agg(sum(col("overlap_us")).as("busy_us"),
           count(lit(1)).as("n_intervals"))
+    }),
+    "q71_ohlc_bars" -> ((s, dir) => {
+      // time-series downsampling to OHLC bars: per (event_type, hour) the
+      // opening/high/low/closing `value` plus exact micro-unit volume —
+      // the market-data / metrics-rollup shape. Open/close come from
+      // boundary row_numbers (ties broken by event_id, deterministic on
+      // any partitioning); the windows and the aggregation share the
+      // (event_type, hour) keys, so one shuffle serves both.
+      val e = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"),
+          col("ts"), col("event_id"), col("value"))
+      val asc = Window.partitionBy("event_type", "bar_ts")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy("event_type", "bar_ts")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("event_type", "bar_ts")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1e6)).cast("long")).as("vol_u"))
     }),
     "q58_equidepth_hist" -> ((s, dir) =>
       // equi-depth (quantile) histogram: ntile splits each priority's
@@ -2791,6 +2932,20 @@ object SparkEntry {
       """SELECT 2::BIGINT AS version, count(*)::BIGINT AS n_rows FROM orders
         |WHERE o_orderdate IS NOT NULL
         |AND o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'""".stripMargin,
+    "w14_time_travel" ->
+      s"""WITH arch AS (SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_orderdate IS NOT NULL
+         |AND o_orderdate <= TIMESTAMP '$Cutoff'),
+         |v1 AS (SELECT o_orderkey, floor(o_totalprice) AS p1 FROM arch
+         |WHERE o_orderkey % 3 <> 0),
+         |d AS (SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+         |WHEN a2.o_orderkey IS NULL THEN 'removed'
+         |WHEN v1.p1 IS DISTINCT FROM a2.o_totalprice THEN 'changed'
+         |END AS diff_status
+         |FROM v1 FULL OUTER JOIN arch a2 ON v1.o_orderkey = a2.o_orderkey)
+         |SELECT 1::BIGINT AS from_version, 2::BIGINT AS to_version,
+         |diff_status, count(*)::BIGINT AS n_keys
+         |FROM d WHERE diff_status IS NOT NULL GROUP BY 3""".stripMargin,
     "p3_keyset_page" ->
       "SELECT * FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 1000",
     "p4_watermark_scan" ->
@@ -3622,6 +3777,26 @@ object SparkEntry {
         |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
         |  / 10000.0 >= 0.9""".stripMargin,
+    "er1_entity_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |SELECT a.p_partkey AS da, b.p_partkey AS db
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |UNION SELECT db, da FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS p_partkey, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a),
+        |ent AS (SELECT p.p_partkey,
+        |coalesce(cc.cluster_id, p.p_partkey) AS entity_id
+        |FROM part p LEFT JOIN cc USING (p_partkey)),
+        |sized AS (SELECT entity_id, count(*)::BIGINT AS entity_size
+        |FROM ent GROUP BY 1)
+        |SELECT ent.p_partkey, ent.entity_id, sized.entity_size
+        |FROM ent JOIN sized USING (entity_id)""".stripMargin,
     "tx22_feature_hash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
          |SELECT doc_id,
@@ -4119,6 +4294,43 @@ object SparkEntry {
         |count(*)::BIGINT AS n_cells FROM cl)
         |SELECT cell, n_indexed, n_added, n_total,
         |n_total * n_cells > sum_total * 2 AS hot FROM cl, t""".stripMargin,
+    "ss16_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs,
+         |sum(dl)::BIGINT AS dl_sum FROM base),
+         |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM
+         |(SELECT doc_id, dl, unnest(t) AS w FROM base)
+         |WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, floor(
+         |ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+         |((tf::DOUBLE * (1.2 + 1.0)) /
+         | (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE /
+         |   (dl_sum::DOUBLE / n_docs::DOUBLE))))) *
+         |1e6)::BIGINT AS s_u
+         |FROM tf JOIN dfs USING (w) CROSS JOIN stats),
+         |agg AS (SELECT doc_id, sum(s_u)::BIGINT AS bm25_u FROM scored GROUP BY 1),
+         |lexr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+         |row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS rank FROM agg)
+         |WHERE rank <= 50),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vs AS (SELECT c.vec_id AS doc_id,
+         |list_cosine_similarity(q.v, c.v) AS cosraw
+         |FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id >= 1),
+         |vecr AS (SELECT doc_id, rank FROM (SELECT doc_id,
+         |row_number() OVER (ORDER BY cosraw DESC, doc_id) AS rank FROM vs)
+         |WHERE rank <= 50),
+         |u AS (SELECT doc_id, rank, 'lex' AS leg FROM lexr
+         |UNION ALL SELECT doc_id, rank, 'vec' AS leg FROM vecr),
+         |f AS (SELECT doc_id, sum(1000000000 // (60 + rank))::BIGINT AS rrf_u,
+         |max(CASE WHEN leg = 'lex' THEN rank END)::BIGINT AS lex_rank,
+         |max(CASE WHEN leg = 'vec' THEN rank END)::BIGINT AS vec_rank
+         |FROM u GROUP BY 1)
+         |SELECT rank, doc_id, rrf_u, lex_rank, vec_rank FROM
+         |(SELECT row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS rank,
+         |doc_id, rrf_u, lex_rank, vec_rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
     "ss14_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |FROM embeddings),
@@ -4495,6 +4707,34 @@ object SparkEntry {
         |SELECT media_id, row_number() OVER (PARTITION BY media_id
         |ORDER BY start_frame)::INT AS seg_idx,
         |start_frame, end_frame, n_frames FROM seg""".stripMargin,
+    "mm10_loudness_gain" ->
+      // mm7's hex frame-energy expansion over the audio subset, then one
+      // per-media aggregation; every division is BIGINT floor division
+      """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+        |octet_length(encode(text)) AS n FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT media_id, ph, n,
+        |unnest(range(0, greatest((n - 32 + 15) // 16 + 1, 1))) AS f FROM m),
+        |byt AS (SELECT media_id, f,
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 1)::INT, 1)) * 16 +
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
+        |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n),
+        |fe AS (SELECT fr.media_id, fr.f AS frame_idx,
+        |coalesce(sum(byt.b * byt.b), 0)::BIGINT AS energy
+        |FROM fr LEFT JOIN byt
+        |ON byt.media_id = fr.media_id AND byt.f = fr.f GROUP BY 1, 2),
+        |agg AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+        |sum(energy)::BIGINT AS energy_sum FROM fe GROUP BY 1)
+        |SELECT media_id, n_frames, energy_sum,
+        |energy_sum // n_frames AS mean_energy,
+        |500000000000::BIGINT // greatest(energy_sum // n_frames, 1)
+        |  AS gain_ppm,
+        |least(500000000000::BIGINT // greatest(energy_sum // n_frames, 1),
+        |  4000000)::BIGINT AS applied_ppm,
+        |500000000000::BIGINT // greatest(energy_sum // n_frames, 1)
+        |  > 4000000 AS limited
+        |FROM agg""".stripMargin,
     "g1_pagerank" -> {
       // unrolled fixed-point iterations (aggregates are not allowed in a
       // recursive CTE term); integer micro-unit arithmetic matches
@@ -4669,6 +4909,29 @@ object SparkEntry {
          |((bucket * n_docs - real_tok) * 1000000 // (bucket * n_docs))::BIGINT
          |  AS waste_ppm
          |FROM g""".stripMargin,
+    "pk6_fim_split" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+        |('0x' || substr(md5('fim_g:' || doc_id::VARCHAR), 1, 8))::BIGINT % 2
+        |  = 0 AS fim_applied,
+        |('0x' || substr(md5('fim_a:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |  % (length(text) + 1) AS a,
+        |('0x' || substr(md5('fim_b:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |  % (length(text) + 1) AS b
+        |FROM documents),
+        |sp AS (SELECT doc_id, text, n, fim_applied,
+        |least(a, b) AS st, greatest(a, b) AS en FROM d)
+        |SELECT doc_id, fim_applied,
+        |CASE WHEN fim_applied THEN st END AS split_start,
+        |CASE WHEN fim_applied THEN en END AS split_end,
+        |CASE WHEN fim_applied THEN st END AS n_prefix,
+        |CASE WHEN fim_applied THEN en - st END AS n_middle,
+        |CASE WHEN fim_applied THEN n - en END AS n_suffix,
+        |CASE WHEN fim_applied THEN md5('<PRE>' ||
+        |  substr(text, 1, st::INT) || '<SUF>' ||
+        |  substr(text, (en + 1)::INT, (n - en)::INT) || '<MID>' ||
+        |  substr(text, (st + 1)::INT, (en - st)::INT))
+        |ELSE md5(text) END AS example_md5
+        |FROM sp""".stripMargin,
     "pk4_epoch_shard" ->
       """WITH h AS (SELECT doc_id,
         |md5('epoch1:' || doc_id::VARCHAR) AS h FROM documents),
@@ -5037,6 +5300,22 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_sensitive,
         |  sum(n) >= 10 AS k_ok, count(*) >= 2 AS l_ok
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "s20_dataset_card" ->
+      s"""WITH b AS (SELECT source, lang, n_chars,
+         |len($duckToks)::BIGINT AS n_tok, md5(text) AS h FROM documents),
+         |dup AS (SELECT source,
+         |coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS dup_docs
+         |FROM (SELECT source, h, count(*)::BIGINT AS c FROM b GROUP BY 1, 2)
+         |GROUP BY 1),
+         |agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |sum(n_tok)::BIGINT AS total_tok,
+         |(sum(n_tok) // count(*))::BIGINT AS avg_tok,
+         |count(DISTINCT lang)::BIGINT AS n_langs,
+         |sum(n_chars)::BIGINT AS total_chars FROM b GROUP BY 1)
+         |SELECT agg.source, n_docs, total_tok, avg_tok, n_langs,
+         |total_chars, dup.dup_docs,
+         |(dup.dup_docs * 1000000 // n_docs)::BIGINT AS dup_ppm
+         |FROM agg JOIN dup USING (source)""".stripMargin,
     "dd29_stratified_split" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source
@@ -5134,6 +5413,21 @@ object SparkEntry {
         |SELECT h AS hour_start, sum(overlap_us)::BIGINT AS busy_us,
         |  count(*)::BIGINT AS n_intervals
         |FROM o WHERE overlap_us > 0 GROUP BY 1""".stripMargin,
+    "q71_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |ts, event_id, value FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT *,
+        |row_number() OVER (PARTITION BY event_type, bar_ts
+        |ORDER BY ts, event_id) AS rn_a,
+        |row_number() OVER (PARTITION BY event_type, bar_ts
+        |ORDER BY ts DESC, event_id DESC) AS rn_d FROM e)
+        |SELECT event_type, bar_ts,
+        |max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |max(value) AS high, min(value) AS low,
+        |max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |count(*)::BIGINT AS n_events,
+        |sum(floor(value * 1e6)::BIGINT)::BIGINT AS vol_u
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q58_equidepth_hist" ->
       """WITH t AS (SELECT o_orderpriority, o_totalprice,
         |ntile(4) OVER (PARTITION BY o_orderpriority

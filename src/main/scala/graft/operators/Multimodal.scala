@@ -225,6 +225,33 @@ object Multimodal {
     }
   }
 
+  /** Loudness-normalization gain: the per-clip amplification factor that
+    * brings mean frame energy to `targetEnergy` — the level-matching pass
+    * an audio pipeline runs before mixing clips into training batches
+    * (the ReplayGain/EBU-R128 shape over the FakeCodec energy stand-in).
+    * Gains are parts-per-million BIGINTs from pure integer floor
+    * division, so the report is exact on any engine/partitioning; clips
+    * needing more than `maxGainPpm` (near-silence) are limited and
+    * flagged rather than blown up.
+    *
+    * Scale shape: one media_id hash aggregation over the (narrow) frame
+    * feature stream — no payload bytes reach the shuffle.
+    */
+  def loudnessGain(frames: Dataset[FrameEnergy], targetEnergy: Long,
+      maxGainPpm: Long = 4000000L): DataFrame = {
+    require(targetEnergy > 0 && maxGainPpm > 0,
+      "targetEnergy and maxGainPpm must be positive")
+    frames.toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+      .withColumn("mean_energy", expr("energy_sum div n_frames"))
+      .withColumn("gain_ppm", expr(
+        s"cast($targetEnergy as bigint) * cast(1000000 as bigint) " +
+          "div greatest(mean_energy, cast(1 as bigint))"))
+      .withColumn("applied_ppm", least(col("gain_ppm"), lit(maxGainPpm)))
+      .withColumn("limited", col("gain_ppm") > lit(maxGainPpm))
+  }
+
   /** VAD-style activity segmentation: maximal runs of consecutive frames
     * with energy >= `minEnergy` — the silence-trim / speech-split pass an
     * audio pipeline runs before transcription or training-clip extraction.

@@ -77,4 +77,50 @@ object Packing {
         size(col("col")).cast("long").as("n_tokens"),
         md5(array_join(col("col"), " ")).as("chunk_md5"))
   }
+
+  /** Fill-in-the-middle training-example generation (Bavarian et al.
+    * 2022, "Efficient Training of Language Models to Fill in the
+    * Middle"): for a deterministic fraction of documents, split the text
+    * at two RNG-free offsets into (prefix, middle, suffix) and emit the
+    * PSM rearrangement `<PRE>prefix<SUF>suffix<MID>middle`; the rest pass
+    * through untransformed (the paper's joint FIM+AR recipe). All
+    * randomness is md5-derived from the document id — the same corpus
+    * yields the identical example set on any engine, cluster size, or
+    * rerun, which is what makes the training run reproducible.
+    *
+    * Output is narrow on purpose: split offsets, span lengths, and the
+    * md5 of the rearranged example (not the example text itself), so the
+    * audit row stays ~100 bytes regardless of document size. Zero
+    * shuffles — pure per-row column arithmetic.
+    */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def h32(salt: String) =
+      conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("fim_applied", pmod(h32("fim_g"), lit(2L)) === 0)
+      .withColumn("a", pmod(h32("fim_a"), col("n") + 1))
+      .withColumn("b", pmod(h32("fim_b"), col("n") + 1))
+      .withColumn("split_start", least(col("a"), col("b")))
+      .withColumn("split_end", greatest(col("a"), col("b")))
+    d.select(col("doc_id"), col("fim_applied"),
+        when(col("fim_applied"), col("split_start")).as("split_start"),
+        when(col("fim_applied"), col("split_end")).as("split_end"),
+        when(col("fim_applied"), col("split_start")).as("n_prefix"),
+        when(col("fim_applied"), col("split_end") - col("split_start"))
+          .as("n_middle"),
+        when(col("fim_applied"), col("n") - col("split_end")).as("n_suffix"),
+        when(col("fim_applied"),
+            md5(concat(lit("<PRE>"),
+              col("text").substr(lit(1),
+                col("split_start").cast("int")),
+              lit("<SUF>"),
+              col("text").substr((col("split_end") + 1).cast("int"),
+                (col("n") - col("split_end")).cast("int")),
+              lit("<MID>"),
+              col("text").substr((col("split_start") + 1).cast("int"),
+                (col("split_end") - col("split_start")).cast("int")))))
+          .otherwise(md5(col("text"))).as("example_md5"))
+  }
 }

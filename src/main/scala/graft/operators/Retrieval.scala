@@ -75,4 +75,50 @@ object Retrieval {
         graft.functions.NumericFunctions.fround(
           col("bm25_u").cast("double") / lit(1e6), 3).as("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * independently ranked retrieval legs — the standard hybrid-search
+    * combiner for a lexical (BM25) and a vector (ANN) leg: each leg
+    * contributes `1 / (c + rank)` for every id it ranked, ids missing
+    * from a leg simply contribute nothing, and the fused ordering is by
+    * total contribution. Rank fusion needs no score calibration across
+    * legs, which is exactly why it wins over weighted-score sums when the
+    * legs' score scales are incomparable.
+    *
+    * Determinism: contributions are integer micro-units
+    * (`1e9 div (c + rank)` as BIGINT), so the fused sum is exact on any
+    * engine and partitioning; ties break by id.
+    *
+    * Scale shape: the legs are already top-n (tiny relative to the
+    * corpus), so this is a union of small ranked lists, ONE hash
+    * aggregation on the id, and a TakeOrdered — negligible next to the
+    * legs themselves. Each leg's per-id rank survives into the output
+    * (`<leg>_rank`, NULL where the leg missed the id) for debuggability.
+    *
+    * @param legs  (name, ranked DataFrame) pairs; each frame needs
+    *              `idCol` and `rankCol` (1-based ranks, unique per leg)
+    */
+  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, c: Int = 60, k: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "need at least one ranked leg")
+    require(legs.map(_._1).distinct.size == legs.size,
+      "leg names must be unique")
+    val tagged = legs.map { case (name, df) =>
+      df.select(col(idCol).as("__id"), col(rankCol).cast("long").as("__rank"),
+        lit(name).as("__leg"))
+    }.reduce(_.unionByName(_))
+    val legRankCols = legs.map { case (name, _) =>
+      max(when(col("__leg") === name, col("__rank"))).as(s"${name}_rank")
+    }
+    val fused = tagged
+      .withColumn("__rrf_u",
+        expr(s"cast(1000000000 as bigint) div (cast($c as bigint) + __rank)"))
+      .groupBy("__id")
+      .agg(sum(col("__rrf_u")).as("rrf_u"), legRankCols: _*)
+    fused.orderBy(col("rrf_u").desc, col("__id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_u").desc, col("__id"))))
+      .select(col("rank") +: col("__id").as(idCol) +: col("rrf_u") +:
+        legs.map { case (name, _) => col(s"${name}_rank") }: _*)
+  }
 }

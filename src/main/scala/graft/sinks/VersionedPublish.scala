@@ -100,6 +100,25 @@ object VersionedPublish {
     next
   }
 
+  /** Time-travel read: load a SPECIFIC committed version by id. Versions
+    * are immutable once committed, so any version that retention has kept
+    * reads back byte-identical to what was published — the audit /
+    * reproducibility primitive ("train exactly on what v3 was"). Fails
+    * loudly for an unknown, pruned, or incomplete (no `_SUCCESS`) id
+    * rather than silently reading a torso.
+    */
+  def readVersion(spark: SparkSession, baseUri: String,
+      version: Long): DataFrame = {
+    val base = new Path(baseUri)
+    val fs = fsFor(spark, base)
+    val vdir = new Path(base, s"v=$version")
+    if (!fs.exists(vdir) || !isComplete(fs, vdir))
+      throw new java.util.NoSuchElementException(
+        s"version $version is not a complete committed version under " +
+          s"$baseUri (pruned by retention, never published, or torso)")
+    spark.read.parquet(vdir.toString)
+  }
+
   /** Read the committed version (None resolves to an error — publishing
     * must have happened). */
   def readLatest(spark: SparkSession, baseUri: String): DataFrame = {

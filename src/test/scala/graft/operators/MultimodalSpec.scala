@@ -182,4 +182,34 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r._1, r._3, r._4) -> ((r._5, r._6))).toMap
     assert(again === got)
   }
+
+  test("loudness gain: exact integer division, limiting flags near-silence") {
+    import spark.implicits._
+    val frames = spark.createDataset(Seq(
+      // media 1: energies 100 and 300 -> mean 200; gain to 1000 = 5x
+      Multimodal.FrameEnergy(1L, 0, 4, 100L, 10),
+      Multimodal.FrameEnergy(1L, 1, 4, 300L, 17),
+      // media 2: energies 3 and 4 -> mean 3 (floor); gain floor(1000*1e6/3)
+      Multimodal.FrameEnergy(2L, 0, 4, 3L, 2),
+      Multimodal.FrameEnergy(2L, 1, 4, 4L, 2),
+      // media 3: all-zero energy -> mean 0, clamps to div-by-1
+      Multimodal.FrameEnergy(3L, 0, 4, 0L, 0)))
+    val got = Multimodal
+      .loudnessGain(frames, targetEnergy = 1000L, maxGainPpm = 6000000L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // (media_id, n_frames, energy_sum, mean_energy, gain_ppm, applied, limited)
+    assert(got(1L) === ((1L, 2L, 400L, 200L, 5000000L, 5000000L, false)))
+    assert(got(2L) === ((2L, 2L, 7L, 3L, 1000L * 1000000L / 3L, 6000000L, true)))
+    assert(got(3L) === ((3L, 1L, 0L, 0L, 1000L * 1000000L, 6000000L, true)))
+    // partition-invariance: pure integer aggregation
+    val again = Multimodal
+      .loudnessGain(frames.repartition(7), 1000L, 6000000L)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === got)
+    assertThrows[IllegalArgumentException] {
+      Multimodal.loudnessGain(frames, targetEnergy = 0L)
+    }
+  }
 }

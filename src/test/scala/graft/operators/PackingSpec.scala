@@ -64,4 +64,37 @@ class PackingSpec extends AnyFunSuite {
       Packing.strideChunks(docs, "doc_id", "text", window = 4, stride = 5)
     }
   }
+
+  test("fim split: spans partition the text, pass-through keeps the raw hash") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i body " * 3))
+      .toDF("doc_id", "text")
+    val got = Packing.fimSplit(docs, "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], String)].collect()
+    assert(got.length === 40)
+    val lens = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.length.toLong }.toMap
+    got.foreach { case (id, applied, st, en, np, nm, ns, h) =>
+      if (applied) {
+        // spans partition [0, n]: 0 <= start <= end <= n, lengths add up
+        assert(st.get >= 0 && st.get <= en.get && en.get <= lens(id))
+        assert(np.get + nm.get + ns.get === lens(id))
+        assert(np.get === st.get && nm.get === en.get - st.get)
+      } else {
+        assert(st.isEmpty && en.isEmpty && np.isEmpty)
+        // pass-through rows fingerprint the untransformed text
+        val raw = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"doc number $id body " * 3 getBytes "UTF-8")
+          .map("%02x".format(_)).mkString
+        assert(h === raw)
+      }
+    }
+    // the joint FIM+AR recipe transforms SOME but not ALL docs
+    assert(got.exists(_._2) && got.exists(!_._2))
+    // deterministic on any partitioning (md5-derived offsets, no RNG)
+    val again = Packing.fimSplit(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], String)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }

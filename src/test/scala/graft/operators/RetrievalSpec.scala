@@ -57,4 +57,51 @@ class RetrievalSpec extends AnyFunSuite {
     val r = run(Seq("spark"))
     assert(!r.map(_._2).contains(4L) && !r.map(_._2).contains(3L))
   }
+
+  // ----- reciprocal-rank fusion -----
+
+  private def leg(rows: (Long, Int)*) = rows.toDF("doc_id", "rank")
+
+  test("rrfFuse matches hand-computed integer contributions") {
+    // c=60: rank 1 -> 1e9 div 61 = 16393442, rank 2 -> 16129032 (div 62),
+    // rank 3 -> 15873015 (div 63)
+    val lex = leg(10L -> 1, 20L -> 2, 30L -> 3)
+    val vec = leg(20L -> 1, 30L -> 2, 40L -> 3)
+    val r = Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec),
+        "doc_id", "rank", c = 60, k = 10)
+      .as[(Int, Long, Long, Option[Long], Option[Long])].collect()
+    val byDoc = r.map(t => t._2 -> t).toMap
+    // 20 appears rank2+rank1 = 16129032+16393442 = 32522474 — the winner
+    assert(byDoc(20L)._3 === 16129032L + 16393442L)
+    // 30: rank3+rank2 = 15873015+16129032 = 32002047
+    assert(byDoc(30L)._3 === 15873015L + 16129032L)
+    // singles: 10 at 16393442, 40 at 15873015
+    assert(byDoc(10L)._3 === 16393442L)
+    assert(byDoc(40L)._3 === 15873015L)
+    assert(r.sortBy(_._1).map(_._2).toSeq === Seq(20L, 30L, 10L, 40L))
+    // per-leg ranks survive; a missed leg is NULL
+    assert(byDoc(20L)._4 === Some(2L) && byDoc(20L)._5 === Some(1L))
+    assert(byDoc(10L)._4 === Some(1L) && byDoc(10L)._5 === None)
+    assert(byDoc(40L)._4 === None && byDoc(40L)._5 === Some(3L))
+  }
+
+  test("rrfFuse ties break by id and k bounds the output") {
+    // symmetric legs -> 10 and 20 tie exactly; lower id must rank first
+    val a = leg(10L -> 1, 20L -> 2)
+    val b = leg(20L -> 1, 10L -> 2)
+    val r = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "rank",
+        k = 1)
+      .as[(Int, Long, Long, Option[Long], Option[Long])].collect()
+    assert(r.length === 1 && r.head._2 === 10L)
+  }
+
+  test("rrfFuse rejects duplicate leg names and empty legs") {
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, "doc_id", "rank")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("x" -> leg(1L -> 1), "x" -> leg(2L -> 1)),
+        "doc_id", "rank")
+    }
+  }
 }

@@ -67,4 +67,35 @@ class VersionedPublishSpec extends AnyFunSuite {
     assert(v3 === 3L)
     assert(VersionedPublish.resolve(spark, b).map(_._1).contains(3L))
   }
+
+  test("readVersion time-travels to an immutable historical version") {
+    val b = base()
+    VersionedPublish.publish((1L to 10L).toDF("id"), b)
+    VersionedPublish.publish((1L to 25L).toDF("id"), b)
+    // latest moved on; v=1 reads back exactly what was published
+    assert(VersionedPublish.readLatest(spark, b).count() === 25)
+    val v1 = VersionedPublish.readVersion(spark, b, 1L)
+    assert(v1.count() === 10)
+    assert(v1.agg(max(col("id"))).head().getLong(0) === 10L)
+  }
+
+  test("readVersion fails loudly on unknown, pruned, or torso versions") {
+    val b = base()
+    (1 to 4).foreach(i => VersionedPublish.publish(
+      (1L to i.toLong).toDF("id"), b, keep = 2))
+    // v=1 and v=2 were pruned by keep=2; v=9 never existed
+    intercept[java.util.NoSuchElementException] {
+      VersionedPublish.readVersion(spark, b, 1L)
+    }
+    intercept[java.util.NoSuchElementException] {
+      VersionedPublish.readVersion(spark, b, 9L)
+    }
+    // a torso (dir without _SUCCESS) is not readable either
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(b + "/v=7"))
+    intercept[java.util.NoSuchElementException] {
+      VersionedPublish.readVersion(spark, b, 7L)
+    }
+  }
 }
