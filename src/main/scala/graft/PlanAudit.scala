@@ -38,6 +38,7 @@ object PlanAudit {
       "st5_stream_static_join" -> "materialized streaming result; shapes asserted in streaming specs",
       "st7_stream_left_outer" -> "materialized streaming result; shapes asserted in streaming specs",
       "st8_stream_cdc_apply" -> "foreachBatch-folded versioned state; algebra asserted in ChangeDataSpec",
+      "st9_timer_sessions" -> "materialized streaming result; timer semantics pinned in TimerSessionsSpec",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):

@@ -1073,6 +1073,21 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st9_timer_sessions" -> ((s, dir) => {
+      // event-time TIMER sessionization (transformWithState ListState +
+      // registerTimer): a session emits exactly once, complete, when the
+      // watermark proves the user idle for the full gap — the INCLUSIVE
+      // expiry rule (timer <= watermark) is pinned in TimerSessionsSpec
+      // and mirrored by the oracle's per-user closure predicate
+      val qn = "graft_st9_" + math.abs(dir.hashCode).toString
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.TimerSessions.sessionStream(
+          s, s"$dir/events.parquet", qn, gapMinutes = 10,
+          delayMinutes = 30)
+        q.awaitTermination()
+      }
+      s.table(qn)
+    }),
     "st3_stream_dedup" -> ((s, dir) => {
       // duplicate-laden replay: the same events file arrives as TWO stream
       // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
@@ -3501,6 +3516,29 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |sum(floor(value * 100.0)::BIGINT)::BIGINT AS value_cents
         |FROM events GROUP BY user_id""".stripMargin,
+    // timer-emitted sessions: per-user 10-minute gap islands, but ONLY for
+    // users whose timer provably expired — ms(last activity) + gap <=
+    // ms(global max) - delay, the inclusive firing rule TimerSessionsSpec
+    // pins. Open sessions (everyone else) are withheld by design.
+    "st9_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |FROM events WHERE ts IS NOT NULL),
+        |wm AS (SELECT max(ts_us) // 1000 - 1800000 AS wm_ms FROM e),
+        |cu AS (SELECT user_id FROM e GROUP BY 1
+        |HAVING max(ts_us) // 1000 + 600000 <= (SELECT wm_ms FROM wm)),
+        |ce AS (SELECT e.* FROM e JOIN cu USING (user_id)),
+        |g AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us)
+        |OVER (PARTITION BY user_id ORDER BY ts_us) > 600000000
+        |THEN 1 ELSE 0 END AS brk FROM ce),
+        |s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id
+        |ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+        |isl AS (SELECT user_id, grp, min(ts_us) AS start_us,
+        |max(ts_us) AS end_us, count(*)::BIGINT AS n_events
+        |FROM s GROUP BY 1, 2)
+        |SELECT user_id,
+        |row_number() OVER (PARTITION BY user_id ORDER BY start_us)::BIGINT
+        |  AS session_idx,
+        |start_us, end_us, n_events FROM isl""".stripMargin,
     // the duplicated replay collapses back to each event exactly once
     "st3_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value

@@ -46,7 +46,7 @@ object StatefulUserAgg {
     * a session-global conf read at query START, so flip it only for this
     * start and put the previous value back immediately after — later
     * streaming queries in the same session keep their own backend. */
-  private def withRocksDbProvider[A](spark: SparkSession)(start: => A): A = {
+  private[streaming] def withRocksDb[A](spark: SparkSession)(start: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -72,6 +72,6 @@ object StatefulUserAgg {
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
-    withRocksDbProvider(spark)(writer.start())
+    withRocksDb(spark)(writer.start())
   }
 }
