@@ -72,7 +72,8 @@ object PlanAudit {
       "dd31_dsir_weight" -> "1-row smoothing-totals broadcast cross",
       "dd32_temperature_mix" -> "1-row budget-totals broadcast cross",
       "ss15_ivf_append" -> "tiny centroid-table + 1-row totals broadcast crosses",
-      "ss16_hybrid_rrf" -> "legs: bm25 1-row stats cross + deliberate brute-force vector leg (scale paths: ss2/ss3)")
+      "ss16_hybrid_rrf" -> "legs: bm25 1-row stats cross + deliberate brute-force vector leg (scale paths: ss2/ss3)",
+      "q72_gapfill" -> "1-row date-span broadcast cross (spine bounded by calendar days)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

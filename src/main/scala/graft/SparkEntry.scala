@@ -1625,6 +1625,16 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 5)
     }),
+    "ss17_radius_search" -> ((s, dir) => {
+      // range search: EVERY corpus vector within cosine >= 0.35 of a query
+      // — the completeness contract top-k can't express (duplicate-sweep
+      // jobs). Broadcast query batch, one corpus scan, zero shuffle: each
+      // emitted row is final, no merge window at all
+      val emb = t(s, dir, "embeddings")
+      Similarity.radiusSearch(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", minCos = 0.35)
+    }),
     "ss4_quantize_int8" -> ((s, dir) => {
       // int8 embedding quantization (4x storage vs float32): per-vector
       // symmetric scale, floor-based half-up rounding (engine-portable),
@@ -2041,6 +2051,19 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b", rounds = 3)),
+    "g5_link_pred" -> ((s, dir) =>
+      // neighborhood link prediction on the near-dup candidate graph:
+      // non-adjacent doc pairs ranked by common-neighbor count and
+      // integer-micro Resource Allocation mass — the band-boundary
+      // false-negative sweep (pairs LSH should have caught). Degrees +
+      // one center-equi-join + one anti-join; hub centers capped at 64.
+      // rowsPerBand=2 (vs the g2/g3 graphs' 4) — a recall-heavy band
+      // config whose looser graph is exactly where missing-link evidence
+      // lives; the 4-row graph here is near-clique and predicts nothing
+      graft.operators.Graph.linkPrediction(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 2),
+        "doc_a", "doc_b", maxCenterDegree = 64, topK = 100)),
 
     "dd18_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sample without replacement: md5
@@ -2688,6 +2711,104 @@ object SparkEntry {
           max(when(col("rn_d") === 1, col("value"))).as("close"),
           count(lit(1)).as("n_events"),
           sum(floor(col("value") * lit(1e6)).cast("long")).as("vol_u"))
+    }),
+    "q72_gapfill" -> ((s, dir) => {
+      // time-series gap-fill + linear interpolation: a sparse daily series
+      // (high-value events only) is re-gridded onto the full per-type day
+      // spine; missing days get floor-linear interpolation between the
+      // bracketing observations (trailing gaps forward-fill, leading gaps
+      // stay null). Integer-cent carry keeps the interpolation exact and
+      // order-free. One groupBy + a 1-row-broadcast spine cross + two
+      // windows over the SAME (event_type, day) partitioning — the spine
+      // is bounded by calendar span, never by |events|.
+      val ev = t(s, dir, "events").filter(col("value") > 300)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100.0).cast("long")).as("cents"))
+      val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val spine = daily.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wPrev = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val known = when(col("cents").isNotNull, col("day"))
+      val g = spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("prev_cents", last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_day", last(known, ignoreNulls = true).over(wPrev))
+        .withColumn("next_cents", first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("next_day", first(known, ignoreNulls = true).over(wNext))
+      val interp = col("prev_cents") +
+        floor((col("next_cents") - col("prev_cents")).cast("double") *
+          datediff(col("day"), col("prev_day")) /
+          datediff(col("next_day"), col("prev_day"))).cast("long")
+      g.select(col("event_type"),
+        // DATE surfaces as a python date from Spark parquet but as a
+        // midnight datetime64 from DuckDB's .df() — emit TIMESTAMP so both
+        // engines render identically in the driver's canonical form
+        col("day").cast("timestamp").as("day"),
+        fround(col("cents").cast("double") / 100.0, 2).as("observed"),
+        fround(when(col("cents").isNotNull, col("cents"))
+          .when(col("prev_cents").isNotNull && col("next_cents").isNotNull, interp)
+          .otherwise(col("prev_cents"))
+          .cast("double") / 100.0, 2).as("filled"))
+    }),
+    "q73_ab_test" -> ((s, dir) => {
+      // experiment readout: users split into two deterministic arms
+      // (user_id parity stands in for the assignment hash), conversion =
+      // a high-value purchase (plain purchase saturates at 100% in this
+      // corpus, which degenerates the pooled variance to zero); the
+      // two-proportion pooled z-statistic decides significance. Two hash
+      // aggregations (user grain, then arm grain) and a 1-row result —
+      // nothing here grows with |events| beyond the user-grain combine.
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1).otherwise(0))
+          .as("converted"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val one = arms.agg(
+        max(when(col("arm") === "control", col("n"))).as("n_control"),
+        max(when(col("arm") === "control", col("conv"))).as("conv_control"),
+        max(when(col("arm") === "treatment", col("n"))).as("n_treatment"),
+        max(when(col("arm") === "treatment", col("conv"))).as("conv_treatment"))
+      val p1 = col("conv_control").cast("double") / col("n_control")
+      val p2 = col("conv_treatment").cast("double") / col("n_treatment")
+      val pPool = (col("conv_control") + col("conv_treatment")).cast("double") /
+        (col("n_control") + col("n_treatment"))
+      val z = (p2 - p1) / sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_control") + lit(1.0) / col("n_treatment")))
+      one.select(col("n_control"), col("conv_control"),
+        col("n_treatment"), col("conv_treatment"),
+        fround(p2 - p1, 6).as("rate_diff"),
+        fround(z, 4).as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
+    }),
+    "q74_attribution" -> ((s, dir) => {
+      // last-touch marketing attribution: each purchase credits the most
+      // recent preceding non-purchase event of the same user (ties broken
+      // by event_id — deterministic on any partitioning); purchases with
+      // no preceding touch are 'direct'. One window over the user grain,
+      // one arm-length aggregation; revenue carried in integer cents.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          fround(sum(floor(col("value") * 100.0).cast("long"))
+            .cast("double") / 100.0, 2).as("attributed_revenue"))
     }),
     "q58_equidepth_hist" -> ((s, dir) =>
       // equi-depth (quantile) histogram: ntile splits each priority's
@@ -4305,6 +4426,12 @@ object SparkEntry {
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss17_radius_search" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |floor(list_cosine_similarity(q.v, c.v) * 1000.0) / 1000.0 AS cos
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20
+        |WHERE list_cosine_similarity(q.v, c.v) >= 0.35""".stripMargin,
     "ss15_ivf_append" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |corp AS (SELECT vec_id, v FROM v WHERE vec_id >= 100),
@@ -4893,6 +5020,35 @@ object SparkEntry {
          |$rounds
          |SELECT node, lbl AS community FROM l3""".stripMargin
     },
+    "g5_link_pred" ->
+      // same LSH candidate graph, then wedge evidence through capped
+      // centers (deg <= 64), minus existing edges; RA mass carried as
+      // floor(1e6/deg) BIGINT so the sum is order-free and engine-exact
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 2 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |und AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+         |deg AS (SELECT a AS c, count(*) AS d FROM und GROUP BY 1),
+         |centers AS (SELECT c, CAST(floor(1000000.0 / d) AS BIGINT) AS ra
+         |FROM deg WHERE d <= 64),
+         |byc AS (SELECT und.b AS c, und.a AS x, ra
+         |FROM und JOIN centers ON centers.c = und.b),
+         |wedges AS (SELECT l.x AS a, r.x AS b, l.ra
+         |FROM byc l JOIN byc r ON l.c = r.c AND l.x < r.x),
+         |fresh AS (SELECT w.a, w.b, w.ra FROM wedges w
+         |LEFT JOIN cand e ON e.a = w.a AND e.b = w.b WHERE e.a IS NULL),
+         |scored AS (SELECT a, b, count(*)::BIGINT AS common_neighbors,
+         |sum(ra)::BIGINT AS ra_score_micro FROM fresh GROUP BY 1, 2)
+         |SELECT a, b, common_neighbors, ra_score_micro FROM scored
+         |ORDER BY common_neighbors DESC, ra_score_micro DESC, a, b
+         |LIMIT 100""".stripMargin,
     "dd18_weighted_sample" -> {
       // first 32 md5 bits as a uniform, nibble-by-nibble (strpos returns
       // 0 for '0' ... 15 for 'f'); ORDER BY the unfloored key so selection
@@ -5466,6 +5622,76 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(floor(value * 1e6)::BIGINT)::BIGINT AS vol_u
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q72_gapfill" ->
+      """WITH ev AS (SELECT event_type, ts::DATE AS day, value
+        |FROM events WHERE value > 300),
+        |daily AS (SELECT event_type, day,
+        |sum(CAST(floor(value * 100.0) AS BIGINT)) AS cents
+        |FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (SELECT event_type,
+        |unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |FROM (SELECT DISTINCT event_type FROM daily), span),
+        |j AS (SELECT s.event_type, s.day, d.cents FROM spine s
+        |LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day),
+        |w AS (SELECT event_type, day, cents,
+        |last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_cents,
+        |last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |OVER (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        |first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cents,
+        |first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |OVER (PARTITION BY event_type ORDER BY day
+        |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+        |FROM j)
+        |SELECT event_type, day,
+        |floor(cents / 100.0 * 100.0) / 100.0 AS observed,
+        |floor((CASE WHEN cents IS NOT NULL THEN cents
+        |WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN
+        |prev_cents + CAST(floor((next_cents - prev_cents) * 1.0 *
+        |date_diff('day', prev_day, day) /
+        |date_diff('day', prev_day, next_day)) AS BIGINT)
+        |ELSE prev_cents END) / 100.0 * 100.0) / 100.0 AS filled
+        |FROM w""".stripMargin,
+    "q73_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |max(CASE WHEN event_type = 'purchase' AND value > 150
+        |THEN 1 ELSE 0 END) AS converted,
+        |CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |FROM events GROUP BY user_id),
+        |a AS (SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+        |FROM u GROUP BY 1),
+        |one AS (SELECT
+        |max(CASE WHEN arm = 'control' THEN n END) AS n_control,
+        |max(CASE WHEN arm = 'control' THEN conv END) AS conv_control,
+        |max(CASE WHEN arm = 'treatment' THEN n END) AS n_treatment,
+        |max(CASE WHEN arm = 'treatment' THEN conv END) AS conv_treatment
+        |FROM a),
+        |s AS (SELECT *,
+        |conv_control * 1.0 / n_control AS p1,
+        |conv_treatment * 1.0 / n_treatment AS p2,
+        |(conv_control + conv_treatment) * 1.0 / (n_control + n_treatment) AS pp
+        |FROM one),
+        |zs AS (SELECT *,
+        |(p2 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / n_control + 1.0 / n_treatment)) AS z
+        |FROM s)
+        |SELECT n_control, conv_control, n_treatment, conv_treatment,
+        |floor((p2 - p1) * 1000000.0) / 1000000.0 AS rate_diff,
+        |floor(z * 10000.0) / 10000.0 AS z_stat,
+        |abs(z) > 1.96 AS significant FROM zs""".stripMargin,
+    "q74_attribution" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+        |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |FROM events)
+        |SELECT coalesce(last_touch, 'direct') AS channel,
+        |count(*)::BIGINT AS n_purchases,
+        |floor(sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 * 100.0) / 100.0
+        |AS attributed_revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q58_equidepth_hist" ->
       """WITH t AS (SELECT o_orderpriority, o_totalprice,
         |ntile(4) OVER (PARTITION BY o_orderpriority

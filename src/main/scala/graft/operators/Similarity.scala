@@ -94,6 +94,63 @@ object Similarity {
         graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
   }
 
+  /** Radius (range) search: every corpus vector whose cosine similarity to
+    * a query is >= `minCos` — the "find ALL near neighbors" contract that
+    * top-k cannot express (k truncates dense neighborhoods and pads sparse
+    * ones). This is the retrieval primitive behind duplicate-sweep jobs
+    * ("everything within 0.9 of these flagged items") where completeness,
+    * not ranking, is the requirement.
+    *
+    * Scale shape: the query batch is the bounded broadcast side; the
+    * corpus streams through one mapPartitions pass with ZERO shuffle —
+    * output volume is threshold-bounded, each emitted row already final
+    * (no merge stage at all, unlike top-k which needs the global window).
+    * For corpus-scale query sets, the bucketed paths (lshTopK / ivfTopK
+    * with a similarity floor) replace the broadcast.
+    */
+  def radiusSearch(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])].collect()
+    val qB = spark.sparkContext.broadcast(
+      qRows.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      })
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val qs = qB.value
+        rows.flatMap { case (nid, cv) =>
+          var ns = 0.0
+          var i = 0
+          while (i < cv.length) { ns += cv(i) * cv(i); i += 1 }
+          val nn = math.sqrt(ns)
+          qs.iterator.flatMap { case (qid, qv, qn) =>
+            if (qid == nid) Iterator.empty
+            else {
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, cv.length)
+              while (j < n) { d += qv(j) * cv(j); j += 1 }
+              val cos = d / (qn * nn)
+              if (cos >= minCos) Iterator.single((qid, nid, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.NumericFunctions.fround(col("cos"), 3).as("cos"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector
     * the top-k most-cosine-similar corpus vectors with a DIFFERENT label
     * (same-label neighbors are positives, not negatives — the

@@ -250,4 +250,39 @@ class GraphSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("linkPrediction: path predicts the missing closing edge, clique predicts nothing") {
+    // path a-b-c: the only wedge is (a,c) through b (deg 2) -> RA 500000
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    val got = Graph.linkPrediction(path, "x", "y")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 1L, 500000L)))
+    // triangle: every wedge closes, nothing left to predict
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    assert(Graph.linkPrediction(tri, "x", "y").count() === 0L)
+  }
+
+  test("linkPrediction: hub centers above the degree cap contribute no evidence") {
+    // star hub h connected to 5 spokes; spoke pairs share only the hub.
+    // cap=4 < deg(h)=5 -> zero predictions; cap=5 -> all C(5,2) pairs
+    val star = (1L to 5L).map(i => (0L, i)).toDF("x", "y")
+    assert(Graph.linkPrediction(star, "x", "y", maxCenterDegree = 4)
+      .count() === 0L)
+    val open = Graph.linkPrediction(star, "x", "y", maxCenterDegree = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(open.length === 10)
+    assert(open.forall { case (_, _, cn, ra) => cn == 1L && ra == 200000L })
+  }
+
+  test("linkPrediction: common-neighbor count beats RA in the ranking; output is partition-invariant") {
+    // (1,2) share centers {10, 11}; (3,4) share only low-degree center 20
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 20L), (4L, 20L)).toDF("x", "y")
+    val got = Graph.linkPrediction(edges, "x", "y")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.head._1 === 1L && got.head._2 === 2L && got.head._3 === 2L)
+    val again = Graph.linkPrediction(edges.repartition(7), "x", "y")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
 }

@@ -26,6 +26,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head._2 === 1.0)
   }
 
+  test("radius search returns exactly the neighbors above the cosine floor") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // cos 1.0
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // cos ~0.994
+      (12L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // cos 0.0
+      (13L, Array(0.5f, 0.5f, 0.0f, 0.0f)),   // cos ~0.707
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f))     // self — excluded by id
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.radiusSearch(queries, corpus, "vec_id", "embedding",
+      minCos = 0.7).select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L, 13L))
+    // completeness vs top-k truncation: k=2 would have dropped 13
+    val all = Similarity.radiusSearch(queries, corpus, "vec_id", "embedding",
+      minCos = -1.0).count()
+    assert(all === 4L) // everything but the self-pair
+  }
+
   test("MMR re-rank demotes an exact duplicate below a diverse candidate") {
     // a and b are identical (rel 0.9 to the query); c has the same
     // relevance but points the other way. Pure top-3 would order by id
