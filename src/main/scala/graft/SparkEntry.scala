@@ -1346,6 +1346,47 @@ object SparkEntry {
           fround(col("n_unique").cast("double") /
             greatest(col("n_shingles"), lit(1L)), 4).as("novelty"))
     }),
+    "tx29_normalize" -> ((s, dir) => {
+      // canonical normalization audit via the native NormalizeText
+      // expression (NFC + ROOT lower + whitespace collapse — Spark has no
+      // NFC built-in): per-doc normalized fingerprint + the length delta
+      // the cleanup recovered. Pure projection, zero shuffle; the
+      // normalized md5 is the dedup key a multilingual corpus needs
+      // (composed vs combining accents collide only after NFC).
+      val norm = TextFunctions.normalizeText(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("raw_len"),
+          length(norm).as("norm_len"), md5(norm).as("norm_fp"))
+    }),
+    "tx30_template_prefix" -> ((s, dir) => {
+      // template/boilerplate prefix audit: docs sharing their first 8
+      // tokens are template-stamped (headers, license banners, scaffold
+      // text) — the prefix key is one slice of the token array, the audit
+      // one hash aggregation; report prefixes stamped on >= 2 docs
+      val toks = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 8)).as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+    }),
+    "q75_market_basket" -> ((s, dir) => {
+      // co-occurrence mining (market basket): part pairs appearing in the
+      // same order, top 50 by support. The self-join key is the order —
+      // fan-out is bounded by (items per order choose 2), a data-model
+      // constant (<= 21 for 7-line orders), NOT corpus size; one shuffle
+      // on orderkey, one aggregation on the pair
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+        .groupBy(col("a.pkey").as("part_a"), col("b.pkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
     "tx27_blocklist" -> ((s, dir) => {
       // keyword-blocklist gate (the bad-words/NSFW filter every corpus
       // pipeline runs before training): hits counted in ONE token-array
@@ -3972,6 +4013,24 @@ object SparkEntry {
          |floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
          |  / greatest(count(*), 1) * 10000.0) / 10000.0 AS novelty
          |FROM sh JOIN dfs USING (sh) GROUP BY 1""".stripMargin,
+    "tx29_normalize" ->
+      """SELECT doc_id, length(text)::INT AS raw_len,
+        |length(n)::INT AS norm_len, md5(n) AS norm_fp
+        |FROM (SELECT doc_id, text,
+        |trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS n
+        |FROM documents)""".stripMargin,
+    "tx30_template_prefix" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents)
+         |SELECT array_to_string(t[1:8], ' ') AS prefix,
+         |count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         |FROM toks GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "q75_market_basket" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |FROM lineitem)
+        |SELECT a.pkey AS part_a, b.pkey AS part_b, count(*)::BIGINT AS n_orders
+        |FROM i a JOIN i b ON a.okey = b.okey AND a.pkey < b.pkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
     "tx27_blocklist" ->
       s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents)
          |SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, LangIdVote, MisraGries, RollingMinHash, WordShingles}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, LangIdVote, MisraGries, NormalizeText, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -72,7 +72,10 @@ object GraftExtensions {
         } else true)),
     // graft_langid(tokens) — single-pass marker-vote language id over an
     // already-tokenized array ('en'/'fr'/'es'/'de'/'zh'/'und')
-    "graft_langid" -> (args => LangIdVote(args(0)))
+    "graft_langid" -> (args => LangIdVote(args(0))),
+    // graft_normalize(text) — NFC + ROOT lower + whitespace collapse, the
+    // canonical dedup-key normalizer (Spark has no NFC built-in)
+    "graft_normalize" -> (args => NormalizeText(args(0)))
   )
 
   /** Register on a live session: temp functions + the flag-gated

@@ -192,6 +192,15 @@ object TextFunctions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Canonical normalization (native codegen'd expression): Unicode NFC +
+    * ROOT-locale lower + whitespace-run collapse — the dedup-key
+    * normalizer (see [[expressions.NormalizeText]]). */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.NormalizeText(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Karp-Rabin rolling fingerprint (native codegen'd expression): min
     * base-31 polynomial hash over 8-byte windows of the normalized text.
     * The scale path — O(n) per doc, zero allocation per window. */

@@ -26,6 +26,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val lang = spark.sql(
       "SELECT graft_langid(array('the', 'cat', 'of')) AS l").head().getString(0)
     assert(lang === "en")
+    val nrm = spark.sql(
+      "SELECT graft_normalize('  Hello \t WORLD ') AS n").head().getString(0)
+    assert(nrm === "hello world")
+
     val und = spark.sql(
       "SELECT graft_langid(array('xyz')) AS l").head().getString(0)
     assert(und === "und")

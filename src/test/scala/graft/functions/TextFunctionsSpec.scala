@@ -125,4 +125,22 @@ class TextFunctionsSpec extends AnyFunSuite {
       .filter(!($"fast" <=> $"spec")).count()
     assert(bad === 0)
   }
+
+  test("normalizeText: NFC-collides combining accents, lowers, collapses whitespace") {
+    def norm(s: String): String =
+      one(s).select(TextFunctions.normalizeText($"text")).as[String].head()
+    // U+00E9 (precomposed) vs e + U+0301 (combining) — the silent
+    // near-dup miss NFC exists to close
+    assert(norm("café") === norm("café"))
+    assert(norm("  Hello\t\n WORLD  ") === "hello world")
+    assert(norm("ÉTAT") === "état")
+    assert(norm("") === "")
+    assert(norm(" \t ") === "")
+    // null flows through (UnaryExpression null semantics)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.normalizeText($"text")).as[Option[String]].head()
+    assert(n.isEmpty)
+    // astral plane survives the codepoint walk
+    assert(norm("a 😀 b") === "a 😀 b")
+  }
 }
