@@ -1088,6 +1088,23 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st10_rate_alert" -> ((s, dir) => {
+      // threshold-crossing rate alerts on event-time state: 15-min bucket
+      // counts per event_type become rise/fall alert EDGES, silence
+      // zero-filled (no events IS a rate of zero), each edge emitted only
+      // once the watermark proves its bucket complete. Edge detection
+      // needs the previous bucket's state — a transformWithState scan,
+      // not a chainable aggregation; the oracle replays the same state
+      // machine with a lag window under the shared horizon predicate
+      val qn = "graft_st10_" + math.abs(dir.hashCode).toString
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.RateAlert.alertStream(
+          s, s"$dir/events.parquet", qn, bucketMinutes = 15,
+          threshold = 4, delayMinutes = 30)
+        q.awaitTermination()
+      }
+      s.table(qn)
+    }),
     "st3_stream_dedup" -> ((s, dir) => {
       // duplicate-laden replay: the same events file arrives as TWO stream
       // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
@@ -3701,6 +3718,26 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY user_id ORDER BY start_us)::BIGINT
         |  AS session_idx,
         |start_us, end_us, n_events FROM isl""".stripMargin,
+    "st10_rate_alert" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us
+        |FROM events WHERE ts IS NOT NULL),
+        |wm AS (SELECT ((max(us) // 1000 - 1800000) * 1000) // 900000000
+        |  AS proven FROM e),
+        |counts AS (SELECT event_type, us // 900000000 AS bk,
+        |count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(bk) AS b0 FROM counts GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |unnest(range(b0, (SELECT proven FROM wm))) AS bk
+        |FROM span WHERE b0 < (SELECT proven FROM wm)),
+        |grid AS (SELECT s.event_type, s.bk, coalesce(c.n, 0)::BIGINT AS n
+        |FROM spine s LEFT JOIN counts c
+        |ON c.event_type = s.event_type AND c.bk = s.bk),
+        |t AS (SELECT event_type, bk, n, n >= 4 AS above,
+        |coalesce(lag(n >= 4) OVER (PARTITION BY event_type ORDER BY bk),
+        |  false) AS prev FROM grid)
+        |SELECT event_type, (bk * 900000000)::BIGINT AS bucket_us,
+        |n AS n_events, CASE WHEN above THEN 'rise' ELSE 'fall' END AS edge
+        |FROM t WHERE above <> prev""".stripMargin,
     // the duplicated replay collapses back to each event exactly once
     "st3_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
