@@ -36,14 +36,20 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
 class RateAlertProcessor(bucketUs: Long, threshold: Long)
   extends StatefulProcessor[String, (String, Long), (String, Long, Long, String)] {
 
-  @transient private var buf: ListState[Long] = _
+  // pending (bucketId, count) increments — PRE-AGGREGATED per batch and
+  // written with ONE appendList per key per batch. Appending raw event
+  // times one RocksDB merge at a time is the naive alternative and
+  // measured minutes-slow on hot keys (a 20k-event key = 20k list
+  // merges); counts bound state by buckets TOUCHED, not events seen
+  @transient private var buf: ListState[(Long, Long)] = _
   @transient private var timerAt: ValueState[Long] = _
   // last fully-processed bucket id and whether the alert was ON after it
   @transient private var lastBucket: ValueState[Long] = _
   @transient private var alertOn: ValueState[Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+    buf = getHandle.getListState[(Long, Long)]("buf",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
     timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong,
       TTLConfig.NONE)
     lastBucket = getHandle.getValueState[Long]("lastBucket",
@@ -56,10 +62,14 @@ class RateAlertProcessor(bucketUs: Long, threshold: Long)
       key: String, rows: Iterator[(String, Long)],
       timerValues: TimerValues): Iterator[(String, Long, Long, String)] = {
     var maxUs = Long.MinValue
+    val inc = scala.collection.mutable.LongMap.empty[Long]
     rows.foreach { case (_, us) =>
-      buf.appendValue(us)
+      val b = us / bucketUs
+      inc(b) = inc.getOrElse(b, 0L) + 1L
       if (us > maxUs) maxUs = us
     }
+    if (inc.nonEmpty)
+      buf.appendList(inc.iterator.map { case (b, n) => (b, n) }.toArray)
     if (maxUs != Long.MinValue) {
       // arm ONE timer just past the current watermark: it expires in the
       // batch AFTER this one, when the watermark has advanced over this
@@ -85,14 +95,14 @@ class RateAlertProcessor(bucketUs: Long, threshold: Long)
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
     // buckets with end <= watermark are complete: no late event can land
     val provenEnd = Math.floorDiv(wmUs, bucketUs) // first UNPROVEN bucket id
-    val times = buf.get().toArray
-    if (times.isEmpty) return Iterator.empty
-    val (done, pending) = times.partition(us => us / bucketUs < provenEnd)
+    val entries = buf.get().toArray
+    if (entries.isEmpty) return Iterator.empty
+    val (done, pending) = entries.partition { case (b, _) => b < provenEnd }
     if (done.isEmpty) return Iterator.empty
     buf.clear()
-    pending.foreach(buf.appendValue)
+    if (pending.nonEmpty) buf.appendList(pending)
     val counts = scala.collection.mutable.LongMap.empty[Long]
-    done.foreach { us => val b = us / bucketUs; counts(b) = counts.getOrElse(b, 0L) + 1L }
+    done.foreach { case (b, n) => counts(b) = counts.getOrElse(b, 0L) + n }
     val startBucket =
       if (lastBucket.exists()) lastBucket.get() + 1 else counts.keys.min
     var on = alertOn.exists() && alertOn.get()

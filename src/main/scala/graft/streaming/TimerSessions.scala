@@ -49,11 +49,17 @@ class SessionTimerProcessor(gapMs: Long)
   override def handleInputRows(
       key: Long, rows: Iterator[(Long, Long)],
       timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+    // one appendList per key per batch: per-event appendValue is one
+    // RocksDB merge operand each, and the merge-chain read at timer
+    // expiry is what melts on hot keys (measured minutes-slow at 20k
+    // events/key in the RateAlert twin of this processor)
+    val batch = scala.collection.mutable.ArrayBuffer.empty[Long]
     var maxUs = Long.MinValue
     rows.foreach { case (_, us) =>
-      buf.appendValue(us)
+      batch += us
       if (us > maxUs) maxUs = us
     }
+    if (batch.nonEmpty) buf.appendList(batch.toArray)
     if (maxUs != Long.MinValue) {
       // single live timer per key: last-activity ms + gap, moved forward
       // only (an older batch must never pull an armed timer backwards)

@@ -323,4 +323,41 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Sort") && l.contains("global=true")),
       s"no global sort anywhere in the dataloader layout:\n$p")
   }
+
+  test("radius search is one shuffle-free corpus scan (ss17)") {
+    val p = plan("ss17_radius_search")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"radius search must not shuffle — each emitted row is final:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"query batch must ride the broadcast, not a join:\n$p")
+  }
+
+  test("link prediction stays equi-join only — no cartesian wedge blowup (g5)") {
+    val p = plan("g5_link_pred")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti-join must hash, not loop:\n$p")
+  }
+
+  test("market basket broadcasts nothing bigger than itself and prunes to 2 columns (q75)") {
+    val p = plan("q75_market_basket")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_partkey"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"pair mining must read only the 2 key columns: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"pairs come from the order equi-join:\n$p")
+  }
+
+  test("normalization audit is a pure codegen projection — zero shuffles (tx29)") {
+    val p = plan("tx29_normalize")
+    assert(!p.contains("Exchange"), s"normalize is per-row work:\n$p")
+    assert(p.contains("WholeStageCodegen"),
+      s"NormalizeText must stay inside codegen:\n$p")
+  }
+
+  test("gap-fill windows share one (event_type) exchange; spine rides a 1-row cross (q72)") {
+    val p = plan("q72_gapfill")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 key exchanges, got $exchanges:\n$p")
+  }
 }
