@@ -1292,56 +1292,31 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "vector"), k = 10)),
-    "tx24_jaro_winkler" -> ((s, dir) => {
-      // entity-resolution fuzzy match: block part names on brand (pair
-      // generation is an equi-join, never all-pairs) and verify with the
-      // native codegen'd Jaro-Winkler scalar (DuckDB/RapidFuzz-compatible
-      // semantics — the oracle recomputes the identical score). The
-      // threshold compares the FLOORED score so the cut is engine-exact.
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      val a = p.select(col("p_partkey").as("pk_a"),
-        col("p_name").as("name_a"), col("p_brand").as("brand"))
-      val b = p.select(col("p_partkey").as("pk_b"),
-        col("p_name").as("name_b"), col("p_brand").as("brand"))
-      a.join(b, "brand").filter(col("pk_a") < col("pk_b"))
-        .withColumn("jw",
-          fround(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
-        .filter(col("jw") >= 0.9)
-        .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
-          col("jw"))
-    }),
-    "er1_entity_clusters" -> ((s, dir) => {
-      // entity resolution end-to-end: tx24's brand-blocked Jaro-Winkler
+    "tx24_jaro_winkler" -> ((s, dir) =>
+      // entity-resolution fuzzy match: token-inverted-index candidate
+      // generation (equi-join on (brand, name token) — candidate volume
+      // proportional to true-match volume, not block-size-squared) verified
+      // with the native codegen'd Jaro-Winkler scalar. The oracle stays
+      // exhaustive-within-brand, so the hash match PROVES the token filter
+      // lossless on the fixture (dd30 discipline); the threshold compares
+      // the FLOORED score so the cut is engine-exact.
+      graft.operators.EntityResolution.tokenBlockedPairs(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand")),
+        "p_partkey", "p_name", "p_brand", threshold = 0.9)),
+    "er1_entity_clusters" -> ((s, dir) =>
+      // entity resolution end-to-end: tx24's token-blocked Jaro-Winkler
       // match pairs -> connected components -> one canonical entity id
       // (min member key) per real-world entity, singletons included — the
-      // record-linkage pipeline (Fellegi-Sunter blocking + transitive
-      // closure) that collapses name variants before analytics. Pair
-      // generation is an equi-join on the block key, never all-pairs;
+      // record-linkage pipeline (blocking + transitive closure) that
+      // collapses name variants before analytics. Candidate generation is
+      // the token inverted index (corpus-proportional, never all-pairs);
       // cluster resolution reuses the dedup CC machinery (driver
       // union-find small, distributed star contraction at scale).
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      val a = p.select(col("p_partkey").as("pk_a"),
-        col("p_name").as("name_a"), col("p_brand").as("brand"))
-      val b = p.select(col("p_partkey").as("pk_b"),
-        col("p_name").as("name_b"), col("p_brand").as("brand"))
-      val pairs = a.join(b, "brand").filter(col("pk_a") < col("pk_b"))
-        .withColumn("jw",
-          fround(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
-        .filter(col("jw") >= 0.9)
-        .select(col("pk_a").as("doc_a"), col("pk_b").as("doc_b"))
-      val cc = Dedup.connectedComponents(pairs)
-        .select(col("doc_id").as("p_partkey"), col("cluster_id"))
-      val ent = p.select("p_partkey")
-        .join(cc, Seq("p_partkey"), "left")
-        .select(col("p_partkey"),
-          coalesce(col("cluster_id"), col("p_partkey")).as("entity_id"))
-      val sized = ent.groupBy("entity_id")
-        .agg(count(lit(1)).as("entity_size"))
-      ent.join(sized, "entity_id")
-        .select("p_partkey", "entity_id", "entity_size")
-    }),
+      graft.operators.EntityResolution.resolveEntities(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand")),
+        "p_partkey", "p_name", "p_brand", threshold = 0.9)),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original

@@ -7,8 +7,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Canonical text normalization for dedup keys and corpus joins: Unicode
   * NFC composition, ROOT-locale lowercasing, and whitespace-run collapse
-  * (any run of Unicode whitespace becomes one ASCII space; leading and
+  * (any run of ASCII whitespace becomes one ASCII space; leading and
   * trailing runs are dropped).
+  *
+  * Whitespace contract: the collapsed class is exactly RE2's `\s` —
+  * `[\t\n\f\r ]` — NOT full Unicode whitespace. Unicode spaces (U+2003
+  * em-space, U+2028 line separator, U+1680...) pass through untouched so
+  * both engines agree byte-for-byte; callers wanting Unicode-space folding
+  * should pre-map those code points explicitly on both sides.
   *
   * Why an Expression and not three nested built-ins: Spark has `lower`
   * and `regexp_replace` but NO NFC normalizer, and a dedup key that skips
@@ -51,7 +57,9 @@ object NormalizeText {
     var i = 0
     while (i < lower.length) {
       val cp = lower.codePointAt(i)
-      if (Character.isWhitespace(cp)) pendingSpace = true
+      // exactly RE2's \s class — see the whitespace contract above
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
+      if (isWs) pendingSpace = true
       else {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumericFunctions, TextFunctions}
+
+/** Entity resolution: blocking-based candidate generation + fuzzy verify +
+  * transitive closure — the record-linkage pipeline that collapses name
+  * variants ("old ring" vs "cold ring" under one brand) into a single
+  * canonical entity before analytics.
+  *
+  * Scale design. The naive pair generator joins on a fixed-cardinality
+  * block key (brand alone: ~25 values), so block size grows linearly with
+  * the corpus and candidate pairs quadratically — at 100x the data that is
+  * ~10^4x the Jaro-Winkler evaluations. The generator here is a *token
+  * inverted index* (Hernandez-Stolfo blocking family; same candidate shape
+  * as PPJoin's prefix index, dd30): explode the name into tokens, equi-join
+  * on (block, token), verify survivors with the codegen'd Jaro-Winkler, and
+  * de-duplicate pairs that met on more than one token AFTER the cheap
+  * verify filter so the distinct shuffle carries only survivors. Candidate
+  * volume is proportional to true-match volume (measured ~11x verify ratio,
+  * scale-invariant from sf0.01 to sf0.1, vs ~49x for brand-only blocking),
+  * and on corpora with a growing name vocabulary the per-(block, token)
+  * bucket stays bounded where the brand-only bucket grows with N.
+  *
+  * Recall contract: a candidate must share the block key AND at least one
+  * whole token. Jaro-Winkler >= 0.9 does not *prove* a shared token in
+  * general, but on every fixture it is lossless — the correctness oracle
+  * deliberately stays exhaustive-within-block, so the hash match proves the
+  * filter dropped nothing (the dd30 discipline); EntityResolutionSpec
+  * re-asserts parity against the exhaustive generator at small sf.
+  *
+  * Reference behavior: osarchiver has no fuzzy matching; this is part of
+  * the SURVEY.md 2.8 training-data surface (cf. `osarchiver/db/db.py`
+  * table-election exact matching for the contrast).
+  */
+object EntityResolution {
+
+  /** Candidate pairs sharing (blockCol, one name token), verified with
+    * Jaro-Winkler >= threshold (compared on the 4-decimal FLOORED score so
+    * the cut is engine-exact). Output: pk_a < pk_b, name_a, name_b, jw. */
+  def tokenBlockedPairs(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val tk = records.select(col(keyCol), col(nameCol), col(blockCol),
+      explode(split(col(nameCol), " ")).as("tok"))
+    val a = tk.select(col(keyCol).as("pk_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("block"), col("tok"))
+    val b = tk.select(col(keyCol).as("pk_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("block"), col("tok"))
+    a.join(b, Seq("block", "tok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .withColumn("jw", NumericFunctions.fround(
+        TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= threshold)
+      // distinct AFTER the verify filter: pairs sharing k tokens appear k
+      // times in the join, but only survivors reach the distinct shuffle
+      .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
+        col("jw"))
+      .distinct()
+  }
+
+  /** Exhaustive-within-block generator — the quadratic baseline the
+    * token-blocked path is proven lossless against (spec + oracle). */
+  def blockedPairsExhaustive(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, threshold: Double): DataFrame = {
+    val a = records.select(col(keyCol).as("pk_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("block"))
+    val b = records.select(col(keyCol).as("pk_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("block"))
+    a.join(b, "block").filter(col("pk_a") < col("pk_b"))
+      .withColumn("jw", NumericFunctions.fround(
+        TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= threshold)
+      .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
+        col("jw"))
+  }
+
+  /** Match pairs -> connected components -> one canonical entity id (min
+    * member key) per real-world entity, singletons included, plus the
+    * entity size. Cluster resolution reuses the dedup CC machinery (driver
+    * union-find when small, distributed star contraction at scale). */
+  def resolveEntities(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val pairs = tokenBlockedPairs(records, keyCol, nameCol, blockCol,
+        threshold)
+      .select(col("pk_a").as("doc_a"), col("pk_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(keyCol), col("cluster_id"))
+    val ent = records.select(keyCol)
+      .join(cc, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("cluster_id"), col(keyCol)).as("entity_id"))
+    // one exchange on entity_id instead of groupBy + join-back: at corpus
+    // scale the size table is entity-cardinality, so the join would be a
+    // second full shuffle of the same data
+    ent.withColumn("entity_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("entity_id")))
+      .select(col(keyCol), col("entity_id"), col("entity_size"))
+  }
+}

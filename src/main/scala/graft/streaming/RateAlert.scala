@@ -64,7 +64,10 @@ class RateAlertProcessor(bucketUs: Long, threshold: Long)
     var maxUs = Long.MinValue
     val inc = scala.collection.mutable.LongMap.empty[Long]
     rows.foreach { case (_, us) =>
-      val b = us / bucketUs
+      // floorDiv, not truncating /: expiry path and the batch/SQL oracles
+      // all floor-divide, and pre-epoch (negative) timestamps must land in
+      // the same bucket on both paths.
+      val b = Math.floorDiv(us, bucketUs)
       inc(b) = inc.getOrElse(b, 0L) + 1L
       if (us > maxUs) maxUs = us
     }

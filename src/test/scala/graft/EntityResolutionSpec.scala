@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def part = spark.read
+    .parquet(s"${TestSpark.sf0001}/part.parquet")
+    .select(col("p_partkey"), col("p_name"), col("p_brand"))
+
+  test("token-blocked pairs are lossless vs the exhaustive-within-block " +
+      "generator (the recall contract the oracle also proves)") {
+    val fast = EntityResolution
+      .tokenBlockedPairs(part, "p_partkey", "p_name", "p_brand", 0.9)
+      .select("pk_a", "pk_b", "jw")
+    val slow = EntityResolution
+      .blockedPairsExhaustive(part, "p_partkey", "p_name", "p_brand", 0.9)
+      .select("pk_a", "pk_b", "jw")
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "token inverted index must drop no qualifying pair on the fixture")
+  }
+
+  test("candidate volume is match-proportional, not block-size-squared") {
+    // raw candidate rows reaching the JW verify under each generator
+    def cands(tk: Boolean): Long = {
+      val base = part
+      if (tk) {
+        val t = base.select(col("p_partkey").as("pk"), col("p_brand"),
+          explode(split(col("p_name"), " ")).as("tok"))
+        t.as("a").join(t.as("b"), Seq("p_brand", "tok"))
+          .filter(col("a.pk") < col("b.pk")).count()
+      } else {
+        base.select(col("p_partkey").as("pk"), col("p_brand")).as("a")
+          .join(base.select(col("p_partkey").as("pk"), col("p_brand")).as("b"),
+            "p_brand")
+          .filter(col("a.pk") < col("b.pk")).count()
+      }
+    }
+    val matches = EntityResolution
+      .tokenBlockedPairs(part, "p_partkey", "p_name", "p_brand", 0.9).count()
+    val tokenCands = cands(tk = true)
+    val exhaustive = cands(tk = false)
+    // measured: ~11x matches for the token index (scale-invariant sf0.01 ->
+    // sf0.1) vs ~49x for brand-only; gate at a loose 20x / strict ordering
+    assert(tokenCands < exhaustive / 2,
+      s"token index must prune the exhaustive join: $tokenCands vs $exhaustive")
+    assert(tokenCands <= matches * 20,
+      s"candidates must stay match-proportional: $tokenCands cands for " +
+        s"$matches matches")
+  }
+
+  test("entity resolution assigns min-member canonical ids with sizes") {
+    val ent = EntityResolution
+      .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)
+    assert(ent.count() === part.count()) // every record resolved
+    // entity_id is a member of its own cluster and is the minimum member
+    val bad = ent.groupBy("entity_id")
+      .agg(min("p_partkey").as("mn"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= col("entity_id"))
+    assert(bad.isEmpty, "entity_id must be the minimum member key")
+    // sizes consistent
+    val szBad = ent.groupBy("entity_id", "entity_size")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("entity_size"))
+    assert(szBad.isEmpty, "entity_size must equal the member count")
+  }
+}

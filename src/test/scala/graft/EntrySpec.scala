@@ -21,7 +21,11 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("all queries run non-empty on sf0.001 except known-empty at tiny scale") {
-    val mayBeEmptyAtTinySf = Set("p3_keyset_page")
+    // st10_rate_alert: at sf0.001 the busiest per-type 15-min bucket holds
+    // only 3 events — below the alert threshold of 4 — so no alert edge can
+    // ever emit inside the watermark-proven horizon. Correct (136 rows,
+    // hash-green at sf0.01); legitimately empty at tiny scale.
+    val mayBeEmptyAtTinySf = Set("p3_keyset_page", "st10_rate_alert")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()
       if (!mayBeEmptyAtTinySf.contains(name))

@@ -351,7 +351,10 @@ class PlanSpec extends AnyFunSuite {
   test("normalization audit is a pure codegen projection — zero shuffles (tx29)") {
     val p = plan("tx29_normalize")
     assert(!p.contains("Exchange"), s"normalize is per-row work:\n$p")
-    assert(p.contains("WholeStageCodegen"),
+    // executedPlan.toString renders codegen stages as "*(n)" prefixes,
+    // not the literal word "WholeStageCodegen" (that appears only in
+    // formatted explain output) — assert on the prefix the renderer emits.
+    assert(p.contains("*("),
       s"NormalizeText must stay inside codegen:\n$p")
   }
 
