@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Per-query regression check against in-repo bench history.
+
+Usage: python3 tools/bench_trend.py [trend_file] [--sf SFDIR] [--factor 2.0]
+
+Reads bench_trend.jsonl (appended by graft.Bench on every full run),
+compares the latest entry for the chosen sf against the minimum of all
+earlier entries for the same sf, and reports queries slower by more than
+--factor AND more than 0.5s absolute (tiny queries jitter multiplicatively).
+
+Exit status 1 if any regression is flagged, so the round workflow can gate
+on it. Load-average metadata is printed so a contaminated run (high load)
+is visible next to its numbers.
+
+Dev/round tool only — the engine itself has no Python dependency.
+"""
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "bench_trend.jsonl"
+sf = None
+factor = 2.0
+abs_floor = 0.5
+args = sys.argv[1:]
+for i, a in enumerate(args):
+    if a == "--sf" and i + 1 < len(args):
+        sf = args[i + 1]
+    if a == "--factor" and i + 1 < len(args):
+        factor = float(args[i + 1])
+
+try:
+    entries = [json.loads(l) for l in open(path) if l.strip()]
+except FileNotFoundError:
+    print(f"no trend history at {path}; nothing to compare")
+    sys.exit(0)
+
+if sf is None:
+    sf = entries[-1]["sf"]
+hist = [e for e in entries if e["sf"] == sf]
+if len(hist) < 2:
+    print(f"only {len(hist)} entr{'y' if len(hist)==1 else 'ies'} for {sf}; "
+          "need 2+ to compare")
+    sys.exit(0)
+
+latest, prior = hist[-1], hist[:-1]
+best = {}
+for e in prior:
+    for q, t in e["queries"].items():
+        best[q] = min(best.get(q, float("inf")), t)
+
+print(f"latest run: total={latest.get('total')}s "
+      f"load_avg={latest.get('load_avg_start')}->{latest.get('load_avg_end')} "
+      f"warmup={latest.get('warmup_sec')}s over {len(prior)} prior run(s)")
+
+regressed = []
+for q, t in sorted(latest["queries"].items()):
+    if q in best and t > factor * best[q] and t - best[q] > abs_floor:
+        regressed.append((q, best[q], t))
+
+if not regressed:
+    print(f"OK: no query regressed >{factor}x (+{abs_floor}s) vs history")
+    sys.exit(0)
+print(f"REGRESSED ({len(regressed)}):")
+for q, b, t in regressed:
+    print(f"  {q}: {b:.3f}s -> {t:.3f}s ({t/b:.1f}x)")
+sys.exit(1)
