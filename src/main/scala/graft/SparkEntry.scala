@@ -1317,6 +1317,17 @@ object SparkEntry {
         t(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_brand")),
         "p_partkey", "p_name", "p_brand", threshold = 0.9)),
+    "er2_fellegi_sunter" -> ((s, dir) =>
+      // Fellegi-Sunter record linkage: per-feature agreement /
+      // disagreement log-weights (fuzzy name, size tolerance, exact
+      // category, price tolerance) summed in integer deci-units, decision
+      // threshold 6.0 — a match needs name agreement plus two
+      // corroborating features. Candidates ride the token inverted index;
+      // the oracle scores every within-brand pair, proving the blocking
+      // lossless for the decision rule.
+      graft.operators.EntityResolution.fellegiSunterMatches(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice")),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original
@@ -4009,6 +4020,24 @@ object SparkEntry {
         |FROM ent GROUP BY 1)
         |SELECT ent.p_partkey, ent.entity_id, sized.entity_size
         |FROM ent JOIN sized USING (entity_id)""".stripMargin,
+    "er2_fellegi_sunter" ->
+      """WITH f AS (
+        |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 AS jw,
+        |CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END AS f_size,
+        |CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS f_cat,
+        |CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50.0
+        |  THEN 1 ELSE 0 END AS f_price
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |s AS (SELECT *,
+        |(CASE WHEN jw >= 0.9 THEN 65 ELSE -43 END
+        | + CASE WHEN f_size = 1 THEN 20 ELSE -20 END
+        | + CASE WHEN f_cat = 1 THEN 22 ELSE -30 END
+        | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) AS fs_deci FROM f)
+        |SELECT pk_a, pk_b, jw, f_size, f_cat, f_price,
+        |fs_deci / 10.0 AS fs_score FROM s WHERE fs_deci >= 60""".stripMargin,
     "tx22_feature_hash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
          |SELECT doc_id,

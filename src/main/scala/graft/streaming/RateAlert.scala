@@ -166,15 +166,15 @@ object RateAlert {
         when(col("above"), "rise").otherwise("fall").as("edge"))
   }
 
-  /** Streaming form: parquet file stream, watermarked `delayMinutes`,
-    * alert edges via [[RateAlertProcessor]]; memory-sink observation. */
-  def alertStream(
-      spark: SparkSession, parquetPath: String, queryName: String,
-      bucketMinutes: Int, threshold: Long,
-      delayMinutes: Int): StreamingQuery = {
+  /** The alert-edge transform: watermarked events -> per-type stateful
+    * edge stream. Factored out so every sink shape (memory observation
+    * here; checkpointed foreachBatch in the restart spec; a real
+    * fault-tolerant sink in production) runs the identical pipeline. */
+  def alertEdges(spark: SparkSession, parquetPath: String,
+      bucketMinutes: Int, threshold: Long, delayMinutes: Int): DataFrame = {
     import spark.implicits._
     val bucketUs = bucketMinutes * 60L * 1000000L
-    val writer = EventsStreaming.fileStream(spark, parquetPath)
+    EventsStreaming.fileStream(spark, parquetPath)
       .filter(col("ts").isNotNull)
       .withWatermark("ts", s"$delayMinutes minutes")
       .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
@@ -183,6 +183,20 @@ object RateAlert {
       .transformWithState(new RateAlertProcessor(bucketUs, threshold),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("event_type", "bucket_us", "n_events", "edge")
+  }
+
+  /** Streaming form: parquet file stream, watermarked `delayMinutes`,
+    * alert edges via [[RateAlertProcessor]]; memory-sink observation.
+    * (The memory sink cannot recover from a checkpoint by design — for
+    * restart semantics pair [[alertEdges]] with a fault-tolerant sink;
+    * StreamingRestartSpec proves exactly-once across a restart that
+    * way.) */
+  def alertStream(
+      spark: SparkSession, parquetPath: String, queryName: String,
+      bucketMinutes: Int, threshold: Long,
+      delayMinutes: Int): StreamingQuery = {
+    val writer = alertEdges(spark, parquetPath, bucketMinutes, threshold,
+        delayMinutes)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -38,11 +38,18 @@ class SessionTimerProcessor(gapMs: Long)
 
   @transient private var buf: ListState[Long] = _
   @transient private var timerAt: ValueState[Long] = _
+  // next session index for this key — PERSISTED, not a local counter: a
+  // key whose sessions emit across several timer expiries (a live stream,
+  // or a checkpoint restart) must keep numbering where it left off, or
+  // downstream consumers see duplicate (user, session_idx) keys
+  @transient private var nextIdx: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[Long]("buf", Encoders.scalaLong,
       TTLConfig.NONE)
     timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong,
+      TTLConfig.NONE)
+    nextIdx = getHandle.getValueState[Long]("nextIdx", Encoders.scalaLong,
       TTLConfig.NONE)
   }
 
@@ -85,7 +92,7 @@ class SessionTimerProcessor(gapMs: Long)
       val gapUs = gapMs * 1000L
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long)]
-      var idx = 1L
+      var idx = if (nextIdx.exists()) nextIdx.get() else 1L
       var start = times(0); var last = times(0); var n = 1L
       var i = 1
       while (i < times.length) {
@@ -98,6 +105,7 @@ class SessionTimerProcessor(gapMs: Long)
         i += 1
       }
       out += ((key, idx, start, last, n))
+      nextIdx.update(idx + 1)
       out.iterator
     }
   }
@@ -112,11 +120,13 @@ object TimerSessions {
     * `max(ts) - delay`) are emitted — open sessions stay in state, which
     * is exactly the correctness contract a downstream consumer wants.
     */
-  def sessionStream(
-      spark: SparkSession, parquetPath: String, queryName: String,
-      gapMinutes: Int = 10, delayMinutes: Int = 30): StreamingQuery = {
+  /** The session transform: watermarked events -> per-user proven-closed
+    * session stream (see [[RateAlert.alertEdges]] for why this is
+    * factored from the sink). */
+  def sessionEvents(spark: SparkSession, parquetPath: String,
+      gapMinutes: Int, delayMinutes: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val writer = EventsStreaming.fileStream(spark, parquetPath)
+    EventsStreaming.fileStream(spark, parquetPath)
       .filter(col("ts").isNotNull)
       .withWatermark("ts", s"$delayMinutes minutes")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
@@ -125,6 +135,12 @@ object TimerSessions {
       .transformWithState(new SessionTimerProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "session_idx", "start_us", "end_us", "n_events")
+  }
+
+  def sessionStream(
+      spark: SparkSession, parquetPath: String, queryName: String,
+      gapMinutes: Int = 10, delayMinutes: Int = 30): StreamingQuery = {
+    val writer = sessionEvents(spark, parquetPath, gapMinutes, delayMinutes)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -54,6 +54,24 @@ class EntityResolutionSpec extends AnyFunSuite {
         s"$matches matches")
   }
 
+  test("Fellegi-Sunter matches require name agreement plus two " +
+      "corroborating features (the weight structure's decision boundary)") {
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    val m = EntityResolution.fellegiSunterMatches(full, "p_partkey",
+      "p_name", "p_brand", "p_size", "p_type", "p_retailprice")
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jw") >= 0.9,
+        "no weight mix can rescue a disagreeing name")
+      assert(r.getAs[Int]("f_size") + r.getAs[Int]("f_cat") +
+        r.getAs[Int]("f_price") >= 2,
+        "threshold 6.0 demands two corroborators beyond the name")
+    }
+    // and the scored pair set is distinct
+    assert(m.select("pk_a", "pk_b").distinct().count() === rows.length)
+  }
+
   test("entity resolution assigns min-member canonical ids with sizes") {
     val ent = EntityResolution
       .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)
