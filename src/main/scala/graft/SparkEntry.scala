@@ -1328,6 +1328,35 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterMatches(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er3_fs_bands" -> ((s, dir) =>
+      // the full FS three-band decision summary (match / clerical-review
+      // possible / non-match) over the token-blocked candidate set —
+      // the audit that sizes the human-review queue before committing to
+      // thresholds. Blocking is part of the contract: band populations
+      // are candidate-set populations, so the oracle reproduces the same
+      // token inverted index.
+      graft.operators.EntityResolution.fellegiSunterBands(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice")),
+    "tx31_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity terciles with VALUE-domain
+      // cutoffs (group by the 3-dp floored nll, cumulate over the small
+      // value domain, broadcast two cutoffs) — no global row sort, ties
+      // share a bucket, engine-exact integer comparisons
+      graft.operators.LanguageModel.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text")),
+    "s21_skew_audit" -> ((s, dir) =>
+      // per-join-key skew profile (rows, keys, heaviest key, max/mean
+      // ratio) — the measurement that decides salting vs plain hash
+      // before a 100 TB join; one map-side-combined pass per column
+      graft.operators.SkewAudit.keyProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+    "pk7_bestfit_pack" -> ((s, dir) =>
+      // best-fit-decreasing packing (no document ever splits across
+      // sequences); greedy recurrence has no relational form, so this
+      // entry is rows-only checked and PackingSpec gates the invariants
+      graft.operators.Packing.bestFitPack(t(s, dir, "documents"),
+        "doc_id", "text", budgetTokens = 512, buckets = 8)),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original
@@ -4038,6 +4067,46 @@ object SparkEntry {
         | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) AS fs_deci FROM f)
         |SELECT pk_a, pk_b, jw, f_size, f_cat, f_price,
         |fs_deci / 10.0 AS fs_score FROM s WHERE fs_deci >= 60""".stripMargin,
+    "er3_fs_bands" ->
+      """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
+        |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+        |FROM part),
+        |cand AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
+        |a.p_name AS na, b.p_name AS nb, a.p_size AS sa, b.p_size AS sb,
+        |a.p_type AS ta, b.p_type AS tb,
+        |a.p_retailprice AS pra, b.p_retailprice AS prb
+        |FROM tk a JOIN tk b
+        |ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.pk < b.pk),
+        |s AS (SELECT
+        |floor(jaro_winkler_similarity(na, nb) * 10000.0)::BIGINT AS jw_u,
+        |(CASE WHEN abs(sa - sb) <= 2 THEN 20 ELSE -20 END
+        | + CASE WHEN ta = tb THEN 22 ELSE -30 END
+        | + CASE WHEN abs(pra - prb) <= 50.0 THEN 20 ELSE -20 END)
+        |  AS rest FROM cand),
+        |sb AS (SELECT jw_u,
+        |(CASE WHEN jw_u >= 9000 THEN 65 ELSE -43 END + rest) AS deci
+        |FROM s)
+        |SELECT CASE WHEN deci >= 60 THEN 'match'
+        |WHEN deci >= 0 THEN 'possible' ELSE 'non_match' END AS band,
+        |count(*)::BIGINT AS n_pairs,
+        |floor(sum(jw_u)::DOUBLE / count(*)) / 10000.0 AS avg_jw
+        |FROM sb GROUP BY 1""".stripMargin,
+    "s21_skew_audit" ->
+      """SELECT 'l_orderkey' AS key_col, sum(c)::BIGINT AS n_rows,
+        |count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_key_rows,
+        |floor((max(c) * count(*))::DOUBLE / sum(c) * 10000.0) / 10000.0
+        |  AS skew_ratio
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+        |UNION ALL
+        |SELECT 'l_partkey', sum(c)::BIGINT, count(*)::BIGINT,
+        |max(c)::BIGINT,
+        |floor((max(c) * count(*))::DOUBLE / sum(c) * 10000.0) / 10000.0
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+        |UNION ALL
+        |SELECT 'l_suppkey', sum(c)::BIGINT, count(*)::BIGINT,
+        |max(c)::BIGINT,
+        |floor((max(c) * count(*))::DOUBLE / sum(c) * 10000.0) / 10000.0
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)""".stripMargin,
     "tx22_feature_hash" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
          |SELECT doc_id,
@@ -4189,6 +4258,34 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams,
          |floor(-(sum(lp_u)::DOUBLE / 1e6) / count(*) * 1000.0) / 1000.0 AS nll
          |FROM scored GROUP BY doc_id""".stripMargin,
+    "tx31_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, t[i::INT] AS w1, t[(i + 1)::INT] AS w2
+         |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+         |scored AS (SELECT doc_id,
+         |floor(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE) * 1e6)::BIGINT
+         |  AS lp_u
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |docnll AS (SELECT doc_id,
+         |floor(-(sum(lp_u)::DOUBLE / 1e6) / count(*) * 1000.0) / 1000.0 AS nll
+         |FROM scored GROUP BY doc_id),
+         |byv AS (SELECT nll, count(*)::BIGINT AS c FROM docnll GROUP BY 1),
+         |cum AS (SELECT nll, c,
+         |sum(c) OVER (ORDER BY nll)::BIGINT AS cum FROM byv),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM byv),
+         |cuts AS (SELECT
+         |min(CASE WHEN cum * 3 >= n THEN nll END) AS c1,
+         |min(CASE WHEN cum * 3 >= n * 2 THEN nll END) AS c2
+         |FROM cum CROSS JOIN tot)
+         |SELECT doc_id, nll,
+         |CASE WHEN nll <= c1 THEN 'head' WHEN nll <= c2 THEN 'middle'
+         |ELSE 'tail' END AS ppl_bucket
+         |FROM docnll CROSS JOIN cuts""".stripMargin,
     "st2_sliding_window" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP)
         |  - to_minutes((30 * k)::BIGINT) AS win_start,

@@ -95,9 +95,12 @@ object EntityResolution {
     * [[tokenBlockedPairs]] (the oracle stays exhaustive-within-block with
     * no candidate floor, proving the blocking lossless for the decision
     * rule). One candidate equi-join, codegen scoring, no all-pairs. */
-  def fellegiSunterMatches(records: DataFrame, keyCol: String,
+  /** Token-blocked candidates with the FS feature vector and deci-unit
+    * score, pre-decision. NOT pair-deduplicated: callers dedupe after
+    * whatever filter bounds their output. */
+  private def fellegiSunterScored(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
-      priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame = {
+      priceCol: String, sizeTol: Int, priceTol: Double): DataFrame = {
     val tk = records.select(col(keyCol), col(nameCol), col(blockCol),
       col(sizeCol), col(catCol), col(priceCol),
       explode(split(col(nameCol), " ")).as("tok"))
@@ -105,10 +108,15 @@ object EntityResolution {
       col(nameCol).as(s"name_$s"), col(blockCol).as("block"),
       col(sizeCol).as(s"size_$s"), col(catCol).as(s"cat_$s"),
       col(priceCol).as(s"price_$s"), col("tok"))
-    val scored = side("a").join(side("b"), Seq("block", "tok"))
+    side("a").join(side("b"), Seq("block", "tok"))
       .filter(col("pk_a") < col("pk_b"))
-      .withColumn("jw", NumericFunctions.fround(
-        TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+      // jw_u: the floored 1e4-units as a LONG — aggregates sum these
+      // exactly instead of re-extracting ints from a double (where a
+      // truncating vs rounding cast would diverge across engines)
+      .withColumn("jw_u",
+        floor(TextFunctions.jaroWinkler(col("name_a"), col("name_b"))
+          * 10000.0).cast("long"))
+      .withColumn("jw", col("jw_u") / lit(10000.0))
       .withColumn("f_size",
         when(abs(col("size_a") - col("size_b")) <= sizeTol, 1).otherwise(0))
       .withColumn("f_cat",
@@ -121,13 +129,44 @@ object EntityResolution {
           + when(col("f_size") === 1, 20).otherwise(-20)
           + when(col("f_cat") === 1, 22).otherwise(-30)
           + when(col("f_price") === 1, 20).otherwise(-20))
+  }
+
+  def fellegiSunterMatches(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame =
+    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+        catCol, priceCol, sizeTol, priceTol)
       .filter(col("fs_deci") >= 60)
-    // distinct AFTER the threshold: only decided matches pay the shuffle
-    scored.select(col("pk_a"), col("pk_b"), col("jw"), col("f_size"),
+      // distinct AFTER the threshold: only decided matches pay the shuffle
+      .select(col("pk_a"), col("pk_b"), col("jw"), col("f_size"),
         col("f_cat"), col("f_price"),
         (col("fs_deci") / lit(10.0)).as("fs_score"))
       .distinct()
-  }
+
+  /** The full Fellegi-Sunter three-band decision summary: every candidate
+    * pair lands in `match` (score >= 6.0), `possible` (clerical-review
+    * band, 0 <= score < 6.0), or `non_match` (score < 0), aggregated to
+    * one row per band with the pair count and mean Jaro-Winkler (floored
+    * 4-dp, computed over integer 1e4-units so the mean is engine-exact).
+    * The blocking is part of the audited contract here — band populations
+    * are populations OF THE CANDIDATE SET, so the oracle reproduces the
+    * same token-blocked generator rather than an exhaustive join. */
+  def fellegiSunterBands(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame =
+    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+        catCol, priceCol, sizeTol, priceTol)
+      // candidates met on >1 shared token must count once per band
+      .select(col("pk_a"), col("pk_b"), col("jw_u"), col("fs_deci"))
+      .distinct()
+      .withColumn("band",
+        when(col("fs_deci") >= 60, "match")
+          .when(col("fs_deci") >= 0, "possible")
+          .otherwise("non_match"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum(col("jw_u")).cast("double") /
+          count(lit(1))) / 10000.0).as("avg_jw"))
 
   /** Match pairs -> connected components -> one canonical entity id (min
     * member key) per real-world entity, singletons included, plus the

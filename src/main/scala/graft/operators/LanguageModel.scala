@@ -70,4 +70,41 @@ object LanguageModel {
           -(col("lp_sum").cast("double") / lit(1e6)) /
             col("n_bigrams").cast("double"), 3).as("nll"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * split the corpus into head / middle / tail terciles by LM score —
+    * head (lowest perplexity) trains as-is, tail is usually dropped.
+    *
+    * Scale shape: a naive ntile(3) is a GLOBAL row sort — one reducer
+    * owns the whole corpus. Instead the cutoffs come from the VALUE
+    * domain: nll is already floored to 3 decimals, so group by nll (a
+    * small discrete domain), cumulate counts over ordered values (a
+    * window over thousands of rows, not billions), pick the smallest
+    * value where 3*cum >= k*N, and broadcast the two cutoffs back over
+    * the corpus. Ties share a value and therefore a bucket —
+    * cume_dist-style semantics that both engines state identically in
+    * integer arithmetic.
+    *
+    * Output: (doc_id, nll, ppl_bucket in {head, middle, tail}). */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = bigramNll(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byVal = scored.groupBy("nll").agg(count(lit(1)).as("c"))
+    val cum = byVal.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("nll")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val tot = byVal.agg(sum(col("c")).as("n"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("nll"))).as("c1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("nll"),
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

@@ -78,6 +78,63 @@ object Packing {
         md5(array_join(col("col"), " ")).as("chunk_md5"))
   }
 
+  /** Best-fit-decreasing bin packing — the packing scheme that does NOT
+    * split documents across sequences (vs [[sequencePack]]'s
+    * concat-and-chunk): within each hash bucket, documents sort by token
+    * count descending and each takes the tightest bin that still fits
+    * (opening a new bin otherwise). BFD is the classic 11/9 OPT + 6/9
+    * guarantee (Johnson 1973); in practice it packs pre-training bins to
+    * ~95%+ utilization without ever truncating or straddling a document.
+    * Documents longer than the budget get a singleton bin (the trainer
+    * truncates those explicitly, not silently).
+    *
+    * Scale shape: same bucket decomposition as [[sequencePack]] — the
+    * greedy scan is inherently sequential, so parallelism comes from
+    * independent hash buckets; each task holds only its open-bin
+    * capacities (bins-per-bucket, not docs-per-bucket). Bin search here
+    * is a linear scan per document — swap in a TreeMap keyed on remaining
+    * capacity if bins-per-bucket grows past ~10^4. Fully deterministic
+    * (md5 bucket, total sort order, greedy tie to the lowest bin id):
+    * identical packing on any partitioning or rerun.
+    *
+    * Not SQL-expressible (the greedy recurrence has no relational form),
+    * so correctness is spec-gated: capacity, completeness, singleton
+    * rule, determinism, and a utilization floor (PackingSpec).
+    *
+    * Output: (doc_id, bucket, n_tokens, bin_in_bucket). */
+  def bestFitPack(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, buckets: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    require(buckets > 0 && buckets <= 256, "buckets in [1, 256]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        pmod(Sampling.hashBucket(col("doc_id")), lit(buckets)).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (bucket: Int, it: Iterator[(Long, Long, Int)]) =>
+        val docsSorted = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+        val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docsSorted.iterator.map { case (id, n, _) =>
+          var best = -1
+          var bestFree = Long.MaxValue
+          var i = 0
+          while (i < binFree.length) {
+            val f = binFree(i)
+            if (f >= n && f < bestFree) { best = i; bestFree = f }
+            i += 1
+          }
+          val bin = if (best >= 0) { binFree(best) -= n; best }
+            else { binFree += (budgetTokens - n); binFree.length - 1 }
+          (id, bucket, n, bin.toLong)
+        }
+      }
+      .toDF("doc_id", "bucket", "n_tokens", "bin_in_bucket")
+  }
+
   /** Fill-in-the-middle training-example generation (Bavarian et al.
     * 2022, "Efficient Training of Language Models to Fill in the
     * Middle"): for a deterministic fraction of documents, split the text

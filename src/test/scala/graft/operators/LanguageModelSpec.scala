@@ -46,4 +46,26 @@ class LanguageModelSpec extends AnyFunSuite {
     // pays unseen-bigram smoothing penalties
     assert(r(1L)._2 < r(99L)._2)
   }
+
+  test("perplexity buckets: head <= middle <= tail by nll, every scored " +
+      "doc bucketed, cutoffs at the cume-dist tercile boundaries") {
+    // 90 docs with varied texts (plus a <2-token doc that drops)
+    val corpus = ((1L to 90L).map(i =>
+        (i, s"w${i % 7} w${i % 11} w${i % 5} w${i % 3} end")) :+
+        (999L, "solo")).toDF("doc_id", "text")
+    val r = LanguageModel.perplexityBuckets(corpus, "doc_id", "text")
+      .as[(Long, Double, String)].collect()
+    assert(r.length === 90) // the 1-token doc has no bigrams to score
+    val byBucket = r.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // cume-dist semantics: head holds at least a third (ties included),
+    // head+middle at least two thirds
+    assert(byBucket("head").size * 3 >= 90)
+    assert((byBucket("head").size + byBucket("middle").size) * 3 >= 180)
+    // ties share a bucket: no nll value may appear in two buckets
+    val perValue = r.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(perValue.values.forall(_.size == 1))
+  }
 }

@@ -97,4 +97,42 @@ class PackingSpec extends AnyFunSuite {
         Option[Long], Option[Long], String)].collect()
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("best-fit-decreasing respects capacity, covers every doc, isolates " +
+      "oversized docs, and beats the trivial one-doc-per-bin floor") {
+    val docs = (1L to 400L)
+      .map(i => (i, ("tok " * (i % 61 + 1).toInt).trim)) :+
+      (999L, ("tok " * 80).trim) // oversized vs budget 64
+    val df = docs.toDF("doc_id", "text")
+    val r = Packing.bestFitPack(df, "doc_id", "text",
+        budgetTokens = 64, buckets = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(r.length === 401) // every doc packed exactly once
+    assert(r.map(_._1).distinct.length === 401)
+    // per-(bucket, bin) fill never exceeds the budget, except a bin
+    // holding a single oversized doc
+    val byBin = r.groupBy(x => (x._2, x._4))
+    byBin.values.foreach { ds =>
+      val fill = ds.map(_._3).sum
+      assert(fill <= 64 || (ds.length == 1 && ds.head._3 > 64),
+        s"overfull bin: $ds")
+    }
+    // BFD must do strictly better than one bin per doc, and cannot beat
+    // the volume lower bound ceil(bucket_tokens / budget)
+    val nBins = byBin.size
+    assert(nBins < 401)
+    val lowerBound = r.groupBy(_._2).values
+      .map(ds => (ds.map(_._3).sum + 63) / 64).sum
+    assert(nBins >= lowerBound)
+  }
+
+  test("best-fit packing is deterministic under repartitioning") {
+    val docs = (1L to 300L).map(i => (i, ("tok " * (i % 53 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val a = Packing.bestFitPack(docs, "doc_id", "text", 128, buckets = 8)
+    val b = Packing.bestFitPack(docs.repartition(13), "doc_id", "text",
+      128, buckets = 8)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "bin assignment must not depend on physical partitioning")
+  }
 }
