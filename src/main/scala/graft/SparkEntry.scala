@@ -1357,6 +1357,32 @@ object SparkEntry {
       // entry is rows-only checked and PackingSpec gates the invariants
       graft.operators.Packing.bestFitPack(t(s, dir, "documents"),
         "doc_id", "text", budgetTokens = 512, buckets = 8)),
+    "er4_golden_records" -> ((s, dir) =>
+      // golden-record survivorship: per resolved entity, the canonical
+      // name (most frequent member value, ties lexicographically
+      // smallest) and min/max numeric ranges — the MDM publish step
+      // after er1's transitive closure
+      graft.operators.EntityResolution.goldenRecords(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_size")),
+        "p_partkey", "p_name", "p_brand", "p_size", threshold = 0.9)),
+    "s22_file_inventory" -> ((s, dir) =>
+      // physical-layout inventory from input_file_name() during a normal
+      // scan — the small-files signal that schedules compaction. File
+      // names cannot reach the pathless-view oracle, so this entry is
+      // rows-only checked; FileAuditSpec gates known multi-file layouts
+      graft.operators.FileAudit.fileInventory(s, Seq(
+        "lineitem" -> s"$dir/lineitem.parquet",
+        "orders" -> s"$dir/orders.parquet",
+        "documents" -> s"$dir/documents.parquet"))),
+    "q77_bootstrap_ci" -> ((s, dir) =>
+      // deterministic subsampling CI (Politis-Romano) for the corpus mean
+      // doc length: md5-parity half-samples, one map-side-combined agg
+      // per replicate, constant-size quantile step — uncertainty
+      // quantification with a bit-for-bit SQL oracle
+      graft.operators.Bootstrap.subsampleMeanCI(
+        t(s, dir, "documents"), "doc_id", "n_chars")),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original
@@ -4091,6 +4117,50 @@ object SparkEntry {
         |count(*)::BIGINT AS n_pairs,
         |floor(sum(jw_u)::DOUBLE / count(*)) / 10000.0 AS avg_jw
         |FROM sb GROUP BY 1""".stripMargin,
+    "er4_golden_records" ->
+      """WITH RECURSIVE pairs AS (
+        |SELECT a.p_partkey AS da, b.p_partkey AS db
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |UNION SELECT db, da FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS p_partkey, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a),
+        |ent AS (SELECT p.p_partkey,
+        |coalesce(cc.cluster_id, p.p_partkey) AS entity_id,
+        |p.p_name, p.p_size
+        |FROM part p LEFT JOIN cc USING (p_partkey)),
+        |nc AS (SELECT entity_id, p_name, count(*) AS c
+        |FROM ent GROUP BY 1, 2),
+        |canon AS (SELECT entity_id, p_name AS canon_name FROM
+        |(SELECT entity_id, p_name, row_number() OVER
+        |  (PARTITION BY entity_id ORDER BY c DESC, p_name) AS rn FROM nc)
+        |WHERE rn = 1)
+        |SELECT e.entity_id, count(*)::BIGINT AS n_members,
+        |max(canon.canon_name) AS canon_name,
+        |min(e.p_size) AS min_size, max(e.p_size) AS max_size
+        |FROM ent e JOIN canon ON canon.entity_id = e.entity_id
+        |GROUP BY 1""".stripMargin,
+    "q77_bootstrap_ci" ->
+      """WITH rep AS (SELECT r, n_chars FROM documents, range(0, 32) rr(r)
+        |WHERE ('0x' || substr(md5(r::VARCHAR || ':' || doc_id::VARCHAR),
+        |  1, 8))::BIGINT % 2 = 0),
+        |means AS (SELECT r,
+        |floor(sum(n_chars)::DOUBLE / count(*) * 10000.0) / 10000.0 AS m
+        |FROM rep GROUP BY 1),
+        |ranked AS (SELECT m,
+        |row_number() OVER (ORDER BY m, r) AS rn FROM means),
+        |o AS (SELECT
+        |floor(sum(n_chars)::DOUBLE / count(*) * 10000.0) / 10000.0
+        |  AS est_mean FROM documents)
+        |SELECT 32 AS n_replicates, o.est_mean,
+        |(SELECT m FROM ranked WHERE rn = 2) AS lo95,
+        |(SELECT m FROM ranked WHERE rn = 31) AS hi95
+        |FROM o""".stripMargin,
     "s21_skew_audit" ->
       """SELECT 'l_orderkey' AS key_col, sum(c)::BIGINT AS n_rows,
         |count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_key_rows,

@@ -168,6 +168,38 @@ object EntityResolution {
         (floor(sum(col("jw_u")).cast("double") /
           count(lit(1))) / 10000.0).as("avg_jw"))
 
+  /** Golden-record survivorship (the MDM step after [[resolveEntities]]):
+    * per entity cluster, the canonical attribute values a master-data
+    * system would publish — the name by highest member count with ties to
+    * the lexicographically smallest (mode-then-min, the standard
+    * most-frequent-value survivorship rule), numeric attributes as
+    * min/max ranges (no float arithmetic anywhere, so the record is
+    * engine- and partitioning-exact).
+    *
+    * Scale shape: one groupBy for the name histogram, a per-entity window
+    * over name VARIANTS (bounded by in-cluster name diversity, not corpus
+    * size), one groupBy for the ranges; the canonical-name join keys on
+    * entity_id. */
+  def goldenRecords(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, sizeCol: String, threshold: Double): DataFrame = {
+    val ent = resolveEntities(records, keyCol, nameCol, blockCol, threshold)
+      .select(col(keyCol), col("entity_id"))
+    val joined = records.join(ent, keyCol)
+    val nameCounts = joined.groupBy(col("entity_id"), col(nameCol))
+      .agg(count(lit(1)).as("c"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity_id").orderBy(col("c").desc, col(nameCol))
+    val canon = nameCounts.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col(nameCol).as("canon_name"))
+    joined.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col(sizeCol)).as("min_size"), max(col(sizeCol)).as("max_size"))
+      .join(canon, "entity_id")
+      .select(col("entity_id"), col("n_members"), col("canon_name"),
+        col("min_size"), col("max_size"))
+  }
+
   /** Match pairs -> connected components -> one canonical entity id (min
     * member key) per real-world entity, singletons included, plus the
     * entity size. Cluster resolution reuses the dedup CC machinery (driver

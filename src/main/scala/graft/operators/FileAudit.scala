@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout inventory — the small-files audit a table owner runs
+  * before scheduling compaction: per table, one row per underlying data
+  * file with its row count, derived entirely from `input_file_name()`
+  * during a normal scan (no driver-side filesystem walking, so the audit
+  * scales exactly like any other query and works on any Hadoop FS URI).
+  *
+  * Thousands of tiny files mean task-scheduling overhead dominates scan
+  * time and footer/open costs multiply; the fix is
+  * [[Compaction.compactTo]] / `clusteredWrite`, and this report is the
+  * signal deciding when. The reference rewrites whole tables blindly
+  * (`osarchiver/source/db.py` delete-then-rewrite has no notion of file
+  * granularity); file-level observability is part of the SURVEY.md 2.8
+  * layout surface.
+  *
+  * Oracle note: the harness registers tables as pathless views, so file
+  * names cannot reach a SQL oracle — this operator is spec-gated
+  * (FileAuditSpec writes known multi-file layouts) plus a rows-only
+  * entry.
+  */
+object FileAudit {
+
+  /** One row per (table, data file): (tbl, file_name, n_rows), file name
+    * truncated to its basename so the report is location-portable. */
+  def fileInventory(spark: SparkSession,
+      tables: Seq[(String, String)]): DataFrame =
+    tables.map { case (name, path) =>
+      spark.read.parquet(path)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+          .as("file_name"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("tbl"), col("file_name"), col("n_rows"))
+    }.reduce(_ unionAll _)
+
+  /** The per-table compaction signal: file count, total rows, smallest /
+    * mean file in rows, and a small-file flag when the MEAN file holds
+    * fewer than `smallRowThreshold` rows (integer comparison:
+    * n_rows < threshold * n_files). */
+  def compactionReport(spark: SparkSession, tables: Seq[(String, String)],
+      smallRowThreshold: Long): DataFrame =
+    fileInventory(spark, tables)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("n_rows")).as("min_file_rows"))
+      .withColumn("needs_compaction",
+        col("n_rows") < lit(smallRowThreshold) * col("n_files"))
+}

@@ -72,6 +72,30 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(m.select("pk_a", "pk_b").distinct().count() === rows.length)
   }
 
+  test("golden records: one per entity, canonical name is a member value, " +
+      "member counts partition the input") {
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    val g = EntityResolution.goldenRecords(full, "p_partkey", "p_name",
+      "p_brand", "p_size", threshold = 0.9)
+    val rows = g.collect()
+    assert(rows.map(_.getAs[Long]("entity_id")).distinct.length
+      === rows.length)
+    assert(rows.map(_.getAs[Long]("n_members")).sum === full.count())
+    // the canonical name really occurs among the entity's members
+    val ent = EntityResolution.resolveEntities(full.select("p_partkey",
+        "p_name", "p_brand"), "p_partkey", "p_name", "p_brand", 0.9)
+      .select("p_partkey", "entity_id")
+    val memberNames = full.join(ent, "p_partkey")
+      .select("entity_id", "p_name").distinct()
+    val bad = g.join(memberNames,
+      g("entity_id") === memberNames("entity_id") &&
+        g("canon_name") === memberNames("p_name"), "left_anti")
+    assert(bad.isEmpty, "canon_name must be one of the member names")
+    assert(rows.forall(r =>
+      r.getAs[Int]("min_size") <= r.getAs[Int]("max_size")))
+  }
+
   test("entity resolution assigns min-member canonical ids with sizes") {
     val ent = EntityResolution
       .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)
