@@ -1383,6 +1383,37 @@ object SparkEntry {
       // quantification with a bit-for-bit SQL oracle
       graft.operators.Bootstrap.subsampleMeanCI(
         t(s, dir, "documents"), "doc_id", "n_chars")),
+    "q78_seasonal_decompose" -> ((s, dir) =>
+      // classical additive decomposition of hourly activity: hour-of-day
+      // seasonal mean + centered 25h moving-average trend + residual;
+      // per-key windows only, explicit floored integer-sum divisions
+      graft.operators.TimeSeries.seasonalDecompose(
+        t(s, dir, "events").filter(col("ts").isNotNull))),
+    "q79_cusum_changepoint" -> ((s, dir) =>
+      // CUSUM level-shift detection (Page 1954): argmax of the
+      // mean-centered cumulative deviation, scaled by the bucket count so
+      // the whole statistic stays in integer arithmetic
+      graft.operators.TimeSeries.cusumChangepoint(
+        t(s, dir, "events").filter(col("ts").isNotNull))),
+    "dq1_quarantine" -> ((s, dir) => {
+      // row-level dead-letter routing on a deliberately-perturbed orders
+      // feed (s18's FK poison recipe): rejected rows carry a '|'-joined
+      // reason list; join-derived facts (FK membership) materialize as
+      // flags first, so the verdict itself is a shuffle-free projection
+      val customerKeys = t(s, dir, "customer").select(col("c_custkey"))
+      val ob = t(s, dir, "orders").withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")))
+      val flagged = ob
+        .join(broadcast(customerKeys),
+          ob("o_custkey") === customerKeys("c_custkey"), "left")
+        .withColumn("fk_ok", col("c_custkey").isNotNull)
+      graft.operators.QualityAudit.quarantineRows(flagged,
+        Seq("o_orderkey"), Seq(
+          "fk_customer" -> col("fk_ok"),
+          "price_positive" -> (col("o_totalprice") > 0),
+          "orderdate_not_null" -> col("o_orderdate").isNotNull))
+    }),
     "tx28_novelty" -> ((s, dir) => {
       // per-doc novelty: the fraction of a doc's distinct 3-shingles that
       // appear NOWHERE else in the corpus — high novelty marks original
@@ -4161,6 +4192,51 @@ object SparkEntry {
         |(SELECT m FROM ranked WHERE rn = 2) AS lo95,
         |(SELECT m FROM ranked WHERE rn = 31) AS hi95
         |FROM o""".stripMargin,
+    "q78_seasonal_decompose" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |count(*)::BIGINT AS n FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2),
+        |se AS (SELECT event_type, extract(hour FROM h)::INT AS hod,
+        |floor(sum(n)::DOUBLE / count(*) * 10000.0) / 10000.0 AS seasonal
+        |FROM hc GROUP BY 1, 2),
+        |tr AS (SELECT event_type, h, n, extract(hour FROM h)::INT AS hod,
+        |floor(sum(n) OVER w::DOUBLE / count(n) OVER w * 10000.0) / 10000.0
+        |  AS trend
+        |FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+        |SELECT tr.event_type, tr.h, tr.n, se.seasonal, tr.trend,
+        |floor((tr.n - se.seasonal - tr.trend) * 10000.0) / 10000.0 AS resid
+        |FROM tr JOIN se
+        |ON se.event_type = tr.event_type AND se.hod = tr.hod""".stripMargin,
+    "q79_cusum_changepoint" ->
+      """WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |count(*)::BIGINT AS n FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2),
+        |sc AS (SELECT event_type, h,
+        |abs((count(*) OVER wa) * (sum(n) OVER wo)
+        |  - (row_number() OVER wo) * (sum(n) OVER wa))::BIGINT AS s_abs
+        |FROM hc WINDOW
+        |wo AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |wa AS (PARTITION BY event_type))
+        |SELECT event_type, h AS cp_h, s_abs FROM (
+        |SELECT event_type, h, s_abs, row_number() OVER
+        |(PARTITION BY event_type ORDER BY s_abs DESC, h) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
+    "dq1_quarantine" ->
+      """WITH ob AS (SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END
+        |  AS o_custkey,
+        |o_totalprice, o_orderdate FROM orders),
+        |j AS (SELECT ob.o_orderkey, ob.o_totalprice, ob.o_orderdate,
+        |(c.c_custkey IS NOT NULL) AS fk_ok
+        |FROM ob LEFT JOIN customer c ON ob.o_custkey = c.c_custkey),
+        |r AS (SELECT o_orderkey, concat_ws('|',
+        |CASE WHEN NOT fk_ok THEN 'fk_customer' END,
+        |CASE WHEN NOT (o_totalprice > 0) THEN 'price_positive' END,
+        |CASE WHEN o_orderdate IS NULL THEN 'orderdate_not_null' END)
+        |  AS reasons FROM j)
+        |SELECT o_orderkey, reasons FROM r WHERE reasons <> ''""".stripMargin,
     "s21_skew_audit" ->
       """SELECT 'l_orderkey' AS key_col, sum(c)::BIGINT AS n_rows,
         |count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_key_rows,

@@ -87,4 +87,23 @@ object QualityAudit {
     }
     reports.reduce(_.unionByName(_))
   }
+
+  /** Row-level quarantine routing (the dead-letter half of a validation
+    * pass): evaluate named per-row predicates and emit the REJECTED rows'
+    * keys with a '|'-joined reason list, in the checks' declaration
+    * order. The caller materializes join-derived facts (FK membership
+    * flags from a left join, lookup results) as columns first — checks
+    * here are pure row predicates, so the routing itself is one
+    * shuffle-free projection + filter over the validated scan.
+    *
+    * The passing complement is `df.join(quarantined, keys, "left_anti")`
+    * — membership, not content, is what the verdict changes. */
+  def quarantineRows(df: DataFrame, keyCols: Seq[String],
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(keyCols.nonEmpty && checks.nonEmpty)
+    df.select(keyCols.map(col) :+
+        concat_ws("|", checks.map { case (name, ok) =>
+          when(!ok, lit(name)) }: _*).as("reasons"): _*)
+      .filter(col("reasons") =!= "")
+  }
 }

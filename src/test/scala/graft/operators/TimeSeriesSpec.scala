@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events with `n` rows in hour bucket `h` (hours since epoch). */
+  private def series(tpe: String, counts: Seq[(Long, Int)]) =
+    counts.flatMap { case (h, n) =>
+      (1 to n).map(i =>
+        (tpe, h * 3600L * 1000000L + i)) // i keeps event times distinct
+    }
+
+  private def toDf(rows: Seq[(String, Long)]) =
+    rows.toDF("event_type", "us")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"))
+
+  test("CUSUM changepoint lands on the level shift") {
+    // type a: 5/hour for 6 hours then 50/hour for 6 hours — the peak
+    // cumulative deviation sits at the last low bucket (hour 5)
+    val df = toDf(series("a",
+      (0L to 5L).map(_ -> 5) ++ (6L to 11L).map(_ -> 50)))
+    val r = TimeSeries.cusumChangepoint(df)
+      .select(col("event_type"),
+        (unix_micros(col("cp_h")) / 3600000000L).cast("long").as("hr"),
+        col("s_abs"))
+      .as[(String, Long, Long)].collect().head
+    assert(r._1 === "a")
+    assert(r._2 === 5L)
+    // hand check: T=12, total=330; at k=6 (hour 5): cum=30 ->
+    // |12*30 - 6*330| = 1620
+    assert(r._3 === 1620L)
+  }
+
+  test("flat series peaks trivially and deterministically (earliest tie)") {
+    val df = toDf(series("b", (0L to 7L).map(_ -> 4)))
+    val r = TimeSeries.cusumChangepoint(df)
+      .select((unix_micros(col("cp_h")) / 3600000000L).cast("long")
+        .as("hr"), col("s_abs"))
+      .as[(Long, Long)].collect().head
+    assert(r._2 === 0L) // every S_k is exactly 0 on a flat series
+    assert(r._1 === 0L) // tie broken to the earliest bucket
+  }
+
+  test("seasonal decomposition: seasonal is the hour-of-day mean and " +
+      "resid = n - seasonal - trend exactly") {
+    // two days, hour-of-day pattern 10,20 alternating; seasonal mean per
+    // hod is exact, so residuals reduce to n - seasonal - trend
+    val counts = (0L until 48L).map(h => h -> (if (h % 2 == 0) 10 else 20))
+    val df = toDf(series("c", counts))
+    val rows = TimeSeries.seasonalDecompose(df)
+      .select(col("n"), col("seasonal"), col("trend"), col("resid"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length === 48)
+    rows.foreach { case (n, seasonal, trend, resid) =>
+      assert(seasonal === (if (n == 10) 10.0 else 20.0))
+      assert(resid ===
+        math.floor((n - seasonal - trend) * 10000.0) / 10000.0)
+    }
+    // in the interior the 25h centered average is 13x10 + 12x20 or
+    // 12x10 + 13x20 over 25 buckets
+    val interior = TimeSeries.seasonalDecompose(df)
+      .filter(col("h") >= to_timestamp(lit("1970-01-01 12:00:00")) &&
+        col("h") < to_timestamp(lit("1970-01-02 12:00:00")))
+      .select("trend").as[Double].collect()
+    assert(interior.forall(t => t == math.floor(370.0 / 25 * 10000) / 10000
+      || t == math.floor(380.0 / 25 * 10000) / 10000))
+  }
+}
