@@ -358,6 +358,37 @@ class PlanSpec extends AnyFunSuite {
       s"NormalizeText must stay inside codegen:\n$p")
   }
 
+  test("FS band audit is equi-join only — candidates never go all-pairs (er3)") {
+    val p = plan("er3_fs_bands")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"token-index candidates must hash-join:\n$p")
+  }
+
+  test("skew audit scans read only the profiled key column (s21)") {
+    val p = plan("s21_skew_audit")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { rs =>
+      assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+        s"profile scan must prune to the key column: $rs")
+    }
+  }
+
+  test("quarantine routing broadcasts the key side and never sort-merges (dq1)") {
+    val p = plan("dq1_quarantine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"FK membership should ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no full shuffle join expected:\n$p")
+  }
+
+  test("seasonal decomposition broadcasts the 24-row seasonal table (q78)") {
+    val p = plan("q78_seasonal_decompose")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hour-of-day means are dimension-sized:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+  }
+
   test("gap-fill windows share one (event_type) exchange; spine rides a 1-row cross (q72)") {
     val p = plan("q72_gapfill")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
