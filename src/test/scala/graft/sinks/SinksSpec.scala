@@ -65,6 +65,45 @@ class SinksSpec extends AnyFunSuite {
       .count() === 10)
   }
 
+  test("W10: full sink round-trip through a NON-file Hadoop FS scheme " +
+      "(mockstore:// object-store stand-in)") {
+    // The file:// test above proves scheme RESOLUTION; this proves the
+    // sinks work end-to-end through a scheme that is not the local
+    // default — the same FileSystem.get dispatch, authority handling,
+    // and create/rename/list calls an s3a:// or swift:// deployment
+    // exercises, with only the transport swapped for local disk.
+    val mockRoot = TestSpark.tmpDir("mockstore-root")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+    val root = s"mockstore://archive-bucket$mockRoot/graft"
+    val sink = new ParquetUpsertSink(root)
+    val spec = Tables.byName("orders")
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 100),
+      dryRun = false)
+    // the upsert merge (read existing + union + backup-rename swap) must
+    // also run through the remote scheme
+    sink.write("db", spec, orders.filter(col("o_orderkey") < 150),
+      dryRun = false)
+    assert(sink.read(spark, "db", "orders").count() ===
+      orders.filter(col("o_orderkey") < 150).count())
+    // the bytes physically landed under the mock root, written through
+    // the mockstore scheme (the authority rides the URI, the path maps
+    // identically — the file:/-like layout an object-store FS presents)
+    val physical = new java.io.File(s"$mockRoot/graft")
+    assert(physical.exists() && physical.isDirectory,
+      s"expected data under the mock bucket at $physical")
+    def anyParquet(f: java.io.File): Boolean =
+      if (f.isDirectory) f.listFiles().exists(anyParquet)
+      else f.getName.endsWith(".parquet")
+    assert(anyParquet(physical), "no parquet files under the mock bucket")
+    // CSV sink through the same scheme
+    val csv = new CsvSink(root + "/csv", compression = None)
+    csv.write("db", spec, orders.limit(10), dryRun = false)
+    assert(spark.read.option("header", "true")
+      .csv(s"$root/csv/db.orders.csv").count() === 10)
+  }
+
   test("upsert sink recovers an archive stranded at the backup path") {
     val root = TestSpark.tmpDir("crash")
     val sink = new ParquetUpsertSink(root)
