@@ -73,7 +73,9 @@ object PlanAudit {
       "dd32_temperature_mix" -> "1-row budget-totals broadcast cross",
       "ss15_ivf_append" -> "tiny centroid-table + 1-row totals broadcast crosses",
       "ss16_hybrid_rrf" -> "legs: bm25 1-row stats cross + deliberate brute-force vector leg (scale paths: ss2/ss3)",
-      "q72_gapfill" -> "1-row date-span broadcast cross (spine bounded by calendar days)")
+      "q72_gapfill" -> "1-row date-span broadcast cross (spine bounded by calendar days)",
+      "q77_bootstrap_ci" -> "1-row quantile/overall broadcast crosses",
+      "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"
