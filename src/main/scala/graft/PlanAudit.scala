@@ -39,6 +39,8 @@ object PlanAudit {
       "st7_stream_left_outer" -> "materialized streaming result; shapes asserted in streaming specs",
       "st8_stream_cdc_apply" -> "foreachBatch-folded versioned state; algebra asserted in ChangeDataSpec",
       "st9_timer_sessions" -> "materialized streaming result; timer semantics pinned in TimerSessionsSpec",
+      "st11_file_sink" -> "materialized parquet file-sink read-back; committed content oracle-checked",
+      "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
@@ -75,7 +77,8 @@ object PlanAudit {
       "ss16_hybrid_rrf" -> "legs: bm25 1-row stats cross + deliberate brute-force vector leg (scale paths: ss2/ss3)",
       "q72_gapfill" -> "1-row date-span broadcast cross (spine bounded by calendar days)",
       "q77_bootstrap_ci" -> "1-row quantile/overall broadcast crosses",
-      "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses")
+      "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses",
+      "ss18_ivf_delete" -> "tiny centroid-table broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

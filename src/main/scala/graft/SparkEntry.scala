@@ -1395,6 +1395,92 @@ object SparkEntry {
       // the whole statistic stays in integer arithmetic
       graft.operators.TimeSeries.cusumChangepoint(
         t(s, dir, "events").filter(col("ts").isNotNull))),
+    "st11_file_sink" -> ((s, dir) => {
+      // exactly-once parquet FILE sink: watermarked append-mode hourly
+      // aggregation streamed AvailableNow into a sink whose
+      // _spark_metadata commit log defines the committed file set; the
+      // query returns the batch READ-BACK of the sink, so the oracle
+      // checks exactly the transactionally-committed content (only
+      // watermark-proven windows ever land on disk)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st11_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_st11_ck").toString
+      withShufflePartitions(s, 8) {
+        val q = EventsStreaming.hourlyFileSink(s, s"$dir/events.parquet",
+          out, ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+    "w15_partition_overwrite" -> ((s, dir) => {
+      // dynamic partition overwrite: re-running one day's corrected feed
+      // replaces ONLY that day's partition; every other partition's files
+      // stay untouched — the idempotent-rerun primitive of a partitioned
+      // pipeline (static overwrite would truncate the whole table)
+      val base = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("d"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_w15").toString + "/t"
+      graft.operators.Compaction.overwritePartitions(base, out, Seq("d"))
+      val minD = base.agg(min(col("d"))).head.getDate(0)
+      graft.operators.Compaction.overwritePartitions(
+        base.filter(col("d") === lit(minD))
+          .withColumn("value", col("value") * 2),
+        out, Seq("d"))
+      // d as STRING: pandas renders Spark date32 and DuckDB DATE
+      // differently, so the compare runs on the ISO string both sides
+      s.read.parquet(out).select(col("event_id"), col("event_type"),
+        col("value"), col("d").cast("string").as("d"))
+    }),
+    "ss18_ivf_delete" -> ((s, dir) => {
+      // IVF tombstone-delete maintenance (the delete path beside ss15's
+      // append path): deletions are side-table tombstones, never index
+      // rewrites; the per-cell live/deleted report flags cells whose
+      // tombstones exceed 1/6 of the live set for compaction
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") >= 100)
+      val dels = corpus.filter(col("vec_id") % 7 === 0).select("vec_id")
+      Similarity.ivfDeleteReport(corpus, dels, "vec_id", "embedding",
+        nCentroids = 8)
+    }),
+    "q80_position_attribution" -> ((s, dir) => {
+      // U-shaped (position-based) multi-touch attribution: each user's
+      // touches before their FIRST purchase split 1e6 ppm of credit
+      // 40/20/40 (first / evenly-among-middles / last), integer
+      // arithmetic with the division remainder assigned to the earliest
+      // middles — deterministic on any engine. Complements q74's
+      // last-touch rule.
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      val wFp = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("fp_ts"),
+          col("event_id").as("fp_id"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(fp, "user_id")
+        .filter(col("ts") < col("fp_ts") ||
+          (col("ts") === col("fp_ts") && col("event_id") < col("fp_id")))
+      val wT = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wN = Window.partitionBy("user_id")
+      touches
+        .withColumn("i", row_number().over(wT).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("credit_ppm",
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .when(col("i") === 1 || col("i") === col("n"), 400000L)
+            .otherwise(expr("200000 div (n - 2)") +
+              when(col("i") - 1 <= expr("200000 % (n - 2)"), 1L)
+                .otherwise(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).as("credit_ppm"))
+    }),
     "dq1_quarantine" -> ((s, dir) => {
       // row-level dead-letter routing on a deliberately-perturbed orders
       // feed (s18's FK poison recipe): rejected rows carry a '|'-joined
@@ -4223,6 +4309,61 @@ object SparkEntry {
         |SELECT event_type, h, s_abs, row_number() OVER
         |(PARTITION BY event_type ORDER BY s_abs DESC, h) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+    "st11_file_sink" ->
+      """WITH e AS (SELECT ts, event_type, value FROM events
+        |WHERE ts IS NOT NULL),
+        |wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM e)
+        |SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |count(*) AS n_events,
+        |sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM e, wm
+        |GROUP BY 1, 2, wm.wm_ms
+        |HAVING (epoch_us(win_start) // 1000) + 3600000 <= wm_ms""".stripMargin,
+    "w15_partition_overwrite" ->
+      """WITH b AS (SELECT event_id, event_type, value, ts::DATE AS d
+        |FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT min(d) AS md FROM b)
+        |SELECT event_id, event_type,
+        |CASE WHEN d = md THEN value * 2 ELSE value END AS value,
+        |d::VARCHAR AS d
+        |FROM b, m""".stripMargin,
+    "ss18_ivf_delete" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corp AS (SELECT vec_id, v FROM v WHERE vec_id >= 100),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv,
+        |list_inner_product(v, v) / 2 AS chs FROM corp ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT vec_id, cent_id AS cell FROM (
+        |SELECT c.vec_id, ce.cent_id, row_number() OVER (PARTITION BY c.vec_id
+        |ORDER BY (list_inner_product(c.v, ce.centv) - ce.chs) DESC, ce.cent_id)
+        |  AS rk FROM corp c CROSS JOIN cents ce) WHERE rk = 1)
+        |SELECT cell,
+        |count(CASE WHEN vec_id % 7 <> 0 THEN 1 END)::BIGINT AS n_live,
+        |count(CASE WHEN vec_id % 7 = 0 THEN 1 END)::BIGINT AS n_deleted,
+        |(count(CASE WHEN vec_id % 7 = 0 THEN 1 END) * 5
+        |  > count(CASE WHEN vec_id % 7 <> 0 THEN 1 END)) AS needs_compact
+        |FROM a GROUP BY 1""".stripMargin,
+    "q80_position_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+        |WHERE ts IS NOT NULL),
+        |fp AS (SELECT user_id, ts AS fp_ts, event_id AS fp_id FROM (
+        |SELECT user_id, ts, event_id,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS rn FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+        |t AS (SELECT e.user_id, e.event_id, e.ts, e.event_type
+        |FROM e JOIN fp USING (user_id)
+        |WHERE e.event_type <> 'purchase' AND (e.ts < fp.fp_ts
+        |  OR (e.ts = fp.fp_ts AND e.event_id < fp.fp_id))),
+        |c AS (SELECT event_type,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS i,
+        |count(*) OVER (PARTITION BY user_id) AS n FROM t)
+        |SELECT event_type, count(*)::BIGINT AS n_touches,
+        |sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+        |WHEN i = 1 OR i = n THEN 400000
+        |ELSE 200000 // (n - 2) +
+        |  (CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
+        |END)::BIGINT AS credit_ppm
+        |FROM c GROUP BY 1""".stripMargin,
     "dq1_quarantine" ->
       """WITH ob AS (SELECT o_orderkey,
         |CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END

@@ -49,6 +49,27 @@ object Compaction {
     * samples the data, so file boundaries follow the actual distribution
     * (a skewed key space still yields even files).
     */
+  /** Dynamic partition overwrite — the idempotent-rerun primitive of a
+    * partitioned pipeline: `mode(overwrite)` with
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+    * incoming frame actually contains and leaves every other partition's
+    * files untouched (static overwrite would truncate the whole table —
+    * the classic rerun-one-day-lose-a-year incident). The session conf is
+    * restored afterwards so other writers keep their own semantics. */
+  def overwritePartitions(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def clusteredWrite(
       df: DataFrame, path: String, clusterCols: Seq[String],
       parts: Int): Unit = {

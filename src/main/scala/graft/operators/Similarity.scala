@@ -342,6 +342,37 @@ object Similarity {
         (col("n_total") * col("n_cells") > col("sum_total") * 2).as("hot"))
   }
 
+  /** The delete path of IVF index maintenance (complement of
+    * [[ivfAppendReport]]'s append path): deletions are TOMBSTONES — the
+    * indexed vectors stay in their cells and the ids join against a
+    * delete list at query time, so a delete costs one row in a side
+    * table, never an index rewrite. This report is the ops signal for
+    * when tombstones should be compacted away: per cell, live vs deleted
+    * counts and a flag when deletions exceed 1/6 of the live set
+    * (integer comparison: n_deleted * 5 > n_live). One broadcast-centroid
+    * assignment pass + one broadcast semi-join against the (small) delete
+    * list — the corpus never self-joins and never rewrites. */
+  def ivfDeleteReport(indexed: DataFrame, deletes: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int): DataFrame = {
+    requireNumericId(indexed, idCol)
+    val cents = indexed.orderBy(idCol).limit(nCentroids)
+      .select(col(idCol).cast("long").as("cent_id"),
+        toDouble(col(vecCol)).as("centv"))
+    val assigned = assignCells(
+        indexed.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("v")),
+        "v", cents, 1)
+      .withColumnRenamed("cent_id", "cell")
+    val flagged = assigned.join(
+        broadcast(deletes.select(col(deletes.columns.head).as("vid"),
+          lit(true).as("del"))),
+        Seq("vid"), "left")
+    flagged.groupBy("cell")
+      .agg(count(when(col("del").isNull, 1)).as("n_live"),
+        count(col("del")).as("n_deleted"))
+      .select(col("cell"), col("n_live"), col("n_deleted"),
+        (col("n_deleted") * 5 > col("n_live")).as("needs_compact"))
+  }
+
   /** LSH-bucketed ANN: candidates share an SRP bucket with the query; top-k
     * within candidates. `planes` controls bucket granularity (2^planes
     * buckets). Same output schema as brute force; recall < 1 by design.

@@ -242,6 +242,28 @@ object EventsStreaming {
       .start()
   }
 
+  /** Watermarked append-mode aggregation into an exactly-once parquet
+    * FILE sink — the production output path: the sink's `_spark_metadata`
+    * commit log records exactly the files each batch committed, so a
+    * batch read of `outDir` sees only transactionally-complete data (a
+    * crashed batch's orphan files are invisible), and a checkpointed
+    * restart appends without duplicating. Only watermark-proven windows
+    * ever reach the sink (append mode), which is what makes the on-disk
+    * dataset immutable-append. */
+  def hourlyFileSink(
+      spark: SparkSession, parquetPath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    hourlyAgg(fileStream(spark, parquetPath)
+        .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+        .withWatermark("ts", "1 hour"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked append-mode variant (drops late data; state bounded by the
     * watermark) — the production shape for continuous ingest. */
   def hourlyStreamAppend(

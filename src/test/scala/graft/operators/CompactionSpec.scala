@@ -98,4 +98,31 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.count() === pts.count())
     assert(back.exceptAll(pts).count() === 0)
   }
+
+  test("dynamic partition overwrite replaces only the partitions present " +
+      "in the incoming frame") {
+    import spark.implicits._
+    val out = graft.TestSpark.tmpDir("graft-dpo") + "/t"
+    val base = (1L to 90L).map(i => (i, (i % 3).toString, i * 10))
+      .toDF("id", "p", "v")
+    Compaction.overwritePartitions(base, out, Seq("p"))
+    def filesUnder(p: String): Set[String] = {
+      val d = new java.io.File(s"$out/p=$p")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before1 = filesUnder("1")
+    val before2 = filesUnder("2")
+    // rerun ONLY partition 0 with corrected values
+    Compaction.overwritePartitions(
+      base.filter($"p" === "0").withColumn("v", $"v" * 2), out, Seq("p"))
+    // untouched partitions keep their exact physical files
+    assert(filesUnder("1") === before1)
+    assert(filesUnder("2") === before2)
+    // content: partition 0 corrected, others original
+    val got = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    (1L to 90L).foreach { i =>
+      assert(got(i) === (if (i % 3 == 0) i * 20 else i * 10))
+    }
+  }
 }
