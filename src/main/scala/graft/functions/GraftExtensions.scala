@@ -97,5 +97,12 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.LevenshteinPrefilter(spark)
+    // Deliberately NO custom top-k-per-group operator: Spark >= 3.5 plans
+    // `filter(row_number().over(...) <= k)` through the built-in
+    // WindowGroupLimit pushdown (Partial below the exchange, Final above),
+    // which already bounds shuffle volume to the per-group survivors — a
+    // prototyped custom partial/final heap operator measured as pure
+    // duplication of it. PlanSpec gates that the builtin actually engages
+    // on the top-k query shapes.
   }
 }

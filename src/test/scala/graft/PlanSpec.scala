@@ -358,6 +358,22 @@ class PlanSpec extends AnyFunSuite {
       s"NormalizeText must stay inside codegen:\n$p")
   }
 
+  test("window top-k engages the built-in WindowGroupLimit pushdown: " +
+      "partial rank-limit BELOW the exchange (q6)") {
+    // the reason graft ships NO custom top-k operator: Spark's own
+    // WindowGroupLimit already bounds the shuffle to per-group survivors.
+    // This gate pins that the builtin keeps engaging on our query shape —
+    // if an upgrade or conf change drops it, the full per-group sort
+    // silently returns and this test catches it.
+    val p = plan("q6_window_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown must engage:\n$p")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("Partial")
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"partial phase must run below the exchange (map side):\n$p")
+  }
+
   test("FS band audit is equi-join only — candidates never go all-pairs (er3)") {
     val p = plan("er3_fs_bands")
     assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
