@@ -1395,6 +1395,28 @@ object SparkEntry {
       // the whole statistic stays in integer arithmetic
       graft.operators.TimeSeries.cusumChangepoint(
         t(s, dir, "events").filter(col("ts").isNotNull))),
+    "dd33_leakfree_split" -> ((s, dir) =>
+      // leakage-free splitting: the dd8 hash split composed with
+      // LSH-verified near-dup detection — train/val docs near-duplicating
+      // a TEST doc relabel to dropped_leak (cross-split contamination is
+      // the self-corpus analogue of benchmark leakage). Candidates ride
+      // the banded LSH join; never all-pairs.
+      Dedup.leakFreeSplit(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)),
+    "q81_retention_matrix" -> ((s, dir) => {
+      // the full cohort-retention triangle (q30 generalized from one
+      // cohort to the matrix): users grouped by first-activity week,
+      // distinct actives per (cohort_week, age_week) — two hash
+      // aggregations and one equi-join, integer week arithmetic in UTC
+      val e = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val firstW = e.groupBy("user_id").agg(min(col("w")).as("cw"))
+      e.join(firstW, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          ((unix_micros(col("w")) - unix_micros(col("cw")))
+            / 604800000000L).cast("long").as("age_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     "st11_file_sink" -> ((s, dir) => {
       // exactly-once parquet FILE sink: watermarked append-mode hourly
       // aggregation streamed AvailableNow into a sink whose
@@ -4309,6 +4331,47 @@ object SparkEntry {
         |SELECT event_type, h, s_abs, row_number() OVER
         |(PARTITION BY event_type ORDER BY s_abs DESC, h) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+    "dd33_leakfree_split" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0)
+         |  / 10000.0 >= 0.5),
+         |base AS (SELECT doc_id, CASE
+         |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+         |WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+         |ELSE 'test' END AS split0 FROM documents),
+         |leaky AS (SELECT DISTINCT
+         |CASE WHEN sb.split0 = 'test' THEN p.doc_a ELSE p.doc_b END AS doc_id
+         |FROM pairs p JOIN base sa ON sa.doc_id = p.doc_a
+         |JOIN base sb ON sb.doc_id = p.doc_b
+         |WHERE (sa.split0 = 'test') <> (sb.split0 = 'test'))
+         |SELECT b.doc_id, CASE
+         |WHEN l.doc_id IS NOT NULL AND b.split0 <> 'test'
+         |THEN 'dropped_leak' ELSE b.split0 END AS split
+         |FROM base b LEFT JOIN leaky l ON l.doc_id = b.doc_id""".stripMargin,
+    "q81_retention_matrix" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w
+        |FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1)
+        |SELECT cw AS cohort_week,
+        |(epoch_us(w) - epoch_us(cw)) // 604800000000 AS age_week,
+        |count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "st11_file_sink" ->
       """WITH e AS (SELECT ts, event_type, value FROM events
         |WHERE ts IS NOT NULL),

@@ -325,6 +325,46 @@ object Dedup {
     scoreJaccard(inter, sizes, threshold)
   }
 
+  /** Leakage-free held-out splitting: the md5 hash split (dd8) composed
+    * with LSH-verified near-dup detection, so no train/val document that
+    * is a near-duplicate of a TEST document survives — the cross-split
+    * contamination that silently inflates eval scores (the self-corpus
+    * analogue of benchmark decontamination, dc1). Test membership never
+    * changes (the held-out set stays exactly the hash split); leaky
+    * train/val members are relabeled `dropped_leak` so the caller can
+    * count the cost of cleanliness.
+    *
+    * Scale shape: the split is a pure projection; leakage detection rides
+    * the banded-LSH candidate join (never all-pairs) plus one broadcast
+    * of the leaky-id set. Output: (doc_id, split in
+    * train/val/test/dropped_leak). */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      when(substring(md5(col(idCol).cast("string")), 1, 2) < "cc", "train")
+        .when(substring(md5(col(idCol).cast("string")), 1, 2) < "e6", "val")
+        .otherwise("test").as("split0"))
+    val pairs = lshVerifiedJaccardPairs(docs, idCol, textCol, n,
+        numHashes, rowsPerBand, threshold)
+      .select("doc_a", "doc_b")
+    val withSplits = pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("split0").as("sa")),
+        "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("split0").as("sb")),
+        "doc_b")
+      .filter((col("sa") === "test") =!= (col("sb") === "test"))
+    val leaky = withSplits
+      .select(when(col("sb") === "test", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("leak", lit(true))
+    base.join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("leak"), lit(false)) && col("split0") =!= "test",
+          "dropped_leak").otherwise(col("split0")).as("split"))
+  }
+
   /** Incremental dedup: classify each NEW batch document against an
     * already-ingested corpus — the continuous-ingest shape, where the
     * corpus×corpus comparison never runs (it was paid when those documents

@@ -383,4 +383,43 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashHammingPairs(docs, "doc_id", "text", 32, 4, maxHamming = 4)
     }
   }
+
+  test("leak-free split: test membership is exactly the hash split, only " +
+      "leaky train/val docs relabel, non-leaky docs keep their split") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val split = Dedup.leakFreeSplit(docs, "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(split.size === docs.count())
+    val base = docs.select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc",
+          "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6",
+            "val")
+          .otherwise("test").as("s"))
+      .as[(Long, String)].collect().toMap
+    // test set identical to the pure hash split — held-out membership
+    // never changes
+    assert(split.filter(_._2 == "test").keySet ===
+      base.filter(_._2 == "test").keySet)
+    // every relabeled doc was train/val, and every leaky one pairs with a
+    // test doc at >= 0.5 verified jaccard
+    val dropped = split.filter(_._2 == "dropped_leak").keySet
+    dropped.foreach(id => assert(base(id) != "test"))
+    val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+        2, 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expectedLeaky = pairs.flatMap { case (a, b) =>
+      (base(a) == "test", base(b) == "test") match {
+        case (false, true) => Some(a)
+        case (true, false) => Some(b)
+        case _ => None
+      }
+    }.toSet
+    assert(dropped === expectedLeaky)
+    // everyone else keeps the base label
+    (split.keySet -- dropped).foreach(id => assert(split(id) === base(id)))
+  }
 }
