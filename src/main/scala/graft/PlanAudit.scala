@@ -78,7 +78,8 @@ object PlanAudit {
       "q72_gapfill" -> "1-row date-span broadcast cross (spine bounded by calendar days)",
       "q77_bootstrap_ci" -> "1-row quantile/overall broadcast crosses",
       "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses",
-      "ss18_ivf_delete" -> "tiny centroid-table broadcast cross")
+      "ss18_ivf_delete" -> "tiny centroid-table broadcast cross",
+      "s23_coherent_sample" -> "1-row per-table count broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1395,6 +1395,32 @@ object SparkEntry {
       // the whole statistic stays in integer arithmetic
       graft.operators.TimeSeries.cusumChangepoint(
         t(s, dir, "events").filter(col("ts").isNotNull))),
+    "s23_coherent_sample" -> ((s, dir) => {
+      // referential-integrity-preserving sampling: hash-sample the ROOT
+      // table, semi-join each child level down the FK chain — every
+      // sampled lineitem still has its order and customer (a per-table
+      // Bernoulli sample orphans ~90% of child rows). The dev-fixture /
+      // debug-subset generator; summary row per table
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val sc = graft.operators.Sampling.hashPrefixSample(cust, "c_custkey",
+        "1a")
+      val so = ord.join(sc.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      val sl = li.join(so.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      def row(name: String, all: org.apache.spark.sql.DataFrame,
+          sampled: org.apache.spark.sql.DataFrame) =
+        all.agg(count(lit(1)).as("n_total"))
+          .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
+          .select(lit(name).as("tbl"), col("n_total"), col("n_sampled"),
+            fround(col("n_sampled").cast("double") / col("n_total"), 4)
+              .as("frac"))
+      row("customer", cust, sc)
+        .unionAll(row("orders", ord, so))
+        .unionAll(row("lineitem", li, sl))
+    }),
     "dd33_leakfree_split" -> ((s, dir) =>
       // leakage-free splitting: the dd8 hash split composed with
       // LSH-verified near-dup detection — train/val docs near-duplicating
@@ -4331,6 +4357,28 @@ object SparkEntry {
         |SELECT event_type, h, s_abs, row_number() OVER
         |(PARTITION BY event_type ORDER BY s_abs DESC, h) AS rn FROM sc)
         |WHERE rn = 1""".stripMargin,
+    "s23_coherent_sample" ->
+      """WITH sc AS (SELECT c_custkey FROM customer
+        |WHERE substr(md5(c_custkey::VARCHAR), 1, 2) < '1a'),
+        |so AS (SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM sc)),
+        |sl AS (SELECT l_orderkey FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+        |SELECT 'customer' AS tbl,
+        |(SELECT count(*) FROM customer)::BIGINT AS n_total,
+        |(SELECT count(*) FROM sc)::BIGINT AS n_sampled,
+        |floor((SELECT count(*) FROM sc)::DOUBLE
+        |  / (SELECT count(*) FROM customer) * 10000.0) / 10000.0 AS frac
+        |UNION ALL SELECT 'orders',
+        |(SELECT count(*) FROM orders)::BIGINT,
+        |(SELECT count(*) FROM so)::BIGINT,
+        |floor((SELECT count(*) FROM so)::DOUBLE
+        |  / (SELECT count(*) FROM orders) * 10000.0) / 10000.0
+        |UNION ALL SELECT 'lineitem',
+        |(SELECT count(*) FROM lineitem)::BIGINT,
+        |(SELECT count(*) FROM sl)::BIGINT,
+        |floor((SELECT count(*) FROM sl)::DOUBLE
+        |  / (SELECT count(*) FROM lineitem) * 10000.0) / 10000.0""".stripMargin,
     "dd33_leakfree_split" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

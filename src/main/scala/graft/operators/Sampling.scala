@@ -18,6 +18,18 @@ object Sampling {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
 
+  /** Deterministic key-hash sampling: keep rows whose md5(key) 2-hex
+    * prefix sorts below `hexCut` (e.g. "1a" keeps ~26/256 ~ 10%).
+    * RNG-free, so the SAME keys are kept on any engine, partitioning, or
+    * rerun — the root-table sampler for coherent (referential-integrity-
+    * preserving) subsetting: sample the root by hash, semi-join each
+    * child level down the FK chain, and every sampled child row still
+    * has its parent — the dev-fixture / debugging subset a naive
+    * per-table Bernoulli sample can never give you. */
+  def hashPrefixSample(df: DataFrame, keyCol: String,
+      hexCut: String): DataFrame =
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < hexCut)
+
   /** Per-stratum rate as a MAP-LITERAL lookup, not a when-chain: a chain of
     * `WHEN strata = k` branches references the strata column once per
     * stratum, and when the strata value is itself a computed expression

@@ -128,4 +128,27 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratifiedExactSplit(rows, "id", "src", 200, 100)
     }
   }
+
+  test("coherent sampling keeps full FK chains: every sampled child has " +
+      "its parent, and the root fraction tracks the hex cut") {
+    val cust = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/customer.parquet")
+    val ord = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/orders.parquet")
+    val sc = Sampling.hashPrefixSample(cust, "c_custkey", "1a")
+    // '1a' = 26/256 of the 2-hex space; md5 is uniform
+    val frac = sc.count().toDouble / cust.count()
+    assert(frac > 0.04 && frac < 0.17, s"~10% expected, got $frac")
+    // deterministic: same keys on a rerun and under repartitioning
+    val again = Sampling
+      .hashPrefixSample(cust.repartition(7), "c_custkey", "1a")
+    assert(again.select("c_custkey").exceptAll(
+      sc.select("c_custkey")).isEmpty)
+    // coherence: sampled orders' customers are all in the sampled set
+    val so = ord.join(sc.selectExpr("c_custkey AS o_custkey"),
+      Seq("o_custkey"), "left_semi")
+    val orphans = so.join(sc.selectExpr("c_custkey AS o_custkey"),
+      Seq("o_custkey"), "left_anti")
+    assert(orphans.isEmpty)
+  }
 }
