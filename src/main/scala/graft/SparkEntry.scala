@@ -1395,6 +1395,35 @@ object SparkEntry {
       // the whole statistic stays in integer arithmetic
       graft.operators.TimeSeries.cusumChangepoint(
         t(s, dir, "events").filter(col("ts").isNotNull))),
+    "dd34_cluster_histogram" -> ((s, dir) => {
+      // the dedup health curve: distribution of near-dup cluster sizes
+      // including singletons (a corpus whose mass sits in big clusters
+      // needs aggressive dedup; a flat histogram is already clean).
+      // Reuses dd6's clusters; two further hash aggregations.
+      val docs = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5).select("doc_a", "doc_b"))
+      docs.select("doc_id")
+        .join(cc.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+          "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+        .groupBy("cl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+    "tx33_dedup_impact" -> ((s, dir) =>
+      // per-source curation summary BEFORE running the expensive dedup:
+      // exact-duplicate mass by source (docs minus distinct content
+      // fingerprints) — the number that decides which sources are worth
+      // near-dup treatment at all. One hash aggregation.
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+          fround((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs"), 4).as("dup_ratio"))),
     "s23_coherent_sample" -> ((s, dir) => {
       // referential-integrity-preserving sampling: hash-sample the ROOT
       // table, semi-join each child level down the FK chain — every
@@ -4034,6 +4063,35 @@ object SparkEntry {
          |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+    "dd34_cluster_histogram" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0) / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a),
+         |ent AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cl
+         |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+         |sz AS (SELECT cl, count(*)::BIGINT AS cluster_size
+         |FROM ent GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+    "tx33_dedup_impact" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |count(DISTINCT md5(text))::BIGINT AS n_unique,
+        |(count(*) - count(DISTINCT md5(text)))::BIGINT AS n_exact_dups,
+        |floor((count(*) - count(DISTINCT md5(text)))::DOUBLE
+        |  / count(*) * 10000.0) / 10000.0 AS dup_ratio
+        |FROM documents GROUP BY 1""".stripMargin,
     "dd7_cluster_survivors" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh

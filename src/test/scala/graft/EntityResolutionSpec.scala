@@ -54,6 +54,18 @@ class EntityResolutionSpec extends AnyFunSuite {
         s"$matches matches")
   }
 
+  test("raising the match threshold only ever shrinks the pair set " +
+      "(monotone decision boundary)") {
+    def pairs(t: Double) = EntityResolution
+      .tokenBlockedPairs(part, "p_partkey", "p_name", "p_brand", t)
+      .select("pk_a", "pk_b")
+    val loose = pairs(0.85)
+    val strict = pairs(0.95)
+    assert(strict.exceptAll(loose).isEmpty,
+      "every strict match must also be a loose match")
+    assert(strict.count() < loose.count())
+  }
+
   test("Fellegi-Sunter matches require name agreement plus two " +
       "corroborating features (the weight structure's decision boundary)") {
     val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")

@@ -47,6 +47,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r._1 === 0L) // tie broken to the earliest bucket
   }
 
+  test("CUSUM statistic is invariant under uniform level shifts " +
+      "(S_k = T*cum_k - k*total cancels any +c per bucket)") {
+    val counts = (0L to 9L).map(h => h -> (3 + (h % 4)).toInt)
+    val base = TimeSeries.cusumChangepoint(toDf(series("s", counts)))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val shifted = TimeSeries.cusumChangepoint(
+        toDf(series("s", counts.map { case (h, n) => h -> (n + 5) })))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(base === shifted,
+      "adding a constant per bucket must not move the changepoint " +
+        "or its magnitude")
+  }
+
   test("seasonal decomposition: seasonal is the hour-of-day mean and " +
       "resid = n - seasonal - trend exactly") {
     // two days, hour-of-day pattern 10,20 alternating; seasonal mean per
