@@ -145,8 +145,10 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     // append this run to the trend history (skipped for filtered dev runs —
-    // a 2-query subset would otherwise shadow the last full round)
-    if (only.isEmpty) {
+    // a 2-query subset would otherwise shadow the last full round — and for
+    // broken runs, whose failure-path timings would poison the baseline the
+    // next run's contamination guard compares against)
+    if (only.isEmpty && failed.isEmpty) {
       val trendLine = s"""{"ts_ms":${System.currentTimeMillis()},""" +
         s""""sf":"$sfDir","total":${fmt(total)},""" +
         s""""load_avg_start":${fmt(loadAtStart)},""" +

@@ -79,7 +79,8 @@ object PlanAudit {
       "q77_bootstrap_ci" -> "1-row quantile/overall broadcast crosses",
       "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses",
       "ss18_ivf_delete" -> "tiny centroid-table broadcast cross",
-      "s23_coherent_sample" -> "1-row per-table count broadcast crosses")
+      "s23_coherent_sample" -> "1-row per-table count broadcast crosses",
+      "ss19_probe_sweep" -> "recall sweep vs the deliberate brute baseline (bounded query batch)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

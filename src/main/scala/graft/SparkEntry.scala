@@ -3126,6 +3126,34 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 20 && col("label") === 1),
         "vec_id", "embedding", k = 3, planes = 4)
     }),
+    "ss19_probe_sweep" -> ((s, dir) => {
+      // multi-probe LSH calibration (the vector-side twin of dd20's LSH
+      // parameter sweep): mean recall@3 vs the exact baseline for probe
+      // counts 1..3 — the curve that picks the probe budget before
+      // deploying an index. The oracle reproduces the identical
+      // lowest-margin bit flips, so the recall numbers are bit-exact.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20)
+      val exact = Similarity
+        .bruteForceTopK(q, c, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2, 3).map { m =>
+        val ap = Similarity.lshTopK(q, c, "vec_id", "embedding",
+            k = 3, planes = 4, probes = m)
+          .select(col("query_id").as("a_qid"),
+            col("neighbor_id").as("a_nid"))
+        exact.join(ap,
+            exact("query_id") === ap("a_qid") &&
+              exact("neighbor_id") === ap("a_nid"), "left")
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            fround(sum(when(col("a_nid").isNotNull, 1).otherwise(0))
+              .cast("double") / count(lit(1)), 4).as("mean_recall"))
+          .select(lit(m).as("probes"), col("n_queries"),
+            col("mean_recall"))
+      }.reduce(_ unionByName _)
+    }),
     "ss10_ann_recall" -> ((s, dir) => {
       // offline ANN index evaluation: recall@k of the LSH path against the
       // exact baseline, per query — the measurement loop a production
@@ -6376,6 +6404,46 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id,
         |floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "ss19_probe_sweep" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20)
+        |WHERE rank <= 3),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |flips AS (SELECT b.vec_id,
+        |xor(b.bucket, (1::BIGINT << pr.p::INT)) AS fb,
+        |row_number() OVER (PARTITION BY b.vec_id
+        |ORDER BY abs(pr.pr), pr.p) AS mr
+        |FROM buck b JOIN proj pr ON pr.vec_id = b.vec_id),
+        |pv AS (SELECT unnest(range(1, 4)) AS m),
+        |qb AS (SELECT pv.m, b.vec_id, b.bucket AS pb FROM buck b, pv
+        |WHERE b.vec_id < 20
+        |UNION ALL SELECT pv.m, f.vec_id, f.fb FROM flips f, pv
+        |WHERE f.vec_id < 20 AND f.mr <= pv.m - 1),
+        |ap AS (SELECT m, query_id, neighbor_id FROM (
+        |SELECT qb.m, qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY qb.m, qb.vec_id
+        |ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rank
+        |FROM qb JOIN buck c ON c.bucket = qb.pb AND c.vec_id >= 20
+        |JOIN v qv ON qv.vec_id = qb.vec_id
+        |JOIN v cv ON cv.vec_id = c.vec_id)
+        |WHERE rank <= 3)
+        |SELECT pv.m AS probes,
+        |count(DISTINCT ex.query_id)::BIGINT AS n_queries,
+        |floor(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |END)::DOUBLE / count(*) * 10000.0) / 10000.0 AS mean_recall
+        |FROM pv CROSS JOIN ex LEFT JOIN ap ON ap.m = pv.m
+        |AND ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+        |GROUP BY 1""".stripMargin,
     "ss10_ann_recall" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex AS (SELECT query_id, neighbor_id FROM (

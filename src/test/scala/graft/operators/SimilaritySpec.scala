@@ -266,4 +266,28 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, 1L, 0L, 1L, false), (3L, 1L, 0L, 1L, false)),
       s"unexpected report: $r")
   }
+
+  test("multi-probe recall is monotonically non-decreasing in the probe " +
+      "count (each extra probe only widens the candidate set)") {
+    val emb = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 3, 4).map { m =>
+      val got = Similarity.lshTopK(q, c, "vec_id", "embedding",
+          k = 3, planes = 4, probes = m)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall must not drop with more probes: $recalls")
+    }
+    // all 5 probe buckets = the full 16-bucket space is NOT covered, so
+    // perfect recall is not guaranteed — but more probes found more here
+    assert(recalls.last >= recalls.head)
+  }
 }
