@@ -1328,6 +1328,20 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterMatches(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er5_incremental_link" -> ((s, dir) => {
+      // incremental entity linkage (continuous-ingest ER): a new batch
+      // links against the resolved corpus batch-vs-corpus only — the
+      // corpus never re-pairs with itself; unmatched records found new
+      // entities under their own key
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val corpus = parts.filter(col("p_partkey") % 10 =!= 0)
+      val batch = parts.filter(col("p_partkey") % 10 === 0)
+      val corpusEnt = graft.operators.EntityResolution.resolveEntities(
+        corpus, "p_partkey", "p_name", "p_brand", threshold = 0.9)
+      graft.operators.EntityResolution.linkIncrement(corpus, corpusEnt,
+        batch, "p_partkey", "p_name", "p_brand", threshold = 0.9)
+    }),
     "er3_fs_bands" -> ((s, dir) =>
       // the full FS three-band decision summary (match / clerical-review
       // possible / non-match) over the token-blocked candidate set —
@@ -4344,6 +4358,35 @@ object SparkEntry {
         | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) AS fs_deci FROM f)
         |SELECT pk_a, pk_b, jw, f_size, f_cat, f_price,
         |fs_deci / 10.0 AS fs_score FROM s WHERE fs_deci >= 60""".stripMargin,
+    "er5_incremental_link" ->
+      """WITH RECURSIVE corp AS (SELECT p_partkey, p_name, p_brand
+        |FROM part WHERE p_partkey % 10 <> 0),
+        |bat AS (SELECT p_partkey, p_name, p_brand
+        |FROM part WHERE p_partkey % 10 = 0),
+        |pairs AS (SELECT a.p_partkey AS da, b.p_partkey AS db
+        |FROM corp a JOIN corp b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |UNION SELECT db, da FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS p_partkey, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a),
+        |ent AS (SELECT c.p_partkey,
+        |coalesce(cc.cluster_id, c.p_partkey) AS entity_id
+        |FROM corp c LEFT JOIN cc USING (p_partkey)),
+        |m AS (SELECT b.p_partkey, min(e.entity_id) AS matched_entity
+        |FROM bat b JOIN corp c ON c.p_brand = b.p_brand
+        |AND floor(jaro_winkler_similarity(b.p_name, c.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9
+        |JOIN ent e ON e.p_partkey = c.p_partkey
+        |GROUP BY 1)
+        |SELECT b.p_partkey,
+        |coalesce(m.matched_entity, b.p_partkey) AS entity_id,
+        |m.matched_entity IS NULL AS is_new
+        |FROM bat b LEFT JOIN m USING (p_partkey)""".stripMargin,
     "er3_fs_bands" ->
       """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
         |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok

@@ -168,6 +168,42 @@ object EntityResolution {
         (floor(sum(col("jw_u")).cast("double") /
           count(lit(1))) / 10000.0).as("avg_jw"))
 
+  /** Incremental linkage — the continuous-ingest shape of entity
+    * resolution (the dd15/dd28 discipline applied to entities): a NEW
+    * batch of records links against the EXISTING resolved corpus without
+    * ever re-running corpus x corpus. Candidates are the token inverted
+    * index joined batch-vs-corpus only; each batch record that matches
+    * (Jaro-Winkler >= threshold) adopts the smallest matched corpus
+    * entity id, the rest found NEW entities under their own key. Within
+    * the batch itself no pairs are drawn — production incremental ER
+    * defers intra-batch merging to the next full resolution pass, keeping
+    * the increment's cost proportional to the batch.
+    *
+    * Output: (keyCol, entity_id, is_new). */
+  def linkIncrement(corpus: DataFrame, corpusEntities: DataFrame,
+      batch: DataFrame, keyCol: String, nameCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val ctk = corpus.select(col(keyCol).as("c_key"),
+      col(nameCol).as("c_name"), col(blockCol).as("block"),
+      explode(split(col(nameCol), " ")).as("tok"))
+    val btk = batch.select(col(keyCol).as("b_key"),
+      col(nameCol).as("b_name"), col(blockCol).as("block"),
+      explode(split(col(nameCol), " ")).as("tok"))
+    val matches = btk.join(ctk, Seq("block", "tok"))
+      .withColumn("jw", NumericFunctions.fround(
+        TextFunctions.jaroWinkler(col("b_name"), col("c_name")), 4))
+      .filter(col("jw") >= threshold)
+      .join(corpusEntities.select(col(keyCol).as("c_key"),
+        col("entity_id")), "c_key")
+      .groupBy(col("b_key").as(keyCol))
+      .agg(min(col("entity_id")).as("matched_entity"))
+    batch.select(col(keyCol))
+      .join(matches, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("matched_entity"), col(keyCol)).as("entity_id"),
+        col("matched_entity").isNull.as("is_new"))
+  }
+
   /** Golden-record survivorship (the MDM step after [[resolveEntities]]):
     * per entity cluster, the canonical attribute values a master-data
     * system would publish — the name by highest member count with ties to

@@ -84,6 +84,27 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(m.select("pk_a", "pk_b").distinct().count() === rows.length)
   }
 
+  test("incremental linkage: matched batch records adopt an existing " +
+      "entity, unmatched ones found their own, corpus never re-pairs") {
+    val corpus = part.filter(col("p_partkey") % 10 =!= 0)
+    val batch = part.filter(col("p_partkey") % 10 === 0)
+    val corpusEnt = EntityResolution.resolveEntities(corpus, "p_partkey",
+      "p_name", "p_brand", 0.9)
+    val linked = EntityResolution.linkIncrement(corpus, corpusEnt, batch,
+      "p_partkey", "p_name", "p_brand", 0.9).collect()
+    assert(linked.length === batch.count())
+    val corpusEntityIds = corpusEnt.select("entity_id")
+      .collect().map(_.getLong(0)).toSet
+    linked.foreach { r =>
+      val (key, ent, isNew) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      if (isNew) assert(ent === key, "new entities found under own key")
+      else assert(corpusEntityIds.contains(ent),
+        "matched records must adopt an EXISTING corpus entity id")
+    }
+    assert(linked.exists(!_.getBoolean(2)), "fixture has cross-batch dups")
+    assert(linked.exists(_.getBoolean(2)), "fixture has novel records")
+  }
+
   test("golden records: one per entity, canonical name is a member value, " +
       "member counts partition the input") {
     val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
