@@ -1464,6 +1464,12 @@ object SparkEntry {
         .unionAll(row("orders", ord, so))
         .unionAll(row("lineitem", li, sl))
     }),
+    "dd37_weighted_jaccard" -> ((s, dir) =>
+      // IDF-weighted near-dup scoring: rare-shingle agreement dominates,
+      // boilerplate agreement stops qualifying — integer micro-nat
+      // weights, exact intersection/union sums, LSH candidates only
+      Dedup.weightedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.4)),
     "dd33_leakfree_split" -> ((s, dir) =>
       // leakage-free splitting: the dd8 hash split composed with
       // LSH-verified near-dup detection — train/val docs near-duplicating
@@ -4508,6 +4514,33 @@ object SparkEntry {
         |(SELECT count(*) FROM sl)::BIGINT,
         |floor((SELECT count(*) FROM sl)::DOUBLE
         |  / (SELECT count(*) FROM lineitem) * 10000.0) / 10000.0""".stripMargin,
+    "dd37_weighted_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+         |wts AS (SELECT sh, floor(ln(nd.n_docs::DOUBLE / count(*)) * 1e6)::BIGINT
+         |  AS w_u FROM sh, nd GROUP BY sh, nd.n_docs),
+         |tw AS (SELECT doc_id, sum(w_u)::BIGINT AS tw
+         |FROM sh JOIN wts USING (sh) GROUP BY 1),
+         |iw AS (SELECT doc_a, doc_b, sum(w.w_u)::BIGINT AS iw FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+         |JOIN wts w ON w.sh = a.sh GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |floor(iw::DOUBLE / (ta.tw + tb.tw - iw) * 10000.0) / 10000.0
+         |  AS wjaccard
+         |FROM iw JOIN tw ta ON ta.doc_id = doc_a
+         |JOIN tw tb ON tb.doc_id = doc_b
+         |WHERE floor(iw::DOUBLE / (ta.tw + tb.tw - iw) * 10000.0)
+         |  / 10000.0 >= 0.4""".stripMargin,
     "dd33_leakfree_split" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

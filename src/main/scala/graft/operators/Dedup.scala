@@ -325,6 +325,51 @@ object Dedup {
     scoreJaccard(inter, sizes, threshold)
   }
 
+  /** IDF-weighted Jaccard over LSH candidates: rare shingles count more
+    * than boilerplate ones, so two docs sharing a distinctive passage
+    * score high even when one also carries lots of template filler that
+    * plain Jaccard would dilute (and conversely, docs agreeing only on
+    * ubiquitous boilerplate stop qualifying). w(s) = ln(N/df_s) truncated
+    * to integer micro-nats BEFORE any aggregation, so the intersection /
+    * union weight sums are exact integer arithmetic (the tx14/BM25
+    * discipline) and the score is engine- and partitioning-identical.
+    *
+    * Candidates ride the banded MinHash join (never all-pairs); weights
+    * need one df aggregation the plain-Jaccard path computes anyway.
+    * Output: (doc_a, doc_b, wjaccard >= threshold). */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val cand = minhashLshPairs(docs, idCol, textCol, n, numHashes,
+      rowsPerBand)
+    val sh = shingleSet(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sh.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_u", floor(
+        log(col("n_docs").cast("double") / col("df")) * 1e6).cast("long"))
+      .select("sh", "w_u")
+    val shw = sh.join(wts, "sh")
+    val tw = shw.groupBy("doc_id").agg(sum(col("w_u")).as("tw"))
+    val iw = cand
+      .join(shw.select(col("doc_id").as("doc_a"), col("sh"),
+        col("w_u")), "doc_a")
+      .join(shw.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("w_u")).as("iw"))
+    iw
+      .join(tw.select(col("doc_id").as("doc_a"), col("tw").as("tw_a")),
+        "doc_a")
+      .join(tw.select(col("doc_id").as("doc_b"), col("tw").as("tw_b")),
+        "doc_b")
+      .withColumn("wjaccard", graft.functions.NumericFunctions.fround(
+        col("iw").cast("double") /
+          (col("tw_a") + col("tw_b") - col("iw")), 4))
+      .filter(col("wjaccard") >= threshold)
+      .select("doc_a", "doc_b", "wjaccard")
+  }
+
   /** Leakage-free held-out splitting: the md5 hash split (dd8) composed
     * with LSH-verified near-dup detection, so no train/val document that
     * is a near-duplicate of a TEST document survives — the cross-split

@@ -384,6 +384,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("idf weighting demotes boilerplate agreement and promotes " +
+      "rare-content agreement vs plain jaccard") {
+    import spark.implicits._
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // 20 template-only docs make the template shingles common (low idf)
+    val filler = (100L to 119L).map(i => (i, s"$template filler$i"))
+    // A/B share ONLY the template; C/D share a unique passage
+    val rare = "quasar pulsar nebula magnetar blazar quark gluon hadron"
+    val docs = (filler ++ Seq(
+      (1L, s"$template uniqueone"),
+      (2L, s"$template uniquetwo"),
+      (3L, s"$rare tail3"),
+      (4L, s"$rare tail4"))).toDF("doc_id", "text")
+    val w = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+        n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val plain = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+        2, 16, 4, 0.0)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w.contains((1L, 2L)) && w.contains((3L, 4L)))
+    // plain jaccard scores the two pairs similarly (similar overlap
+    // fractions); idf weighting splits them decisively
+    assert(w((3L, 4L)) > w((1L, 2L)),
+      s"rare-content pair must outscore the boilerplate pair: $w")
+    assert(w((3L, 4L)) - w((1L, 2L)) >
+      plain((3L, 4L)) - plain((1L, 2L)) - 0.0001,
+      "weighting must widen the gap vs plain jaccard")
+    w.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("leak-free split: test membership is exactly the hash split, only " +
       "leaky train/val docs relabel, non-leaky docs keep their split") {
     import spark.implicits._
