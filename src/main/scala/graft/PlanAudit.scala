@@ -80,7 +80,8 @@ object PlanAudit {
       "tx31_ccnet_buckets" -> "1-row tercile-cutoff + vocab-size broadcast crosses",
       "ss18_ivf_delete" -> "tiny centroid-table broadcast cross",
       "s23_coherent_sample" -> "1-row per-table count broadcast crosses",
-      "ss19_probe_sweep" -> "recall sweep vs the deliberate brute baseline (bounded query batch)")
+      "ss19_probe_sweep" -> "recall sweep vs the deliberate brute baseline (bounded query batch)",
+      "q85_scd2_enrich" -> "1-row horizon-cap broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2524,6 +2524,43 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").as("state"), col("version"),
           col("ts").as("valid_from"), col("valid_to"))
     }),
+    "q85_scd2_enrich" -> ((s, dir) => {
+      // the canonical warehouse pattern q56 + q32 compose into: enrich
+      // each purchase with the SCD2 state valid AT ITS TIME. A naive
+      // p BETWEEN lo AND hi join is a nested loop; here intervals explode
+      // onto hour buckets (open intervals capped at the corpus horizon)
+      // and candidates come from an EQUI-join on (user_id, bucket) —
+      // the RangeJoin discipline with the entity key composed in
+      val w = 3600000000L // 1h in micros
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val ordW = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val scd = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(ordW))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(ordW))
+        .withColumn("valid_to", lead(col("ts"), 1).over(ordW))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("version"), col("ts").as("valid_from"), col("valid_to"))
+      val cap = ev.agg((unix_micros(max(col("ts"))) + 1).as("hi_cap"))
+      val iv = scd.crossJoin(broadcast(cap))
+        .select(col("user_id"), col("state"), col("version"),
+          unix_micros(col("valid_from")).as("lo"),
+          coalesce(unix_micros(col("valid_to")), col("hi_cap")).as("hi"))
+        .withColumn("__b",
+          explode(sequence(expr(s"lo div $w"), expr(s"hi div $w"))))
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("p"))
+        .withColumn("__b", expr(s"p div $w"))
+      pts.join(iv, Seq("user_id", "__b"))
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .select(col("user_id"), col("event_id"), col("state"),
+          col("version"))
+    }),
     "q57_mad_outliers" -> ((s, dir) => {
       // robust per-group outlier gate: median + MAD instead of mean/stddev
       // (one wild value cannot move the fence). Exact percentile for the
@@ -5923,6 +5960,27 @@ object SparkEntry {
         |SELECT event_type, hour, n, cnt_k AS baseline_hours,
         |floor(z * 10000.0) / 10000.0 AS z
         |FROM z WHERE abs(z) > 3.0""".stripMargin,
+    "q85_scd2_enrich" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+        |FROM events WHERE ts IS NOT NULL),
+        |ch AS (SELECT user_id, ts, event_id, event_type,
+        |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS prev_type FROM e),
+        |f AS (SELECT * FROM ch
+        |WHERE prev_type IS NULL OR prev_type <> event_type),
+        |scd AS (SELECT user_id, event_type AS state,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT
+        |  AS version,
+        |epoch_us(ts) AS lo,
+        |epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id)) AS hi
+        |FROM f),
+        |cap AS (SELECT epoch_us(max(ts)) + 1 AS hi_cap FROM e),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS pu FROM e
+        |WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, s.state, s.version
+        |FROM p JOIN scd s ON s.user_id = p.user_id, cap
+        |WHERE p.pu >= s.lo AND p.pu < coalesce(s.hi, cap.hi_cap)""".stripMargin,
     "q56_scd2" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
         |FROM events),

@@ -374,6 +374,17 @@ class PlanSpec extends AnyFunSuite {
       s"partial phase must run below the exchange (map side):\n$p")
   }
 
+  test("SCD2 as-of enrichment joins on (user, bucket) — never the naive " +
+      "between nested loop (q85)") {
+    val p = plan("q85_scd2_enrich")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"candidates must come from an equi-join:\n$p")
+    // the only loop join allowed is the 1-row horizon-cap broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the 1-row cap cross may loop:\n$p")
+  }
+
   test("FS band audit is equi-join only — candidates never go all-pairs (er3)") {
     val p = plan("er3_fs_bands")
     assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
