@@ -81,7 +81,9 @@ object PlanAudit {
       "ss18_ivf_delete" -> "tiny centroid-table broadcast cross",
       "s23_coherent_sample" -> "1-row per-table count broadcast crosses",
       "ss19_probe_sweep" -> "recall sweep vs the deliberate brute baseline (bounded query batch)",
-      "q85_scd2_enrich" -> "1-row horizon-cap broadcast cross")
+      "q85_scd2_enrich" -> "1-row horizon-cap broadcast cross",
+      "dq2_archive_reconcile" -> "1-row per-side summary broadcast cross",
+      "dd37_weighted_jaccard" -> "1-row corpus-count broadcast cross (idf denominator)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

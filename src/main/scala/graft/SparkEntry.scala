@@ -1578,6 +1578,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_ppm")).as("credit_ppm"))
     }),
+    "dq2_archive_reconcile" -> ((s, dir) => {
+      // post-archival completeness reconciliation: one scan per side,
+      // count + order-independent XOR of an engine-portable key
+      // fingerprint. The simulated archive silently lost every 997th
+      // order's lineitems — the checksum catches it; d5's per-key diff
+      // is the forensic follow-up
+      val src = t(s, dir, "lineitem")
+      val lossyDst = src.filter(col("l_orderkey") % 997 =!= 0)
+      graft.operators.TableDiff.reconcile(src, lossyDst,
+        Seq("l_orderkey", "l_linenumber"))
+    }),
     "dq1_quarantine" -> ((s, dir) => {
       // row-level dead-letter routing on a deliberately-perturbed orders
       // feed (s18's FK poison recipe): rejected rows carry a '|'-joined
@@ -4674,6 +4685,19 @@ object SparkEntry {
         |  (CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
         |END)::BIGINT AS credit_ppm
         |FROM c GROUP BY 1""".stripMargin,
+    "dq2_archive_reconcile" ->
+      """WITH s AS (SELECT count(*)::BIGINT AS src_rows,
+        |coalesce(bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+        |  || l_linenumber::VARCHAR), 1, 8))::BIGINT), 0)::BIGINT
+        |  AS src_xor FROM lineitem),
+        |d AS (SELECT count(*)::BIGINT AS dst_rows,
+        |coalesce(bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+        |  || l_linenumber::VARCHAR), 1, 8))::BIGINT), 0)::BIGINT
+        |  AS dst_xor FROM lineitem WHERE l_orderkey % 997 <> 0)
+        |SELECT s.src_rows, d.dst_rows, s.src_xor, d.dst_xor,
+        |s.src_rows = d.dst_rows AS rows_match,
+        |s.src_xor = d.dst_xor AS checksum_match
+        |FROM s, d""".stripMargin,
     "dq1_quarantine" ->
       """WITH ob AS (SELECT o_orderkey,
         |CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END

@@ -49,4 +49,35 @@ object TableDiff {
       .select(coalesce(col(s"b.$pk"), col(s"a.$pk")).as(pk),
         col("diff_status"))
   }
+
+  /** Cheap completeness reconciliation between a source and its archive:
+    * per side, ONE aggregation producing (row count, order-independent
+    * XOR of a key fingerprint) — no join, no shuffle of row content, so
+    * both sides cost a single scan each and the comparison row is bytes.
+    * This is the fast first-line check an archiver runs after every
+    * fan-out ([[diff]] is the per-key forensic follow-up when it fails).
+    *
+    * The fingerprint is md5 over the ':'-joined KEY columns truncated to
+    * 8 hex chars — engine-portable (the tx22 discipline; never a native
+    * hash(), whose value differs per engine) and XOR-combined so any
+    * partitioning yields the identical checksum. Key-set completeness
+    * only, by design: content drift is [[diff]]'s job.
+    *
+    * Output one row: (src_rows, dst_rows, src_xor, dst_xor, rows_match,
+    * checksum_match). */
+  def reconcile(src: DataFrame, dst: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(conv(substring(md5(concat_ws(":",
+          keyCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as(s"${name}_rows"),
+          coalesce(bit_xor(col("h")), lit(0L)).as(s"${name}_xor"))
+    side(src, "src").crossJoin(broadcast(side(dst, "dst")))
+      .select(col("src_rows"), col("dst_rows"), col("src_xor"),
+        col("dst_xor"),
+        (col("src_rows") === col("dst_rows")).as("rows_match"),
+        (col("src_xor") === col("dst_xor")).as("checksum_match"))
+  }
 }

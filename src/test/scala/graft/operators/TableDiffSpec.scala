@@ -58,4 +58,25 @@ class TableDiffSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got === Map("removed" -> 1L, "added" -> 1L))
   }
+
+  test("reconcile: identical sides match; any lost key flips the " +
+      "checksum; result is partition-invariant") {
+    import spark.implicits._
+    val t = (1L to 500L).map(i => (i, i % 7)).toDF("k", "sub")
+    val same = TableDiff.reconcile(t, t.repartition(9), Seq("k", "sub"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().head
+    assert(same._5 && same._6, s"identical sides must reconcile: $same")
+    assert(same._3 === same._4)
+    val lossy = TableDiff.reconcile(t, t.filter($"k" =!= 250L),
+        Seq("k", "sub"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().head
+    assert(!lossy._5 && !lossy._6, s"one lost row must fail both: $lossy")
+    // same count but different keys: rows_match true, checksum catches it
+    val swapped = TableDiff.reconcile(t,
+        t.withColumn("k", when($"k" === 250L, 9999L).otherwise($"k")),
+        Seq("k", "sub"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().head
+    assert(swapped._5 && !swapped._6,
+      s"count alone must not vouch for completeness: $swapped")
+  }
 }
