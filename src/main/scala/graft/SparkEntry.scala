@@ -40,6 +40,33 @@ object SparkEntry {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Process-scoped scratch directories, removed by one JVM exit hook.
+    * Every query that writes a sink/checkpoint allocates through here so
+    * repeated invocations (the bench runs each query at least twice, plus
+    * contamination-guard re-runs) cannot accumulate orphan directories
+    * across rounds. Best-effort delete: a failure on one tree never
+    * blocks the others (or the exit). */
+  private object TmpDirs {
+    private val dirs =
+      scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized { dirs.foreach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      } }))
+    def create(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      dirs.synchronized { dirs += p }
+      p.toString
+    }
+  }
+  private def tmpDir(prefix: String): String = TmpDirs.create(prefix)
+  private def tmpPath(prefix: String): java.nio.file.Path =
+    java.nio.file.Paths.get(TmpDirs.create(prefix))
+
   /** Register fixture tables as temp views and run a SQL-surface query —
     * used where the DataFrame API cannot express the shape (correlated
     * subqueries, GROUPING SETS, LATERAL) so Catalyst's decorrelation /
@@ -64,7 +91,7 @@ object SparkEntry {
     * deleted, so it archives 0). Returns the per-table summary of both
     * runs; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val out = tmpDir("graft-entry")
     val src = s"$out/live"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     Tables.names.foreach { tname =>
@@ -146,8 +173,7 @@ object SparkEntry {
       // same-valued late arrivals are never lost (the idempotent sinks
       // absorb the overlap). At 100 TB this filter is what turns a full
       // re-scan per run into a pushed-down read of only NEW data
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-wm-q").toString + "/wm"
+      val store = tmpDir("graft-wm-q") + "/wm"
       val wm = new graft.operators.Watermarks(s, store)
       val orders = t(s, dir, "orders")
       wm.advance("orders", "o_orderdate",
@@ -176,8 +202,7 @@ object SparkEntry {
       // reads BACK through the pointer, so the oracle checks the whole
       // publish/resolve round-trip (version id + exact surviving rows)
       import graft.sinks.VersionedPublish
-      val out = java.nio.file.Files.createTempDirectory("graft-w13")
-        .toString + "/ds"
+      val out = tmpDir("graft-w13") + "/ds"
       VersionedPublish.publish(
         archivedOrders(s, dir).limit(10), out, keep = 2)
       val v = VersionedPublish.publish(archivedOrders(s, dir), out, keep = 2)
@@ -193,8 +218,7 @@ object SparkEntry {
       // per-status change counts — "what changed between v1 and v2" with
       // both sides served from the versioned store itself.
       import graft.sinks.VersionedPublish
-      val out = java.nio.file.Files.createTempDirectory("graft-w14")
-        .toString + "/ds"
+      val out = tmpDir("graft-w14") + "/ds"
       val base = archivedOrders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"))
       val v1 = base.filter(col("o_orderkey") % 3 =!= 0)
@@ -562,29 +586,23 @@ object SparkEntry {
       // CSV writer + reader fidelity: doubles survive because Spark writes
       // shortest-roundtrip representations; the oracle reads the SAME rows
       // from parquet, so any text-format loss would hash-mismatch
-      val out = java.nio.file.Files.createTempDirectory("graft-csv")
+      val out = tmpPath("graft-csv")
       val src = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .filter(col("o_orderkey") % 100 === 0)
       src.write.mode("overwrite").option("header", "true")
         .csv(out.toString)
-      // deleteOnExit runs in REVERSE registration order: register the
-      // directory first so it is deleted last (after its files)
-      out.toFile.deleteOnExit()
-      out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.option("header", "true").schema(src.schema).csv(out.toString)
     }),
     "s10_json_roundtrip" -> ((s, dir) => {
       // JSON-lines writer + reader fidelity, schema-first read (no
       // inference pass — the 100 TB contract: schema travels with the
       // catalog, not re-derived per scan)
-      val out = java.nio.file.Files.createTempDirectory("graft-json")
+      val out = tmpPath("graft-json")
       val src = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .filter(col("o_orderkey") % 100 === 0)
       src.write.mode("overwrite").json(out.toString)
-      out.toFile.deleteOnExit() // before the files: reverse deletion order
-      out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.schema(src.schema).json(out.toString)
     }),
     "s8_column_stats" -> ((s, dir) => {
@@ -967,7 +985,7 @@ object SparkEntry {
       // emit when the match arrives; unmatched clicks emit null-extended
       // exactly when a watermark advance proves the join window closed.
       // The oracle reproduces both parts deterministically (see oracleSql).
-      val tmp = java.nio.file.Files.createTempDirectory("graft-st7")
+      val tmp = tmpPath("graft-st7")
       val ev = t(s, dir, "events")
       val split = lit("2024-01-16 00:00:00").cast("timestamp")
       def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
@@ -1007,7 +1025,7 @@ object SparkEntry {
       // boundaries and equals one global apply — which is exactly what
       // the oracle computes over the whole log at once.
       import graft.operators.ChangeData
-      val tmp = java.nio.file.Files.createTempDirectory("graft-st8")
+      val tmp = tmpPath("graft-st8")
       val log = t(s, dir, "orders").select(
         (col("o_custkey") + when(col("o_orderkey") % 13 === 0, 1000000L)
           .otherwise(0L)).as("c_custkey"),
@@ -1110,7 +1128,7 @@ object SparkEntry {
       // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
       // suppresses every second-batch row — late ones via the watermark,
       // in-horizon ones via dedup state — so the output is each event once
-      val tmp = java.nio.file.Files.createTempDirectory("graft-st3")
+      val tmp = tmpPath("graft-st3")
       Seq("a", "b").foreach { n =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -1499,10 +1517,8 @@ object SparkEntry {
       // query returns the batch READ-BACK of the sink, so the oracle
       // checks exactly the transactionally-committed content (only
       // watermark-proven windows ever land on disk)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_st11_out").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_st11_ck").toString
+      val out = tmpDir("graft_st11_out")
+      val ckpt = tmpDir("graft_st11_ck")
       withShufflePartitions(s, 8) {
         val q = EventsStreaming.hourlyFileSink(s, s"$dir/events.parquet",
           out, ckpt)
@@ -1518,8 +1534,7 @@ object SparkEntry {
       val base = t(s, dir, "events").filter(col("ts").isNotNull)
         .select(col("event_id"), col("event_type"), col("value"),
           to_date(col("ts")).as("d"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_w15").toString + "/t"
+      val out = tmpDir("graft_w15") + "/t"
       graft.operators.Compaction.overwritePartitions(base, out, Seq("d"))
       val minD = base.agg(min(col("d"))).head.getDate(0)
       graft.operators.Compaction.overwritePartitions(
@@ -2536,13 +2551,19 @@ object SparkEntry {
           col("ts").as("valid_from"), col("valid_to"))
     }),
     "q85_scd2_enrich" -> ((s, dir) => {
-      // the canonical warehouse pattern q56 + q32 compose into: enrich
-      // each purchase with the SCD2 state valid AT ITS TIME. A naive
-      // p BETWEEN lo AND hi join is a nested loop; here intervals explode
-      // onto hour buckets (open intervals capped at the corpus horizon)
-      // and candidates come from an EQUI-join on (user_id, bucket) —
-      // the RangeJoin discipline with the entity key composed in
-      val w = 3600000000L // 1h in micros
+      // the canonical warehouse pattern: enrich each purchase with the
+      // SCD2 state valid AT ITS TIME. Point-in-validity against an SCD2
+      // dimension is an AS-OF join, NOT an interval join: SCD2 intervals
+      // TILE time per user (row k's valid_to == row k+1's valid_from), so
+      // "the state valid at p" is exactly "the latest state change
+      // at-or-before p". AsOfJoin.leftAsOf does that with ONE window
+      // shuffle on user_id and ZERO fan-out — bucketization is the tool
+      // for OVERLAPPING intervals (q32); tiling intervals never need it
+      // (an hour-bucket explode here is users x horizon-hours of rows,
+      // because every user's open last state spans the whole remaining
+      // corpus horizon). Zero-width intervals (two state changes at the
+      // same ts — the earlier one never valid) are dropped AFTER version
+      // numbering so surviving versions match the full SCD2 numbering.
       val ev = t(s, dir, "events").filter(col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
@@ -2554,23 +2575,17 @@ object SparkEntry {
           col("prev_type") =!= col("event_type"))
         .withColumn("version", row_number().over(ordW))
         .withColumn("valid_to", lead(col("ts"), 1).over(ordW))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("version"), col("ts").as("valid_from"), col("valid_to"))
-      val cap = ev.agg((unix_micros(max(col("ts"))) + 1).as("hi_cap"))
-      val iv = scd.crossJoin(broadcast(cap))
-        .select(col("user_id"), col("state"), col("version"),
-          unix_micros(col("valid_from")).as("lo"),
-          coalesce(unix_micros(col("valid_to")), col("hi_cap")).as("hi"))
-        .withColumn("__b",
-          explode(sequence(expr(s"lo div $w"), expr(s"hi div $w"))))
+        .filter(col("valid_to").isNull || col("valid_to") =!= col("ts"))
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("state"), col("version"))
       val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOfJoin.leftAsOf(pts, scd, "user_id", "ts",
+          Seq("state", "version"))
+        .filter(col("asof_state").isNotNull)
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("p"))
-        .withColumn("__b", expr(s"p div $w"))
-      pts.join(iv, Seq("user_id", "__b"))
-        .filter(col("p") >= col("lo") && col("p") < col("hi"))
-        .select(col("user_id"), col("event_id"), col("state"),
-          col("version"))
+          col("asof_state").as("state"),
+          col("asof_version").as("version"))
     }),
     "q57_mad_outliers" -> ((s, dir) => {
       // robust per-group outlier gate: median + MAD instead of mean/stddev
@@ -2734,19 +2749,13 @@ object SparkEntry {
       // additive schema evolution: generation-1 parquet lacks a column that
       // generation-2 adds; mergeSchema unifies, old files surface NULL —
       // the long-lived-archive contract (new columns never rewrite history)
-      val out = java.nio.file.Files.createTempDirectory("graft-evo")
+      val out = tmpPath("graft-evo")
       val v1 = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
         .select("o_orderkey", "o_totalprice")
       val v2 = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 50)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
       v1.write.parquet(s"$out/g1")
       v2.write.parquet(s"$out/g2")
-      out.toFile.deleteOnExit() // reverse registration: dir deleted last
-      Seq("g1", "g2").foreach { g =>
-        val d = new java.io.File(s"$out/$g")
-        d.deleteOnExit()
-        d.listFiles().foreach(_.deleteOnExit())
-      }
       s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
@@ -3330,13 +3339,11 @@ object SparkEntry {
       // ORC writer + reader fidelity, schema-first read — same contract as
       // the CSV/JSON round-trips; ORC is the third columnar interchange
       // format the sinks speak
-      val out = java.nio.file.Files.createTempDirectory("graft-orc")
+      val out = tmpPath("graft-orc")
       val src = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .filter(col("o_orderkey") % 100 === 0)
       src.write.mode("overwrite").orc(out.toString)
-      out.toFile.deleteOnExit() // before the files: reverse deletion order
-      out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.schema(src.schema).orc(out.toString)
     }),
     "s16_partition_pruned" -> ((s, dir) => {
@@ -3346,12 +3353,10 @@ object SparkEntry {
       // listing one year and scanning seven (PartitionPruningSpec asserts
       // the physical file set; this entry oracle-checks the re-layout +
       // pruned-read semantics end to end)
-      val out = java.nio.file.Files.createTempDirectory("graft-part")
+      val out = tmpPath("graft-part")
       t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").mode("overwrite").parquet(out.toString)
-      // register the partition tree for cleanup (reverse order: dirs first)
-      java.nio.file.Files.walk(out).forEach(p => p.toFile.deleteOnExit())
       s.read.parquet(out.toString)
         .filter(col("o_year") === 1997)
         .groupBy("o_orderpriority")
@@ -3383,11 +3388,9 @@ object SparkEntry {
       // range and a date-bounded scan skips all files outside it via
       // parquet min/max stats (CompactionSpec asserts the physical skip;
       // this entry oracle-checks the re-layout preserves semantics)
-      val out = java.nio.file.Files.createTempDirectory("graft-clustered")
+      val out = tmpPath("graft-clustered")
       graft.operators.Compaction.clusteredWrite(
         t(s, dir, "orders"), out.toString, Seq("o_orderdate"), parts = 4)
-      out.toFile.deleteOnExit() // before the files: reverse deletion order
-      out.toFile.listFiles().foreach(_.deleteOnExit())
       s.read.parquet(out.toString)
         .filter(col("o_orderdate") >= "1997-01-01" &&
           col("o_orderdate") < "1998-01-01")
@@ -4587,7 +4590,8 @@ object SparkEntry {
          |  AS wjaccard
          |FROM iw JOIN tw ta ON ta.doc_id = doc_a
          |JOIN tw tb ON tb.doc_id = doc_b
-         |WHERE floor(iw::DOUBLE / (ta.tw + tb.tw - iw) * 10000.0)
+         |WHERE ta.tw + tb.tw - iw > 0
+         |AND floor(iw::DOUBLE / (ta.tw + tb.tw - iw) * 10000.0)
          |  / 10000.0 >= 0.4""".stripMargin,
     "dd33_leakfree_split" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -4707,8 +4711,9 @@ object SparkEntry {
         |(c.c_custkey IS NOT NULL) AS fk_ok
         |FROM ob LEFT JOIN customer c ON ob.o_custkey = c.c_custkey),
         |r AS (SELECT o_orderkey, concat_ws('|',
-        |CASE WHEN NOT fk_ok THEN 'fk_customer' END,
-        |CASE WHEN NOT (o_totalprice > 0) THEN 'price_positive' END,
+        |CASE WHEN NOT coalesce(fk_ok, false) THEN 'fk_customer' END,
+        |CASE WHEN NOT coalesce(o_totalprice > 0, false)
+        |  THEN 'price_positive' END,
         |CASE WHEN o_orderdate IS NULL THEN 'orderdate_not_null' END)
         |  AS reasons FROM j)
         |SELECT o_orderkey, reasons FROM r WHERE reasons <> ''""".stripMargin,

@@ -45,11 +45,18 @@ object Bootstrap {
     val overall = df.agg(
       (floor(sum(col(valueCol).cast("long")).cast("double") /
         count(lit(1)) * 10000.0) / 10000.0).as("est_mean"))
+    // quantiles via a single always-one-row aggregate, NOT a crossJoin of
+    // filtered rows: on degenerate input an empty half-sample drops its
+    // replicate from the groupBy, the rn = replicates-1 row may then not
+    // exist, and a filter+crossJoin would yield ZERO rows while a SQL
+    // scalar subquery yields one row with NULL bounds. The aggregate
+    // keeps the row and lets a missing quantile surface as a loud NULL
+    // — identical on both engines.
+    val q = ranked.agg(
+      max(when(col("rn") === 2, col("m"))).as("lo95"),
+      max(when(col("rn") === replicates - 1, col("m"))).as("hi95"))
     overall
-      .crossJoin(broadcast(ranked.filter(col("rn") === 2)
-        .select(col("m").as("lo95"))))
-      .crossJoin(broadcast(ranked.filter(col("rn") === replicates - 1)
-        .select(col("m").as("hi95"))))
+      .crossJoin(broadcast(q))
       .select(lit(replicates).as("n_replicates"), col("est_mean"),
         col("lo95"), col("hi95"))
   }

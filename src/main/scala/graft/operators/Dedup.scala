@@ -363,6 +363,12 @@ object Dedup {
         "doc_a")
       .join(tw.select(col("doc_id").as("doc_b"), col("tw").as("tw_b")),
         "doc_b")
+      // degenerate pair guard: when EVERY shingle of both docs is
+      // corpus-ubiquitous (w_u = 0 throughout), the union weight is 0 and
+      // the score would be 0/0 = NaN — which Spark's NaN ordering ranks
+      // ABOVE the threshold while SQL engines rank it false. Zero shared
+      // signal is not a match: drop the pair before dividing.
+      .filter(col("tw_a") + col("tw_b") - col("iw") > 0)
       .withColumn("wjaccard", graft.functions.NumericFunctions.fround(
         col("iw").cast("double") /
           (col("tw_a") + col("tw_b") - col("iw")), 4))

@@ -27,7 +27,8 @@ object FileAudit {
   /** One row per (table, data file): (tbl, file_name, n_rows), file name
     * truncated to its basename so the report is location-portable. */
   def fileInventory(spark: SparkSession,
-      tables: Seq[(String, String)]): DataFrame =
+      tables: Seq[(String, String)]): DataFrame = {
+    require(tables.nonEmpty, "fileInventory needs at least one table")
     tables.map { case (name, path) =>
       spark.read.parquet(path)
         .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
@@ -35,6 +36,7 @@ object FileAudit {
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(name).as("tbl"), col("file_name"), col("n_rows"))
     }.reduce(_ unionAll _)
+  }
 
   /** The per-table compaction signal: file count, total rows, smallest /
     * mean file in rows, and a small-file flag when the MEAN file holds

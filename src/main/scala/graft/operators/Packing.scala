@@ -90,35 +90,48 @@ object Packing {
     *
     * Scale shape: same bucket decomposition as [[sequencePack]] — the
     * greedy scan is inherently sequential, so parallelism comes from
-    * independent hash buckets; each task holds only its open-bin
-    * capacities (bins-per-bucket, not docs-per-bucket). Bin search here
-    * is a linear scan per document — swap in a TreeMap keyed on remaining
-    * capacity if bins-per-bucket grows past ~10^4. Fully deterministic
-    * (md5 bucket, total sort order, greedy tie to the lowest bin id):
-    * identical packing on any partitioning or rerun.
+    * independent hash buckets (raise `buckets` with the corpus; any
+    * positive count works). The decreasing order comes from Spark's own
+    * SPILLABLE sort (`repartition(bucket)` + `sortWithinPartitions`),
+    * never a task-memory `toArray`: the streaming `mapPartitions` scan
+    * holds ONLY the current bucket's open-bin remaining capacities —
+    * task memory is bins-per-bucket, not docs-per-bucket, so a bucket
+    * whose document stream exceeds RAM still packs (the sort spills,
+    * the scan is O(open bins)). Bin search is a linear scan per
+    * document — swap in a TreeMap keyed on remaining capacity if
+    * bins-per-bucket grows past ~10^4. Fully deterministic (md5 bucket,
+    * total sort order, greedy tie to the lowest bin id): identical
+    * packing on any partitioning or rerun.
     *
     * Not SQL-expressible (the greedy recurrence has no relational form),
     * so correctness is spec-gated: capacity, completeness, singleton
-    * rule, determinism, and a utilization floor (PackingSpec).
+    * rule, determinism, bounded-memory at 1e5 docs/4 buckets, and a
+    * utilization floor (PackingSpec).
     *
     * Output: (doc_id, bucket, n_tokens, bin_in_bucket). */
   def bestFitPack(
       docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Int, buckets: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens > 0")
-    require(buckets > 0 && buckets <= 256, "buckets in [1, 256]")
+    require(buckets > 0, "buckets > 0")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bucket",
         pmod(Sampling.hashBucket(col("doc_id")), lit(buckets)).cast("int"))
+      // one shuffle partition may carry several buckets; sorting by
+      // (bucket, -n_tokens, doc_id) makes each bucket a contiguous,
+      // BFD-ordered run the streaming scan below consumes in one pass
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc,
+        col("doc_id"))
       .as[(Long, Long, Int)]
-      .groupByKey(_._3)
-      .flatMapGroups { (bucket: Int, it: Iterator[(Long, Long, Int)]) =>
-        val docsSorted = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+      .mapPartitions { it =>
+        var cur = Int.MinValue
         val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
-        docsSorted.iterator.map { case (id, n, _) =>
+        it.map { case (id, n, b) =>
+          if (b != cur) { cur = b; binFree.clear() }
           var best = -1
           var bestFree = Long.MaxValue
           var i = 0
@@ -129,7 +142,7 @@ object Packing {
           }
           val bin = if (best >= 0) { binFree(best) -= n; best }
             else { binFree += (budgetTokens - n); binFree.length - 1 }
-          (id, bucket, n, bin.toLong)
+          (id, b, n, bin.toLong)
         }
       }
       .toDF("doc_id", "bucket", "n_tokens", "bin_in_bucket")

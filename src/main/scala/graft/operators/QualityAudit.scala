@@ -97,13 +97,18 @@ object QualityAudit {
     * shuffle-free projection + filter over the validated scan.
     *
     * The passing complement is `df.join(quarantined, keys, "left_anti")`
-    * — membership, not content, is what the verdict changes. */
+    * — membership, not content, is what the verdict changes.
+    *
+    * NULL semantics: a predicate that evaluates to NULL (e.g.
+    * `price > 0` on a NULL price) counts as a FAILURE — a dead-letter
+    * gate must never wave a row through on three-valued-logic unknowns,
+    * so the check is `coalesce(ok, false)`. */
   def quarantineRows(df: DataFrame, keyCols: Seq[String],
       checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(keyCols.nonEmpty && checks.nonEmpty)
     df.select(keyCols.map(col) :+
         concat_ws("|", checks.map { case (name, ok) =>
-          when(!ok, lit(name)) }: _*).as("reasons"): _*)
+          when(!coalesce(ok, lit(false)), lit(name)) }: _*).as("reasons"): _*)
       .filter(col("reasons") =!= "")
   }
 }

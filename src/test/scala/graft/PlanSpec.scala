@@ -374,15 +374,19 @@ class PlanSpec extends AnyFunSuite {
       s"partial phase must run below the exchange (map side):\n$p")
   }
 
-  test("SCD2 as-of enrichment joins on (user, bucket) — never the naive " +
-      "between nested loop (q85)") {
+  test("SCD2 as-of enrichment is a pure as-of window — zero fan-out, " +
+      "zero loop joins, no interval explode (q85)") {
     val p = plan("q85_scd2_enrich")
     assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
-    assert(p.contains("Exchange hashpartitioning"),
-      s"candidates must come from an equi-join:\n$p")
-    // the only loop join allowed is the 1-row horizon-cap broadcast
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
-      s"only the 1-row cap cross may loop:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"as-of needs no loop join at all:\n$p")
+    // the round-6 hour-bucket implementation exploded intervals onto
+    // buckets — fan-out proportional to users x horizon-hours. The as-of
+    // rewrite must never reintroduce a generator.
+    assert(!p.toLowerCase.contains("generate"),
+      s"no explode/sequence fan-out in an SCD2 point lookup:\n$p")
+    assert(p.contains("Window"),
+      s"the as-of carry is one window pass:\n$p")
   }
 
   test("FS band audit is equi-join only — candidates never go all-pairs (er3)") {

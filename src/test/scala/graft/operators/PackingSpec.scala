@@ -126,6 +126,29 @@ class PackingSpec extends AnyFunSuite {
     assert(nBins >= lowerBound)
   }
 
+  test("best-fit packing streams buckets far larger than the bin count " +
+      "(task memory = open bins, not docs) and accepts any bucket count") {
+    // 1e5 docs into 4 buckets: ~25k docs per bucket flow through ONE
+    // streaming scan whose state is the open-bin capacity list — the
+    // round-6 groupByKey+toArray shape would have held the whole bucket
+    // per task. Small budget keeps bins plentiful but still << docs.
+    val docs = (1L to 100000L).map(i => (i, ("t " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val r = Packing.bestFitPack(docs, "doc_id", "text",
+      budgetTokens = 8, buckets = 4)
+    assert(r.count() === 100000L)
+    // capacity invariant holds on the full output
+    assert(r.groupBy("bucket", "bin_in_bucket")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("fill"))
+      .filter("fill > 8").count() === 0)
+    // the old 256-bucket cap is gone: parallelism scales with the corpus
+    val wide = Packing.bestFitPack(
+      (1L to 50L).map(i => (i, "t t t")).toDF("doc_id", "text"),
+      "doc_id", "text", budgetTokens = 8, buckets = 1000)
+    assert(wide.count() === 50L)
+    assert(wide.filter("bucket < 0 OR bucket >= 1000").count() === 0)
+  }
+
   test("best-fit packing is deterministic under repartitioning") {
     val docs = (1L to 300L).map(i => (i, ("tok " * (i % 53 + 1).toInt).trim))
       .toDF("doc_id", "text")
