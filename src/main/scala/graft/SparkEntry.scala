@@ -1370,6 +1370,14 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterBands(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er6_fs_em_weights" -> ((s, dir) =>
+      // one classification-EM refresh of the FS m/u parameters from the
+      // candidate set (hard E-step = current decision rule, M-step =
+      // smoothed per-feature agreement rates) — integer ppm rates, one
+      // ln per refreshed deci-weight, constant-size output
+      graft.operators.EntityResolution.fellegiSunterEmWeights(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice")),
     "tx31_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail perplexity terciles with VALUE-domain
       // cutoffs (group by the 3-dp floored nll, cumulate over the small
@@ -1488,6 +1496,13 @@ object SparkEntry {
       // weights, exact intersection/union sums, LSH candidates only
       Dedup.weightedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.4)),
+    "dd38_exact_substr" -> ((s, dir) =>
+      // ExactSubstr dedup (Lee et al. 2022): maximal verbatim shared
+      // token spans >= 16 tokens with positions in both docs — k-gram
+      // fingerprint equi-join + diagonal islands assembly, candidates
+      // proportional to actual duplication, df-capped hot grams
+      Dedup.exactSubstrSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 16, maxGramDf = 256)),
     "dd33_leakfree_split" -> ((s, dir) =>
       // leakage-free splitting: the dd8 hash split composed with
       // LSH-verified near-dup detection — train/val docs near-duplicating
@@ -4468,6 +4483,55 @@ object SparkEntry {
         |count(*)::BIGINT AS n_pairs,
         |floor(sum(jw_u)::DOUBLE / count(*)) / 10000.0 AS avg_jw
         |FROM sb GROUP BY 1""".stripMargin,
+    "er6_fs_em_weights" ->
+      """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
+        |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+        |FROM part),
+        |cand AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
+        |a.p_name AS na, b.p_name AS nb, a.p_size AS sa, b.p_size AS sb,
+        |a.p_type AS ta, b.p_type AS tb,
+        |a.p_retailprice AS pra, b.p_retailprice AS prb
+        |FROM tk a JOIN tk b
+        |ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.pk < b.pk),
+        |s AS (SELECT
+        |CASE WHEN floor(jaro_winkler_similarity(na, nb) * 10000.0) >= 9000
+        |  THEN 1 ELSE 0 END AS f_name,
+        |CASE WHEN abs(sa - sb) <= 2 THEN 1 ELSE 0 END AS f_size,
+        |CASE WHEN ta = tb THEN 1 ELSE 0 END AS f_cat,
+        |CASE WHEN abs(pra - prb) <= 50.0 THEN 1 ELSE 0 END AS f_price
+        |FROM cand),
+        |c AS (SELECT f_name, f_size, f_cat, f_price,
+        |CASE WHEN (CASE WHEN f_name = 1 THEN 65 ELSE -43 END
+        | + CASE WHEN f_size = 1 THEN 20 ELSE -20 END
+        | + CASE WHEN f_cat = 1 THEN 22 ELSE -30 END
+        | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) >= 60
+        |  THEN 1 ELSE 0 END AS is_m FROM s),
+        |agg AS (SELECT sum(is_m)::BIGINT AS n_m,
+        |sum(1 - is_m)::BIGINT AS n_u,
+        |sum(CASE WHEN is_m = 1 THEN f_name ELSE 0 END)::BIGINT AS am_name,
+        |sum(CASE WHEN is_m = 0 THEN f_name ELSE 0 END)::BIGINT AS au_name,
+        |sum(CASE WHEN is_m = 1 THEN f_size ELSE 0 END)::BIGINT AS am_size,
+        |sum(CASE WHEN is_m = 0 THEN f_size ELSE 0 END)::BIGINT AS au_size,
+        |sum(CASE WHEN is_m = 1 THEN f_cat ELSE 0 END)::BIGINT AS am_cat,
+        |sum(CASE WHEN is_m = 0 THEN f_cat ELSE 0 END)::BIGINT AS au_cat,
+        |sum(CASE WHEN is_m = 1 THEN f_price ELSE 0 END)::BIGINT AS am_price,
+        |sum(CASE WHEN is_m = 0 THEN f_price ELSE 0 END)::BIGINT AS au_price
+        |FROM c),
+        |f AS (SELECT 'name' AS feature, am_name AS am, au_name AS au,
+        |n_m, n_u FROM agg
+        |UNION ALL SELECT 'size', am_size, au_size, n_m, n_u FROM agg
+        |UNION ALL SELECT 'cat', am_cat, au_cat, n_m, n_u FROM agg
+        |UNION ALL SELECT 'price', am_price, au_price, n_m, n_u FROM agg)
+        |SELECT feature,
+        |((am + 1) * 1000000) // (n_m + 2) AS m_ppm,
+        |((au + 1) * 1000000) // (n_u + 2) AS u_ppm,
+        |floor(ln(((am + 1) * (n_u + 2))::DOUBLE
+        |  / ((n_m + 2) * (au + 1))::DOUBLE) / ln(2) * 10.0)::BIGINT
+        |  AS w_agree_deci,
+        |floor(ln(((n_m + 1 - am) * (n_u + 2))::DOUBLE
+        |  / ((n_m + 2) * (n_u + 1 - au))::DOUBLE) / ln(2) * 10.0)::BIGINT
+        |  AS w_disagree_deci
+        |FROM f""".stripMargin,
     "er4_golden_records" ->
       """WITH RECURSIVE pairs AS (
         |SELECT a.p_partkey AS da, b.p_partkey AS db
@@ -4593,6 +4657,24 @@ object SparkEntry {
          |WHERE ta.tw + tb.tw - iw > 0
          |AND floor(iw::DOUBLE / (ta.tw + tb.tw - iw) * 10000.0)
          |  / 10000.0 >= 0.4""".stripMargin,
+    "dd38_exact_substr" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |md5(array_to_string(t[i:i+7], ' ')) AS g
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i FROM toks)),
+         |rare AS (SELECT g FROM
+         |(SELECT g, count(*) AS c FROM g GROUP BY 1) WHERE c <= 256),
+         |gg AS (SELECT g.* FROM g JOIN rare USING (g)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, a.pos - b.pos AS diag
+         |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER
+         |(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+         |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl)
+         |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, len
+         |FROM sp WHERE len >= 16""".stripMargin,
     "dd33_leakfree_split" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

@@ -376,6 +376,73 @@ object Dedup {
       .select("doc_a", "doc_b", "wjaccard")
   }
 
+  /** Exact-substring duplication spans (the ExactSubstr recipe of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): find every maximal verbatim token span of at least
+    * `minTokens` tokens shared between two documents, with its position
+    * in BOTH — the duplication family doc-level (dd1) and chunk-level
+    * (dd11) dedup cannot see, and the one production pre-training
+    * corpora actually cut on (shared >=50-token spans get one copy).
+    *
+    * The reference recipe builds a corpus suffix array; the Spark-first
+    * equivalent keeps the same O(total tokens) working set as three
+    * declarative stages:
+    *  1. position-indexed k-gram fingerprints: one row per (doc, pos)
+    *     with md5 of the k tokens starting there (narrow, codegen'd);
+    *  2. candidate position pairs: an EQUI-join on the fingerprint
+    *     (doc_a < doc_b) — any shared span of length L >= k contributes
+    *     exactly L-k+1 aligned gram matches, so candidates are
+    *     proportional to ACTUAL duplication, not to the corpus square;
+    *  3. span assembly: matches of one shared span all lie on one
+    *     diagonal (pa - pb constant), at consecutive pa — the standard
+    *     islands trick (pa - row_number per (pair, diagonal) ordered by
+    *     pa) groups each maximal run; span length = max(pa)-min(pa)+k.
+    *
+    * `maxGramDf` caps the document frequency of join-key grams exactly
+    * like [[ngramJaccardPairs]]'s maxShingleDf: a corpus-ubiquitous
+    * k-gram (licence boilerplate) would contribute df^2 position pairs;
+    * dropping grams with more than maxGramDf occurrences bounds every
+    * join key's fan-out. The cap can split a span that contains a hot
+    * gram into two reported spans — the deterministic, documented
+    * trade; the oracle applies the identical cap so results stay
+    * bit-equal.
+    *
+    * Shuffles: gram fingerprint (join + df cap) and (doc_a, doc_b,
+    * diagonal) — the islands window and the span aggregation share the
+    * second exchange. Output: (doc_a, doc_b, a_start, b_start, len),
+    * token-indexed, 0-based. */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
+    require(k >= 2, "gram width k >= 2")
+    require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
+    require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+    // feeds the df cap AND both join sides: one materialization
+    val grams = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - k),
+          i => md5(array_join(slice(col("t"), i + 1, lit(k)), " ")))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxGramDf).select("g")
+    val gg = grams.join(rare, "g")
+    val m = gg.as("a").join(gg.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wI = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("isl", col("pa") - row_number().over(wI))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min(col("pa")).as("a_start"),
+        (max(col("pa")) - min(col("pa")) + k).as("len"))
+      .filter(col("len") >= minTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"), col("len"))
+  }
+
   /** Leakage-free held-out splitting: the md5 hash split (dd8) composed
     * with LSH-verified near-dup detection, so no train/val document that
     * is a near-duplicate of a TEST document survives — the cross-split

@@ -168,6 +168,68 @@ object EntityResolution {
         (floor(sum(col("jw_u")).cast("double") /
           count(lit(1))) / 10000.0).as("avg_jw"))
 
+  /** One classification-EM refresh of the Fellegi-Sunter m/u parameters
+    * from the candidate set itself (the ECM variant: the E-step is the
+    * CURRENT deci-weight decision rule as a hard assignment, the M-step
+    * re-estimates per-feature agreement rates with add-one smoothing) —
+    * the update a production linkage pipeline runs per corpus snapshot so
+    * the er2 weights track drift instead of staying frozen constants.
+    *
+    * Per feature: m = P(agree | match-classified), u = P(agree |
+    * non-match-classified), both with add-one smoothing so a unanimous
+    * feature never yields log(0); refreshed weights are the FS
+    * log-likelihood ratios floor(log2(m/u) * 10) (agreement) and
+    * floor(log2((1-m)/(1-u)) * 10) (disagreement) in the same deci-units
+    * er2 consumes.
+    *
+    * Determinism discipline: class and agreement counts are exact
+    * integers from ONE aggregation over the distinct candidate set; m/u
+    * are published as exact integer-division ppm; the single float step
+    * per weight is one ln of a ratio of exact integer products, floored
+    * to deci-units (the dd37 floor(ln*1e6) precedent). Scale shape: the
+    * candidate join is the token inverted index, the M-step is one
+    * map-side-combined aggregation to ONE row, and the feature unpivot
+    * explodes that row — nothing downstream of the join exceeds constant
+    * size.
+    *
+    * Output: (feature, m_ppm, u_ppm, w_agree_deci, w_disagree_deci). */
+  def fellegiSunterEmWeights(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame = {
+    val feats = Seq("name", "size", "cat", "price")
+    val scored = fellegiSunterScored(records, keyCol, nameCol, blockCol,
+        sizeCol, catCol, priceCol, sizeTol, priceTol)
+      .withColumn("f_name", when(col("jw_u") >= 9000, 1).otherwise(0))
+      .select(col("pk_a"), col("pk_b"), col("f_name"), col("f_size"),
+        col("f_cat"), col("f_price"), col("fs_deci"))
+      .distinct()
+      .withColumn("is_m", when(col("fs_deci") >= 60, 1).otherwise(0))
+    val aggExprs =
+      sum(col("is_m")).cast("long").as("n_m") +:
+      sum(lit(1) - col("is_m")).cast("long").as("n_u") +:
+      feats.flatMap(f => Seq(
+        sum(when(col("is_m") === 1, col(s"f_$f")).otherwise(0))
+          .cast("long").as(s"am_$f"),
+        sum(when(col("is_m") === 0, col(s"f_$f")).otherwise(0))
+          .cast("long").as(s"au_$f")))
+    val counts = scored.agg(aggExprs.head, aggExprs.tail: _*)
+    // unpivot the one counts row — one struct per feature, single pass
+    val longF = counts.select(explode(array(feats.map(f =>
+        struct(lit(f).as("feature"), col(s"am_$f").as("am"),
+          col(s"au_$f").as("au"), col("n_m"), col("n_u"))): _*)).as("x"))
+      .select("x.*")
+    longF.select(col("feature"),
+      expr("((am + 1) * 1000000) div (n_m + 2)").as("m_ppm"),
+      expr("((au + 1) * 1000000) div (n_u + 2)").as("u_ppm"),
+      floor(log(((col("am") + 1) * (col("n_u") + 2)).cast("double") /
+          ((col("n_m") + 2) * (col("au") + 1)).cast("double")) /
+        log(lit(2.0)) * 10.0).cast("long").as("w_agree_deci"),
+      floor(log(((col("n_m") + 1 - col("am")) * (col("n_u") + 2))
+          .cast("double") /
+          ((col("n_m") + 2) * (col("n_u") + 1 - col("au"))).cast("double")) /
+        log(lit(2.0)) * 10.0).cast("long").as("w_disagree_deci"))
+  }
+
   /** Incremental linkage — the continuous-ingest shape of entity
     * resolution (the dd15/dd28 discipline applied to entities): a NEW
     * batch of records links against the EXISTING resolved corpus without

@@ -129,6 +129,79 @@ class EntityResolutionSpec extends AnyFunSuite {
       r.getAs[Int]("min_size") <= r.getAs[Int]("max_size")))
   }
 
+  test("EM weight refresh: hand-computed m/u ppm and deci-weights on a " +
+      "known candidate set") {
+    import spark.implicits._
+    // (1,2): exact dup -> match, all features agree. (1,3)/(2,3): share
+    // token 'alpha', jw 0.8672 < 0.9, every feature disagrees -> non-match.
+    // n_m=1, n_u=2; per feature am=1, au=0:
+    //   m_ppm = 2e6 div 3 = 666666     u_ppm = 1e6 div 4 = 250000
+    //   w_agree  = floor(log2((2*4)/(3*1))*10)  = floor(14.15)  = 14
+    //   w_disagree = floor(log2((1*4)/(3*3))*10) = floor(-11.69) = -12
+    val recs = Seq(
+      (1L, "alpha beta", "B1", 10, "T1", 100.0),
+      (2L, "alpha beta", "B1", 10, "T1", 100.0),
+      (3L, "alpha gamma", "B1", 50, "T2", 500.0)
+    ).toDF("pk", "name", "brand", "size", "cat", "price")
+    val w = EntityResolution.fellegiSunterEmWeights(recs, "pk", "name",
+        "brand", "size", "cat", "price")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(w.keySet === Set("name", "size", "cat", "price"))
+    w.values.foreach { v =>
+      assert(v === ((666666L, 250000L, 14L, -12L)), s"got $v")
+    }
+  }
+
+  test("EM weight refresh on the fixture: weights are sign-consistent " +
+      "with the learned rates, and the name feature discriminates") {
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    val w = EntityResolution.fellegiSunterEmWeights(full, "p_partkey",
+      "p_name", "p_brand", "p_size", "p_type", "p_retailprice").collect()
+    assert(w.length === 4)
+    w.foreach { r =>
+      val (m, u) = (r.getAs[Long]("m_ppm"), r.getAs[Long]("u_ppm"))
+      // weight sign must follow the learned rate ordering — this is what
+      // EM is FOR: on this fixture price agreement is near-universal among
+      // non-match candidates (TPC-H prices cluster), so its refreshed
+      // agreement weight correctly goes NEGATIVE instead of the er2 prior
+      if (m > u) assert(r.getAs[Long]("w_agree_deci") >= 0,
+        s"${r.getString(0)}: m>u must not yield a negative agreement weight")
+      if (m < u) assert(r.getAs[Long]("w_agree_deci") <= 0,
+        s"${r.getString(0)}: m<u must not yield a positive agreement weight")
+      assert(m >= 0 && m <= 1000000L && u >= 0 && u <= 1000000L)
+    }
+    val name = w.find(_.getString(0) == "name").get
+    assert(name.getAs[Long]("m_ppm") > name.getAs[Long]("u_ppm") &&
+      name.getAs[Long]("w_agree_deci") > 0 &&
+      name.getAs[Long]("w_disagree_deci") < 0,
+      "the class-defining feature must discriminate")
+  }
+
+  test("blocking stays match-proportional as the corpus grows 10x " +
+      "(verify-ratio drift < 2x from sf0.001 to sf0.01)") {
+    // the round-6 claim (~11x candidates per match, scale-invariant) as a
+    // standing gate: a future blocking-key change that re-quadratics the
+    // generator fails here instead of silently shipping
+    def ratio(dir: String): Double = {
+      val p = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val tk = p.select(col("p_partkey").as("pk"), col("p_brand"),
+        explode(split(col("p_name"), " ")).as("tok"))
+      val cands = tk.as("a").join(tk.as("b"), Seq("p_brand", "tok"))
+        .filter(col("a.pk") < col("b.pk")).count()
+      val matches = EntityResolution
+        .tokenBlockedPairs(p, "p_partkey", "p_name", "p_brand", 0.9)
+        .count()
+      cands.toDouble / math.max(matches, 1L)
+    }
+    val small = ratio(TestSpark.sf0001)
+    val big = ratio("/root/testdata/sf0.01")
+    val drift = big / small
+    assert(drift < 2.0 && drift > 0.5,
+      s"verify ratio must be scale-invariant: sf0.001=$small sf0.01=$big")
+  }
+
   test("entity resolution assigns min-member canonical ids with sizes") {
     val ent = EntityResolution
       .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)

@@ -456,4 +456,51 @@ class DedupSpec extends AnyFunSuite {
     // everyone else keeps the base label
     (split.keySet -- dropped).foreach(id => assert(split(id) === base(id)))
   }
+
+  test("exact-substring spans are maximal, position-correct, and length-" +
+      "gated; disjoint docs emit nothing") {
+    import spark.implicits._
+    // b embeds a's tokens 2..9 (8 shared tokens) at offset 3; with k=4 and
+    // minTokens=6 the maximal span must come back exactly once, not as the
+    // individual k-gram matches
+    val a = "a0 a1 s0 s1 s2 s3 s4 s5 s6 s7 z0 z1"
+    val b = "b0 b1 b2 s0 s1 s2 s3 s4 s5 s6 s7 y0"
+    val c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.toSet === Set((1L, 2L, 2L, 3L, 8L)),
+      s"one maximal span, token-exact positions: ${spans.toSeq}")
+    // below the length gate: the same pair with minTokens above the span
+    assert(Dedup.exactSubstrSpans(d, "doc_id", "text",
+      k = 4, minTokens = 9, maxGramDf = 64).count() === 0)
+    // two separate shared spans in one pair stay two rows (different
+    // diagonals): e shares a's first 6 tokens AND last 6 tokens, reordered
+    val e = "s2 s3 s4 s5 s6 s7 x0 x1 a0 a1 s0 s1 s2 s3"
+    val d2 = Seq((1L, a), (4L, e)).toDF("doc_id", "text")
+    val spans2 = Dedup.exactSubstrSpans(d2, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans2 === Set((1L, 4L, 4L, 0L, 6L), (1L, 4L, 0L, 8L, 6L)),
+      s"independent diagonals stay independent spans: $spans2")
+    // determinism under repartitioning
+    val r1 = Dedup.exactSubstrSpans(d, "doc_id", "text", 4, 6, 64)
+    val r2 = Dedup.exactSubstrSpans(d.repartition(7), "doc_id", "text",
+      4, 6, 64)
+    assert(r1.exceptAll(r2).count() === 0 && r2.exceptAll(r1).count() === 0)
+  }
+
+  test("exact-substring df cap drops hot-gram candidates deterministically") {
+    import spark.implicits._
+    // the same 6-token span appears in 5 docs -> each gram has df 5;
+    // cap 4 suppresses ALL pairs, cap 5 restores all 10
+    val span = "s0 s1 s2 s3 s4 s5"
+    val d = (1L to 5L).map(i => (i, s"p$i q$i $span t$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(d, "doc_id", "text",
+      k = 4, minTokens = 6, maxGramDf = 4).count() === 0)
+    assert(Dedup.exactSubstrSpans(d, "doc_id", "text",
+      k = 4, minTokens = 6, maxGramDf = 5).count() === 10)
+  }
 }
