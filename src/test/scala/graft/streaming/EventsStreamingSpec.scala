@@ -101,6 +101,46 @@ class EventsStreamingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("stream-stream join state is bounded by the watermark: eviction " +
+      "observed in stateOperators metrics across micro-batches") {
+    // the streaming analogue of the PlanSpec gates: st7 is the most
+    // expensive bench query every round BECAUSE of its four state stores —
+    // this proves the stores drain as the watermark advances instead of
+    // accumulating the stream (two time-ordered files -> ordered
+    // micro-batches, so batch b's watermark must evict batch a's state)
+    val tmp = new java.io.File(TestSpark.tmpDir("st7-state"))
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    def writeHalf(name: String, half: org.apache.spark.sql.DataFrame,
+        mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, name + "_stage")
+      half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(tmp, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file streams order batches by mtime
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    writeHalf("a", ev.filter(col("ts") < split), 1700000000000L)
+    writeHalf("b", ev.filter(col("ts") >= split), 1700000100000L)
+    val q = EventsStreaming.clickPurchaseLeftOuterStream(
+      spark, tmp.toString, "st7_state_spec", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val stateProgress = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+    assert(stateProgress.size >= 2,
+      "need multiple micro-batches to observe watermark movement")
+    val removed = stateProgress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark advance must EVICT expired join state")
+    val finalTotal = stateProgress.last.stateOperators.map(_.numRowsTotal).sum
+    val inputs = ev.filter(col("event_type").isin("click", "purchase"))
+      .count()
+    assert(finalTotal < inputs,
+      s"state must stay watermark-bounded, not accumulate the stream: " +
+        s"$finalTotal state rows vs $inputs inputs")
+  }
+
   test("append-mode with watermark emits only finalized windows") {
     val q = EventsStreaming.hourlyStreamAppend(
       spark, s"${TestSpark.sf0001}/events.parquet", "st_spec_append")
