@@ -411,20 +411,27 @@ object Dedup {
     * diagonal) — the islands window and the span aggregation share the
     * second exchange. Output: (doc_a, doc_b, a_start, b_start, len),
     * token-indexed, 0-based. */
+  /** Position-indexed k-gram fingerprints: one row (doc_id, pos, g) per
+    * token position, g = md5 of the k tokens starting there. Shared by
+    * the in-corpus and incremental exact-substring forms so gram
+    * boundaries can never drift between them. */
+  private def posGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - k),
+          i => md5(array_join(slice(col("t"), i + 1, lit(k)), " ")))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
     require(k >= 2, "gram width k >= 2")
     require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
     require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
-    val toks = docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= k)
     // feeds the df cap AND both join sides: one materialization
-    val grams = toks
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("t")) - k),
-          i => md5(array_join(slice(col("t"), i + 1, lit(k)), " ")))))
-      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val grams = posGrams(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxGramDf).select("g")
@@ -441,6 +448,49 @@ object Dedup {
       .filter(col("len") >= minTokens)
       .select(col("doc_a"), col("doc_b"), col("a_start"),
         (col("a_start") - col("diag")).as("b_start"), col("len"))
+  }
+
+  /** Apply [[exactSubstrSpans]] as a dedup decision — the second half of
+    * the Lee et al. 2022 recipe: of every shared span, the occurrence in
+    * the LOWEST doc id survives and every other occurrence is cut, so a
+    * document's cut set is the union of the b-side intervals of its spans
+    * (doc_a < doc_b means doc_b holds the later copy). Overlapping spans
+    * (the same region shared with several earlier docs) must not
+    * double-count, so per doc the intervals are merged first — the
+    * classic sweep: order by start, a new island opens where start
+    * exceeds the running max end (one window over the per-doc interval
+    * list, which is span-count-bounded, never corpus-bounded).
+    *
+    * Output per affected document: (doc_id, n_tokens, n_cut, n_kept) —
+    * the audit row a curation pipeline reports before re-slicing
+    * surviving text. Shuffles: dd38's two plus one window on doc_id. */
+  def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, k, minTokens,
+        maxGramDf)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("lo"),
+        (col("b_start") + col("len")).as("hi"))
+      .distinct()
+    val wPrev = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
+      .rowsBetween(Window.unboundedPreceding, lit(-1))
+    val wIsl = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
+    val merged = spans
+      .withColumn("prev_max_hi", max(col("hi")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_hi").isNull ||
+          col("lo") > col("prev_max_hi"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_island")).over(
+        wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .groupBy("doc_id")
+      .agg(sum(col("hi") - col("lo")).as("n_cut"))
+    docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(merged, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        (col("n_tokens") - col("n_cut")).as("n_kept"))
   }
 
   /** Leakage-free held-out splitting: the md5 hash split (dd8) composed

@@ -168,6 +168,54 @@ object EntityResolution {
         (floor(sum(col("jw_u")).cast("double") /
           count(lit(1))) / 10000.0).as("avg_jw"))
 
+  /** Blocking-scheme evaluation — the standard record-linkage quality
+    * pair (Christen 2012, "Data Matching", ch. 7): REDUCTION RATIO, the
+    * fraction of the exhaustive within-block comparison space the token
+    * index never generates, and PAIR COMPLETENESS, the fraction of true
+    * matches (exhaustive JW >= threshold) the candidate set retains.
+    * RR near 1 with PC = 1 is the certificate a blocking key must earn
+    * before production use.
+    *
+    * The exhaustive space is COUNTED, never generated (sum of
+    * c*(c-1)/2 over block sizes — one aggregation); only the true-match
+    * denominator pays a quadratic within-block join, which is why this
+    * is an offline evaluation operator to run on a SAMPLE at corpus
+    * scale (the dd30/er2 oracle-baseline discipline: the quadratic form
+    * exists to certify the fast path, not to run in production).
+    * Integer ppm outputs — engine-exact.
+    *
+    * Output one row: (n_exhaustive, n_candidates, n_true_matches,
+    * n_matches_found, rr_ppm, pc_ppm). */
+  def blockingQuality(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val base = records.select(col(keyCol).as("pk"),
+      col(nameCol).as("name"), col(blockCol).as("block"))
+    val exhaustive = base.groupBy("block").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_exhaustive"))
+    val tk = base.select(col("pk"), col("name"), col("block"),
+      explode(split(col("name"), " ")).as("tok"))
+    val cand = tk.as("a").join(tk.as("b"), Seq("block", "tok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("is_match",
+        when(NumericFunctions.fround(TextFunctions.jaroWinkler(
+          col("name_a"), col("name_b")), 4) >= threshold, 1).otherwise(0))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("is_match")).cast("long").as("n_matches_found"))
+    val trueM = blockedPairsExhaustive(records, keyCol, nameCol, blockCol,
+        threshold)
+      .agg(count(lit(1)).as("n_true_matches"))
+    // three 1-row aggregates composed by broadcast crosses (benign loops)
+    exhaustive.crossJoin(broadcast(cand)).crossJoin(broadcast(trueM))
+      .select(col("n_exhaustive"), col("n_candidates"),
+        col("n_true_matches"), col("n_matches_found"),
+        expr("(n_exhaustive - n_candidates) * 1000000 div n_exhaustive")
+          .as("rr_ppm"),
+        expr("n_matches_found * 1000000 div n_true_matches").as("pc_ppm"))
+  }
+
   /** One classification-EM refresh of the Fellegi-Sunter m/u parameters
     * from the candidate set itself (the ECM variant: the E-step is the
     * CURRENT deci-weight decision rule as a hard assignment, the M-step
