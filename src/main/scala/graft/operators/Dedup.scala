@@ -417,8 +417,7 @@ object Dedup {
     * boundaries can never drift between them. */
   private def posGrams(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("t")) - k),
@@ -430,7 +429,14 @@ object Dedup {
     require(k >= 2, "gram width k >= 2")
     require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
     require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
-    // feeds the df cap AND both join sides: one materialization
+    // Feeds the df cap AND both join sides: one materialization. Cache
+    // lifetime: the returned frame is lazy, so the persist must outlive
+    // this call; it is corpus-token-sized (one md5 per token position)
+    // and MEMORY_AND_DISK so it spills rather than evicts hot executor
+    // memory. Callers running exact-substring as a standalone 100 TB
+    // pass should `spark.catalog.clearCache()` (or unpersist via
+    // `spark.sparkContext.getPersistentRDDs`) after materializing the
+    // spans; in the bench/oracle harness the LRU store handles it.
     val grams = posGrams(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
@@ -472,7 +478,7 @@ object Dedup {
         (col("b_start") + col("len")).as("hi"))
       .distinct()
     val wPrev = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
-      .rowsBetween(Window.unboundedPreceding, lit(-1))
+      .rowsBetween(Window.unboundedPreceding, -1L)
     val wIsl = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
     val merged = spans
       .withColumn("prev_max_hi", max(col("hi")).over(wPrev))
