@@ -151,7 +151,16 @@ object Bench {
     val total = results.map(_._2).sum
     val (skewPlain, skewSplit) = skewDemo(spark)
     val (levOff, levOn) = levPrefilterDemo(spark)
-    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A contaminated run's suspect list is load noise, not signal: legacy
+    // readers keyed on suspect_regressions alone (pre-dating the
+    // contaminated flag) must fail safe, so the voided names move to
+    // suspects_under_load and suspect_regressions stays empty.
+    val suspectsJson =
+      (if (contaminated) Nil else suspects)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val underLoadJson =
+      (if (contaminated) suspects else Nil)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: Seq[(String, Double)], extra: String): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -163,6 +172,7 @@ object Bench {
         s""""load_avg_end":${fmt(loadAvg())},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
+        s""""suspects_under_load":$underLoadJson,""" +
         s""""contaminated":$contaminated,""" +
         s""""sf":"$sfDir"$extra}"""
     }

@@ -83,7 +83,9 @@ object PlanAudit {
       "ss19_probe_sweep" -> "recall sweep vs the deliberate brute baseline (bounded query batch)",
       "q85_scd2_enrich" -> "1-row horizon-cap broadcast cross",
       "dq2_archive_reconcile" -> "1-row per-side summary broadcast cross",
-      "dd37_weighted_jaccard" -> "1-row corpus-count broadcast cross (idf denominator)")
+      "dd37_weighted_jaccard" -> "1-row corpus-count broadcast cross (idf denominator)",
+      "er6_fs_em_weights" -> "1-row M-step counts row (smoothed rates unpivot)",
+      "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1378,6 +1378,17 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterEmWeights(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er7_blocking_quality" -> ((s, dir) =>
+      // blocking-scheme certification (Christen 2012 ch. 7): reduction
+      // ratio + pair completeness of the token inverted index vs the
+      // exhaustive within-block space — the exhaustive space is COUNTED
+      // (one agg over block sizes), never generated; the quadratic
+      // true-match denominator runs on a deterministic md5-prefix ~50%
+      // sample BY CONSTRUCTION (mandatory sampleHexCut). Integer ppm,
+      // greatest(denominator, 1) zero-guard
+      graft.operators.EntityResolution.blockingQuality(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        threshold = 0.9, sampleHexCut = "80")),
     "tx31_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail perplexity terciles with VALUE-domain
       // cutoffs (group by the 3-dp floored nll, cumulate over the small
@@ -1503,6 +1514,35 @@ object SparkEntry {
       // proportional to actual duplication, df-capped hot grams
       Dedup.exactSubstrSpans(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd39_exactsubstr_cut" -> ((s, dir) =>
+      // the cut decision completing the Lee et al. 2022 ExactSubstr
+      // recipe dd38 starts: the lowest-doc-id occurrence of every shared
+      // span survives, every later copy is cut; per affected doc the
+      // span intervals merge first (running-max sweep window) so a
+      // region shared with several earlier docs never double-counts.
+      // Output: (doc_id, n_tokens, n_cut, n_kept) audit rows
+      Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd40_exactsubstr_incr" -> ((s, dir) => {
+      // incremental ExactSubstr (continuous ingest): the new batch's
+      // verbatim shared spans against the existing corpus — corpus grams
+      // never self-join; df cap over the union makes this exactly
+      // dd38-on-the-merged-corpus restricted to (corpus, batch) pairs
+      // (the equivalence DedupSpec gates). er5/dd15 split convention.
+      val docs = t(s, dir, "documents")
+      Dedup.exactSubstrSpansIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8, minTokens = 16, maxGramDf = 256)
+    }),
+    "ss20_embed_dim_audit" -> ((s, dir) =>
+      // per-dimension embedding health audit: exact integer micro-unit
+      // stats per dim (one map-side-combined hash agg over the
+      // posexplode fan-out — the exchange carries |parts| x |dims| rows
+      // only); collapsed = whole-corpus range < 1e-3, the dead-encoder
+      // signal that wastes ANN index bits
+      graft.operators.Similarity.dimAudit(
+        t(s, dir, "embeddings"), "embedding")),
     "dd33_leakfree_split" -> ((s, dir) =>
       // leakage-free splitting: the dd8 hash split composed with
       // LSH-verified near-dup detection — train/val docs near-duplicating
@@ -4532,6 +4572,33 @@ object SparkEntry {
         |  / ((n_m + 2) * (n_u + 1 - au))::DOUBLE) / ln(2) * 10.0)::BIGINT
         |  AS w_disagree_deci
         |FROM f""".stripMargin,
+    "er7_blocking_quality" ->
+      """WITH rec AS (SELECT p_partkey AS pk, p_name AS name,
+        |p_brand AS block FROM part
+        |WHERE substr(md5(p_partkey::VARCHAR), 1, 2) < '80'),
+        |ex AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT
+        |  AS n_exhaustive FROM
+        |(SELECT count(*) AS c FROM rec GROUP BY block)),
+        |tk AS (SELECT pk, name, block,
+        |unnest(string_split(name, ' ')) AS tok FROM rec),
+        |cd AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
+        |a.name AS na, b.name AS nb FROM tk a JOIN tk b
+        |ON a.block = b.block AND a.tok = b.tok AND a.pk < b.pk),
+        |cagg AS (SELECT count(*)::BIGINT AS n_candidates,
+        |coalesce(sum(CASE WHEN floor(jaro_winkler_similarity(na, nb)
+        |  * 10000.0) / 10000.0 >= 0.9 THEN 1 ELSE 0 END), 0)::BIGINT
+        |  AS n_matches_found
+        |FROM cd),
+        |tm AS (SELECT count(*)::BIGINT AS n_true_matches FROM
+        |(SELECT a.pk FROM rec a JOIN rec b
+        |ON a.block = b.block AND a.pk < b.pk
+        |WHERE floor(jaro_winkler_similarity(a.name, b.name) * 10000.0)
+        |  / 10000.0 >= 0.9))
+        |SELECT n_exhaustive, n_candidates, n_true_matches, n_matches_found,
+        |(n_exhaustive - n_candidates) * 1000000
+        |  // greatest(n_exhaustive, 1) AS rr_ppm,
+        |n_matches_found * 1000000 // greatest(n_true_matches, 1) AS pc_ppm
+        |FROM ex, cagg, tm""".stripMargin,
     "er4_golden_records" ->
       """WITH RECURSIVE pairs AS (
         |SELECT a.p_partkey AS da, b.p_partkey AS db
@@ -4674,6 +4741,62 @@ object SparkEntry {
          |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
          |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl)
          |SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, len
+         |FROM sp WHERE len >= 16""".stripMargin,
+    "dd39_exactsubstr_cut" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |md5(array_to_string(t[i:i+7], ' ')) AS g
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i FROM toks)),
+         |rare AS (SELECT g FROM
+         |(SELECT g, count(*) AS c FROM g GROUP BY 1) WHERE c <= 256),
+         |gg AS (SELECT g.* FROM g JOIN rare USING (g)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, a.pos - b.pos AS diag
+         |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER
+         |(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+         |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl),
+         |spans AS (SELECT doc_b, a_start - diag AS b_start, len
+         |FROM sp WHERE len >= 16),
+         |iv AS (SELECT DISTINCT doc_b AS doc_id, b_start AS lo,
+         |b_start + len AS hi FROM spans),
+         |mx AS (SELECT doc_id, lo, hi, max(hi) OVER (PARTITION BY doc_id
+         |ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |AS pmh FROM iv),
+         |ni AS (SELECT doc_id, lo, hi, CASE WHEN pmh IS NULL OR lo > pmh
+         |THEN 1 ELSE 0 END AS niw FROM mx),
+         |ic AS (SELECT doc_id, lo, hi, sum(niw) OVER (PARTITION BY doc_id
+         |ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |AS isl FROM ni),
+         |mrg AS (SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi FROM ic
+         |GROUP BY 1, 2),
+         |cut AS (SELECT doc_id, sum(hi - lo)::BIGINT AS n_cut FROM mrg
+         |GROUP BY 1),
+         |nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+         |SELECT nt.doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept
+         |FROM nt JOIN cut USING (doc_id)""".stripMargin,
+    "dd40_exactsubstr_incr" ->
+      s"""WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch,
+         |$duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, is_batch, i - 1 AS pos,
+         |md5(array_to_string(t[i:i+7], ' ')) AS g
+         |FROM (SELECT doc_id, is_batch, t,
+         |unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i FROM toks)),
+         |rare AS (SELECT g FROM
+         |(SELECT g, count(*) AS c FROM g GROUP BY 1) WHERE c <= 256),
+         |gg AS (SELECT g.* FROM g JOIN rare USING (g)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, a.pos - b.pos AS diag
+         |FROM gg a JOIN gg b ON a.g = b.g
+         |AND NOT a.is_batch AND b.is_batch),
+         |isl AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER
+         |(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+         |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl)
+         |SELECT doc_a AS corpus_id, doc_b AS batch_id,
+         |a_start AS corpus_start, a_start - diag AS batch_start, len
          |FROM sp WHERE len >= 16""".stripMargin,
     "dd33_leakfree_split" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -6649,6 +6772,16 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id,
         |floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "ss20_embed_dim_audit" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT i AS dim,
+        |floor(v[(i + 1)::INT] * 1000000.0)::BIGINT AS x_mu
+        |FROM (SELECT v, unnest(range(0, len(v))) AS i FROM v))
+        |SELECT dim, count(*)::BIGINT AS n, sum(x_mu)::BIGINT AS sum_mu,
+        |min(x_mu) AS min_mu, max(x_mu) AS max_mu,
+        |count(DISTINCT x_mu)::BIGINT AS n_distinct_mu,
+        |(max(x_mu) - min(x_mu)) < 1000 AS collapsed
+        |FROM e GROUP BY 1""".stripMargin,
     "ss19_probe_sweep" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex AS (SELECT query_id, neighbor_id FROM (

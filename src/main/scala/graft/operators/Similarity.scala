@@ -622,4 +622,44 @@ object Similarity {
       (i + 1L, id, math.floor(score * 10000.0) / 10000.0)
     }.toSeq.toDF("rank", "cand_id", "mmr")
   }
+
+  /** Per-dimension embedding health audit — the QC pass an embedding
+    * corpus earns before any ANN index is built on it: a COLLAPSED
+    * dimension (constant or near-constant across the corpus — a dead
+    * encoder unit, a zero-initialized pad, a truncated export) silently
+    * wastes index bits and distorts every distance. One row per
+    * dimension with exact integer stats.
+    *
+    * Determinism discipline: each float widens to double (IEEE-exact) and
+    * floors to micro-units once; everything downstream is integer
+    * min/max/sum/count-distinct — no float summation order anywhere, so
+    * the result is partitioning-invariant and oracle-bit-exact. The mean
+    * is published as the exact integer sum (consumers divide); floored
+    * integer division of a possibly-negative sum is the one step Spark
+    * (`div`, truncating) and other engines (floor semantics) disagree
+    * on, so it stays out of the contract.
+    *
+    * Scale shape: posexplode fans each vector into |dims| narrow rows,
+    * then TWO-LEVEL aggregation — first on (dim, value) so the exact
+    * distinct count never needs Catalyst's Expand (which would double
+    * the scanned rows before the first shuffle), then on dim. Map-side
+    * combine collapses each partition to its distinct (dim, value)
+    * pairs before the first exchange; the second exchange carries at
+    * most |dims| x |distinct values| pre-combined rows. Output: (dim, n,
+    * sum_mu, min_mu, max_mu, n_distinct_mu, collapsed) — collapsed when
+    * the dimension's whole corpus range is below 1e-3. */
+  def dimAudit(embs: DataFrame, vecCol: String): DataFrame =
+    embs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("x_mu"))
+      .groupBy("dim", "x_mu").agg(count(lit(1)).as("c"))
+      .groupBy("dim")
+      .agg(sum(col("c")).as("n"),
+        sum(col("x_mu") * col("c")).as("sum_mu"),
+        min(col("x_mu")).as("min_mu"),
+        max(col("x_mu")).as("max_mu"),
+        count(lit(1)).as("n_distinct_mu"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("sum_mu"),
+        col("min_mu"), col("max_mu"), col("n_distinct_mu"),
+        (col("max_mu") - col("min_mu") < 1000).as("collapsed"))
 }

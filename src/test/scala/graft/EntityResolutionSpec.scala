@@ -202,6 +202,52 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"verify ratio must be scale-invariant: sf0.001=$small sf0.01=$big")
   }
 
+  test("blocking quality pins RR/PC ppm on a hand-computed block layout") {
+    import spark.implicits._
+    // block b1 holds 4 records -> 6 exhaustive pairs; b2 is a singleton.
+    // Token blocking generates exactly ONE candidate, (1,3) via the
+    // shared token "abcde". True matches (exhaustive JW >= 0.9): (1,2)
+    // at jw 0.9666 — MISSED by blocking (no shared whole token: "abcde"
+    // vs "abcdef") — and (1,3) at jw 0.9250, found. So RR = 5/6 and
+    // PC = 1/2, in floored ppm.
+    val rec = Seq(
+      (1L, "abcde", "b1"), (2L, "abcdef", "b1"),
+      (3L, "abcde xx", "b1"), (4L, "zzzz yy", "b1"),
+      (5L, "qq", "b2")
+    ).toDF("pk", "name", "block")
+    val r = EntityResolution
+      .blockingQuality(rec, "pk", "name", "block", threshold = 0.9,
+        sampleHexCut = "zz") // above every hex digram: full fixture
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((6L, 1L, 2L, 1L, 833333L, 500000L)),
+      s"(n_exhaustive, n_candidates, n_true, n_found, rr_ppm, pc_ppm): " +
+        s"${r.toSeq}")
+  }
+
+  test("blocking quality zero-denominator convention and mandatory sample") {
+    import spark.implicits._
+    // all-dissimilar corpus: one exhaustive pair, zero candidates, zero
+    // true matches -> rr_ppm 1000000, pc_ppm 0 (never NULL / never throws)
+    val rec = Seq((1L, "aa bb", "b1"), (2L, "cc dd", "b1"))
+      .toDF("pk", "name", "block")
+    val r = EntityResolution
+      .blockingQuality(rec, "pk", "name", "block", 0.9, "zz")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 0L, 0L, 0L, 1000000L, 0L)))
+    // the quadratic denominator is sample-only by construction
+    assertThrows[IllegalArgumentException] {
+      EntityResolution.blockingQuality(rec, "pk", "name", "block", 0.9, "")
+    }
+    // a real cut deterministically shrinks the evaluated record set
+    val full = EntityResolution
+      .blockingQuality(part, "p_partkey", "p_name", "p_brand", 0.9, "zz")
+      .select("n_exhaustive").as[Long].head()
+    val half = EntityResolution
+      .blockingQuality(part, "p_partkey", "p_name", "p_brand", 0.9, "80")
+      .select("n_exhaustive").as[Long].head()
+    assert(half > 0L && half < full)
+  }
+
   test("entity resolution assigns min-member canonical ids with sizes") {
     val ent = EntityResolution
       .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)

@@ -491,6 +491,109 @@ class DedupSpec extends AnyFunSuite {
     assert(r1.exceptAll(r2).count() === 0 && r2.exceptAll(r1).count() === 0)
   }
 
+  test("exact-substring cut merges overlapping intervals — a region " +
+      "shared with several earlier docs never double-counts") {
+    import spark.implicits._
+    // doc3 shares [0,8) with doc1 and [4,12) with doc2 — overlapping
+    // intervals must merge to [0,12): n_cut 12, NOT 8+8=16 > n_tokens
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "t4 t5 t6 t7 t8 t9 ta tb"),
+      (3L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 ta tb")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrCut(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nt, nc, nk) => id -> ((nt, nc, nk)) }.toMap
+    // (1,2) share only 4 tokens < minTokens -> doc2 uncut, absent
+    assert(r === Map(3L -> (12L, 12L, 0L)),
+      s"overlap must merge before counting: $r")
+  }
+
+  test("exact-substring cut: nested and duplicate intervals, lowest doc " +
+      "survives untouched") {
+    import spark.implicits._
+    // doc3 nests doc2's span inside doc1's ([0,10) contains [2,8));
+    // doc2 itself is cut by its pair with doc1
+    val d = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "w2 w3 w4 w5 w6 w7"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 r0 r1")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrCut(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nt, nc, nk) => id -> ((nt, nc, nk)) }.toMap
+    // doc2: whole doc shared with doc1 -> fully cut; doc3: [0,10) u [2,8)
+    // merges to [0,10) -> 2 tokens kept; doc1 (lowest id) never cut
+    assert(r === Map(2L -> (6L, 6L, 0L), 3L -> (12L, 10L, 2L)),
+      s"nested interval must not double-count: $r")
+    assert(!r.contains(1L), "the earliest copy keeps its text")
+  }
+
+  test("exact-substring cut: adjacent intervals merge into one island " +
+      "and invariants hold on the corpus fixture") {
+    import spark.implicits._
+    // docD's first 6 tokens come from doc1, last 6 from doc2 — adjacent
+    // [0,6) + [6,12) merge to one island covering the whole doc
+    val d = Seq(
+      (1L, "u0 u1 u2 u3 u4 u5 p0 p1"),
+      (2L, "v0 v1 v2 v3 v4 v5 q0 q1"),
+      (3L, "u0 u1 u2 u3 u4 u5 v0 v1 v2 v3 v4 v5")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrCut(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, nt, nc, nk) => id -> ((nt, nc, nk)) }.toMap
+    assert(r === Map(3L -> (12L, 12L, 0L)), s"adjacent spans: $r")
+    // invariants on the real table: 0 < n_cut <= n_tokens, n_kept
+    // consistent, and every cut doc appears as a doc_b in the span set
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val cut = Dedup.exactSubstrCut(docs, "doc_id", "text",
+      k = 8, minTokens = 16, maxGramDf = 256)
+    assert(cut.filter(col("n_cut") <= 0 || col("n_cut") > col("n_tokens") ||
+      col("n_kept") =!= col("n_tokens") - col("n_cut")).count() === 0)
+    val spanBs = Dedup.exactSubstrSpans(docs, "doc_id", "text",
+      k = 8, minTokens = 16, maxGramDf = 256).select(col("doc_b"))
+    assert(cut.select(col("doc_id")).exceptAll(spanBs.distinct()).count()
+      === 0, "every cut doc is some span's later copy")
+  }
+
+  test("incremental exact-substring equals the union run restricted to " +
+      "cross pairs; corpus never self-joins; empty sides behave") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "s0 s1 s2 s3 s4 s5 s6 s7 a0 a1"),
+      (3L, "x0 x1 s0 s1 s2 s3 s4 s5 s6 s7")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "b0 b1 s0 s1 s2 s3 s4 s5 s6 s7"),
+      (20L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    val inc = Dedup.exactSubstrSpansIncremental(corpus, batch,
+      "doc_id", "text", k = 4, minTokens = 6, maxGramDf = 64)
+    // defining equivalence: dd38 on the merged corpus, cross pairs only
+    // (corpus ids here sort below batch ids, so doc_a is the corpus side)
+    val expect = Dedup.exactSubstrSpans(corpus.unionAll(batch),
+        "doc_id", "text", k = 4, minTokens = 6, maxGramDf = 64)
+      .filter(col("doc_a").isin(1L, 3L) && col("doc_b").isin(10L, 20L))
+      .select(col("doc_a").as("corpus_id"), col("doc_b").as("batch_id"),
+        col("a_start").as("corpus_start"), col("b_start").as("batch_start"),
+        col("len"))
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(inc).count() === 0,
+      "incremental must equal the union run restricted to cross pairs")
+    // the corpus-corpus pair (1,3) shares the same span but must not emit
+    assert(inc.filter(col("batch_id").isin(1L, 3L)).count() === 0)
+    // df cap counts over the UNION: the span lives in 3 docs, cap 2 kills
+    assert(Dedup.exactSubstrSpansIncremental(corpus, batch,
+      "doc_id", "text", 4, 6, maxGramDf = 2).count() === 0)
+    // empty sides
+    assert(Dedup.exactSubstrSpansIncremental(corpus, batch.limit(0),
+      "doc_id", "text", 4, 6, 64).count() === 0)
+    assert(Dedup.exactSubstrSpansIncremental(corpus.limit(0), batch,
+      "doc_id", "text", 4, 6, 64).count() === 0)
+  }
+
   test("exact-substring df cap drops hot-gram candidates deterministically") {
     import spark.implicits._
     // the same 6-token span appears in 5 docs -> each gram has df 5;

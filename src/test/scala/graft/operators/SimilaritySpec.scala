@@ -290,4 +290,27 @@ class SimilaritySpec extends AnyFunSuite {
     // perfect recall is not guaranteed — but more probes found more here
     assert(recalls.last >= recalls.head)
   }
+
+  test("dim audit: exact micro-unit stats per dimension, collapsed flags, " +
+      "negative values floor correctly") {
+    val spark2 = spark; import spark2.implicits._
+    // dim0 constant (dead unit), dim1 spread incl. a negative, dim2
+    // near-constant (range 499 micro-units < the 1000 collapse floor)
+    val embs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.5f, 2.0f, 0.25f)),
+      (3L, Array(0.5f, 3.0f, 0.2505f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.dimAudit(embs, "embedding")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(0L) === ((0L, 3L, 1500000L, 500000L, 500000L, 1L, true)))
+    // floor(-1.0 * 1e6) = -1000000 exactly; sum = -1e6 + 2e6 + 3e6
+    assert(r(1L) === ((1L, 3L, 4000000L, -1000000L, 3000000L, 3L, false)))
+    // 0.2505f widens to ~0.2504999935 -> floors to 250499; range 499
+    assert(r(2L) === ((2L, 3L, 750499L, 250000L, 250499L, 2L, true)))
+    // partitioning invariance: same exact integers under a reshuffle
+    val r2 = Similarity.dimAudit(embs.repartition(7), "embedding")
+    assert(Similarity.dimAudit(embs, "embedding").exceptAll(r2).count() === 0)
+  }
 }
