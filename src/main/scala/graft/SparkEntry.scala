@@ -1535,6 +1535,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 8, minTokens = 16, maxGramDf = 256)
     }),
+    "ss21_ivfpq_topk" -> ((s, dir) =>
+      // IVF-PQ composed ANN (Jegou et al. 2011 IVFADC): coarse cells +
+      // product-quantized RESIDUALS, per-probed-cell ADC lookup tables —
+      // integer nano-unit distances end to end; centroids/codebook/LUTs
+      // broadcast, one corpus assign+encode pass, one keyed ADC shuffle
+      graft.operators.Similarity.ivfPqTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryMaxId = 3, nCells = 8, nProbe = 2, nSub = 8, subDim = 8,
+        nCodes = 16, k = 10)),
     "ss20_embed_dim_audit" -> ((s, dir) =>
       // per-dimension embedding health audit: exact integer micro-unit
       // stats per dim (one map-side-combined hash agg over the
@@ -1648,6 +1657,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_ppm")).as("credit_ppm"))
     }),
+    "dq3_benford" -> ((s, dir) =>
+      // Benford first-digit audit on order totals — the fabricated-data /
+      // corrupted-feed screen: first digit from the integer-cents DECIMAL
+      // STRING (never float log10), observed vs expected integer ppm with
+      // signed deviation; one 9-row agg + a 1-row total broadcast cross
+      graft.operators.QualityAudit.benfordAudit(
+        t(s, dir, "orders"), "o_totalprice")),
+    "pk8_budget_waterfill" -> ((s, dir) =>
+      // uniform token-budget waterfilling across sources (data mixing
+      // under a hard budget): equal share per round, saturated sources
+      // redistribute, 3 fixed rounds, integer-exact — one tokenize pass
+      // collapses the corpus to |sources| rows
+      graft.operators.Sampling.budgetWaterfill(
+        t(s, dir, "documents"), "source", "text",
+        budgetTokens = 30000L)),
     "dq2_archive_reconcile" -> ((s, dir) => {
       // post-archival completeness reconciliation: one scan per side,
       // count + order-independent XOR of an engine-portable key
@@ -2445,6 +2469,37 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b", rounds = 3)),
+    "g6_personalized_pr" -> ((s, dir) => {
+      // personalized PageRank (random walk with restart) over the g1
+      // nation trade graph, seeded on the ASIA nations: teleport mass
+      // lands only on seeds, so ranks measure trade proximity TO ASIA —
+      // the related-entity discovery primitive. Same integer micro-unit
+      // fixed-point as g1; unreachable nations publish exact 0
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name",
+        "n_regionkey")
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.as("cn")),
+          col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.as("sn")),
+          col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"))
+      graft.operators.Graph.pageRankInt(edges, "src", "dst", "w",
+          iterations = 5, seeds = Some(seeds))
+        .select(col("node").as("nation_name"), col("rank_u"))
+    }),
     "g5_link_pred" -> ((s, dir) =>
       // neighborhood link prediction on the near-dup candidate graph:
       // non-adjacent doc pairs ranked by common-neighbor count and
@@ -4894,6 +4949,43 @@ object SparkEntry {
         |  (CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
         |END)::BIGINT AS credit_ppm
         |FROM c GROUP BY 1""".stripMargin,
+    "dq3_benford" ->
+      """WITH c AS (SELECT floor(o_totalprice * 100.0)::BIGINT AS c
+        |FROM orders WHERE floor(o_totalprice * 100.0)::BIGINT > 0),
+        |g AS (SELECT c // power(10, length(c::VARCHAR) - 1)::BIGINT
+        |AS digit, count(*)::BIGINT AS n_obs FROM c GROUP BY 1),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM g),
+        |e AS (SELECT * FROM (VALUES (1::BIGINT, 301029::BIGINT),
+        |(2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+        |(7, 57991), (8, 51152), (9, 45757)) AS v(digit, expected_ppm))
+        |SELECT g.digit, g.n_obs,
+        |g.n_obs * 1000000 // greatest(t.n_total, 1) AS obs_ppm,
+        |e.expected_ppm,
+        |(g.n_obs * 1000000 // greatest(t.n_total, 1)) - e.expected_ppm
+        |  AS dev_ppm
+        |FROM g JOIN e USING (digit) CROSS JOIN t""".stripMargin,
+    "pk8_budget_waterfill" ->
+      s"""WITH avail AS (SELECT source, sum(len($duckToks))::BIGINT AS avail
+         |FROM documents GROUP BY 1),
+         |a0 AS (SELECT source, avail, 0::BIGINT AS alloc FROM avail),
+         |s1 AS (SELECT coalesce(sum(alloc), 0)::BIGINT AS spent,
+         |count(CASE WHEN alloc < avail THEN 1 END)::BIGINT AS nu FROM a0),
+         |a1 AS (SELECT source, avail, (CASE WHEN alloc < avail THEN
+         |least(avail, alloc + (30000 - spent) // greatest(nu, 1))
+         |ELSE alloc END)::BIGINT AS alloc FROM a0 CROSS JOIN s1),
+         |s2 AS (SELECT coalesce(sum(alloc), 0)::BIGINT AS spent,
+         |count(CASE WHEN alloc < avail THEN 1 END)::BIGINT AS nu FROM a1),
+         |a2 AS (SELECT source, avail, (CASE WHEN alloc < avail THEN
+         |least(avail, alloc + (30000 - spent) // greatest(nu, 1))
+         |ELSE alloc END)::BIGINT AS alloc FROM a1 CROSS JOIN s2),
+         |s3 AS (SELECT coalesce(sum(alloc), 0)::BIGINT AS spent,
+         |count(CASE WHEN alloc < avail THEN 1 END)::BIGINT AS nu FROM a2),
+         |a3 AS (SELECT source, avail, (CASE WHEN alloc < avail THEN
+         |least(avail, alloc + (30000 - spent) // greatest(nu, 1))
+         |ELSE alloc END)::BIGINT AS alloc FROM a2 CROSS JOIN s3)
+         |SELECT source, avail, alloc, alloc >= avail AS saturated,
+         |alloc * 1000000 // greatest(avail, 1) AS fill_ppm
+         |FROM a3""".stripMargin,
     "dq2_archive_reconcile" ->
       """WITH s AS (SELECT count(*)::BIGINT AS src_rows,
         |coalesce(bit_xor(('0x' || substr(md5(l_orderkey::VARCHAR || ':'
@@ -5960,6 +6052,46 @@ object SparkEntry {
       head + ",\n" + iters +
         "\nSELECT node AS nation_name, r AS rank_u FROM r5"
     },
+    "g6_personalized_pr" -> {
+      // g1's unrolled fixed-point with the personalized teleport: restart
+      // mass lands only on the ASIA seed nations (1/|S| each), zero
+      // elsewhere; integer micro-units match Graph.pageRankInt(seeds=...)
+      // bit for bit.
+      val head =
+        """WITH e0 AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+          |count(*)::BIGINT AS w
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w)::BIGINT AS out_w FROM e0 GROUP BY 1),
+          |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0
+          |JOIN ow USING (src)),
+          |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          |seeds AS (SELECT node FROM nodes WHERE node IN
+          |(SELECT n_name FROM nation JOIN region
+          |ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')),
+          |sp AS (SELECT count(*)::BIGINT AS ns FROM seeds),
+          |r0 AS (SELECT nd.node,
+          |(CASE WHEN sd.node IS NOT NULL THEN 1000000000000 // sp.ns
+          |ELSE 0 END)::BIGINT AS r
+          |FROM nodes nd CROSS JOIN sp
+          |LEFT JOIN seeds sd ON sd.node = nd.node)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |((CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sp.ns
+           |ELSE 0 END) + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS r
+           |FROM nodes nd CROSS JOIN sp
+           |LEFT JOIN seeds sd ON sd.node = nd.node LEFT JOIN
+           |(SELECT e.dst AS node, sum((r.r * e.w) // e.out_w)::BIGINT AS s
+           |FROM r${k - 1} r JOIN e ON e.src = r.node GROUP BY 1) c
+           |ON c.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters +
+        "\nSELECT node AS nation_name, r AS rank_u FROM r5"
+    },
     "g2_triangles" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
@@ -6772,6 +6904,55 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id,
         |floor(cosraw * 1000.0) / 1000.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "ss21_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corp AS (SELECT vec_id, v FROM v WHERE vec_id >= 3),
+        |cents AS (SELECT vec_id AS cent_id, v AS centv,
+        |list_inner_product(v, v) / 2 AS chs FROM corp
+        |ORDER BY vec_id LIMIT 8),
+        |cass AS (SELECT vec_id, v, cent_id, centv FROM (
+        |SELECT c.vec_id, c.v, ce.cent_id, ce.centv, row_number() OVER (
+        |PARTITION BY c.vec_id
+        |ORDER BY (list_inner_product(c.v, ce.centv) - ce.chs) DESC,
+        |ce.cent_id) AS rk
+        |FROM corp c CROSS JOIN cents ce) WHERE rk = 1),
+        |cbids AS (SELECT vec_id FROM corp ORDER BY vec_id LIMIT 24),
+        |cb AS (SELECT a.vec_id AS code, a.v AS cbv, a.centv AS cbcentv
+        |FROM cass a JOIN cbids USING (vec_id)
+        |WHERE a.vec_id NOT IN (SELECT cent_id FROM cents)),
+        |ed0 AS (SELECT a.vec_id, a.cent_id AS cell, rs.s, c.code,
+        |((a.v[(rs.s * 8 + rj.j)::INT] - a.centv[(rs.s * 8 + rj.j)::INT])
+        | - (c.cbv[(rs.s * 8 + rj.j)::INT]
+        |    - c.cbcentv[(rs.s * 8 + rj.j)::INT])) AS df
+        |FROM cass a, range(0, 8) rs(s), range(1, 9) rj(j), cb c),
+        |ed AS (SELECT vec_id, cell, s, code,
+        |sum(floor(df * df * 1000000000.0)::BIGINT)::BIGINT AS d_u
+        |FROM ed0 GROUP BY 1, 2, 3, 4),
+        |enc AS (SELECT vec_id, cell, s, code FROM ed
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |ORDER BY d_u, code) = 1),
+        |q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 3),
+        |qass AS (SELECT query_id, v, cent_id AS cell, centv FROM (
+        |SELECT q.query_id, q.v, ce.cent_id, ce.centv, row_number() OVER (
+        |PARTITION BY q.query_id
+        |ORDER BY (list_inner_product(q.v, ce.centv) - ce.chs) DESC,
+        |ce.cent_id) AS rk
+        |FROM q CROSS JOIN cents ce) WHERE rk <= 2),
+        |ql0 AS (SELECT a.query_id, a.cell, rs.s, c.code,
+        |((a.v[(rs.s * 8 + rj.j)::INT] - a.centv[(rs.s * 8 + rj.j)::INT])
+        | - (c.cbv[(rs.s * 8 + rj.j)::INT]
+        |    - c.cbcentv[(rs.s * 8 + rj.j)::INT])) AS df
+        |FROM qass a, range(0, 8) rs(s), range(1, 9) rj(j), cb c),
+        |ql AS (SELECT query_id, cell, s, code,
+        |sum(floor(df * df * 1000000000.0)::BIGINT)::BIGINT AS d_u
+        |FROM ql0 GROUP BY 1, 2, 3, 4),
+        |adc AS (SELECT ql.query_id, e.vec_id, sum(ql.d_u)::BIGINT AS adc_u
+        |FROM enc e JOIN ql ON ql.cell = e.cell AND ql.s = e.s
+        |AND ql.code = e.code GROUP BY 1, 2)
+        |SELECT query_id, rank, vec_id AS neighbor_id, adc_u FROM (
+        |SELECT query_id, vec_id, adc_u, row_number() OVER (
+        |PARTITION BY query_id ORDER BY adc_u, vec_id)::INT AS rank
+        |FROM adc) WHERE rank <= 10""".stripMargin,
     "ss20_embed_dim_audit" ->
       """WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         |e AS (SELECT i AS dim,

@@ -39,8 +39,18 @@ object Graph {
     * below ~9e6 for Long; `require`d so a bigger corpus fails loudly
     * rather than wrapping.
     */
+  /** `seeds`: when set, runs PERSONALIZED PageRank (random walk with
+    * restart): the teleport mass lands only on the seed set — uniform
+    * `(1-d)/|S|` per seed, zero elsewhere — and the walk starts at the
+    * seeds (`1/|S|` each). Ranks then measure proximity TO THE SEEDS,
+    * the similar-item / related-entity discovery primitive (Page et al.
+    * 1999 §6 personalized vector; the PPR of Jeh & Widom 2003). Seeds
+    * not present in the graph are ignored; at least one must remain.
+    * Unreachable nodes publish exact rank 0. The `None` path is plain
+    * PageRank, bit-identical to the pre-seed implementation. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, iterations: Int, dampingPct: Int = 85): DataFrame = {
+      wCol: String, iterations: Int, dampingPct: Int = 85,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val spark = edges.sparkSession
     // materialize the (aggregated) edge list FIRST: nodes, max-weight and
@@ -63,8 +73,25 @@ object Graph {
     val e = e0.join(outW, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize once; every iteration reuses the same blocks
     e0.unpersist(false)
-    val teleport = (unit1 * (100 - dampingPct) / 100) / n
-    var ranks = nodes.select(col("node"), lit(unit1 / n).as("r"))
+    // seed frame (personalized mode): distinct seeds restricted to graph
+    // nodes; tiny (broadcast in every use)
+    val seedF = seeds.map { sd =>
+      sd.select(col(sd.columns.head).as("node")).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nSeed = seedF.map(_.count()).getOrElse(0L)
+    seeds.foreach(_ => require(nSeed > 0,
+      "personalized PageRank needs at least one seed present in the graph"))
+    val teleBase = unit1 * (100 - dampingPct) / 100
+    val teleport = teleBase / n
+    var ranks = seedF match {
+      case None => nodes.select(col("node"), lit(unit1 / n).as("r"))
+      case Some(sf) => nodes
+        .join(broadcast(sf.withColumn("is_seed", lit(true))), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), lit(unit1 / nSeed)).otherwise(lit(0L)).as("r"))
+    }
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -81,11 +108,19 @@ object Graph {
       // 32 near-empty cached blocks instead of one AQE-coalesced task.
       // (On a many-iteration production run, checkpoint() every ~10 rounds
       // to truncate lineage — persist still isn't the tool here.)
-      ranks = nodes
-        .join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"coalesce(s, 0L) * $dampingPct DIV 100")).as("r"))
+      val damped = expr(s"coalesce(s, 0L) * $dampingPct DIV 100")
+      ranks = seedF match {
+        case None => nodes
+          .join(broadcast(contrib), Seq("node"), "left")
+          .select(col("node"), (lit(teleport) + damped).as("r"))
+        case Some(sf) => nodes
+          .join(broadcast(contrib), Seq("node"), "left")
+          .join(broadcast(sf.withColumn("is_seed", lit(true))),
+            Seq("node"), "left")
+          .select(col("node"),
+            (when(col("is_seed"), lit(teleBase / nSeed)).otherwise(lit(0L))
+              + damped).as("r"))
+      }
     }
     // Materialize the FINAL ranks (one job pulls the whole broadcast
     // chain), then release the upstream caches — a long-lived session
@@ -96,6 +131,7 @@ object Graph {
     result.count()
     nodes.unpersist(false)
     e.unpersist(false)
+    seedF.foreach(_.unpersist(false))
     result
   }
 

@@ -111,4 +111,42 @@ object QualityAudit {
           when(!coalesce(ok, lit(false)), lit(name)) }: _*).as("reasons"): _*)
       .filter(col("reasons") =!= "")
   }
+
+  /** Benford first-significant-digit audit (Benford 1938; the standard
+    * fabricated-data / corrupted-feed screen for naturally-occurring
+    * monetary or count columns): observed first-digit frequencies in
+    * integer ppm against the Benford expectation floor(log10(1+1/d)*1e6),
+    * one row per digit 1-9 with the signed deviation.
+    *
+    * Determinism discipline: the value quantizes ONCE to integer cents
+    * (floor(x*100), IEEE-identical across engines on double inputs) and
+    * the first digit comes from the cents' DECIMAL STRING length —
+    * integer division by 10^(len-1) — never from a float log10 whose
+    * ulp could flip a power-of-ten boundary. Non-positive cents are
+    * excluded (Benford is defined on positive magnitudes). ppm via
+    * integer div with greatest(total, 1) — the dq convention.
+    *
+    * Scale shape: one narrow projection + one 9-row hash aggregation
+    * (map-side combined) + a 1-row total broadcast cross. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expected: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
+      3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+      8 -> 51152L, 9 -> 45757L)
+    val expMap = map(expected.flatMap { case (d, p) =>
+      Seq(lit(d.toLong), lit(p)) }: _*)
+    val g = df
+      .select(floor(col(valueCol).cast("double") * 100.0).cast("long")
+        .as("c"))
+      .filter(col("c") > 0)
+      .select(expr(
+        "c div cast(pow(10, length(cast(c as string)) - 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = g.agg(sum(col("n_obs")).as("n_total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div greatest(n_total, 1)").as("obs_ppm"),
+        element_at(expMap, col("digit")).as("expected_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
+  }
 }

@@ -158,4 +158,43 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Uniform token-budget waterfilling across sources — the allocation
+    * step of data mixing under a hard budget: each source gets an equal
+    * share of the remaining budget each round, capped at what it has;
+    * saturated (fully-taken) sources drop out and their unused share
+    * redistributes to the rest. `rounds` fixed iterations (full
+    * convergence needs at most |sources| rounds; any un-redistributed
+    * remainder after the last round is deliberately left unspent — the
+    * deterministic, documented contract, same fixed-iteration discipline
+    * as g1/g4). All integer token arithmetic: per-round quota is
+    * remaining div |unsaturated|, so quota * |unsaturated| never exceeds
+    * the remaining budget and the allocation can never overshoot.
+    *
+    * Scale shape: ONE tokenize+aggregate pass over the corpus collapses
+    * it to |sources| rows; every round after that is a 1-row stats
+    * broadcast cross on that tiny frame. Output per source: (source,
+    * avail, alloc, saturated, fill_ppm). */
+  def budgetWaterfill(docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, rounds: Int = 3): DataFrame = {
+    require(budgetTokens >= 0 && rounds >= 1)
+    var alloc = docs
+      .select(col(sourceCol).as("source"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("avail"))
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val stats = alloc.agg(sum(col("alloc")).as("spent"),
+        count(when(col("alloc") < col("avail"), 1)).as("nu"))
+      alloc = alloc.crossJoin(broadcast(stats))
+        .select(col("source"), col("avail"),
+          when(col("alloc") < col("avail"),
+            least(col("avail"), col("alloc") +
+              expr(s"(${budgetTokens}L - spent) div greatest(nu, 1)")))
+            .otherwise(col("alloc")).as("alloc"))
+    }
+    alloc.select(col("source"), col("avail"), col("alloc"),
+      (col("alloc") >= col("avail")).as("saturated"),
+      expr("alloc * 1000000 div greatest(avail, 1)").as("fill_ppm"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -559,6 +559,112 @@ object Similarity {
     val rankW = Window.partitionBy("query_id").orderBy(col("adc_u"), col("vec_id"))
     adc.withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "adc_u", "rank")
+  }
+
+  /** IVF-PQ composed ANN — the production 100 TB index architecture
+    * (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search", the IVFADC variant): a coarse quantizer partitions the
+    * corpus into cells, and within each cell vectors are stored as
+    * `nSub` product-quantization codes of their RESIDUAL (v - centroid)
+    * — the residual's variance is a fraction of the vector's, so the
+    * same code budget quantizes far more precisely than flat PQ (ss9).
+    * Queries probe `nProbe` nearest cells; in each probed cell the
+    * query's OWN residual against that cell's centroid builds the ADC
+    * lookup table, and candidates are scored by summing per-subspace
+    * table entries — never touching a stored vector.
+    *
+    * Determinism contract (ss3 + ss9 precedents composed): cell
+    * assignment is argmax dot(v,c) - |c|^2/2 with ties to the lowest
+    * centroid id; every PQ distance element-quantizes to integer
+    * nano-units (floor((a-b)^2 * 1e9) per element) before BIGINT
+    * summation, so codes, lookup tables and ADC scores are exact
+    * integer arithmetic on any partitioning, reproduced bit-for-bit by
+    * the oracle. Centroids are the deterministic first-`nCells`
+    * corpus ids; the PQ codebook is the residuals of the NEXT `nCodes`
+    * corpus ids (skipping the centroids themselves, whose residuals
+    * are degenerate zeros); production swaps offline-trained tables
+    * without touching the plan.
+    *
+    * Scale shape: centroids (nCells rows), the codebook (nCodes x nSub
+    * subspace rows) and the query lookup tables (|Q| x nProbe x nSub x
+    * nCodes rows) are all broadcast; the corpus makes one narrow
+    * assign+encode pass (cost |corpus| x nCodes subspace distances, all
+    * map-side), and ADC is a broadcast equi-join on (cell, subspace,
+    * code) feeding one map-side-combined (query, vector) sum — the
+    * only shuffle of corpus cardinality. Memory per indexed vector:
+    * nSub codes + one cell id, vs nSub*subDim floats raw.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_u) — rank by ascending
+    * integer ADC distance, ties to the lowest neighbor id. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryMaxId: Long, nCells: Int, nProbe: Int,
+      nSub: Int, subDim: Int, nCodes: Int, k: Int): DataFrame = {
+    require(nCells > 0 && nProbe > 0 && nSub > 0 && subDim > 0 &&
+      nCodes > 1 && k > 0)
+    requireNumericId(emb, idCol)
+    val v = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val corpus = v.filter(col("vec_id") >= queryMaxId)
+    val queries = v.filter(col("vec_id") < queryMaxId)
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    def withResidual(assigned: DataFrame, vc: String): DataFrame =
+      assigned.join(broadcast(cents), "cent_id")
+        .withColumn("rv", zip_with(col(vc), col("centv"), (a, b) => a - b))
+        .drop("centv")
+    val cAss = withResidual(assignCells(corpus, "v", cents, 1), "v")
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rv"))
+    // codebook: residuals of the next nCodes corpus ids after the
+    // centroid prefix (both prefixes of the same id order, so the
+    // anti-join leaves exactly nCodes rows)
+    val cb = cAss
+      .join(broadcast(corpus.orderBy("vec_id").limit(nCells + nCodes)
+        .select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .join(broadcast(cents.select(col("cent_id").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("code"), col("rv").as("cbv"))
+    val subIdx = sequence(lit(0), lit(nSub - 1))
+    def subspaces(vc: Column): Column =
+      transform(subIdx, s => slice(vc, s * subDim + 1, lit(subDim)))
+    val cbExp = cb.select(col("code"), posexplode(subspaces(col("cbv"))))
+      .select(col("code"), col("pos").as("s"), col("col").as("csv"))
+    def pqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+          (x, y) => floor((x - y) * (x - y) * lit(1e9)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    // encode: per (corpus vector, subspace) the argmin-distance code
+    val cExp = cAss.select(col("vec_id"), col("cell"),
+        posexplode(subspaces(col("rv"))))
+      .select(col("vec_id"), col("cell"), col("pos").as("s"),
+        col("col").as("rsv"))
+    val encW = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d_u"), col("code"))
+    val enc = cExp.join(broadcast(cbExp), "s")
+      .select(col("vec_id"), col("cell"), col("s"), col("code"),
+        pqDist(col("rsv"), col("csv")).as("d_u"))
+      .withColumn("rn", row_number().over(encW))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "s", "code")
+    // query side: nProbe cells, per-cell residual, per-cell ADC table
+    val qAss = withResidual(
+        assignCells(queries.withColumnRenamed("vec_id", "query_id"),
+          "v", cents, nProbe), "v")
+      .select(col("query_id"), col("cent_id").as("cell"), col("rv"))
+    val qLut = qAss.select(col("query_id"), col("cell"),
+        posexplode(subspaces(col("rv"))))
+      .select(col("query_id"), col("cell"), col("pos").as("s"),
+        col("col").as("qsv"))
+      .join(broadcast(cbExp), "s")
+      .select(col("query_id"), col("cell"), col("s"), col("code"),
+        pqDist(col("qsv"), col("csv")).as("d_u"))
+    val adc = enc.join(broadcast(qLut), Seq("cell", "s", "code"))
+      .groupBy("query_id", "vec_id").agg(sum(col("d_u")).as("adc_u"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("adc_u"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_u"))
   }
 
   /** Maximal-marginal-relevance diversified top-k: greedily pick the

@@ -285,4 +285,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.toSeq === got.toSeq)
   }
+
+  test("personalized PageRank: hand-computed chain, component isolation, " +
+      "absent seeds filtered, all-absent seeds rejected") {
+    // chain a -> b, seed {a}: r0 = (1e12, 0);
+    // iter1: a = 0.15e12, b = 0.85 * 1e12; iter2: b = 0.85 * 0.15e12
+    val chain = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val seedsA = Seq(Tuple1("a")).toDF("node")
+    val r2 = Graph.pageRankInt(chain, "src", "dst", "w", iterations = 2,
+        seeds = Some(seedsA))
+      .as[(String, Long)].collect().toMap
+    assert(r2 === Map("a" -> 150000000000L, "b" -> 127500000000L), r2)
+    // disconnected component gets EXACT zero (no uniform teleport)
+    val twoComp = Seq(("a", "b", 1L), ("x", "y", 1L))
+      .toDF("src", "dst", "w")
+    val rc = Graph.pageRankInt(twoComp, "src", "dst", "w", iterations = 3,
+        seeds = Some(seedsA))
+      .as[(String, Long)].collect().toMap
+    assert(rc("x") === 0L && rc("y") === 0L, rc)
+    assert(rc("a") > 0L && rc("b") > 0L)
+    // seeds not present in the graph are ignored, not counted in |S|
+    val withGhost = Graph.pageRankInt(twoComp, "src", "dst", "w", 3,
+        seeds = Some(Seq(Tuple1("a"), Tuple1("zz")).toDF("node")))
+      .as[(String, Long)].collect().toMap
+    assert(withGhost === rc, "ghost seed must not change |S| or ranks")
+    // every seed absent -> loud failure
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRankInt(twoComp, "src", "dst", "w", 1,
+        seeds = Some(Seq(Tuple1("zz")).toDF("node")))
+    }
+    // partitioning invariance in seeded mode
+    val again = Graph.pageRankInt(twoComp.repartition(5), "src", "dst",
+        "w", 3, seeds = Some(seedsA))
+      .as[(String, Long)].collect().toMap
+    assert(again === rc)
+  }
 }

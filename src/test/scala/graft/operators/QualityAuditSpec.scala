@@ -75,4 +75,27 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(scans.forall(cols => !cols.contains("pad")),
       s"parent payload column read: $scans")
   }
+
+  test("benford audit: string-derived first digits, exact ppm, " +
+      "non-positive values excluded") {
+    val spark2 = spark; import spark2.implicits._
+    // one value per digit (uniform observed 1/9), plus excluded junk:
+    // zero, negative, and a sub-cent positive that floors to cents 0
+    val vals = Seq(1.00, 23.45, 345.0, 4.99, 0.05, 678.9, 7e6, 0.80, 9999.99,
+      0.0, -5.0, 0.001)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val r = QualityAudit.benfordAudit(df, "v")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    // digits: 100->1, 2345->2, 34500->3, 499->4, 5->5, 67890->6, 7e8->7,
+    // 80->8, 999999->9; nine observations, one each
+    assert(r.keySet === (1L to 9L).toSet, r)
+    assert(r.values.forall(_._1 == 1L), r)
+    assert(r.values.forall(_._2 == 111111L), "uniform obs_ppm = 1e6 div 9")
+    assert(r(1L)._3 === 301029L && r(9L)._3 === 45757L)
+    assert(r(1L)._4 === 111111L - 301029L, "signed deviation")
+    // partitioning invariance
+    val r2 = QualityAudit.benfordAudit(df.repartition(5), "v")
+    assert(QualityAudit.benfordAudit(df, "v").exceptAll(r2).count() === 0)
+  }
 }

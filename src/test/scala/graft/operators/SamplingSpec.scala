@@ -151,4 +151,31 @@ class SamplingSpec extends AnyFunSuite {
       Seq("o_custkey"), "left_anti")
     assert(orphans.isEmpty)
   }
+
+  test("budget waterfill: hand-computed redistribution, saturation, " +
+      "degenerate budgets") {
+    val spark2 = spark; import spark2.implicits._
+    // token counts: A=10, B=100, C=5 (whitespace tokens); budget 30:
+    // round1 quota 10 -> A sat at 10, B 10, C sat at 5 (spent 25);
+    // round2 remaining 5, only B unsaturated -> B 15; round3 no-op
+    val docs = Seq(
+      ("A", (1 to 10).map(i => s"a$i").mkString(" ")),
+      ("B", (1 to 100).map(i => s"b$i").mkString(" ")),
+      ("C", (1 to 5).map(i => s"c$i").mkString(" "))
+    ).toDF("source", "text")
+    val r = Sampling.budgetWaterfill(docs, "source", "text", 30L)
+      .as[(String, Long, Long, Boolean, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("A") === (("A", 10L, 10L, true, 1000000L)), r)
+    assert(r("B") === (("B", 100L, 15L, false, 150000L)), r)
+    assert(r("C") === (("C", 5L, 5L, true, 1000000L)), r)
+    // budget above total availability: everything saturates, nothing over
+    val all = Sampling.budgetWaterfill(docs, "source", "text", 1000L)
+      .as[(String, Long, Long, Boolean, Long)].collect()
+    assert(all.forall(x => x._3 == x._2 && x._4))
+    // zero budget: zero allocations, zero fill
+    val zero = Sampling.budgetWaterfill(docs, "source", "text", 0L)
+      .as[(String, Long, Long, Boolean, Long)].collect()
+    assert(zero.forall(x => x._3 == 0L && !x._4 && x._5 == 0L))
+  }
 }

@@ -291,6 +291,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.last >= recalls.head)
   }
 
+  test("IVF-PQ: probed-cell candidates only, cluster-faithful retrieval, " +
+      "dense ranks, deterministic under repartitioning") {
+    val spark2 = spark; import spark2.implicits._
+    // two well-separated clusters; ids 2,3 (the first corpus ids) are the
+    // cluster prototypes and become the coarse centroids; ids 4..7 feed
+    // the PQ codebook; queries 0,1 sit near cluster A/B respectively
+    def vecA(j: Double) = Array(10.0f, 0f, 0f, 0f, 0f, 0f, 0f, j.toFloat)
+    def vecB(j: Double) = Array(0f, 10.0f, 0f, 0f, 0f, j.toFloat, 0f, 0f)
+    val rows = Seq(
+      0L -> vecA(0.1), 1L -> vecB(0.1),           // queries
+      2L -> vecA(0.0), 3L -> vecB(0.0)) ++        // centroids
+      (4L to 11L).map(i =>
+        if (i % 2 == 0) i -> vecA(0.01 * i) else i -> vecB(0.01 * i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queryMaxId = 2, nCells = 2, nProbe = 1, nSub = 2, subDim = 4,
+      nCodes = 4, k = 5)
+    val got = r.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    // query 0 probes only cluster A's cell: every neighbor is an A vector
+    val aIds = rows.collect { case (id, v) if id >= 2 && v(0) == 10.0f => id }.toSet
+    val bIds = rows.collect { case (id, v) if id >= 2 && v(1) == 10.0f => id }.toSet
+    assert(got.filter(_._1 == 0L).forall(x => aIds.contains(x._3)), got.toSeq)
+    assert(got.filter(_._1 == 1L).forall(x => bIds.contains(x._3)), got.toSeq)
+    // dense 1..n ranks with non-decreasing integer distance
+    for (qid <- Seq(0L, 1L)) {
+      val ranks = got.filter(_._1 == qid).map(_._2).sorted
+      assert(ranks === (1 to ranks.length).toArray, s"q$qid ranks: ${ranks.toSeq}")
+    }
+    val adc = r.select("query_id", "rank", "adc_u")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    adc.values.foreach { rs =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // bit-exact determinism under a reshuffle
+    val r2 = graft.operators.Similarity.ivfPqTopK(emb.repartition(7),
+      "vec_id", "embedding", 2, 2, 1, 2, 4, 4, 5)
+    assert(r.exceptAll(r2).count() === 0 && r2.exceptAll(r).count() === 0)
+  }
+
   test("dim audit: exact micro-unit stats per dimension, collapsed flags, " +
       "negative values floor correctly") {
     val spark2 = spark; import spark2.implicits._
