@@ -87,6 +87,7 @@ object PlanAudit {
       "er6_fs_em_weights" -> "1-row M-step counts row (smoothed rates unpivot)",
       "ss21_ivfpq_topk" -> "tiny centroid-table broadcast crosses (coarse assignment)",
       "dq3_benford" -> "1-row total broadcast cross",
+      "tx34_domain_calibration" -> "1-row weight-state/stats broadcast crosses per GD step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1657,6 +1657,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_ppm")).as("credit_ppm"))
     }),
+    "tx34_domain_calibration" -> ((s, dir) =>
+      // distributed domain-classifier calibration: 3 full-batch GD steps
+      // of a 2-param logistic-style model P(source=src0 | token count) —
+      // rational sigmoid (no libm), per-row residual floored once to
+      // micro-units, exact BIGINT gradient sums, dyadic learning rates;
+      // publishes the training trajectory (the audit a trainer logs)
+      graft.operators.Calibration.domainClassifierSteps(
+        t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
+    "s24_coalesce_plan" -> ((s, dir) =>
+      // partition-coalescence planning: contiguous daily partitions merge
+      // into rewrite groups of >= 2k rows (exclusive running total div
+      // target) — date clustering preserved so min/max pruning survives
+      // the rewrite; one day-level agg + a calendar-bounded window
+      graft.operators.Compaction.coalescePlan(
+        t(s, dir, "events"), "ts", targetRows = 2000L)),
     "dq3_benford" -> ((s, dir) =>
       // Benford first-digit audit on order totals — the fabricated-data /
       // corrupted-feed screen: first digit from the integer-cents DECIMAL
@@ -4948,6 +4963,48 @@ object SparkEntry {
         |ELSE 200000 // (n - 2) +
         |  (CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
         |END)::BIGINT AS credit_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+    "tx34_domain_calibration" -> {
+      // unrolled full-batch GD steps; rational sigmoid and floored
+      // micro-unit residuals make every step integer-exact (no libm)
+      val head =
+        s"""WITH base AS (SELECT len($duckToks)::BIGINT AS x,
+           |(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS y
+           |FROM documents),
+           |st AS (SELECT count(*)::BIGINT AS n,
+           |coalesce(sum(x), 0)::BIGINT // greatest(count(*), 1) AS xbar
+           |FROM base),
+           |b AS (SELECT x - xbar AS xc, y, n FROM base CROSS JOIN st),
+           |w0 AS (SELECT 0 AS step, 0::BIGINT AS s0, 0::BIGINT AS s1,
+           |0::BIGINT AS w0_u, 0::BIGINT AS w1_u)""".stripMargin
+      val steps = (1 to 3).map { k =>
+        s"""g$k AS (SELECT n, coalesce(sum(g0), 0)::BIGINT AS s0,
+           |coalesce(sum(g0 * xc), 0)::BIGINT AS s1 FROM (
+           |SELECT n, xc,
+           |floor((y - (0.5 + z / (2 * (1 + abs(z))))) * 1000000.0)::BIGINT
+           |  AS g0
+           |FROM (SELECT xc, y, n,
+           |(w.w0_u + w.w1_u * xc) / 1000000.0 AS z
+           |FROM b CROSS JOIN w${k - 1} w)) GROUP BY n),
+           |w$k AS (SELECT $k AS step, g.s0, g.s1,
+           |(w.w0_u + g.s0 // greatest(2 * g.n, 1))::BIGINT AS w0_u,
+           |(w.w1_u + g.s1 // greatest(128 * g.n, 1))::BIGINT AS w1_u
+           |FROM g$k g CROSS JOIN w${k - 1} w)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + steps +
+        "\nSELECT step, s0, s1, w0_u, w1_u FROM w1 UNION ALL " +
+        "SELECT step, s0, s1, w0_u, w1_u FROM w2 UNION ALL " +
+        "SELECT step, s0, s1, w0_u, w1_u FROM w3"
+    },
+    "s24_coalesce_plan" ->
+      """WITH daily AS (SELECT ts::DATE AS d, count(*)::BIGINT AS nr
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT d, nr, coalesce(sum(nr) OVER (ORDER BY d
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |AS cb FROM daily)
+        |SELECT cb // 2000 AS grp, count(*)::BIGINT AS n_days,
+        |min(d)::VARCHAR AS d_from, max(d)::VARCHAR AS d_to,
+        |sum(nr)::BIGINT AS total_rows
         |FROM c GROUP BY 1""".stripMargin,
     "dq3_benford" ->
       """WITH c AS (SELECT floor(o_totalprice * 100.0)::BIGINT AS c

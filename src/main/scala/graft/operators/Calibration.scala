@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed model-calibration steps — the "train a tiny model ON the
+  * cluster" shape a curation pipeline uses to fit quality/domain
+  * classifiers over corpus-scale features (the fastText-style filter of
+  * GPT-3/CCNet pipelines: score documents by how much they look like a
+  * target domain). The heavy part at 100 TB is the gradient sum over the
+  * corpus, which is exactly a map-side-combined aggregation; the model
+  * state is one broadcast row.
+  *
+  * Reference behavior: osarchiver has no learned components; this is
+  * SURVEY.md §2.8 surface (training-data curation).
+  */
+object Calibration {
+
+  /** `steps` full-batch gradient-descent iterations of a 2-parameter
+    * logistic-style domain classifier: P(source = target | token count),
+    * feature centered at the integer corpus mean. Publishes the whole
+    * TRAINING TRAJECTORY — one row per step with the exact gradient sums
+    * and updated weights — the audit a production trainer logs.
+    *
+    * Determinism discipline (the dd31/er6 integer-ML house style, one
+    * step further — no libm anywhere): the sigmoid is the rational
+    * surrogate 0.5 + z/(2(1+|z|)) (add/mul/div/abs only — IEEE
+    * exact-rounded, bit-identical across engines, unlike exp/ln whose
+    * last-ulp can differ); each row's residual floors ONCE to integer
+    * micro-units (g0), the slope gradient is the exact integer product
+    * g0 * xc, and both sums are BIGINT — order-free, partitioning-exact.
+    * Per-parameter dyadic learning rates: eta0 = 1/2, eta1 = 1/128
+    * (integer div by 2n and 128n), truncating division — Spark `div`
+    * and other engines' integer division agree on signed operands.
+    *
+    * Scale shape: ONE tokenize pass collapses to a persisted (xc, y)
+    * projection; each step is one map-side-combined 1-row aggregation
+    * crossed with the 1-row weight state. Output: (step, s0, s1, w0_u,
+    * w1_u), weights in micro-units. */
+  def domainClassifierSteps(docs: DataFrame, sourceCol: String,
+      textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 16, "1 <= steps <= 16 (unrolled plan)")
+    val base0 = docs.select(
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("x"),
+      when(col(sourceCol) === targetSource, 1L).otherwise(0L).as("y"))
+    val stats = base0.agg(count(lit(1)).as("n"),
+      expr("coalesce(sum(x), 0L) div greatest(count(1), 1)").as("xbar"))
+    val base = base0.crossJoin(broadcast(stats))
+      .select((col("x") - col("xbar")).as("xc"), col("y"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = docs.sparkSession.range(1).select(lit(0).as("step"),
+      lit(0L).as("s0"), lit(0L).as("s1"),
+      lit(0L).as("w0_u"), lit(0L).as("w1_u"))
+    var out: Option[DataFrame] = None
+    for (k <- 1 to steps) {
+      val z = (col("w0_u") + col("w1_u") * col("xc")).cast("double") /
+        lit(1000000.0)
+      val sig = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      val g0 = floor((col("y").cast("double") - sig) * lit(1000000.0))
+        .cast("long")
+      val grads = base.crossJoin(broadcast(state.select("w0_u", "w1_u")))
+        .select(g0.as("g0"), col("xc"), col("n"))
+        .groupBy("n")
+        .agg(coalesce(sum(col("g0")), lit(0L)).as("s0"),
+          coalesce(sum(col("g0") * col("xc")), lit(0L)).as("s1"))
+      state = grads.crossJoin(broadcast(state.select(
+          col("w0_u").as("pw0"), col("w1_u").as("pw1"))))
+        .select(lit(k).as("step"), col("s0"), col("s1"),
+          expr("pw0 + s0 div greatest(2 * n, 1)").as("w0_u"),
+          expr("pw1 + s1 div greatest(128 * n, 1)").as("w1_u"))
+      out = Some(out.map(_.unionAll(state)).getOrElse(state))
+    }
+    out.get
+  }
+}

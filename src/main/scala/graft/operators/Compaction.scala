@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions._
 
 /** Archive maintenance: compact a parquet directory to a target file size.
   *
@@ -110,5 +110,39 @@ object Compaction {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Partition-coalescence plan — which consecutive small daily
+    * partitions merge into one rewrite group to hit `targetRows` per
+    * output unit (the small-partitions half of the compaction story;
+    * [[compact]] rewrites bytes, this PLANS the groups). Sequential
+    * grouping preserves date clustering (a group is always a contiguous
+    * date range, so min/max pruning keeps working after the rewrite):
+    * group id = exclusive running row total div target — each group
+    * fills to at least `targetRows` except the last, and overshoots by
+    * less than one partition, the documented greedy contract.
+    *
+    * Scale shape: one hash aggregation collapses the corpus to one row
+    * per DAY; the running total is a single-partition window over that
+    * calendar-bounded frame (the q72 spine discipline — days, never
+    * rows). Output per group: (grp, n_days, d_from, d_to, total_rows),
+    * dates rendered as strings for engine-portable comparison. */
+  def coalescePlan(df: DataFrame, tsCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0)
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("nr"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1L)
+    daily
+      .withColumn("cb", coalesce(sum(col("nr")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"cb div ${targetRows}L"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"),
+        min(col("d")).cast("string").as("d_from"),
+        max(col("d")).cast("string").as("d_to"),
+        sum(col("nr")).as("total_rows"))
   }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CalibrationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // plain-Scala replica of the exact integer recurrence — an independent
+  // in-test oracle (same role as the hand-computed EM spec for er6)
+  private def replica(xy: Seq[(Long, Long)], steps: Int): Seq[(Int, Long, Long, Long, Long)] = {
+    val n = xy.size.toLong
+    val xbar = xy.map(_._1).sum / n
+    val xc = xy.map { case (x, y) => (x - xbar, y) }
+    var w0 = 0L; var w1 = 0L
+    (1 to steps).map { k =>
+      val g = xc.map { case (x, y) =>
+        val z = (w0 + w1 * x).toDouble / 1e6
+        val sig = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val g0 = math.floor((y.toDouble - sig) * 1e6).toLong
+        (g0, g0 * x)
+      }
+      val s0 = g.map(_._1).sum; val s1 = g.map(_._2).sum
+      w0 = w0 + s0 / (2 * n)   // Long / truncates like Spark div
+      w1 = w1 + s1 / (128 * n)
+      (k, s0, s1, w0, w1)
+    }
+  }
+
+  test("domain calibration: engine trajectory equals the plain-Scala " +
+      "integer recurrence; gradients push toward the base rate") {
+    // token counts 2/4/6/8; only the x=8 doc is the target domain
+    val docs = Seq(
+      ("src1", "a b"), ("src1", "a b c d"), ("src1", "a b c d e f"),
+      ("src0", "a b c d e f g h")
+    ).toDF("source", "text")
+    val got = Calibration
+      .domainClassifierSteps(docs, "source", "text", "src0", steps = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = replica(Seq((2L, 0L), (4L, 0L), (6L, 0L), (8L, 1L)), 3)
+    assert(got === want, s"got $got\nwant $want")
+    // 25% positives: intercept must move DOWN from 0 (sigmoid(0)=0.5
+    // over-predicts), and the slope up (longest doc is the positive)
+    assert(got.last._4 < 0L && got.last._5 > 0L)
+    // partitioning invariance
+    val again = Calibration
+      .domainClassifierSteps(docs.repartition(5), "source", "text", "src0", 3)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("domain calibration: all-negative corpus drives weights negative, " +
+      "step bound enforced") {
+    val docs = Seq(("s1", "a b c"), ("s1", "d e f")).toDF("source", "text")
+    val r = Calibration
+      .domainClassifierSteps(docs, "source", "text", "src0", steps = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.length === 2)
+    assert(r.forall(_._2 < 0L), "no positives: every residual negative")
+    assert(r.last._4 < 0L)
+    assertThrows[IllegalArgumentException] {
+      Calibration.domainClassifierSteps(docs, "source", "text", "src0", 0)
+    }
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Tables, TestSpark}
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class CompactionSpec extends AnyFunSuite {
@@ -124,5 +125,24 @@ class CompactionSpec extends AnyFunSuite {
     (1L to 90L).foreach { i =>
       assert(got(i) === (if (i % 3 == 0) i * 20 else i * 10))
     }
+  }
+
+  test("coalesce plan: contiguous date groups by exclusive running total, " +
+      "nulls excluded, overshoot bounded by one partition") {
+    val spark2 = spark; import spark2.implicits._
+    // 5 days x (3, 5, 4, 9, 2) rows, target 8:
+    // cb = 0, 3, 8, 12, 21 -> grp = 0, 0, 1, 1, 2
+    val rows = Seq("01" -> 3, "02" -> 5, "03" -> 4, "04" -> 9, "05" -> 2)
+      .flatMap { case (dd, n) => (1 to n).map(_ => s"2024-03-$dd 10:00:00") }
+    val df = (rows.map(Option(_)) :+ None).toDF("raw")
+      .select(col("raw").cast("timestamp").as("ts"))
+    val got = Compaction.coalescePlan(df, "ts", targetRows = 8L)
+      .as[(Long, Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 2L, "2024-03-01", "2024-03-02", 8L),
+      (1L, 2L, "2024-03-03", "2024-03-04", 13L),
+      (2L, 1L, "2024-03-05", "2024-03-05", 2L)), got)
+    // every group but the last reaches the target; overshoot < one day
+    assert(got.init.forall(_._5 >= 8L))
   }
 }
