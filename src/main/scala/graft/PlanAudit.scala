@@ -88,6 +88,7 @@ object PlanAudit {
       "ss21_ivfpq_topk" -> "tiny centroid-table broadcast crosses (coarse assignment)",
       "dq3_benford" -> "1-row total broadcast cross",
       "tx34_domain_calibration" -> "1-row weight-state/stats broadcast crosses per GD step",
+      "q87_cuped_readout" -> "1-row span/pooled-moments broadcast crosses",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

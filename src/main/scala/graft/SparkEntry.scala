@@ -1378,6 +1378,23 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterEmWeights(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er8_cluster_audit" -> ((s, dir) =>
+      // transitive-closure overreach detector: per multi-member entity
+      // the exact pairwise JW floor/mean (integer 1e4-units) — clusters
+      // whose weakest internal pair is below the admitting threshold are
+      // the MDM review queue. Pair join bounded by maxAuditSize per
+      // cluster BY CONSTRUCTION
+      graft.operators.EntityResolution.clusterAudit(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        threshold = 0.9)),
+    "q87_cuped_readout" -> ((s, dir) =>
+      // CUPED variance-reduced experiment readout (Deng et al. 2013):
+      // post-period conversions adjusted by the pre-period activity
+      // covariate, pooled theta in integer ppm, per-arm raw vs adjusted
+      // variance and the achieved reduction — nothing after the
+      // user-grain combine grows with |events|
+      graft.operators.Experiment.cupedReadout(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "purchase")),
     "er7_blocking_quality" -> ((s, dir) =>
       // blocking-scheme certification (Christen 2012 ch. 7): reduction
       // ratio + pair completeness of the token inverted index vs the
@@ -4641,6 +4658,74 @@ object SparkEntry {
         |floor(ln(((n_m + 1 - am) * (n_u + 2))::DOUBLE
         |  / ((n_m + 2) * (n_u + 1 - au))::DOUBLE) / ln(2) * 10.0)::BIGINT
         |  AS w_disagree_deci
+        |FROM f""".stripMargin,
+    "er8_cluster_audit" ->
+      """WITH RECURSIVE prs AS (
+        |SELECT a.p_partkey AS da, b.p_partkey AS db
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9),
+        |edges AS (SELECT da AS a, db AS b FROM prs
+        |UNION SELECT db, da FROM prs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS p_partkey, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a),
+        |ent AS (SELECT p.p_partkey,
+        |coalesce(cc.cluster_id, p.p_partkey) AS entity_id, p.p_name
+        |FROM part p LEFT JOIN cc ON cc.p_partkey = p.p_partkey),
+        |sz AS (SELECT entity_id, count(*)::BIGINT AS n_members FROM ent
+        |GROUP BY 1),
+        |mp AS (SELECT a.entity_id, sz.n_members,
+        |floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)::BIGINT
+        |  AS jw_u
+        |FROM ent a JOIN ent b ON a.entity_id = b.entity_id
+        |AND a.p_partkey < b.p_partkey
+        |JOIN sz ON sz.entity_id = a.entity_id
+        |WHERE sz.n_members BETWEEN 2 AND 64)
+        |SELECT entity_id, n_members, count(*)::BIGINT AS n_pairs,
+        |min(jw_u) AS min_jw_u, sum(jw_u)::BIGINT // count(*) AS mean_jw_u,
+        |min(jw_u) < 9000 AS weak
+        |FROM mp GROUP BY 1, 2""".stripMargin,
+    "q87_cuped_readout" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+        |FROM events WHERE ts IS NOT NULL),
+        |sp AS (SELECT min(tu)::BIGINT AS lo, max(tu)::BIGINT AS hi FROM ev),
+        |md AS (SELECT lo + (hi - lo) // 2 AS mid FROM sp),
+        |u AS (SELECT user_id,
+        |sum(CASE WHEN tu < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+        |sum(CASE WHEN tu >= mid AND event_type = 'purchase'
+        |  THEN 1 ELSE 0 END)::BIGINT AS y
+        |FROM ev CROSS JOIN md GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |sum(x * x)::BIGINT AS sxx FROM u),
+        |th AS (SELECT n, sx // greatest(n, 1) AS xbar,
+        |((n * sxy - sx * sy) * 1000000)
+        |  // greatest(n * sxx - sx * sx, 1) AS theta_ppm FROM st),
+        |adj AS (SELECT
+        |CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+        |  AS arm,
+        |theta_ppm, y * 100 AS y_c,
+        |y * 100 - (theta_ppm * (x - xbar)) // 10000 AS yadj_c
+        |FROM u CROSS JOIN th),
+        |g AS (SELECT arm, theta_ppm, count(*)::BIGINT AS n_users,
+        |sum(y_c)::BIGINT AS syc, sum(y_c * y_c)::BIGINT AS sycc,
+        |sum(yadj_c)::BIGINT AS sac, sum(yadj_c * yadj_c)::BIGINT AS sacc
+        |FROM adj GROUP BY 1, 2),
+        |f AS (SELECT arm, n_users, theta_ppm,
+        |syc // n_users AS mean_y_centi,
+        |(n_users * sycc - syc * syc) // (n_users * n_users)
+        |  AS var_y_centi2,
+        |sac // n_users AS mean_yadj_centi,
+        |(n_users * sacc - sac * sac) // (n_users * n_users)
+        |  AS var_yadj_centi2
+        |FROM g)
+        |SELECT arm, n_users, theta_ppm, mean_y_centi, var_y_centi2,
+        |mean_yadj_centi, var_yadj_centi2,
+        |((var_y_centi2 - var_yadj_centi2) * 1000000)
+        |  // greatest(var_y_centi2, 1) AS var_reduction_ppm
         |FROM f""".stripMargin,
     "er7_blocking_quality" ->
       """WITH rec AS (SELECT p_partkey AS pk, p_name AS name,

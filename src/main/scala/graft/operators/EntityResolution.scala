@@ -401,6 +401,43 @@ object EntityResolution {
     * member key) per real-world entity, singletons included, plus the
     * entity size. Cluster resolution reuses the dedup CC machinery (driver
     * union-find when small, distributed star contraction at scale). */
+  /** Cluster-quality audit — the transitive-closure overreach detector
+    * (the "hairball" review queue of an MDM deployment): connected
+    * components glue a-b and b-c into one entity even when a-c is far
+    * below the match bar, so per multi-member entity this reports the
+    * exact pairwise Jaro-Winkler floor/mean (integer 1e4-units) and
+    * flags clusters whose WEAKEST internal pair is below the threshold
+    * that admitted its edges.
+    *
+    * Scale shape: the within-entity pair join is quadratic per cluster,
+    * so the audit is bounded BY CONSTRUCTION to entities of size <=
+    * `maxAuditSize` (oversize clusters are a resolution failure to fix,
+    * not to audit pairwise; they are excluded here and visible in er1's
+    * size column). One entity-keyed self-join + one hash aggregation.
+    * Output: (entity_id, n_members, n_pairs, min_jw_u, mean_jw_u, weak). */
+  def clusterAudit(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, threshold: Double, maxAuditSize: Int = 64): DataFrame = {
+    require(maxAuditSize >= 2)
+    val ent = resolveEntities(records, keyCol, nameCol, blockCol, threshold)
+      .filter(col("entity_size") >= 2 && col("entity_size") <= maxAuditSize)
+      .join(records.select(col(keyCol), col(nameCol).as("name")), Seq(keyCol))
+    val a = ent.select(col("entity_id"), col("entity_size"),
+      col(keyCol).as("pk_a"), col("name").as("name_a"))
+    val b = ent.select(col("entity_id"), col(keyCol).as("pk_b"),
+      col("name").as("name_b"))
+    a.join(b, Seq("entity_id")).filter(col("pk_a") < col("pk_b"))
+      .withColumn("jw_u",
+        floor(TextFunctions.jaroWinkler(col("name_a"), col("name_b"))
+          * 10000.0).cast("long"))
+      .groupBy("entity_id", "entity_size")
+      .agg(count(lit(1)).as("n_pairs"), min(col("jw_u")).as("min_jw_u"),
+        expr("sum(jw_u) div count(1)").as("mean_jw_u"))
+      .select(col("entity_id"), col("entity_size").as("n_members"),
+        col("n_pairs"), col("min_jw_u"), col("mean_jw_u"),
+        (col("min_jw_u") < lit(math.floor(threshold * 10000.0).toLong))
+          .as("weak"))
+  }
+
   def resolveEntities(records: DataFrame, keyCol: String, nameCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val pairs = tokenBlockedPairs(records, keyCol, nameCol, blockCol,

@@ -248,6 +248,51 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(half > 0L && half < full)
   }
 
+  test("cluster audit: pair stats match independently-derived truth, " +
+      "weak flags the closure-overreach cluster, size cap excludes") {
+    import spark.implicits._
+    val rec = Seq(
+      (1L, "ring abcdex", "B"), (2L, "ring abcdey", "B"),
+      (3L, "ring abcdeyzz", "B"),
+      (10L, "zzz qqq", "B"), (11L, "solo name", "C")
+    ).toDF("pk", "name", "block")
+    // independent truth: engine JW on ALL within-block pairs + local
+    // union-find over the >= 0.9 edges (never clusterAudit's own path)
+    val jw = rec.as("a").join(rec.as("b"),
+        col("a.block") === col("b.block") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk"),
+        floor(graft.functions.TextFunctions.jaroWinkler(
+          col("a.name"), col("b.name")) * 10000.0).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    jw.filter(_._3 >= 9000L).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val members = Seq(1L, 2L, 3L, 10L, 11L).groupBy(find)
+      .filter(_._2.size >= 2)
+    val jwMap = jw.map(p => (p._1, p._2) -> p._3).toMap
+    val want = members.map { case (root, ms) =>
+      val pairs = for (a <- ms; b <- ms if a < b) yield jwMap((a, b))
+      root -> ((ms.size.toLong, pairs.size.toLong, pairs.min,
+        pairs.sum / pairs.size, pairs.min < 9000L))
+    }
+    val got = EntityResolution
+      .clusterAudit(rec, "pk", "name", "block", 0.9)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    assert(got === want, s"got $got\nwant $want")
+    // the fixture must actually exercise a multi-member cluster
+    assert(want.nonEmpty && want.values.exists(_._1 >= 3L),
+      s"fixture lost its chain cluster: $want")
+    // size cap: with maxAuditSize = 2 every size-3+ cluster disappears
+    val capped = EntityResolution
+      .clusterAudit(rec, "pk", "name", "block", 0.9, maxAuditSize = 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(capped.forall(_._2 == 2L))
+  }
+
   test("entity resolution assigns min-member canonical ids with sizes") {
     val ent = EntityResolution
       .resolveEntities(part, "p_partkey", "p_name", "p_brand", 0.9)
