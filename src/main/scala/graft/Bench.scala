@@ -151,6 +151,7 @@ object Bench {
     val total = results.map(_._2).sum
     val (skewPlain, skewSplit) = skewDemo(spark)
     val (levOff, levOn) = levPrefilterDemo(spark)
+    val (jwOff, jwOn) = jwPrefilterDemo(spark)
     // A contaminated run's suspect list is load noise, not signal: legacy
     // readers keyed on suspect_regressions alone (pre-dating the
     // contaminated flag) must fail safe, so the voided names move to
@@ -168,6 +169,7 @@ object Bench {
         s""""failed":$failedJson,"skew_plain_sec":${fmt(skewPlain)},""" +
         s""""skew_split_sec":${fmt(skewSplit)},""" +
         s""""lev_rule_off_sec":${fmt(levOff)},"lev_rule_on_sec":${fmt(levOn)},""" +
+        s""""jw_rule_off_sec":${fmt(jwOff)},"jw_rule_on_sec":${fmt(jwOn)},""" +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
@@ -277,6 +279,39 @@ object Bench {
     def withFlag(on: Boolean)(f: => Double): Double = {
       spark.conf.set("graft.levenshteinPrefilter.enabled", on.toString)
       try f finally spark.conf.unset("graft.levenshteinPrefilter.enabled")
+    }
+    val off1 = withFlag(false)(run()); val on1 = withFlag(true)(run())
+    val off2 = withFlag(false)(run()); val on2 = withFlag(true)(run())
+    pairs.unpersist()
+    (math.min(off1, off2), math.min(on1, on2))
+  }
+
+  /** A/B of the Jaro-Winkler length-ratio pre-filter rule: jw >= 0.9
+    * implies min/max length ratio >= 0.5, which the O(1) conjunct
+    * rejects before the O(|a|*|b|) scorer. The fixture uses
+    * document-scale strings (0.2-2 KB — the fuzzy DOCUMENT-matching
+    * shape, where the quadratic scorer actually hurts; entity names are
+    * too short to showcase it). Expected shape: a BOUNDED ~10-15% win,
+    * not lev's 8x — the ratio-pruned pairs are the scorer's cheap ones
+    * (cost ~ min*window); see the rule's Scaladoc. Reported as
+    * jw_rule_off_sec / jw_rule_on_sec. */
+  private def jwPrefilterDemo(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.register(spark)
+    val pairs = spark.range(0, 20000).select(
+      rpad(md5(concat(lit("a:"), col("id"))), (lit(200) + pmod(col("id"), lit(1800))).cast("int"), lit("x")).as("sa"),
+      rpad(md5(concat(lit("b:"), col("id"))), (lit(200) + pmod(col("id") * 7 + 3, lit(1800))).cast("int"), lit("y")).as("sb"))
+      .persist()
+    pairs.count()
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      pairs.filter(graft.functions.TextFunctions.jaroWinkler(
+        col("sa"), col("sb")) >= 0.9).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def withFlag(on: Boolean)(f: => Double): Double = {
+      spark.conf.set("graft.jaroWinklerPrefilter.enabled", on.toString)
+      try f finally spark.conf.unset("graft.jaroWinklerPrefilter.enabled")
     }
     val off1 = withFlag(false)(run()); val on1 = withFlag(true)(run())
     val off2 = withFlag(false)(run()); val on2 = withFlag(true)(run())

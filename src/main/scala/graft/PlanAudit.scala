@@ -40,6 +40,7 @@ object PlanAudit {
       "st8_stream_cdc_apply" -> "foreachBatch-folded versioned state; algebra asserted in ChangeDataSpec",
       "st9_timer_sessions" -> "materialized streaming result; timer semantics pinned in TimerSessionsSpec",
       "st11_file_sink" -> "materialized parquet file-sink read-back; committed content oracle-checked",
+      "st12_stream_novelty" -> "materialized streaming result; stream-static join gated in DocsStreamingSpec",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")

@@ -1123,6 +1123,35 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st12_stream_novelty" -> ((s, dir) => {
+      // streaming ingest gate: arriving document files classify against
+      // the EXISTING corpus fingerprint set — a stateless stream-static
+      // join on a narrow distinct-md5 projection; each file is one
+      // micro-batch (the dd15 incremental-ledger granularity as a
+      // Structured Stream). Corpus/batch split is the er5 convention.
+      val docs = t(s, dir, "documents")
+      val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val tmp = tmpPath("graft-st12")
+      val streamDir = tmp.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      Seq(("a", 0), ("b", 1)).foreach { case (n, r) =>
+        val sub = tmp.resolve(n).toString
+        batchDocs.filter(expr(s"(doc_id div 10) % 2 = $r"))
+          .coalesce(1).write.mode("overwrite").parquet(sub)
+        val part = new java.io.File(sub).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          streamDir.resolve(s"$n.parquet"))
+      }
+      val qn = "graft_st12_" + math.abs(dir.hashCode).toString
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.DocsStreaming.noveltyStream(
+          s, streamDir.toString, corpus, "doc_id", "text", qn)
+        q.awaitTermination()
+      }
+      s.table(qn).select("doc_id", "status")
+    }),
     "st3_stream_dedup" -> ((s, dir) => {
       // duplicate-laden replay: the same events file arrives as TWO stream
       // batches (maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
@@ -4932,6 +4961,14 @@ object SparkEntry {
          |nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
          |SELECT nt.doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept
          |FROM nt JOIN cut USING (doc_id)""".stripMargin,
+    "st12_stream_novelty" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, CASE WHEN c.fp IS NOT NULL THEN 'exact_dup'
+        |ELSE 'novel' END AS status
+        |FROM b LEFT JOIN corpus c ON c.fp = b.fp""".stripMargin,
     "dd40_exactsubstr_incr" ->
       s"""WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch,
          |$duckToks AS t FROM documents),

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // semantics-preserving bounded-levenshtein length pre-filter (on by
     // default; see graft.plans.LevenshteinPrefilter)
     ext.injectOptimizerRule(graft.plans.LevenshteinPrefilter(_))
+    // semantics-preserving high-threshold Jaro-Winkler length-RATIO
+    // pre-filter (on by default; see graft.plans.JaroWinklerPrefilter)
+    ext.injectOptimizerRule(graft.plans.JaroWinklerPrefilter(_))
   }
 }
 
@@ -97,6 +100,12 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.LevenshteinPrefilter(spark)
+    val alreadyJw = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.JaroWinklerPrefilter])
+    if (!alreadyJw)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.JaroWinklerPrefilter(spark)
     // Deliberately NO custom top-k-per-group operator: Spark >= 3.5 plans
     // `filter(row_number().over(...) <= k)` through the built-in
     // WindowGroupLimit pushdown (Partial below the exchange, Final above),
