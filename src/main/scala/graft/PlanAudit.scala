@@ -42,6 +42,7 @@ object PlanAudit {
       "st11_file_sink" -> "materialized parquet file-sink read-back; committed content oracle-checked",
       "st12_stream_novelty" -> "materialized streaming result; stream-static join gated in DocsStreamingSpec",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
+      "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):

@@ -1636,6 +1636,37 @@ object SparkEntry {
       }
       s.read.parquet(out)
     }),
+    "w16_snapshot_publish" -> ((s, dir) => {
+      // multi-table ATOMIC snapshot publish: orders + their lineitems
+      // committed together under one version pointer, so a reader can
+      // never observe v2 orders with v1 lineitems. Two publishes, then a
+      // latest-snapshot read-back proving v2 content and FK consistency
+      // (zero orphan lineitems) through the snapshot API itself
+      val base = tmpPath("graft-w16").toString
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def subset(m: Int) = {
+        val o = ord.filter(col("o_orderkey") % m === 0)
+        val l = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        Seq("orders" -> o, "lineitem" -> l)
+      }
+      graft.sinks.VersionedPublish.publishSnapshot(subset(4), base)
+      graft.sinks.VersionedPublish.publishSnapshot(subset(2), base)
+      val ro = graft.sinks.VersionedPublish
+        .readSnapshotTable(s, base, "orders")
+      val rl = graft.sinks.VersionedPublish
+        .readSnapshotTable(s, base, "lineitem")
+      val orphans = rl.join(
+        ro.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      ro.agg(count(lit(1)).as("n"))
+        .select(lit("orders").as("tbl"), col("n"))
+        .unionAll(rl.agg(count(lit(1)).as("n"))
+          .select(lit("lineitem").as("tbl"), col("n")))
+        .unionAll(orphans.agg(count(lit(1)).as("n"))
+          .select(lit("orphans").as("tbl"), col("n")))
+    }),
     "w15_partition_overwrite" -> ((s, dir) => {
       // dynamic partition overwrite: re-running one day's corrected feed
       // replaces ONLY that day's partition; every other partition's files
@@ -4961,6 +4992,13 @@ object SparkEntry {
          |nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
          |SELECT nt.doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept
          |FROM nt JOIN cut USING (doc_id)""".stripMargin,
+    "w16_snapshot_publish" ->
+      """WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+        |l AS (SELECT l_orderkey FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT 'orders' AS tbl, count(*)::BIGINT AS n FROM o
+        |UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM l
+        |UNION ALL SELECT 'orphans', 0::BIGINT""".stripMargin,
     "st12_stream_novelty" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS fp FROM documents
         |WHERE doc_id % 10 <> 0),

@@ -127,4 +127,91 @@ object VersionedPublish {
         s"no committed version under $baseUri"))
     spark.read.parquet(dir)
   }
+
+  // ---- multi-table atomic snapshots -------------------------------------
+
+  private val SnapshotMarker = "_SNAPSHOT_COMPLETE"
+
+  private def isSnapshotComplete(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, SnapshotMarker))
+
+  /** Publish N tables as ONE atomic snapshot version — the cross-table
+    * consistency primitive a relational export needs: a reader must never
+    * observe v2's orders with v1's lineitems (FK-consistent table sets
+    * only make sense together). Every table writes under `v=N/<table>/`,
+    * then a snapshot-level marker commits the version and the `_LATEST`
+    * pointer swaps — a crash anywhere before the marker leaves an
+    * invisible torso (resolution falls back to the previous complete
+    * snapshot), exactly the single-table publish guarantee lifted to the
+    * table set. Retention keeps the newest `keep` complete snapshots.
+    *
+    * Scale shape: per-table parquet writes are independent jobs (no
+    * cross-table shuffle); atomicity costs two driver-side filesystem
+    * renames regardless of data volume. */
+  def publishSnapshot(tables: Seq[(String, DataFrame)], baseUri: String,
+      keep: Int = 3): Long = {
+    require(tables.nonEmpty, "a snapshot needs at least one table")
+    require(keep >= 1, "must keep at least the published snapshot")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table names in one snapshot")
+    val spark = tables.head._2.sparkSession
+    val base = new Path(baseUri)
+    val fs = fsFor(spark, base)
+    fs.mkdirs(base)
+    val next = listVersions(fs, base).map(_._1).foldLeft(0L)(math.max) + 1
+    val vdir = new Path(base, s"v=$next")
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+    }
+    // snapshot commit point: marker AFTER every table landed
+    fs.create(new Path(vdir, SnapshotMarker), true).close()
+    val tmp = new Path(base, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(base, "_LATEST")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"cannot commit _LATEST for $baseUri")
+    val complete = listVersions(fs, base)
+      .filter(v => isSnapshotComplete(fs, v._2))
+    val keepSet = complete.takeRight(keep).map(_._1).toSet + next
+    listVersions(fs, base).foreach { case (v, d) =>
+      if (!keepSet.contains(v) && v < next) fs.delete(d, true)
+    }
+    next
+  }
+
+  /** The committed snapshot readers should see — `_LATEST` when it names
+    * a complete snapshot, else the highest complete one (crash fallback),
+    * else None. Mirrors [[resolve]] with the snapshot-level marker. */
+  def resolveSnapshot(spark: SparkSession,
+      baseUri: String): Option[(Long, String)] = {
+    val base = new Path(baseUri)
+    val fs = fsFor(spark, base)
+    val ptr = new Path(base, "_LATEST")
+    val pointed: Option[(Long, Path)] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        scala.util.Try(s.toLong).toOption
+          .map(v => v -> new Path(base, s"v=$v"))
+          .filter { case (_, d) =>
+            fs.exists(d) && isSnapshotComplete(fs, d) }
+      }
+    pointed.orElse(listVersions(fs, base)
+        .filter(v => isSnapshotComplete(fs, v._2)).lastOption)
+      .map { case (v, d) => (v, d.toString) }
+  }
+
+  /** Read one table of the committed snapshot — every table read through
+    * the same resolved version is mutually consistent by construction. */
+  def readSnapshotTable(spark: SparkSession, baseUri: String,
+      table: String): DataFrame = {
+    val (_, dir) = resolveSnapshot(spark, baseUri).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed snapshot under $baseUri"))
+    spark.read.parquet(new Path(dir, table).toString)
+  }
 }

@@ -98,4 +98,39 @@ class VersionedPublishSpec extends AnyFunSuite {
       VersionedPublish.readVersion(spark, b, 7L)
     }
   }
+
+  test("snapshot publish: cross-table atomicity, torso invisibility, " +
+      "retention, per-table consistent reads") {
+    val b = base()
+    assert(VersionedPublish.resolveSnapshot(spark, b).isEmpty)
+    def pair(n: Int) = Seq(
+      "parent" -> (1L to n.toLong).toDF("k"),
+      "child" -> (1L to n.toLong).flatMap(k => Seq(k, k)).toDF("k"))
+    val v1 = VersionedPublish.publishSnapshot(pair(3), b)
+    assert(v1 === 1L)
+    assert(VersionedPublish.readSnapshotTable(spark, b, "parent").count() === 3)
+    assert(VersionedPublish.readSnapshotTable(spark, b, "child").count() === 6)
+    // a torso snapshot (tables written, NO marker) is invisible: readers
+    // keep resolving v1 for EVERY table — no mixed-version observation
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (5L to 9L).toDF("k").write.parquet(s"$b/v=2/parent")
+    (5L to 9L).toDF("k").write.parquet(s"$b/v=2/child")
+    assert(VersionedPublish.resolveSnapshot(spark, b).map(_._1) === Some(1L))
+    assert(VersionedPublish.readSnapshotTable(spark, b, "parent").count() === 3)
+    // next publish skips the torso id (3) and commits both tables at once
+    val v3 = VersionedPublish.publishSnapshot(pair(10), b)
+    assert(v3 === 3L)
+    assert(VersionedPublish.readSnapshotTable(spark, b, "parent").count() === 10)
+    assert(VersionedPublish.readSnapshotTable(spark, b, "child").count() === 20)
+    // retention with keep=1 prunes v1; the committed snapshot survives
+    VersionedPublish.publishSnapshot(pair(4), b, keep = 1)
+    assert(VersionedPublish.readSnapshotTable(spark, b, "parent").count() === 4)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b/v=1")))
+    // duplicate table names rejected
+    intercept[IllegalArgumentException] {
+      VersionedPublish.publishSnapshot(
+        Seq("t" -> (1L to 2L).toDF("k"), "t" -> (1L to 2L).toDF("k")), b)
+    }
+  }
 }
