@@ -91,6 +91,7 @@ object PlanAudit {
       "dq3_benford" -> "1-row total broadcast cross",
       "tx34_domain_calibration" -> "1-row weight-state/stats broadcast crosses per GD step",
       "q87_cuped_readout" -> "1-row span/pooled-moments broadcast crosses",
+      "er9_fs_em_iterated" -> "1-row refreshed-weight broadcast crosses per EM step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1407,6 +1407,16 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterEmWeights(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er9_fs_em_iterated" -> ((s, dir) =>
+      // the full Fellegi-Sunter classification-EM loop (er6 iterated):
+      // each step re-estimates smoothed m/u under the current hard
+      // assignment AND moves the decision boundary into the refreshed
+      // weight space (match iff summed deci-weights > 0) — publishes the
+      // whole trajectory; one persisted candidate scoring serves every
+      // step, each step is one 1-row aggregation
+      graft.operators.EntityResolution.fellegiSunterEmIterated(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice", steps = 3)),
     "er8_cluster_audit" -> ((s, dir) =>
       // transitive-closure overreach detector: per multi-member entity
       // the exact pairwise JW floor/mean (integer 1e4-units) — clusters
@@ -4719,6 +4729,82 @@ object SparkEntry {
         |  / ((n_m + 2) * (n_u + 1 - au))::DOUBLE) / ln(2) * 10.0)::BIGINT
         |  AS w_disagree_deci
         |FROM f""".stripMargin,
+    "er9_fs_em_iterated" -> {
+      // unrolled EM: step-k weights from counts under assignment k-1;
+      // assignment k is the refreshed-weight log-likelihood rule (> 0)
+      val feats = Seq("name", "size", "cat", "price")
+      def wA(f: String) =
+        s"""floor(ln(((am_$f + 1) * (n_u + 2))::DOUBLE
+           | / ((n_m + 2) * (au_$f + 1))::DOUBLE) / ln(2) * 10.0)::BIGINT"""
+          .stripMargin.replace("\n", "")
+      def wD(f: String) =
+        s"""floor(ln(((n_m + 1 - am_$f) * (n_u + 2))::DOUBLE
+           | / ((n_m + 2) * (n_u + 1 - au_$f))::DOUBLE) / ln(2) * 10.0)::BIGINT"""
+          .stripMargin.replace("\n", "")
+      val head =
+        """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
+          |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+          |FROM part),
+          |cand AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
+          |a.p_name AS na, b.p_name AS nb, a.p_size AS sa, b.p_size AS sb,
+          |a.p_type AS ta, b.p_type AS tb,
+          |a.p_retailprice AS pra, b.p_retailprice AS prb
+          |FROM tk a JOIN tk b
+          |ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.pk < b.pk),
+          |s AS (SELECT
+          |CASE WHEN floor(jaro_winkler_similarity(na, nb) * 10000.0) >= 9000
+          |  THEN 1 ELSE 0 END AS f_name,
+          |CASE WHEN abs(sa - sb) <= 2 THEN 1 ELSE 0 END AS f_size,
+          |CASE WHEN ta = tb THEN 1 ELSE 0 END AS f_cat,
+          |CASE WHEN abs(pra - prb) <= 50.0 THEN 1 ELSE 0 END AS f_price
+          |FROM cand),
+          |a0 AS (SELECT f_name, f_size, f_cat, f_price,
+          |CASE WHEN (CASE WHEN f_name = 1 THEN 65 ELSE -43 END
+          | + CASE WHEN f_size = 1 THEN 20 ELSE -20 END
+          | + CASE WHEN f_cat = 1 THEN 22 ELSE -30 END
+          | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) >= 60
+          |  THEN 1 ELSE 0 END AS is_m FROM s)""".stripMargin
+      val steps = (1 to 3).map { k =>
+        val counts =
+          s"""c$k AS (SELECT sum(is_m)::BIGINT AS n_m,
+             |sum(1 - is_m)::BIGINT AS n_u,
+             |""".stripMargin +
+          feats.map(f =>
+            s"""sum(CASE WHEN is_m = 1 THEN f_$f ELSE 0 END)::BIGINT AS am_$f,
+               |sum(CASE WHEN is_m = 0 THEN f_$f ELSE 0 END)::BIGINT AS au_$f"""
+              .stripMargin).mkString(",\n") +
+          s"\nFROM a${k - 1})"
+        val out =
+          s"""out$k AS (""" + feats.map(f =>
+            s"""SELECT $k AS step, '$f' AS feature, am_$f AS am,
+               |au_$f AS au, n_m, n_u FROM c$k""".stripMargin)
+            .mkString("\nUNION ALL ") + ")"
+        val next = if (k == 3) "" else {
+          ",\n" +
+          s"""a$k AS (SELECT s.*, CASE WHEN (""" + feats.map(f =>
+            s"""CASE WHEN f_$f = 1 THEN wk.${f}_a ELSE wk.${f}_d END""")
+            .mkString(" + ") +
+          s""") > 0 THEN 1 ELSE 0 END AS is_m FROM s CROSS JOIN
+             |(SELECT """.stripMargin + feats.map(f =>
+            s"${wA(f)} AS ${f}_a, ${wD(f)} AS ${f}_d").mkString(",\n") +
+          s" FROM c$k) wk)"
+        }
+        counts + ",\n" + out + next
+      }.mkString(",\n")
+      head + ",\n" + steps +
+        "\n" +
+        """SELECT step, feature,
+          |((am + 1) * 1000000) // (n_m + 2) AS m_ppm,
+          |((au + 1) * 1000000) // (n_u + 2) AS u_ppm,
+          |floor(ln(((am + 1) * (n_u + 2))::DOUBLE
+          |  / ((n_m + 2) * (au + 1))::DOUBLE) / ln(2) * 10.0)::BIGINT
+          |  AS w_agree_deci,
+          |floor(ln(((n_m + 1 - am) * (n_u + 2))::DOUBLE
+          |  / ((n_m + 2) * (n_u + 1 - au))::DOUBLE) / ln(2) * 10.0)::BIGINT
+          |  AS w_disagree_deci, n_m
+          |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2
+          |UNION ALL SELECT * FROM out3)""".stripMargin
+    },
     "er8_cluster_audit" ->
       """WITH RECURSIVE prs AS (
         |SELECT a.p_partkey AS da, b.p_partkey AS db

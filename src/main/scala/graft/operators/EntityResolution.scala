@@ -329,6 +329,82 @@ object EntityResolution {
         log(lit(2.0)) * 10.0).cast("long").as("w_disagree_deci"))
   }
 
+  /** Iterated Fellegi-Sunter classification-EM — the full ECM loop er6
+    * runs ONE refresh of: each step re-estimates the smoothed m/u rates
+    * under the CURRENT hard assignment, publishes refreshed deci-weights,
+    * and the NEXT step's assignment is the natural log-likelihood rule in
+    * the refreshed weight space (pair is a match when its summed
+    * agreement/disagreement weights exceed 0) — so the decision boundary
+    * itself moves between steps, which is what makes it EM rather than a
+    * one-shot re-estimate. Step 1's assignment seeds from er2's initial
+    * deci-rule (fs_deci >= 60), exactly er6's E-step.
+    *
+    * Determinism: the candidate feature frame is the shared
+    * [[scoredDistinct]] (one scoring pass, persisted); every step is one
+    * map-side-combined aggregation to ONE counts row; rates are integer
+    * ppm; each weight pays one ln floored to deci-units (the er6/dd37
+    * precedent); assignments compare exact integer weight sums. Output:
+    * the trajectory (step, feature, m_ppm, u_ppm, w_agree_deci,
+    * w_disagree_deci, n_m) for steps 1..`steps` — n_m is the match-class
+    * size under the step's INPUT assignment, the convergence signal. */
+  def fellegiSunterEmIterated(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, steps: Int = 3, sizeTol: Int = 2,
+      priceTol: Double = 50.0): DataFrame = {
+    require(steps >= 1 && steps <= 8, "1 <= steps <= 8 (unrolled plan)")
+    val feats = Seq("name", "size", "cat", "price")
+    val base = scoredDistinct(records, keyCol, nameCol, blockCol,
+        sizeCol, catCol, priceCol, sizeTol, priceTol)
+      .withColumn("f_name", when(col("jw_u") >= 9000, 1).otherwise(0))
+      .select(col("f_name"), col("f_size"), col("f_cat"), col("f_price"),
+        col("fs_deci"))
+    def stepFrame(assigned: DataFrame, k: Int): DataFrame = {
+      val aggExprs =
+        sum(col("is_m")).cast("long").as("n_m") +:
+        sum(lit(1) - col("is_m")).cast("long").as("n_u") +:
+        feats.flatMap(f => Seq(
+          sum(when(col("is_m") === 1, col(s"f_$f")).otherwise(0))
+            .cast("long").as(s"am_$f"),
+          sum(when(col("is_m") === 0, col(s"f_$f")).otherwise(0))
+            .cast("long").as(s"au_$f")))
+      val counts = assigned.agg(aggExprs.head, aggExprs.tail: _*)
+      counts.select(explode(array(feats.map(f =>
+          struct(lit(f).as("feature"), col(s"am_$f").as("am"),
+            col(s"au_$f").as("au"), col("n_m"), col("n_u"))): _*)).as("x"))
+        .select(lit(k).as("step"), col("x.feature"),
+          expr("((x.am + 1) * 1000000) div (x.n_m + 2)").as("m_ppm"),
+          expr("((x.au + 1) * 1000000) div (x.n_u + 2)").as("u_ppm"),
+          floor(log(((col("x.am") + 1) * (col("x.n_u") + 2)).cast("double") /
+              ((col("x.n_m") + 2) * (col("x.au") + 1)).cast("double")) /
+            log(lit(2.0)) * 10.0).cast("long").as("w_agree_deci"),
+          floor(log(((col("x.n_m") + 1 - col("x.am")) * (col("x.n_u") + 2))
+              .cast("double") /
+              ((col("x.n_m") + 2) * (col("x.n_u") + 1 - col("x.au")))
+                .cast("double")) /
+            log(lit(2.0)) * 10.0).cast("long").as("w_disagree_deci"),
+          col("x.n_m"))
+    }
+    var assigned = base.withColumn("is_m",
+      when(col("fs_deci") >= 60, 1).otherwise(0))
+    var out: Option[DataFrame] = None
+    for (k <- 1 to steps) {
+      val w = stepFrame(assigned, k)
+      out = Some(out.map(_.unionAll(w)).getOrElse(w))
+      if (k < steps) {
+        // E-step under the refreshed weights: per-feature agree/disagree
+        // deci-weights summed exactly; match iff the total exceeds 0
+        val wWide = w.groupBy("step").pivot("feature", feats)
+          .agg(first(struct(col("w_agree_deci"), col("w_disagree_deci"))))
+        assigned = base.crossJoin(broadcast(wWide))
+          .withColumn("score_deci", feats.map(f =>
+            when(col(s"f_$f") === 1, col(s"$f.w_agree_deci"))
+              .otherwise(col(s"$f.w_disagree_deci"))).reduce(_ + _))
+          .withColumn("is_m", when(col("score_deci") > 0, 1).otherwise(0))
+      }
+    }
+    out.get
+  }
+
   /** Incremental linkage — the continuous-ingest shape of entity
     * resolution (the dd15/dd28 discipline applied to entities): a NEW
     * batch of records links against the EXISTING resolved corpus without

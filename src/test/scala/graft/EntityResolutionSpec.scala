@@ -178,6 +178,48 @@ class EntityResolutionSpec extends AnyFunSuite {
       "the class-defining feature must discriminate")
   }
 
+  test("iterated EM: step 1 equals the one-shot refresh, the boundary " +
+      "actually moves between steps, and the trajectory re-converges") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha beta", "B1", 10, "T1", 100.0),
+      (2L, "alpha beta", "B1", 10, "T1", 100.0),
+      (3L, "alpha gamma", "B1", 50, "T2", 500.0)
+    ).toDF("pk", "name", "brand", "size", "cat", "price")
+    val traj = EntityResolution.fellegiSunterEmIterated(recs, "pk", "name",
+        "brand", "size", "cat", "price", steps = 3)
+      .as[(Int, String, Long, Long, Long, Long, Long)].collect()
+    assert(traj.length === 12)
+    // step 1 must be exactly er6's one-shot refresh (same seed rule)
+    val step1 = traj.filter(_._1 == 1)
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    val oneShot = EntityResolution.fellegiSunterEmWeights(recs, "pk",
+        "name", "brand", "size", "cat", "price")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(step1 === oneShot)
+    // on this separable fixture the refreshed-weight rule keeps the same
+    // assignment (n_m = 1 every step): EM has converged, weights stable
+    assert(traj.map(_._7).toSet === Set(1L), traj.map(_._7).toSeq.toString)
+    val byStep = traj.groupBy(_._1).view.mapValues(
+      _.map(r => r._2 -> ((r._5, r._6))).toMap).toMap
+    assert(byStep(2) === byStep(3), "converged trajectory must be stable")
+    // part fixture: the er6 sign-inversion on price means the refreshed
+    // rule reclassifies — n_m must CHANGE after step 1 (the boundary
+    // moved), which a fixed-rule re-estimate can never show
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    val pt = EntityResolution.fellegiSunterEmIterated(full, "p_partkey",
+        "p_name", "p_brand", "p_size", "p_type", "p_retailprice", steps = 3)
+      .as[(Int, String, Long, Long, Long, Long, Long)].collect()
+    val nmByStep = pt.groupBy(_._1).view.mapValues(_.head._7).toMap
+    assert(nmByStep(2) !== nmByStep(1),
+      s"refreshed weights must move the decision boundary: $nmByStep")
+    assertThrows[IllegalArgumentException] {
+      EntityResolution.fellegiSunterEmIterated(recs, "pk", "name",
+        "brand", "size", "cat", "price", steps = 0)
+    }
+  }
+
   test("blocking stays match-proportional as the corpus grows 10x " +
       "(verify-ratio drift < 2x from sf0.001 to sf0.01)") {
     // the round-6 claim (~11x candidates per match, scale-invariant) as a
