@@ -1579,6 +1579,13 @@ object SparkEntry {
       // Output: (doc_id, n_tokens, n_cut, n_kept) audit rows
       Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd41_exactsubstr_overlap" -> ((s, dir) =>
+      // pair-level verbatim overlap ratio: fraction of the LATER doc
+      // covered by the merged union of its shared spans — position-aware
+      // where Jaccard is bag-level; separates quotation from near-copy.
+      // Integer ppm; pairs exist only where dd38 found spans
+      Dedup.exactSubstrOverlap(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 16, maxGramDf = 256)),
     "dd40_exactsubstr_incr" -> ((s, dir) => {
       // incremental ExactSubstr (continuous ingest): the new batch's
       // verbatim shared spans against the existing corpus — corpus grams
@@ -5093,6 +5100,42 @@ object SparkEntry {
         |SELECT b.doc_id, CASE WHEN c.fp IS NOT NULL THEN 'exact_dup'
         |ELSE 'novel' END AS status
         |FROM b LEFT JOIN corpus c ON c.fp = b.fp""".stripMargin,
+    "dd41_exactsubstr_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |md5(array_to_string(t[i:i+7], ' ')) AS g
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i FROM toks)),
+         |rare AS (SELECT g FROM
+         |(SELECT g, count(*) AS c FROM g GROUP BY 1) WHERE c <= 256),
+         |gg AS (SELECT g.* FROM g JOIN rare USING (g)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, a.pos - b.pos AS diag
+         |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER
+         |(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+         |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl),
+         |iv AS (SELECT DISTINCT doc_a, doc_b, a_start - diag AS lo,
+         |a_start - diag + len AS hi FROM sp WHERE len >= 16),
+         |mx AS (SELECT doc_a, doc_b, lo, hi, max(hi) OVER (
+         |PARTITION BY doc_a, doc_b ORDER BY lo, hi
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmh FROM iv),
+         |ni AS (SELECT doc_a, doc_b, lo, hi, CASE WHEN pmh IS NULL
+         |OR lo > pmh THEN 1 ELSE 0 END AS niw FROM mx),
+         |ic AS (SELECT doc_a, doc_b, lo, hi, sum(niw) OVER (
+         |PARTITION BY doc_a, doc_b ORDER BY lo, hi
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM ni),
+         |mrg AS (SELECT doc_a, doc_b, isl, min(lo) AS lo, max(hi) AS hi
+         |FROM ic GROUP BY 1, 2, 3),
+         |cov AS (SELECT doc_a, doc_b, sum(hi - lo)::BIGINT
+         |AS n_shared_tokens FROM mrg GROUP BY 1, 2),
+         |nt AS (SELECT doc_id AS doc_b, len(t)::BIGINT AS n_tokens_b
+         |FROM toks)
+         |SELECT doc_a, cov.doc_b, n_shared_tokens, n_tokens_b,
+         |n_shared_tokens * 1000000 // greatest(n_tokens_b, 1)
+         |  AS overlap_ppm
+         |FROM cov JOIN nt ON nt.doc_b = cov.doc_b""".stripMargin,
     "dd40_exactsubstr_incr" ->
       s"""WITH toks AS (SELECT doc_id, doc_id % 10 = 0 AS is_batch,
          |$duckToks AS t FROM documents),

@@ -521,6 +521,28 @@ object Dedup {
     * Output per affected document: (doc_id, n_tokens, n_cut, n_kept) —
     * the audit row a curation pipeline reports before re-slicing
     * surviving text. Shuffles: dd38's two plus one window on doc_id. */
+  /** Merged-interval coverage per key group — the classic sweep (order by
+    * start, a new island opens where start exceeds the running max end)
+    * shared by the per-doc cut (dd39) and the per-pair overlap (dd41):
+    * input (partCols..., lo, hi) distinct intervals, output (partCols...,
+    * covered) with covered = total length of the union of intervals. */
+  private def mergedCoverage(iv: DataFrame, partCols: Seq[String]): DataFrame = {
+    val pc = partCols.map(col)
+    val wPrev = Window.partitionBy(pc: _*).orderBy(col("lo"), col("hi"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val wIsl = Window.partitionBy(pc: _*).orderBy(col("lo"), col("hi"))
+    iv.withColumn("prev_max_hi", max(col("hi")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_hi").isNull ||
+          col("lo") > col("prev_max_hi"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_island")).over(
+        wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(pc :+ col("isl"): _*)
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .groupBy(pc: _*)
+      .agg(sum(col("hi") - col("lo")).as("covered"))
+  }
+
   def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
     val spans = exactSubstrSpans(docs, idCol, textCol, k, minTokens,
@@ -528,26 +550,39 @@ object Dedup {
       .select(col("doc_b").as("doc_id"), col("b_start").as("lo"),
         (col("b_start") + col("len")).as("hi"))
       .distinct()
-    val wPrev = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    val wIsl = Window.partitionBy("doc_id").orderBy(col("lo"), col("hi"))
-    val merged = spans
-      .withColumn("prev_max_hi", max(col("hi")).over(wPrev))
-      .withColumn("new_island",
-        when(col("prev_max_hi").isNull ||
-          col("lo") > col("prev_max_hi"), 1).otherwise(0))
-      .withColumn("isl", sum(col("new_island")).over(
-        wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "isl")
-      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-      .groupBy("doc_id")
-      .agg(sum(col("hi") - col("lo")).as("n_cut"))
+    val merged = mergedCoverage(spans, Seq("doc_id"))
+      .withColumnRenamed("covered", "n_cut")
     docs.select(col(idCol).as("doc_id"),
         tokens(col(textCol)).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
       .join(merged, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_cut"),
         (col("n_tokens") - col("n_cut")).as("n_kept"))
+  }
+
+  /** Pair-level verbatim overlap ratio — the ExactSubstr analogue of a
+    * similarity score: per candidate pair, the fraction of the LATER
+    * document covered by the union of its shared spans with the earlier
+    * one (merged per pair so overlapping spans never double-count). The
+    * signal that separates "quotes a paragraph" from "is a shingled
+    * near-copy" — position-aware where Jaccard (dd2) is bag-level.
+    * Integer ppm; pairs only exist where dd38 found spans, so output
+    * volume is proportional to actual duplication. */
+  def exactSubstrOverlap(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
+    val iv = exactSubstrSpans(docs, idCol, textCol, k, minTokens, maxGramDf)
+      .select(col("doc_a"), col("doc_b"), col("b_start").as("lo"),
+        (col("b_start") + col("len")).as("hi"))
+      .distinct()
+    val cov = mergedCoverage(iv, Seq("doc_a", "doc_b"))
+      .withColumnRenamed("covered", "n_shared_tokens")
+    docs.select(col(idCol).as("doc_b"), tokens(col(textCol)).as("t"))
+      .select(col("doc_b"), size(col("t")).cast("long").as("n_tokens_b"))
+      .join(cov, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_tokens"),
+        col("n_tokens_b"),
+        expr("n_shared_tokens * 1000000 div greatest(n_tokens_b, 1)")
+          .as("overlap_ppm"))
   }
 
   /** Leakage-free held-out splitting: the md5 hash split (dd8) composed

@@ -594,6 +594,24 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text", 4, 6, 64).count() === 0)
   }
 
+  test("exact-substring pair overlap: per-pair merged coverage ppm of " +
+      "the later doc, quotation vs near-copy separation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "t4 t5 t6 t7 t8 t9 ta tb"),
+      (3L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 ta tb")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrOverlap(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    // doc3 shares [0,8) with doc1 and [4,12) with doc2 — per PAIR the
+    // coverage stays un-merged across pairs: 8/12 each
+    assert(r === Map((1L, 3L) -> ((8L, 12L, 666666L)),
+      (2L, 3L) -> ((8L, 12L, 666666L))), r)
+  }
+
   test("exact-substring df cap drops hot-gram candidates deterministically") {
     import spark.implicits._
     // the same 6-token span appears in 5 docs -> each gram has df 5;
