@@ -44,7 +44,8 @@ object PlanAudit {
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
-      "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec")
+      "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec",
+      "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate
     // brute-force baseline whose scale path exists separately. A loop in

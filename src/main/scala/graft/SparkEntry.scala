@@ -6,7 +6,7 @@ import graft.catalog.{Catalog, TopoSort}
 import graft.config._
 import graft.functions.TextFunctions
 import graft.functions.NumericFunctions.fround
-import graft.operators.{Archiver, AsOfJoin, Dedup, Multimodal, Retention, Similarity}
+import graft.operators.{Archiver, AsOfJoin, Dedup, Multimodal, Retention, Similarity, TokenizerTrain}
 import graft.sinks.SqlDump
 import graft.streaming.EventsStreaming
 
@@ -1912,6 +1912,15 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select(col("rank"), col("pair"), col("cnt"))
     }),
+    "tx35_bpe_train" -> ((s, dir) =>
+      // iterated BPE training (Sennrich et al. 2016): the merge TABLE,
+      // not just tx26's first selection — 6 rounds of count-pairs ->
+      // argmax -> literal-replace merge over the corpus-weighted word
+      // vocabulary. One corpus shuffle total; each round is a
+      // vocabulary-sized job (the unavoidable per-merge cost), chosen
+      // merges ride a checkpointed 1-row broadcast frame
+      TokenizerTrain.bpeTrain(t(s, dir, "documents"), "text",
+        nMerges = 6)),
     "tx22_feature_hash" -> ((s, dir) =>
       // hashing-trick featurizer: tokens land in 16 hash buckets (first
       // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
@@ -3650,6 +3659,34 @@ object SparkEntry {
     * TextFunctions.tokens: lower → strip non-[a-z0-9 ] → trim → split. */
   private val duckToks =
     "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')"
+
+  /** tx35's oracle: n unrolled BPE merge rounds as chained CTEs (the
+    * ss13 unrolled-greedy pattern). Mirrors TokenizerTrain.bpeTrain
+    * exactly: two-space symbol serialization, literal replace merges,
+    * (cnt DESC, pair) tie-break. */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val init =
+      "WITH w0 AS (SELECT w, count(*)::BIGINT AS freq FROM (SELECT " +
+        s"unnest($duckToks) AS w FROM documents) GROUP BY 1),\n" +
+      "v0 AS (SELECT freq, regexp_replace(w, '(.)', ' " + "\\1" +
+        " ', 'g') AS s FROM w0)"
+    val rounds = (1 to n).map { k =>
+      s"p$k AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM (SELECT freq, " +
+        "unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' " +
+        "|| syms[i + 1])) AS pair FROM (SELECT freq, " +
+        s"regexp_split_to_array(trim(s), ' +') AS syms FROM v${k - 1}) " +
+        "WHERE len(syms) >= 2) GROUP BY 1),\n" +
+      s"b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair " +
+        "LIMIT 1),\n" +
+      s"v$k AS (SELECT freq, replace(s, ' ' || split_part(pair, ' ', 1) " +
+        "|| '  ' || split_part(pair, ' ', 2) || ' ', ' ' || " +
+        s"replace(pair, ' ', '') || ' ') AS s FROM v${k - 1}, b$k)"
+    }.mkString(",\n")
+    val sel = (1 to n).map(k =>
+      s"SELECT $k::BIGINT AS step, pair, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"$init,\n$rounds\n$sel"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_discovery" ->
@@ -5443,6 +5480,7 @@ object SparkEntry {
          |r AS (SELECT pair, cnt,
          |row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM pc)
          |SELECT rank, pair, cnt FROM r WHERE rank <= 10""".stripMargin,
+    "tx35_bpe_train" -> bpeTrainOracleSql(6),
     "dd31_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, source = 'src0' AS is_t,
          |unnest($duckToks) AS tok FROM documents),

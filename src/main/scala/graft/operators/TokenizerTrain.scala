@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Iterated BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the merge-table
+  * induction loop whose single selection step tx26 reports: repeatedly
+  * pick the most frequent adjacent symbol pair over the corpus-weighted
+  * word vocabulary, merge it everywhere, recount.
+  *
+  * The reference archives rows and never trains tokenizers; this is part
+  * of the training-data-pipeline surface (a curation engine that counts
+  * token budgets — tx6/pk-series — needs the merge table those counts
+  * assume).
+  *
+  * Scale shape (the only part that touches corpus-sized data runs ONCE):
+  *  - one corpus shuffle builds the word vocabulary (word, freq) —
+  *    identical to tx26's heavy stage; every merge round after that runs
+  *    over the POST-AGGREGATION vocabulary (|distinct words|, millions of
+  *    rows at 100 TB, not corpus-sized);
+  *  - each round is one vocabulary-local pair expansion (higher-order
+  *    array functions, no UDF, no explode of corpus data) + one hash
+  *    aggregation + a 1-row argmax (TakeOrdered) — exactly the per-merge
+  *    cost of any distributed BPE trainer;
+  *  - the chosen merges accumulate in a ONE-ROW wide frame that is
+  *    `localCheckpoint`ed each round (the dd25 fixpoint discipline), so
+  *    plan lineage stays linear in `nMerges` instead of doubling per
+  *    round; the vocabulary is re-derived from the persisted base by
+  *    re-applying the (broadcast) merge list — the er9 E-step pattern;
+  *  - merge application is a single LITERAL string replace per merge
+  *    (no regex): symbol sequences serialize as
+  *    `" s1  s2  ...  sN "` (two spaces between symbols, one at each
+  *    end), so replacing `" x  y "` with `" xy "` consumes one flanking
+  *    space per side and leaves neighbours' boundaries intact — giving
+  *    the classic left-to-right non-overlapping merge semantics
+  *    (`a a a a` + merge (a,a) -> `aa aa`, never `aa a a`) with
+  *    behaviour identical in Spark and the SQL oracle.
+  *
+  * Determinism: counts are exact integers; ties break on the pair's
+  * binary string order — no RNG, no floats, partitioning-invariant.
+  *
+  * Output: one row per merge step, in training order:
+  * (step, pair, cnt) — `pair` is the space-separated symbol pair chosen
+  * at `step`, `cnt` its corpus-weighted adjacency count at selection
+  * time. Empty iff some round finds no adjacent pair at all (the
+  * vocabulary exhausted before `nMerges` — never at realistic params).
+  */
+object TokenizerTrain {
+
+  /** One literal-replace application of merge (x, y) to a serialized
+    * symbol sequence (see class doc for the two-space encoding). */
+  private def applyMerge(s: Column, x: Column, y: Column): Column =
+    replace(s,
+      concat(lit(" "), x, lit("  "), y, lit(" ")),
+      concat(lit(" "), x, y, lit(" ")))
+
+  /** Corpus-weighted adjacent-pair counts over a (freq, s) vocabulary. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), split(trim(col("s")), " +").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 16, "1 <= nMerges <= 16")
+    // the one corpus-sized stage; persisted because every round's pair
+    // count re-derives its vocabulary view from this base. Unpersisted
+    // before returning — the result only references checkpointed rows.
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("s"))
+      .persist()
+    // 1-row wide frame: (pair_1, cnt_1, x_1, y_1, ..., pair_k, cnt_k, ...)
+    var wide: Option[DataFrame] = None
+    for (k <- 1 to nMerges) {
+      val vocab = wide match {
+        case None => words
+        case Some(w) =>
+          words.crossJoin(broadcast(w)).select(col("freq"),
+            (1 until k).foldLeft(col("s")) { (c, j) =>
+              applyMerge(c, col(s"x_$j"), col(s"y_$j")) }.as("s"))
+      }
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .select(col("pair").as(s"pair_$k"), col("cnt").as(s"cnt_$k"),
+          split(col("pair"), " ").getItem(0).as(s"x_$k"),
+          split(col("pair"), " ").getItem(1).as(s"y_$k"))
+      // eager per-round materialization (one vocabulary-sized job each,
+      // like any BPE trainer's merge pass); truncates lineage so round
+      // k+1's plan starts from a 1-row leaf, not the whole history.
+      wide = Some(wide.map(_.crossJoin(best)).getOrElse(best)
+        .localCheckpoint())
+    }
+    words.unpersist()
+    wide.get.select(explode(array((1 to nMerges).map(k =>
+        struct(lit(k.toLong).as("step"), col(s"pair_$k").as("pair"),
+          col(s"cnt_$k").as("cnt"))): _*)).as("m"))
+      .select(col("m.step").as("step"), col("m.pair").as("pair"),
+        col("m.cnt").as("cnt"))
+  }
+}
