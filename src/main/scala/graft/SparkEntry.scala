@@ -1305,6 +1305,17 @@ object SparkEntry {
       graft.operators.Decontaminate.contaminationReport(train, bench,
         "doc_id", "text", n = 5, minOverlap = 1L)
     }),
+    "dc2_semantic_decontaminate" -> ((s, dir) => {
+      // semantic decontamination: every 50th embedding plays the held-out
+      // benchmark; training vectors within 0.35 cosine of ANY bench
+      // vector are flagged (paraphrased leakage n-gram overlap misses).
+      // Broadcast bench batch, one shuffle-free corpus scan (ss17 shape)
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+      val train = emb.filter(col("vec_id") % 50 =!= 0)
+      graft.operators.Decontaminate.semanticContaminationReport(
+        train, bench, "vec_id", "embedding", minCos = 0.35)
+    }),
     "pk1_sequence_pack" -> ((s, dir) =>
       // token-budget sequence packing (concat-and-chunk): deterministic
       // (bucket, seq, offset) slot per document, parallel across 8 hash
@@ -4577,6 +4588,19 @@ object SparkEntry {
          |coalesce(ov.n_overlap, 0) >= 1 AS contaminated
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    "dc2_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v FROM v WHERE vec_id % 50 = 0),
+        |t AS (SELECT vec_id, v FROM v WHERE vec_id % 50 <> 0),
+        |h AS (SELECT t.vec_id AS doc_id, count(*)::BIGINT AS n_bench_hits,
+        |max(floor(list_cosine_similarity(b.v, t.v) * 1000.0) / 1000.0)
+        |  AS max_cos
+        |FROM t JOIN b ON list_cosine_similarity(b.v, t.v) >= 0.35
+        |GROUP BY 1)
+        |SELECT t.vec_id AS doc_id,
+        |coalesce(h.n_bench_hits, 0)::BIGINT AS n_bench_hits, h.max_cos,
+        |coalesce(h.n_bench_hits, 0) >= 1 AS contaminated
+        |FROM t LEFT JOIN h ON h.doc_id = t.vec_id""".stripMargin,
     "pk1_sequence_pack" ->
       s"""WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
          |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +

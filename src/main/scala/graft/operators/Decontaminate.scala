@@ -41,4 +41,36 @@ object Decontaminate {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[contaminationReport]]: flag training items whose embedding lies
+    * within `minCos` cosine of ANY benchmark item. N-gram overlap misses
+    * paraphrased leakage (Yang et al. 2023, "Rethinking Benchmark and
+    * Contamination for Language Models with Rephrased Samples"); this
+    * pass catches it, at the cost of trusting the embedding.
+    *
+    * Scale shape: identical to dc1's — the benchmark is the bounded
+    * broadcast side, the training corpus streams through
+    * [[Similarity.radiusSearch]]'s single shuffle-free scan (radius, not
+    * top-k: completeness is the contract here — a doc near MANY bench
+    * items must report them all). The only shuffles are the
+    * hit-proportional per-doc aggregation and the left join back to the
+    * training ids. For corpus-scale benchmark sets the LSH/IVF bucketed
+    * paths replace the broadcast, exactly as for ss17.
+    *
+    * Output, one row per training item: (doc_id, n_bench_hits,
+    * max_cos, contaminated) — `max_cos` floor-rounded to 3 decimals
+    * (NULL when clean), `contaminated` iff any bench hit. */
+  def semanticContaminationReport(train: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val hits = Similarity.radiusSearch(bench, train, idCol, vecCol, minCos)
+    val perDoc = hits.groupBy(col("neighbor_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cos"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        col("max_cos"),
+        (coalesce(col("n_bench_hits"), lit(0L)) >= 1).as("contaminated"))
+  }
 }

@@ -48,4 +48,22 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingle set should broadcast:\n$plan")
   }
+
+  test("semantic decontamination flags by cosine radius with per-doc " +
+      "hit counts and rounded max cosine") {
+    // bench: two copies of the x axis. train: the x axis itself (cos 1
+    // to both), the diagonal (cos 1/sqrt(2) ~ 0.707), the y axis (cos 0)
+    val bench2 = Seq((100L, Array(1f, 0f)), (200L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train2 = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 1f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val r = Decontaminate.semanticContaminationReport(train2, bench2,
+        "vec_id", "embedding", minCos = 0.5)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) === ((2L, Some(1.0), true)))
+    assert(r(2L) === ((2L, Some(0.707), true))) // floor-rounded, 3 dp
+    assert(r(3L) === ((0L, None, false)))
+    assert(r.size === 3)
+  }
 }
