@@ -2448,6 +2448,14 @@ object SparkEntry {
         .groupBy("phash")
         .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("keep_id"))
     }),
+    "mm11_phash_neardup" -> ((s, dir) => {
+      // image near-dup at scale, the standard recipe: 64-bit perceptual
+      // hash + Hamming radius 7, candidates from the pigeonhole band
+      // equi-join (8 bands of 8 — lossless vs the exhaustive <=7 join),
+      // popcount verify map-side. No pairwise payload comparison
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.phashNearDupPairs(media, bands = 8, maxHamming = 7)
+    }),
     "mm3_frame_sample" -> ((s, dir) => {
       // video-keyframe shape through the typed-Dataset flatMap: one media
       // row fans out to its kept frames (64-byte frames, every 2nd);
@@ -6278,6 +6286,23 @@ object SparkEntry {
         |FROM lanes JOIN tot ON lanes.doc_id = tot.doc_id GROUP BY 1)
         |SELECT phash, count(*) AS n_media, min(doc_id) AS keep_id
         |FROM sig GROUP BY 1""".stripMargin,
+    "mm11_phash_neardup" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+        |lanes AS (SELECT doc_id, ((i - 1) % 64)::INT AS j,
+        |sum(ascii(substr(text, i::INT, 1)))::BIGINT AS s
+        |FROM pos GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(s)::BIGINT AS total FROM lanes GROUP BY 1),
+        |sigh AS (SELECT lanes.doc_id,
+        |sum(CASE WHEN s * 64 > total THEN (1::HUGEINT << j) ELSE 0 END)
+        |  AS sh
+        |FROM lanes JOIN tot ON lanes.doc_id = tot.doc_id GROUP BY 1),
+        |sig AS (SELECT doc_id, (CASE WHEN sh >= (1::HUGEINT << 63)
+        |THEN sh - (1::HUGEINT << 64) ELSE sh END)::BIGINT AS sg FROM sigh)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |bit_count(xor(a.sg, b.sg))::INT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 7""".stripMargin,
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -758,26 +758,39 @@ object Dedup {
     * shape as MinHash-LSH, no pairwise text comparison anywhere. */
   def simhashHammingPairs(
       docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame =
+    bandedHammingPairs(simhash(docs, idCol, textCol, bits), "doc_id",
+      "simhash", bits, bands, maxHamming)
+
+  /** Generic pigeonhole banded-Hamming pair join over ANY precomputed
+    * fixed-width bit signature column (SimHash, perceptual hash, ...):
+    * a pair within `maxHamming` of `bits` differs in at most `maxHamming`
+    * bands, so with `maxHamming < bands` it agrees EXACTLY on at least
+    * one band — candidate generation is a band-value equi-join (lossless
+    * vs the exhaustive ≤-maxHamming join), verification an exact popcount
+    * on the XOR. Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def bandedHammingPairs(
+      sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bands > 0 && bits % bands == 0, "bits must divide into bands")
     require(maxHamming < bands,
       "pigeonhole needs maxHamming < bands for full recall")
     val w = bits / bands
-    val sig = simhash(docs, idCol, textCol, bits)
+    val sig = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * w)
-          .bitwiseAND(lit((1L << w) - 1)).as("bsig"))
+        shiftright(col("sig"), b * w)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("bsig"))
     }: _*)
     val banded = sig
-      .select(col("doc_id"), col("simhash"), explode(bandArr).as("bs"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("sig"),
         col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
           .as("hamming"))
       // verify BEFORE the dedup shuffle: candidates failing the popcount
       // are discarded map-side instead of riding the distinct() exchange

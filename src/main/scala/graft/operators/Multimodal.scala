@@ -183,6 +183,38 @@ object Multimodal {
     }.toDF("media_id", "media_type", "phash")
   }
 
+  /** 64-bit widening of [[perceptualHash]] (lane j = bytes at positions
+    * ≡ j mod 64, bit set when the lane beats the payload average) — wide
+    * enough for BANDED Hamming near-dup search: with 8 bands of 8 bits,
+    * any pair within Hamming 7 shares a band (pigeonhole), so candidate
+    * generation stays a band equi-join. Same integer-exact,
+    * partitioning-invariant arithmetic as the 8-bit form. */
+  def perceptualHash64(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val lanes = new Array[Long](64)
+      var i = 0
+      while (i < r.payload.length) { lanes(i % 64) += (r.payload(i) & 0xff); i += 1 }
+      val total = lanes.sum
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (lanes(j) * 64L > total) sig |= (1L << j); j += 1 }
+      (r.media_id, r.media_type, sig)
+    }.toDF("media_id", "media_type", "phash64")
+  }
+
+  /** Near-duplicate media pairs: the standard image-dedup recipe
+    * (perceptual hash + Hamming radius), run at scale through the
+    * generic pigeonhole band join — no pairwise payload comparison,
+    * candidates only where a band agrees exactly, popcount verify
+    * map-side. Output: (media_a, media_b, hamming). */
+  def phashNearDupPairs(media: Dataset[MediaRow], bands: Int,
+      maxHamming: Int): DataFrame =
+    Dedup.bandedHammingPairs(perceptualHash64(media), "media_id",
+      "phash64", bits = 64, bands = bands, maxHamming = maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Pure-SQL metadata path (oracle-checkable): byte length + md5 checksum
     * of the payload, no decode. */
   def metadata(media: DataFrame): DataFrame =

@@ -212,4 +212,23 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.loudnessGain(frames, targetEnergy = 0L)
     }
   }
+
+  test("phash banded near-dup finds exactly the <=maxHamming pairs, " +
+      "including the pigeonhole boundary") {
+    // 64-byte payloads -> lane j IS byte j; bytes of 100 in a sea of 1s
+    // put exactly those lane bits above the mean, so sig bits are chosen
+    // positions: d(A,B)=2, d(A,G)=d(B,G)=d(C,G)=7 (the boundary the
+    // pigeonhole must still find with 8 bands), d(A,C)=d(B,C)=8 (out)
+    def payload(set: Set[Int]): Array[Byte] =
+      Array.tabulate[Byte](64)(i => if (set(i)) 100 else 1)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", payload(Set(0, 1, 2, 3)), 0, 0, 0),
+      Multimodal.MediaRow(2L, "image", payload(Set(0, 1, 2, 4)), 0, 0, 0),
+      Multimodal.MediaRow(3L, "image", payload(Set(10, 20, 30, 40)), 0, 0, 0),
+      Multimodal.MediaRow(4L, "image", payload(Set(8, 16, 24)), 0, 0, 0)
+    ).toDS()
+    val r = Multimodal.phashNearDupPairs(media, bands = 8, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r === Set((1L, 2L, 2), (1L, 4L, 7), (2L, 4L, 7), (3L, 4L, 7)))
+  }
 }
