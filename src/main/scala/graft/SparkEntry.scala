@@ -1770,6 +1770,13 @@ object SparkEntry {
       // publishes the training trajectory (the audit a trainer logs)
       graft.operators.Calibration.domainClassifierSteps(
         t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
+    "tx36_calibration_ece" -> ((s, dir) =>
+      // reliability-diagram audit of tx34's trained filter (per-bin ECE
+      // decomposition): score with the final weights, 10 equal-width
+      // probability bins, exact micro-unit confidence vs observed rate.
+      // One extra scoring scan over the training passes; <=10-row agg
+      graft.operators.Calibration.calibrationReport(
+        t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
     "s24_coalesce_plan" -> ((s, dir) =>
       // partition-coalescence planning: contiguous daily partitions merge
       // into rewrite groups of >= 2k rows (exclusive running total div
@@ -3679,6 +3686,37 @@ object SparkEntry {
   private val duckToks =
     "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' +')"
 
+  /** Shared CTE chain for tx34/tx36: base features + n unrolled
+    * full-batch GD steps, ending at weight CTE `w{n}` (relation `b`
+    * carries the centered features). */
+  private def domainGdOracleCtes(n: Int): String = {
+    val head =
+      s"""WITH base AS (SELECT len($duckToks)::BIGINT AS x,
+         |(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS y
+         |FROM documents),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |coalesce(sum(x), 0)::BIGINT // greatest(count(*), 1) AS xbar
+         |FROM base),
+         |b AS (SELECT x - xbar AS xc, y, n FROM base CROSS JOIN st),
+         |w0 AS (SELECT 0 AS step, 0::BIGINT AS s0, 0::BIGINT AS s1,
+         |0::BIGINT AS w0_u, 0::BIGINT AS w1_u)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""g$k AS (SELECT n, coalesce(sum(g0), 0)::BIGINT AS s0,
+         |coalesce(sum(g0 * xc), 0)::BIGINT AS s1 FROM (
+         |SELECT n, xc,
+         |floor((y - (0.5 + z / (2 * (1 + abs(z))))) * 1000000.0)::BIGINT
+         |  AS g0
+         |FROM (SELECT xc, y, n,
+         |(w.w0_u + w.w1_u * xc) / 1000000.0 AS z
+         |FROM b CROSS JOIN w${k - 1} w)) GROUP BY n),
+         |w$k AS (SELECT $k AS step, g.s0, g.s1,
+         |(w.w0_u + g.s0 // greatest(2 * g.n, 1))::BIGINT AS w0_u,
+         |(w.w1_u + g.s1 // greatest(128 * g.n, 1))::BIGINT AS w1_u
+         |FROM g$k g CROSS JOIN w${k - 1} w)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + steps
+  }
+
   /** tx35's oracle: n unrolled BPE merge rounds as chained CTEs (the
     * ss13 unrolled-greedy pattern). Mirrors TokenizerTrain.bpeTrain
     * exactly: two-space symbol serialization, literal replace merges,
@@ -5322,38 +5360,28 @@ object SparkEntry {
         |  (CASE WHEN i - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
         |END)::BIGINT AS credit_ppm
         |FROM c GROUP BY 1""".stripMargin,
-    "tx34_domain_calibration" -> {
+    "tx34_domain_calibration" ->
       // unrolled full-batch GD steps; rational sigmoid and floored
       // micro-unit residuals make every step integer-exact (no libm)
-      val head =
-        s"""WITH base AS (SELECT len($duckToks)::BIGINT AS x,
-           |(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS y
-           |FROM documents),
-           |st AS (SELECT count(*)::BIGINT AS n,
-           |coalesce(sum(x), 0)::BIGINT // greatest(count(*), 1) AS xbar
-           |FROM base),
-           |b AS (SELECT x - xbar AS xc, y, n FROM base CROSS JOIN st),
-           |w0 AS (SELECT 0 AS step, 0::BIGINT AS s0, 0::BIGINT AS s1,
-           |0::BIGINT AS w0_u, 0::BIGINT AS w1_u)""".stripMargin
-      val steps = (1 to 3).map { k =>
-        s"""g$k AS (SELECT n, coalesce(sum(g0), 0)::BIGINT AS s0,
-           |coalesce(sum(g0 * xc), 0)::BIGINT AS s1 FROM (
-           |SELECT n, xc,
-           |floor((y - (0.5 + z / (2 * (1 + abs(z))))) * 1000000.0)::BIGINT
-           |  AS g0
-           |FROM (SELECT xc, y, n,
-           |(w.w0_u + w.w1_u * xc) / 1000000.0 AS z
-           |FROM b CROSS JOIN w${k - 1} w)) GROUP BY n),
-           |w$k AS (SELECT $k AS step, g.s0, g.s1,
-           |(w.w0_u + g.s0 // greatest(2 * g.n, 1))::BIGINT AS w0_u,
-           |(w.w1_u + g.s1 // greatest(128 * g.n, 1))::BIGINT AS w1_u
-           |FROM g$k g CROSS JOIN w${k - 1} w)""".stripMargin
-      }.mkString(",\n")
-      head + ",\n" + steps +
+      (domainGdOracleCtes(3) +
         "\nSELECT step, s0, s1, w0_u, w1_u FROM w1 UNION ALL " +
         "SELECT step, s0, s1, w0_u, w1_u FROM w2 UNION ALL " +
-        "SELECT step, s0, s1, w0_u, w1_u FROM w3"
-    },
+        "SELECT step, s0, s1, w0_u, w1_u FROM w3"),
+    "tx36_calibration_ece" ->
+      // tx34's training CTEs + one scoring pass with the final weights,
+      // binned into 10 equal-width reliability buckets
+      (domainGdOracleCtes(3) + ",\n" +
+        """sc AS (SELECT y,
+          |floor((0.5 + z / (2 * (1 + abs(z)))) * 1000000.0)::BIGINT AS p_u
+          |FROM (SELECT xc, y, (w.w0_u + w.w1_u * xc) / 1000000.0 AS z
+          |FROM b CROSS JOIN w3 w)),
+          |bi AS (SELECT least(p_u // 100000, 9) AS bin,
+          |count(*)::BIGINT AS n_docs, sum(p_u)::BIGINT AS sp,
+          |sum(y)::BIGINT AS sy FROM sc GROUP BY 1)
+          |SELECT bin, n_docs, sp // n_docs AS conf_u,
+          |sy * 1000000 // n_docs AS acc_u,
+          |abs(sp // n_docs - sy * 1000000 // n_docs)::BIGINT AS gap_u
+          |FROM bi""".stripMargin),
     "s24_coalesce_plan" ->
       """WITH daily AS (SELECT ts::DATE AS d, count(*)::BIGINT AS nr
         |FROM events WHERE ts IS NOT NULL GROUP BY 1),

@@ -37,17 +37,33 @@ object Calibration {
     * projection; each step is one map-side-combined 1-row aggregation
     * crossed with the 1-row weight state. Output: (step, s0, s1, w0_u,
     * w1_u), weights in micro-units. */
-  def domainClassifierSteps(docs: DataFrame, sourceCol: String,
-      textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
-    require(steps >= 1 && steps <= 16, "1 <= steps <= 16 (unrolled plan)")
+  /** The (mean-centered token count, target label, corpus size) feature
+    * projection both the trainer and the calibration audit score over. */
+  private def centeredBase(docs: DataFrame, sourceCol: String,
+      textCol: String, targetSource: String): DataFrame = {
     val base0 = docs.select(
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
         .as("x"),
       when(col(sourceCol) === targetSource, 1L).otherwise(0L).as("y"))
     val stats = base0.agg(count(lit(1)).as("n"),
       expr("coalesce(sum(x), 0L) div greatest(count(1), 1)").as("xbar"))
-    val base = base0.crossJoin(broadcast(stats))
+    base0.crossJoin(broadcast(stats))
       .select((col("x") - col("xbar")).as("xc"), col("y"), col("n"))
+  }
+
+  /** Rational-sigmoid prediction in [0, 1e6) micro-units for a weight
+    * state carried as (w0_u, w1_u) columns — shared trainer/audit math. */
+  private def predictedMicro(): org.apache.spark.sql.Column = {
+    val z = (col("w0_u") + col("w1_u") * col("xc")).cast("double") /
+      lit(1000000.0)
+    floor((lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))) *
+      lit(1000000.0)).cast("long")
+  }
+
+  def domainClassifierSteps(docs: DataFrame, sourceCol: String,
+      textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 16, "1 <= steps <= 16 (unrolled plan)")
+    val base = centeredBase(docs, sourceCol, textCol, targetSource)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = docs.sparkSession.range(1).select(lit(0).as("step"),
       lit(0L).as("s0"), lit(0L).as("s1"),
@@ -72,5 +88,43 @@ object Calibration {
       out = Some(out.map(_.unionAll(state)).getOrElse(state))
     }
     out.get
+  }
+
+  /** Calibration-reliability audit of the trained domain classifier
+    * (Naeini et al. 2015's ECE, per-bin reliability-diagram form; Guo et
+    * al. 2017): score every document with the FINAL trained weights,
+    * bucket predictions into 10 equal-width probability bins, and report
+    * per bin the exact document count, mean predicted probability
+    * (confidence) and observed positive rate (accuracy), plus their
+    * absolute gap — the table behind a reliability diagram; scalar ECE
+    * is the n-weighted mean of `gap_u`. A quality filter whose
+    * confidence does not track reality silently skews the corpus mix,
+    * so this audit belongs next to the trainer it checks.
+    *
+    * Same no-libm integer discipline as the trainer: predictions floor
+    * ONCE to micro-units, every aggregate is an exact BIGINT sum, ratios
+    * are truncating integer division — partitioning-exact on both
+    * engines. Scale shape: the training passes plus ONE extra scoring
+    * scan collapsing to a <=10-row hash aggregation (map-side combined);
+    * weights ride a 1-row broadcast.
+    *
+    * Output, one row per non-empty bin: (bin, n_docs, conf_u, acc_u,
+    * gap_u) — micro-unit confidences/accuracies, bin = floor(p/0.1). */
+  def calibrationReport(docs: DataFrame, sourceCol: String,
+      textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
+    val wFinal = domainClassifierSteps(docs, sourceCol, textCol,
+        targetSource, steps)
+      .filter(col("step") === steps).select("w0_u", "w1_u")
+    centeredBase(docs, sourceCol, textCol, targetSource)
+      .crossJoin(broadcast(wFinal))
+      .select(predictedMicro().as("p_u"), col("y"))
+      .withColumn("bin", expr("least(p_u div 100000, 9)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("p_u")).as("sp"),
+        sum(col("y")).as("sy"))
+      .select(col("bin"), col("n_docs"),
+        expr("sp div n_docs").as("conf_u"),
+        expr("sy * 1000000 div n_docs").as("acc_u"))
+      .withColumn("gap_u", abs(col("conf_u") - col("acc_u")))
   }
 }

@@ -65,4 +65,38 @@ class CalibrationSpec extends AnyFunSuite {
       Calibration.domainClassifierSteps(docs, "source", "text", "src0", 0)
     }
   }
+
+  test("calibration report: balanced uniform corpus is perfectly " +
+      "calibrated at p=0.5 in the single middle bin") {
+    // every doc has 3 tokens -> xc = 0 everywhere, gradients cancel on a
+    // balanced corpus, weights stay 0 -> every p_u = 500000, bin 5, and
+    // observed rate = 1/2 exactly: the zero-gap fixed point, by hand
+    val docs = Seq(("src0", "a b c"), ("src0", "d e f"),
+      ("s1", "g h i"), ("s1", "j k l")).toDF("source", "text")
+    val r = Calibration.calibrationReport(docs, "source", "text", "src0", 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((5L, 4L, 500000L, 500000L, 0L)))
+  }
+
+  test("calibration report: bins partition the corpus, values stay in " +
+      "micro-unit range, result is partitioning-invariant") {
+    val docs = Seq(
+      ("src0", "a b c d e f g h"), ("src0", "a b"), ("s1", "a b c"),
+      ("s1", "a b c d e"), ("s1", "a"), ("s1", "a b c d e f g h i j k l")
+    ).toDF("source", "text")
+    val r = Calibration.calibrationReport(docs, "source", "text", "src0", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._2).sum === 6L, "bins must partition all docs")
+    r.foreach { case (bin, _, conf, acc, gap) =>
+      assert(bin >= 0L && bin <= 9L)
+      assert(conf >= bin * 100000L && conf < (bin + 1) * 100000L,
+        "mean confidence must lie inside its bin")
+      assert(acc >= 0L && acc <= 1000000L)
+      assert(gap === math.abs(conf - acc))
+    }
+    val again = Calibration
+      .calibrationReport(docs.repartition(5), "source", "text", "src0", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === r)
+  }
 }
