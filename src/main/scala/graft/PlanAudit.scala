@@ -94,7 +94,8 @@ object PlanAudit {
       "q87_cuped_readout" -> "1-row span/pooled-moments broadcast crosses",
       "er9_fs_em_iterated" -> "1-row refreshed-weight broadcast crosses per EM step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
-      "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)")
+      "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)",
+      "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1784,6 +1784,18 @@ object SparkEntry {
       // the rewrite; one day-level agg + a calendar-bounded window
       graft.operators.Compaction.coalescePlan(
         t(s, dir, "events"), "ts", targetRows = 2000L)),
+    "dq4_psi_drift" -> ((s, dir) => {
+      // PSI feature-drift monitor on order totals: even-key orders play
+      // the baseline snapshot, odd-key the current batch. Equal-width
+      // bins over the baseline min/max (1-row broadcast — no global
+      // percentile sort), open-ended edge bins for out-of-range mass,
+      // add-1 smoothing, ln-floored nano-unit contributions (tx21 style)
+      val orders = t(s, dir, "orders")
+      graft.operators.QualityAudit.psiDrift(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0),
+        "o_totalprice", bins = 10)
+    }),
     "dq3_benford" -> ((s, dir) =>
       // Benford first-digit audit on order totals — the fabricated-data /
       // corrupted-feed screen: first digit from the integer-cents DECIMAL
@@ -5392,6 +5404,35 @@ object SparkEntry {
         |min(d)::VARCHAR AS d_from, max(d)::VARCHAR AS d_to,
         |sum(nr)::BIGINT AS total_rows
         |FROM c GROUP BY 1""".stripMargin,
+    "dq4_psi_drift" ->
+      """WITH vb AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |vc AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |WHERE o_orderkey % 2 <> 0 AND o_totalprice IS NOT NULL),
+        |r AS (SELECT min(v) AS lo, max(v) AS hi FROM vb),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0 WHEN v < lo THEN -1
+        |WHEN v > hi THEN 10
+        |ELSE least(floor((v - lo) / ((hi - lo) / 10.0))::INT, 9) END
+        |  AS bin, count(*)::BIGINT AS n_base FROM vb, r GROUP BY 1),
+        |bc AS (SELECT CASE WHEN hi = lo THEN 0 WHEN v < lo THEN -1
+        |WHEN v > hi THEN 10
+        |ELSE least(floor((v - lo) / ((hi - lo) / 10.0))::INT, 9) END
+        |  AS bin, count(*)::BIGINT AS n_cur FROM vc, r GROUP BY 1),
+        |j AS (SELECT coalesce(bb.bin, bc.bin) AS bin,
+        |coalesce(n_base, 0)::BIGINT AS n_base,
+        |coalesce(n_cur, 0)::BIGINT AS n_cur
+        |FROM bb FULL JOIN bc ON bb.bin = bc.bin),
+        |t AS (SELECT sum(n_base)::BIGINT AS ta, sum(n_cur)::BIGINT AS tc
+        |FROM j)
+        |SELECT bin, n_base, n_cur,
+        |(n_base + 1) * 1000000 // (ta + 12) AS p_base_ppm,
+        |(n_cur + 1) * 1000000 // (tc + 12) AS p_cur_ppm,
+        |floor(((n_base + 1)::DOUBLE / (ta + 12)::DOUBLE
+        |  - (n_cur + 1)::DOUBLE / (tc + 12)::DOUBLE)
+        |  * ln(((n_base + 1)::DOUBLE / (ta + 12)::DOUBLE)
+        |    / ((n_cur + 1)::DOUBLE / (tc + 12)::DOUBLE)) * 1e9)::BIGINT
+        |  AS psi_nano
+        |FROM j, t""".stripMargin,
     "dq3_benford" ->
       """WITH c AS (SELECT floor(o_totalprice * 100.0)::BIGINT AS c
         |FROM orders WHERE floor(o_totalprice * 100.0)::BIGINT > 0),

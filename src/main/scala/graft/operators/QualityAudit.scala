@@ -128,6 +128,72 @@ object QualityAudit {
     *
     * Scale shape: one narrow projection + one 9-row hash aggregation
     * (map-side combined) + a 1-row total broadcast cross. */
+  /** Population-stability-index (PSI) feature-drift monitor — the
+    * standard model-monitoring screen for "has this numeric column's
+    * distribution moved since the baseline snapshot" (credit-scoring
+    * lineage; the convention thresholds are 0.1 warn / 0.25 act).
+    *
+    * Binning is 10 equal-WIDTH bins over the BASELINE min..max (a 1-row
+    * broadcast) — the value-domain discipline tx31 uses: exact decile
+    * edges would demand a global sort/percentile of the baseline at
+    * 100 TB, while min/max reduce map-side. Current-side values outside
+    * the baseline range land in open-ended edge bins -1 / `bins` (new
+    * out-of-range mass is exactly the drift PSI must not hide). Bin
+    * boundary arithmetic is the same IEEE expression on both engines;
+    * ties at the top edge clamp into the last interior bin.
+    *
+    * Shares are add-1-smoothed over a fixed bins+2 universe so empty
+    * sides stay finite; per-bin contributions floor ONCE to nano-units
+    * from the same smoothed doubles the ln sees (the tx21/dd31
+    * ln-floored pattern), so the report is order-free and
+    * partitioning-exact. Scalar PSI = sum(psi_nano)/1e9.
+    *
+    * Scale shape: one map-side min/max reduce on the baseline + one
+    * narrow binning scan per side collapsing to <=bins+2-row hash aggs,
+    * a tiny full-outer bin join, and a 1-row totals broadcast. Output,
+    * one row per OBSERVED bin: (bin, n_base, n_cur, p_base_ppm,
+    * p_cur_ppm, psi_nano). */
+  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, "2 <= bins <= 100")
+    def vals(df: DataFrame) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val rng = vals(base).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    def binned(df: DataFrame, cnt: String) = vals(df)
+      .crossJoin(broadcast(rng))
+      .select(
+        when(col("hi") === col("lo"), lit(0))
+          .when(col("v") < col("lo"), lit(-1))
+          .when(col("v") > col("hi"), lit(bins))
+          .otherwise(least(
+            floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(bins.toDouble))).cast("int"),
+            lit(bins - 1)))
+          .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val joined = binned(base, "n_base")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("ta"),
+      sum(col("n_cur")).as("tc"))
+    val universe = lit((bins + 2).toLong)
+    val pa = (col("n_base") + 1).cast("double") /
+      (col("ta") + universe).cast("double")
+    val pc = (col("n_cur") + 1).cast("double") /
+      (col("tc") + universe).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        expr(s"(n_base + 1) * 1000000 div (ta + ${bins + 2})")
+          .as("p_base_ppm"),
+        expr(s"(n_cur + 1) * 1000000 div (tc + ${bins + 2})")
+          .as("p_cur_ppm"),
+        floor((pa - pc) * log(pa / pc) * lit(1e9)).cast("long")
+          .as("psi_nano"))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val expected: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
       3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,

@@ -76,6 +76,53 @@ class QualityAuditSpec extends AnyFunSuite {
       s"parent payload column read: $scans")
   }
 
+  test("psi drift: hand-computed bins, open edge bins, add-1 smoothing, " +
+      "ln-floored nano contributions") {
+    val spark2 = spark; import spark2.implicits._
+    val base = Seq(0.0, 1.0, 2.0, 4.0).map(Tuple1(_)).toDF("v")
+    val cur = Seq(-1.0, 0.5, 5.0, 5.0).map(Tuple1(_)).toDF("v")
+    val r = QualityAudit.psiDrift(base, cur, "v", bins = 2)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    // baseline lo=0 hi=4, width 2: 0,1 -> bin0; 2 -> bin1; the hi value 4
+    // clamps into the last interior bin. Current: -1 below range -> bin -1,
+    // 0.5 -> bin0, 5,5 above range -> bin 2 (= bins)
+    assert(r.keySet === Set(-1, 0, 1, 2), r)
+    assert(r(-1)._1 === 0L && r(-1)._2 === 1L)
+    assert(r(0)._1 === 2L && r(0)._2 === 1L)
+    assert(r(1)._1 === 2L && r(1)._2 === 0L)
+    assert(r(2)._1 === 0L && r(2)._2 === 2L)
+    // add-1 smoothing over a fixed bins+2=4 universe: denominators 4+4=8
+    assert(r(0)._3 === 375000L && r(0)._4 === 250000L)
+    assert(r(1)._3 === 375000L && r(1)._4 === 125000L)
+    // same smoothed doubles the engine sees, floored once to nano
+    def nano(nb: Long, nc: Long): Long = {
+      val pa = (nb + 1).toDouble / 8.0; val pc = (nc + 1).toDouble / 8.0
+      math.floor((pa - pc) * math.log(pa / pc) * 1e9).toLong
+    }
+    assert(r(-1)._5 === nano(0, 1))
+    assert(r(1)._5 === nano(2, 0))
+    assert(r(2)._5 === nano(0, 2))
+    // (p-q) and ln(p/q) always share sign: every contribution >= 0
+    assert(r.values.forall(_._5 >= 0L), r)
+  }
+
+  test("psi drift: degenerate single-value baseline collapses to bin 0; " +
+      "partitioning invariance") {
+    val spark2 = spark; import spark2.implicits._
+    val base = Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("v")
+    val cur = Seq(3.0, 7.0, 11.0).map(Tuple1(_)).toDF("v")
+    val one = QualityAudit.psiDrift(base, cur, "v").collect()
+    assert(one.length === 1 && one.head.getInt(0) === 0)
+    assert(one.head.getLong(1) === 3L && one.head.getLong(2) === 3L)
+    val o = Seq.tabulate(64)(i => (i % 7).toDouble).map(Tuple1(_)).toDF("v")
+    val c = Seq.tabulate(64)(i => (i % 5).toDouble).map(Tuple1(_)).toDF("v")
+    val a = QualityAudit.psiDrift(o, c, "v", bins = 4)
+    val b = QualityAudit.psiDrift(
+      o.repartition(7), c.repartition(3), "v", bins = 4)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("benford audit: string-derived first digits, exact ppm, " +
       "non-positive values excluded") {
     val spark2 = spark; import spark2.implicits._
