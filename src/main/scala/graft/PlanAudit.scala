@@ -95,7 +95,8 @@ object PlanAudit {
       "er9_fs_em_iterated" -> "1-row refreshed-weight broadcast crosses per EM step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)",
-      "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses")
+      "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses",
+      "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

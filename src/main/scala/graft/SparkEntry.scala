@@ -1796,6 +1796,17 @@ object SparkEntry {
         orders.filter(col("o_orderkey") % 2 =!= 0),
         "o_totalprice", bins = 10)
     }),
+    "dq5_ks_drift" -> ((s, dir) => {
+      // binned two-sample KS over the same even/odd order split and
+      // baseline-range binning as dq4 — PSI weighs per-bin shifts, KS
+      // catches the accumulated CDF gap; cumulative window runs on the
+      // <=bins+2-row bin frame, never the data
+      val orders = t(s, dir, "orders")
+      graft.operators.QualityAudit.ksDrift(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0),
+        "o_totalprice", bins = 20)
+    }),
     "dq3_benford" -> ((s, dir) =>
       // Benford first-digit audit on order totals — the fabricated-data /
       // corrupted-feed screen: first digit from the integer-cents DECIMAL
@@ -5433,6 +5444,39 @@ object SparkEntry {
         |    / ((n_cur + 1)::DOUBLE / (tc + 12)::DOUBLE)) * 1e9)::BIGINT
         |  AS psi_nano
         |FROM j, t""".stripMargin,
+    "dq5_ks_drift" ->
+      """WITH vb AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |vc AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+        |WHERE o_orderkey % 2 <> 0 AND o_totalprice IS NOT NULL),
+        |r AS (SELECT min(v) AS lo, max(v) AS hi FROM vb),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0 WHEN v < lo THEN -1
+        |WHEN v > hi THEN 20
+        |ELSE least(floor((v - lo) / ((hi - lo) / 20.0))::INT, 19) END
+        |  AS bin, count(*)::BIGINT AS n_base FROM vb, r GROUP BY 1),
+        |bc AS (SELECT CASE WHEN hi = lo THEN 0 WHEN v < lo THEN -1
+        |WHEN v > hi THEN 20
+        |ELSE least(floor((v - lo) / ((hi - lo) / 20.0))::INT, 19) END
+        |  AS bin, count(*)::BIGINT AS n_cur FROM vc, r GROUP BY 1),
+        |j AS (SELECT coalesce(bb.bin, bc.bin) AS bin,
+        |coalesce(n_base, 0)::BIGINT AS n_base,
+        |coalesce(n_cur, 0)::BIGINT AS n_cur
+        |FROM bb FULL JOIN bc ON bb.bin = bc.bin),
+        |c AS (SELECT bin, n_base, n_cur,
+        |(sum(n_base) OVER (ORDER BY bin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |  AS cum_base,
+        |(sum(n_cur) OVER (ORDER BY bin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |  AS cum_cur FROM j),
+        |t AS (SELECT sum(n_base)::BIGINT AS ta, sum(n_cur)::BIGINT AS tc
+        |FROM j)
+        |SELECT bin, n_base, n_cur,
+        |cum_base * 1000000 // greatest(ta, 1) AS cdf_base_ppm,
+        |cum_cur * 1000000 // greatest(tc, 1) AS cdf_cur_ppm,
+        |abs(cum_base * 1000000 // greatest(ta, 1)
+        |  - cum_cur * 1000000 // greatest(tc, 1)) AS gap_ppm
+        |FROM c, t""".stripMargin,
     "dq3_benford" ->
       """WITH c AS (SELECT floor(o_totalprice * 100.0)::BIGINT AS c
         |FROM orders WHERE floor(o_totalprice * 100.0)::BIGINT > 0),

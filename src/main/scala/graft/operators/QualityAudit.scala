@@ -153,30 +153,49 @@ object QualityAudit {
     * a tiny full-outer bin join, and a 1-row totals broadcast. Output,
     * one row per OBSERVED bin: (bin, n_base, n_cur, p_base_ppm,
     * p_cur_ppm, psi_nano). */
-  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2 && bins <= 100, "2 <= bins <= 100")
-    def vals(df: DataFrame) = df
-      .select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    val rng = vals(base).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    def binned(df: DataFrame, cnt: String) = vals(df)
-      .crossJoin(broadcast(rng))
-      .select(
-        when(col("hi") === col("lo"), lit(0))
-          .when(col("v") < col("lo"), lit(-1))
-          .when(col("v") > col("hi"), lit(bins))
-          .otherwise(least(
-            floor((col("v") - col("lo")) /
-              ((col("hi") - col("lo")) / lit(bins.toDouble))).cast("int"),
-            lit(bins - 1)))
-          .as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as(cnt))
-    val joined = binned(base, "n_base")
-      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+  /** Non-NULL values of `valueCol` as double column `v`. */
+  private def driftVals(df: DataFrame, valueCol: String): DataFrame = df
+    .select(col(valueCol).cast("double").as("v"))
+    .filter(col("v").isNotNull)
+
+  /** Equal-width bin counts over a 1-row broadcast (lo, hi) range frame:
+    * interior bins 0..bins-1, open-ended edge bins -1 / `bins` for
+    * out-of-range values, everything in bin 0 when the range is
+    * degenerate (hi = lo). Shared by [[psiDrift]] and [[ksDrift]] so the
+    * two monitors can never disagree on bin boundaries. */
+  private def binnedCounts(vals: DataFrame, rng: DataFrame, bins: Int,
+      cnt: String): DataFrame = vals
+    .crossJoin(broadcast(rng))
+    .select(
+      when(col("hi") === col("lo"), lit(0))
+        .when(col("v") < col("lo"), lit(-1))
+        .when(col("v") > col("hi"), lit(bins))
+        .otherwise(least(
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(bins.toDouble))).cast("int"),
+          lit(bins - 1)))
+        .as("bin"))
+    .groupBy("bin").agg(count(lit(1)).as(cnt))
+
+  /** Per-bin base/cur counts over the shared baseline range: full-outer
+    * joined, NULL-backfilled. One narrow scan per side collapsing to
+    * <=bins+2-row aggregates. */
+  private def driftBinTable(base: DataFrame, cur: DataFrame,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "2 <= bins <= 1000")
+    val rng = driftVals(base, valueCol)
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    binnedCounts(driftVals(base, valueCol), rng, bins, "n_base")
+      .join(binnedCounts(driftVals(cur, valueCol), rng, bins, "n_cur"),
+        Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    val joined = driftBinTable(base, cur, valueCol, bins)
     val totals = joined.agg(sum(col("n_base")).as("ta"),
       sum(col("n_cur")).as("tc"))
     val universe = lit((bins + 2).toLong)
@@ -192,6 +211,50 @@ object QualityAudit {
           .as("p_cur_ppm"),
         floor((pa - pc) * log(pa / pc) * lit(1e9)).cast("long")
           .as("psi_nano"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic over the SAME binned
+    * value domain as [[psiDrift]] — the companion monitor: PSI weighs
+    * per-bin mass shifts, KS catches a location/shape shift that many
+    * small same-sign gaps accumulate into (each individually below PSI's
+    * noise floor). D = max over bins of |CDF_base - CDF_cur|.
+    *
+    * This is binned KS — the production form: exact KS needs the globally
+    * ORDERED empirical CDF (a full sort, or a single-partition running
+    * window, of every distinct value — the thing a 100 TB monitor must
+    * not do). Binning to the baseline's equal-width grid (same open edge
+    * bins -1 / `bins` as PSI) makes the CDF a <=bins+2-row frame; the
+    * unavoidable ordered cumulative window then runs on that tiny frame
+    * (single partition BY CONSTRUCTION — bounded by `bins`+2 <= 1002
+    * rows, not by data volume). Binned D lower-bounds exact D; a finer
+    * grid tightens it.
+    *
+    * CDF shares are exact integer ppm (cum * 1e6 div total — no
+    * smoothing: KS is a ratio of raw cumulative counts; empty sides are
+    * guarded to div-by-1 and read as all-mass-at-no-bin). Output, one row
+    * per observed bin in bin order: (bin, n_base, n_cur, cdf_base_ppm,
+    * cdf_cur_ppm, gap_ppm); the decision scalar is max(gap_ppm)/1e6
+    * against the classical c(alpha)*sqrt((n+m)/(n*m)) threshold.
+    *
+    * Scale shape: one narrow binning scan per side to <=bins+2-row
+    * aggregates, a tiny full-outer bin join, a bounded ordered window,
+    * and a 1-row totals broadcast. */
+  def ksDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 100): DataFrame = {
+    val joined = driftBinTable(base, cur, valueCol, bins)
+    val totals = joined.agg(sum(col("n_base")).as("ta"),
+      sum(col("n_cur")).as("tc"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
+      .withColumn("cum_base", sum(col("n_base")).over(wCum))
+      .withColumn("cum_cur", sum(col("n_cur")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        expr("cum_base * 1000000 div greatest(ta, 1)").as("cdf_base_ppm"),
+        expr("cum_cur * 1000000 div greatest(tc, 1)").as("cdf_cur_ppm"),
+        expr("abs(cum_base * 1000000 div greatest(ta, 1) - " +
+          "cum_cur * 1000000 div greatest(tc, 1))").as("gap_ppm"))
   }
 
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {

@@ -123,6 +123,42 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("ks drift: hand-computed binned CDF gaps, exact ppm") {
+    val spark2 = spark; import spark2.implicits._
+    val base = Seq(0.0, 1.0, 2.0, 4.0).map(Tuple1(_)).toDF("v")
+    val cur = Seq(-1.0, 0.5, 5.0, 5.0).map(Tuple1(_)).toDF("v")
+    val r = QualityAudit.ksDrift(base, cur, "v", bins = 2)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    // same binning as the psi spec: cum_base 0,2,4,4 / cum_cur 1,2,2,4
+    assert(r.keySet === Set(-1, 0, 1, 2), r)
+    assert(r(-1) === ((0L, 1L, 0L, 250000L, 250000L)))
+    assert(r(0) === ((2L, 1L, 500000L, 500000L, 0L)))
+    assert(r(1) === ((2L, 0L, 1000000L, 500000L, 500000L)))
+    assert(r(2) === ((0L, 2L, 1000000L, 1000000L, 0L)))
+    // decision scalar: D = max gap = 0.5 at bin 1
+    assert(r.values.map(_._5).max === 500000L)
+  }
+
+  test("ks drift: identical sides gap 0; empty current side guarded; " +
+      "partitioning invariance") {
+    val spark2 = spark; import spark2.implicits._
+    val d = Seq.tabulate(50)(i => (i % 11).toDouble).map(Tuple1(_)).toDF("v")
+    val same = QualityAudit.ksDrift(d, d, "v", bins = 5).collect()
+    assert(same.nonEmpty && same.forall(_.getLong(5) === 0L))
+    // top bin closes both CDFs at exactly 1e6 (integer div is exact there)
+    assert(same.map(_.getLong(3)).max === 1000000L)
+    val none = Seq.empty[Double].toDF("v")
+    val e = QualityAudit.ksDrift(d, none, "v", bins = 5).collect()
+    assert(e.nonEmpty && e.forall(r => r.getLong(4) === 0L &&
+      r.getLong(5) === r.getLong(3)), e.mkString(","))
+    val c = Seq.tabulate(50)(i => (i % 7).toDouble).map(Tuple1(_)).toDF("v")
+    val a = QualityAudit.ksDrift(d, c, "v", bins = 5)
+    val b = QualityAudit.ksDrift(d.repartition(7), c.repartition(3), "v",
+      bins = 5)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("benford audit: string-derived first digits, exact ppm, " +
       "non-positive values excluded") {
     val spark2 = spark; import spark2.implicits._
