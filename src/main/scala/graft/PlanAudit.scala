@@ -96,7 +96,8 @@ object PlanAudit {
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)",
       "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses",
-      "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses")
+      "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses",
+      "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2667,6 +2667,31 @@ object SparkEntry {
           iterations = 5, seeds = Some(seeds))
         .select(col("node").as("nation_name"), col("rank_u"))
     }),
+    "g7_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the g1 nation trade graph: hubs are
+      // the big BUYING nations (their customers' mass flows out),
+      // authorities the big SUPPLYING ones — the two-sided view one
+      // PageRank score conflates. 3 fixed iterations, integer L1 shares,
+      // exact on any partitioning
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.as("cn")),
+          col("c_nationkey") === col("cn.n_nationkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.as("sn")),
+          col("s_nationkey") === col("sn.n_nationkey"))
+        .groupBy(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.hitsInt(edges, "src", "dst", "w",
+          iterations = 3)
+        .select(col("node").as("nation_name"), col("hub_u"), col("auth_u"))
+    }),
     "g5_link_pred" -> ((s, dir) =>
       // neighborhood link prediction on the near-dup candidate graph:
       // non-adjacent doc pairs ranked by common-neighbor count and
@@ -6637,6 +6662,45 @@ object SparkEntry {
       }.mkString(",\n")
       head + ",\n" + iters +
         "\nSELECT node AS nation_name, r AS rank_u FROM r5"
+    },
+    "g7_hits" -> {
+      // g1's unrolled-iteration discipline applied to the HITS mutual
+      // recursion: integer L1 shares (s * 1e6 // total) match
+      // Graph.hitsInt bit for bit; every sum is ::BIGINT so no HUGEINT
+      // reaches the output.
+      val head =
+        """WITH e0 AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+          |count(*)::BIGINT AS w
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |GROUP BY 1, 2),
+          |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          |h0 AS (SELECT node, (1000000 // p.n)::BIGINT AS h
+          |FROM nodes, p)""".stripMargin
+      val iters = (1 to 3).map { k =>
+        s"""a${k}r AS (SELECT e.dst AS node, sum(h.h * e.w)::BIGINT AS s
+           |FROM h${k - 1} h JOIN e0 e ON e.src = h.node GROUP BY 1),
+           |a${k}t AS (SELECT sum(s)::BIGINT AS ts FROM a${k}r),
+           |a$k AS (SELECT nd.node,
+           |(coalesce(r.s, 0) * 1000000 // greatest(t.ts, 1))::BIGINT AS a
+           |FROM nodes nd CROSS JOIN a${k}t t
+           |LEFT JOIN a${k}r r ON r.node = nd.node),
+           |h${k}r AS (SELECT e.src AS node, sum(a.a * e.w)::BIGINT AS s
+           |FROM a$k a JOIN e0 e ON e.dst = a.node GROUP BY 1),
+           |h${k}t AS (SELECT sum(s)::BIGINT AS ts FROM h${k}r),
+           |h$k AS (SELECT nd.node,
+           |(coalesce(r.s, 0) * 1000000 // greatest(t.ts, 1))::BIGINT AS h
+           |FROM nodes nd CROSS JOIN h${k}t t
+           |LEFT JOIN h${k}r r ON r.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters +
+        "\nSELECT nd.node AS nation_name, h3.h AS hub_u, a3.a AS auth_u" +
+        "\nFROM nodes nd JOIN h3 ON h3.node = nd.node" +
+        "\nJOIN a3 ON a3.node = nd.node"
     },
     "g2_triangles" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),

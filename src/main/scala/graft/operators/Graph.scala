@@ -419,4 +419,76 @@ object Graph {
     e.unpersist(false)
     result
   }
+
+  /** Fixed-iteration HITS (Kleinberg 1999) hubs-and-authorities carried
+    * in integer units — [[pageRankInt]]'s discipline applied to the
+    * two-score mutual recursion: a directed graph's authority score is
+    * the (weighted) sum of the hub scores pointing at it, and vice versa.
+    * On a data-pipeline graph (source domain -> referenced domain,
+    * citing doc -> cited doc) hubs surface the aggregator/index pages and
+    * authorities the canonical content — two different curation signals
+    * PageRank's single score conflates.
+    *
+    * Determinism: scores are BIGINT `unit`-scaled shares, L1-normalized
+    * each half-step (`s * unit div total` — Kleinberg's L2 norm needs a
+    * sqrt; L1 changes only the scale of the fixpoint, not the ranking),
+    * so every sum is an exact integer reduce and the result is
+    * bit-identical on any partitioning and any engine. Nodes without
+    * in-edges publish authority 0; without out-edges, hub 0.
+    *
+    * Overflow guard: after normalization every score <= `unit`, so the
+    * largest raw sum is bounded by unit * totalW and the normalization
+    * multiply by unit^2 * totalW; `require`d under Long.MaxValue so a
+    * bigger corpus fails loudly rather than wrapping (drop `unit` an
+    * order of magnitude to trade precision for headroom).
+    *
+    * Scale shape, per [[pageRankInt]]: the edge list is materialized
+    * once and keeps its partitioning; each half-iteration joins the
+    * tiny |V|-row score frame (broadcast) against it, reduces by the
+    * opposite endpoint, and normalizes via a 1-row total broadcast
+    * cross. No per-iteration persist (see pageRankInt's measured note);
+    * checkpoint every ~10 rounds on a long production run. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int, unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "at least one HITS iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "HITS on an empty graph")
+    val totalW = e.agg(sum(col("w"))).head().getLong(0)
+    require(totalW > 0 && totalW < Long.MaxValue / unit / unit,
+      s"total edge weight $totalW would overflow score arithmetic")
+    var h = nodes.select(col("node"), lit(unit / n).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e
+        .join(broadcast(h.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(expr("h * w")).as("s"))
+      val aTot = aRaw.agg(sum(col("s")).as("ts"))
+      a = nodes.join(broadcast(aRaw), Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          expr(s"coalesce(s, 0L) * $unit div greatest(ts, 1)").as("a"))
+      val hRaw = e
+        .join(broadcast(a.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(expr("a * w")).as("s"))
+      val hTot = hRaw.agg(sum(col("s")).as("ts"))
+      h = nodes.join(broadcast(hRaw), Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          expr(s"coalesce(s, 0L) * $unit div greatest(ts, 1)").as("h"))
+    }
+    val result = h
+      .join(a.withColumnRenamed("a", "auth_u"), "node")
+      .select(col("node"), col("h").as("hub_u"), col("auth_u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    nodes.unpersist(false)
+    e.unpersist(false)
+    result
+  }
 }

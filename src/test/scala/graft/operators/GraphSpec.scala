@@ -117,6 +117,41 @@ class GraphSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("hitsInt: hand-computed two-iteration scores; partition-invariant") {
+    // A->B, A->C, B->C with unit 600: n=3, h0=200 each.
+    // it1: a_raw B=200 C=400 (ts 600) -> a B=200 C=400;
+    //      h_raw A=600 B=400 (ts 1000) -> h A=360 B=240 C=0.
+    // it2: a_raw B=360 C=600 (ts 960) -> a B=225 C=375;
+    //      h_raw A=600 B=375 (ts 975) -> h A=369 B=230 (floored).
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hitsInt(edges, "src", "dst", "w", iterations = 2,
+        unit = 600L)
+      .as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r === Map("A" -> ((369L, 0L)), "B" -> ((230L, 225L)),
+      "C" -> ((0L, 375L))))
+    val again = Graph.hitsInt(edges.repartition(7), "src", "dst", "w", 2,
+        unit = 600L)
+      .as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(again === r)
+  }
+
+  test("hitsInt: edge weights split authority proportionally; " +
+      "sink nodes publish hub 0, source nodes authority 0") {
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val r = Graph.hitsInt(edges, "src", "dst", "w", iterations = 3,
+        unit = 600L)
+      .as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // single hub holds the whole L1 hub mass; authorities follow weights
+    assert(r("A") === ((600L, 0L)))
+    assert(r("B")._1 === 0L && r("C")._1 === 0L)
+    assert(r("B")._2 === 400L && r("C")._2 === 200L)
+    assert(r("B")._2 === 2L * r("C")._2)
+  }
+
   test("kCore: triangle with a pendant chain peels to the triangle") {
     // d-e pendant chain and c-d bridge peel away round by round; the
     // triangle is the 2-core, every member with core-degree 2
