@@ -3335,6 +3335,25 @@ object SparkEntry {
         .select(col("o_custkey"), col("exact_cnt"), col("cms_estimate"),
           (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"))
     }),
+    "q88_sketch_rollup" -> ((s, dir) => {
+      // the sketch-reaggregation pattern: one Count-Min sketch PER DAY
+      // of events (the artifact a pipeline persists at ingest), merged
+      // by CMS linearity into a whole-corpus sketch — 256 rows per day
+      // in, never a raw re-scan — then probed for the top-10 users.
+      // exact_cnt rides along purely to exhibit the no-underestimate
+      // guarantee in-row
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daily = graft.operators.Sketches.countMinByGroup(
+        ev, "day", "user_id")
+      val merged = graft.operators.Sketches.mergeCountMin(daily)
+      val probes = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("user_id")).limit(10)
+      graft.operators.Sketches.probeCountMin(merged, probes, "user_id")
+        .select(col("user_id"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"))
+    }),
     "q68_interval_allocate" -> ((s, dir) => {
       // interval-to-bucket pro-rating: each event becomes a deterministic
       // [ts, ts + (event_id mod 7200) s) interval whose duration is
@@ -7385,6 +7404,28 @@ object SparkEntry {
         |  min(s.cell)::BIGINT AS cms_estimate,
         |  min(s.cell) >= pe.exact_cnt AS no_underestimate
         |FROM pe JOIN sketch s USING (d, bucket)
+        |GROUP BY 1, 2""".stripMargin,
+    "q88_sketch_rollup" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP::DATE AS day
+        |FROM events),
+        |b AS (SELECT day, user_id, d,
+        |('0x' || substr(md5(d::VARCHAR || ':' || user_id::VARCHAR),
+        |  1, 8))::BIGINT % 64 AS bucket
+        |FROM e CROSS JOIN range(0, 4) r(d)),
+        |daily AS (SELECT day, d, bucket, count(*)::BIGINT AS cell
+        |FROM b GROUP BY 1, 2, 3),
+        |merged AS (SELECT d, bucket, sum(cell)::BIGINT AS cell
+        |FROM daily GROUP BY 1, 2),
+        |probes AS (SELECT user_id, count(*)::BIGINT AS exact_cnt
+        |FROM e GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |pe AS (SELECT p.user_id, p.exact_cnt, r.d AS d,
+        |('0x' || substr(md5(r.d::VARCHAR || ':' || p.user_id::VARCHAR),
+        |  1, 8))::BIGINT % 64 AS bucket
+        |FROM probes p CROSS JOIN range(0, 4) r(d))
+        |SELECT pe.user_id, pe.exact_cnt,
+        |min(m.cell)::BIGINT AS cms_estimate,
+        |min(m.cell) >= pe.exact_cnt AS no_underestimate
+        |FROM pe JOIN merged m USING (d, bucket)
         |GROUP BY 1, 2""".stripMargin,
     "q68_interval_allocate" ->
       """WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq.tabulate(300)(i =>
+    (s"g${i % 3}", (i % 17).toLong)).toDF("grp", "k")
+
+  test("CMS linearity: merged per-group sketches equal the sketch " +
+      "built directly over the union, bit for bit") {
+    val perGroup = Sketches.countMinByGroup(corpus, "grp", "k")
+    val merged = Sketches.mergeCountMin(perGroup)
+    val direct = Sketches.mergeCountMin(
+      Sketches.countMinByGroup(corpus.withColumn("one", lit("all")),
+        "one", "k"))
+    assert(merged.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(merged).count() === 0)
+  }
+
+  test("sketch size is bounded by depth*width per group regardless of " +
+      "key cardinality") {
+    val wide = Seq.tabulate(5000)(i => ("g", i.toLong)).toDF("grp", "k")
+    val sk = Sketches.countMinByGroup(wide, "grp", "k", depth = 4,
+      width = 64)
+    assert(sk.count() <= 4L * 64)
+    assert(sk.agg(sum("cell")).head().getLong(0) === 4L * 5000)
+  }
+
+  test("probe never underestimates and is exact when keys don't collide") {
+    val probes = corpus.groupBy("k").agg(count(lit(1)).as("exact"))
+    val merged = Sketches.mergeCountMin(
+      Sketches.countMinByGroup(corpus, "grp", "k"))
+    val est = Sketches.probeCountMin(merged, probes, "k")
+      .as[(Long, Long, Long)].collect()
+    assert(est.length === 17)
+    assert(est.forall { case (_, exact, cms) => cms >= exact })
+    // 17 keys into 64 buckets x 4 rows: at least one depth row separates
+    // every key pair with overwhelming probability on this fixed corpus,
+    // so the min-over-depth estimate is exact here
+    assert(est.forall { case (_, exact, cms) => cms === exact },
+      est.mkString(","))
+  }
+
+  test("partitioning invariance of build + merge + probe") {
+    val probes = corpus.select("k").distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.probeCountMin(
+        Sketches.mergeCountMin(Sketches.countMinByGroup(df, "grp", "k")),
+        probes, "k")
+    val a = run(corpus)
+    val b = run(corpus.repartition(13))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+}
