@@ -97,7 +97,8 @@ object PlanAudit {
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)",
       "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses",
       "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses",
-      "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration")
+      "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration",
+      "tx37_kn_bigram" -> "1-row distinct-bigram-total broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2071,6 +2071,13 @@ object SparkEntry {
       // arithmetic — order-independent, engine-portable)
       graft.operators.LanguageModel.bigramNll(
         t(s, dir, "documents"), "doc_id", "text")),
+    "tx37_kn_bigram" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram NLL (D = 3/4): the
+      // continuation-probability upgrade over tx14's add-one smoothing —
+      // exact BIGINT probability ratios, micro-nat floors, same plan
+      // shape
+      graft.operators.LanguageModel.knBigramNll(
+        t(s, dir, "documents"), "doc_id", "text")),
     "st2_sliding_window" -> ((s, dir) =>
       // sliding-window event counts (2h window, 30m hop: each event in
       // exactly 4 windows) — the streaming-compatible window() operator
@@ -5753,6 +5760,27 @@ object SparkEntry {
          |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, count(*) AS n_bigrams,
          |floor(-(sum(lp_u)::DOUBLE / 1e6) / count(*) * 1000.0) / 1000.0 AS nll
+         |FROM scored GROUP BY doc_id""".stripMargin,
+    "tx37_kn_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, t[i::INT] AS w1, t[(i + 1)::INT] AS w2
+         |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d2)),
+         |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+         |FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1,
+         |count(*)::BIGINT AS n1l FROM c12 GROUP BY 1),
+         |n1r AS (SELECT w2, count(*)::BIGINT AS n1r FROM c12 GROUP BY 1),
+         |nb AS (SELECT count(*)::BIGINT AS nbg FROM c12),
+         |scored AS (SELECT doc_id,
+         |floor(ln((greatest(4 * c12.c12 - 3, 0) * nb.nbg
+         |  + 3 * c1.n1l * n1r.n1r)::DOUBLE
+         |  / (4 * c1.c1 * nb.nbg)::DOUBLE) * 1e6)::BIGINT AS lp_u
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |JOIN n1r USING (w2) CROSS JOIN nb)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |floor(-(sum(lp_u)::DOUBLE / 1e6) / count(*) * 1000.0) / 1000.0
+         |  AS nll
          |FROM scored GROUP BY doc_id""".stripMargin,
     "tx31_ccnet_buckets" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),

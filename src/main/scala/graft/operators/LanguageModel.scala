@@ -71,6 +71,75 @@ object LanguageModel {
             col("n_bigrams").cast("double"), 3).as("nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram NLL per document (Kneser & Ney 1995;
+    * the interpolated form of Chen & Goodman 1999), absolute discount
+    * D = 3/4:
+    *
+    *   p(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,·)
+    *            + D · N1+(w1,·)/c(w1,·) · N1+(·,w2)/N1+(·,·)
+    *
+    * The add-one model ([[bigramNll]]) over-smooths — it hands unseen
+    * mass to every vocabulary word equally. KN's continuation
+    * probability asks "after how many DISTINCT contexts does w2 appear"
+    * (the classic fix: "Francisco" is frequent but follows only "San",
+    * so it deserves almost no unseen-context mass). This is the model
+    * quality filters actually want.
+    *
+    * Exactness: every KN quantity is an integer count, and D = 3/4
+    * keeps the probability one exact BIGINT ratio:
+    *
+    *   p = (max(4·c12 − 3, 0)·B + 3·N1l·N1r) / (4·c1·B),  B = N1+(·,·)
+    *
+    * so the single ln call sees the identical double quotient on every
+    * engine and partitioning; per-bigram log-probs floor to micro-nats
+    * BEFORE the per-document sum (the house integer-sum discipline).
+    * Seen bigrams always score: c12 >= 1 makes the numerator >= B + 3.
+    * Long headroom: numerator <= 4·c12·B; fine while (corpus bigrams) ×
+    * (distinct bigrams) < ~2.3e18 — shard the model beyond that.
+    *
+    * Scale shape identical to [[bigramNll]]: one bigram pass, model =
+    * two aggregations of the c12 table (distinct-successor /
+    * distinct-predecessor counts fold from c12, no extra corpus pass),
+    * scoring joins each bigram to exactly one model row; the 1-row
+    * distinct-bigram total broadcasts. Output: (doc_id, n_bigrams, nll).
+    */
+  def knBigramNll(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigr = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bigram-type table feeds four consumers; plan-keyed persist
+    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1l"))
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val totalTypes = c12.agg(count(lit(1)).as("nbg"))
+    val scored = bigr
+      .join(c12, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(totalTypes))
+      .withColumn("lp_u", floor(log(
+        (greatest(col("c12") * 4 - 3, lit(0L)) * col("nbg")
+          + lit(3L) * col("n1l") * col("n1r")).cast("double") /
+        (col("c1") * 4 * col("nbg")).cast("double")) * lit(1e6))
+        .cast("long"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.functions.NumericFunctions.fround(
+          -(col("lp_sum").cast("double") / lit(1e6)) /
+            col("n_bigrams").cast("double"), 3).as("nll"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * split the corpus into head / middle / tail terciles by LM score —

@@ -37,6 +37,31 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) === run(docs.repartition(1)))
   }
 
+  private def runKn(df: org.apache.spark.sql.DataFrame) =
+    LanguageModel.knBigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("Kneser-Ney NLL matches hand computation (D = 3/4 exact ratios)") {
+    // same corpus: c12 (a,b)=3 (b,a)=1 (c,c)=1; c1/n1l a=3/1 b=1/1 c=1/1;
+    // n1r a=1 b=1 c=1; B=3 distinct bigrams.
+    //   p(b|a) = (max(12-3,0)*3 + 3*1*1) / (4*3*3) = 30/36
+    //   p(a|b) = p(c|c) = (max(4-3,0)*3 + 3*1*1) / (4*1*3) = 6/12
+    // ln(30/36) -> floor(-182321.6) = -182322; ln(1/2) -> -693148
+    // doc1: -(2*(-182322) - 693148)/1e6/3 = 0.352597 -> 0.352
+    val r = runKn(docs)
+    assert(r(1L) === ((3L, 0.352)))
+    assert(r(2L) === ((1L, 0.182)))
+    assert(r(3L) === ((1L, 0.693)))
+    assert(!r.contains(4L))
+    // KN trusts the high-count bigram more than add-one does (5/6 > 2/3):
+    // doc2's single (a,b) bigram scores cheaper than under bigramNll
+    assert(r(2L)._2 < run(docs)(2L)._2)
+  }
+
+  test("Kneser-Ney NLL is partitioning-independent") {
+    assert(runKn(docs.repartition(5)) === runKn(docs.repartition(1)))
+  }
+
   test("repetitive text scores lower NLL than novel combinations") {
     val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat"))
       .toDF("doc_id", "text")
