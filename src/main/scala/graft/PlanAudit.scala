@@ -98,7 +98,8 @@ object PlanAudit {
       "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses",
       "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses",
       "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration",
-      "tx37_kn_bigram" -> "1-row distinct-bigram-total broadcast cross")
+      "tx37_kn_bigram" -> "1-row distinct-bigram-total broadcast cross",
+      "s25_stats_rollup" -> "1-row merged-stats/exact-count broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1784,6 +1784,20 @@ object SparkEntry {
       // the rewrite; one day-level agg + a calendar-bounded window
       graft.operators.Compaction.coalescePlan(
         t(s, dir, "events"), "ts", targetRows = 2000L)),
+    "s25_stats_rollup" -> ((s, dir) => {
+      // incremental catalog statistics: per-ingest-day column stats
+      // artifacts (counts/extrema + KMV bottom-k for NDV) merged into
+      // whole-table stats with zero raw re-scan — bottom-k of per-day
+      // bottom-k's IS the union's bottom-k, exactly. exact_distinct
+      // rides along to exhibit estimator quality in-row
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = graft.operators.Sketches.columnStatsByGroup(
+        ev, "day", "user_id")
+      graft.operators.Sketches.mergeColumnStats(daily)
+        .crossJoin(broadcast(ev.agg(
+          countDistinct(col("user_id")).as("exact_distinct"))))
+    }),
     "dq4_psi_drift" -> ((s, dir) => {
       // PSI feature-drift monitor on order totals: even-key orders play
       // the baseline snapshot, odd-key the current batch. Equal-width
@@ -5466,6 +5480,30 @@ object SparkEntry {
         |min(d)::VARCHAR AS d_from, max(d)::VARCHAR AS d_to,
         |sum(nr)::BIGINT AS total_rows
         |FROM c GROUP BY 1""".stripMargin,
+    "s25_stats_rollup" ->
+      """WITH e AS (SELECT ts::TIMESTAMP::DATE AS day, user_id AS v
+        |FROM events),
+        |per AS (SELECT day, count(*)::BIGINT AS n_rows,
+        |count(*) FILTER (WHERE v IS NULL)::BIGINT AS n_nulls,
+        |min(v) AS min_v, max(v) AS max_v FROM e GROUP BY 1),
+        |hs AS (SELECT DISTINCT day, (v * 2654435761) % 2147483648 AS h
+        |FROM e WHERE v IS NOT NULL),
+        |pk AS (SELECT day, list_sort(list(h))[1:16] AS kmv
+        |FROM hs GROUP BY 1),
+        |m AS (SELECT sum(n_rows)::BIGINT AS n_rows,
+        |sum(n_nulls)::BIGINT AS n_nulls,
+        |min(min_v) AS min_v, max(max_v) AS max_v FROM per),
+        |mh AS (SELECT DISTINCT unnest(kmv) AS h FROM pk),
+        |mk AS (SELECT list_sort(list(h))[1:16] AS kmv FROM mh),
+        |ex AS (SELECT count(DISTINCT v)::BIGINT AS exact_distinct
+        |FROM e WHERE v IS NOT NULL)
+        |SELECT m.n_rows, m.n_nulls, m.min_v, m.max_v,
+        |array_to_string(mk.kmv, ',') AS kmv_sketch,
+        |floor((CASE WHEN len(mk.kmv) < 16 THEN len(mk.kmv)::DOUBLE
+        |ELSE 15.0 * 2147483648.0 / mk.kmv[16] END) * 100.0) / 100.0
+        |  AS est_distinct,
+        |ex.exact_distinct
+        |FROM m, mk, ex""".stripMargin,
     "dq4_psi_drift" ->
       """WITH vb AS (SELECT o_totalprice::DOUBLE AS v FROM orders
         |WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),

@@ -50,6 +50,71 @@ object Sketches {
   def mergeCountMin(sketches: DataFrame): DataFrame =
     sketches.groupBy("d", "bucket").agg(sum(col("cell")).as("cell"))
 
+  /** ANALYZE-style column statistics PER GROUP, as a mergeable artifact:
+    * (grp, n_rows, n_nulls, min_v, max_v, kmv) — counts and extrema
+    * merge by sum/min/max trivially, and the distinct count travels as
+    * a KMV bottom-k sketch (the k smallest `h(v) = v*2654435761 mod
+    * 2^31` values, q45's engine-portable integer hash): bottom-k of a
+    * UNION is the bottom-k of the per-part bottom-k's, exactly, so NDV
+    * survives reaggregation with zero raw re-scan. This is the
+    * file/partition-footer statistic a 100 TB catalog maintains
+    * incrementally.
+    *
+    * Scale shape: one grouped aggregate for counts/extrema + one
+    * rank-limited window over DISTINCT hashes for the bottom-k (bounded
+    * per-group state — never a collect_set of every distinct value),
+    * joined on the group key. */
+  def columnStatsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 16): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val vals = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("long").as("v"))
+    val base = vals.groupBy("grp").agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("v").isNull, lit(1))).as("n_nulls"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val bottomK = vals.filter(col("v").isNotNull)
+      .select(col("grp"),
+        pmod(col("v") * lit(2654435761L), lit(2147483648L)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("grp").agg(sort_array(collect_list(col("h"))).as("kmv"))
+    base.join(bottomK, Seq("grp"), "left")
+      .select(col("grp"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        coalesce(col("kmv"), array().cast("array<long>")).as("kmv"))
+  }
+
+  /** Merge per-group column-stats artifacts into whole-table statistics
+    * WITHOUT touching raw data: counts sum, extrema min/max, and the
+    * merged KMV is the bottom-k of the union of the per-group sketches
+    * (exact — see [[columnStatsByGroup]]). `est_distinct` is the
+    * classic (k-1) * M / h_k estimator, or the exact sketch size when
+    * fewer than k distinct hashes exist. Input is |groups| * (k+4)-ish
+    * values; everything here is driver-scale. */
+  def mergeColumnStats(stats: DataFrame, k: Int = 16): DataFrame = {
+    val totals = stats.agg(
+      sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    val merged = stats.select(explode(col("kmv")).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h")))
+      .filter(col("rn") <= k)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+    totals.crossJoin(broadcast(merged))
+      .select(col("n_rows"), col("n_nulls"), col("min_v"), col("max_v"),
+        array_join(transform(col("kmv"), x => x.cast("string")), ",")
+          .as("kmv_sketch"),
+        graft.functions.NumericFunctions.fround(
+          when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(2147483648.0) /
+              element_at(col("kmv"), k).cast("double")), 2)
+          .as("est_distinct"))
+  }
+
   /** Point-frequency estimates for each probe row's `keyCol`: min over
     * the depth rows' cells — never an underestimate. The sketch is
     * <= depth*width rows, so the probe join broadcasts it; probe columns

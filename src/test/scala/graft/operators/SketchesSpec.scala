@@ -47,6 +47,40 @@ class SketchesSpec extends AnyFunSuite {
       est.mkString(","))
   }
 
+  test("column stats: KMV merge of per-group sketches equals the " +
+      "single-group sketch; counts/extrema fold") {
+    val df = Seq.tabulate(200)(i =>
+      (s"d${i % 4}", if (i % 19 == 0) None else Some((i % 37).toLong)))
+      .toDF("grp", "v")
+    val perGroup = Sketches.columnStatsByGroup(df, "grp", "v")
+    val merged = Sketches.mergeColumnStats(perGroup)
+    val direct = Sketches.mergeColumnStats(
+      Sketches.columnStatsByGroup(df.withColumn("one", lit("all")),
+        "one", "v"))
+    assert(merged.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(merged).count() === 0)
+    val row = merged.head()
+    assert(row.getLong(0) === 200L)
+    assert(row.getLong(1) === Seq.range(0, 200).count(_ % 19 == 0).toLong)
+    // i=37 contributes v=0 (37 % 19 != 0), so the min is 0
+    assert(row.getLong(2) === 0L && row.getLong(3) === 36L)
+  }
+
+  test("column stats: fewer distinct hashes than k makes est_distinct " +
+      "exact; all-null group carries an empty sketch") {
+    val spark2 = spark; import spark2.implicits._
+    val df = Seq[(String, Option[Long])](
+      ("a", Some(1L)), ("a", Some(2L)), ("a", Some(1L)),
+      ("b", None), ("b", None)).toDF("grp", "v")
+    val per = Sketches.columnStatsByGroup(df, "grp", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(per("b").getLong(1) === 2L && per("b").getSeq[Long](5).isEmpty)
+    assert(per("a").getSeq[Long](5).length === 2)
+    val m = Sketches.mergeColumnStats(
+      Sketches.columnStatsByGroup(df, "grp", "v")).head()
+    assert(m.getDouble(5) === 2.0) // < k distinct -> sketch size, exact
+  }
+
   test("partitioning invariance of build + merge + probe") {
     val probes = corpus.select("k").distinct()
     def run(df: org.apache.spark.sql.DataFrame) =
