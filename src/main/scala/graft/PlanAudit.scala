@@ -99,7 +99,8 @@ object PlanAudit {
       "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses",
       "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration",
       "tx37_kn_bigram" -> "1-row distinct-bigram-total broadcast cross",
-      "s25_stats_rollup" -> "1-row merged-stats/exact-count broadcast crosses")
+      "s25_stats_rollup" -> "1-row merged-stats/exact-count broadcast crosses",
+      "tx38_decile_lift" -> "1-row weight-state/totals broadcast crosses (tx34 trainer + lift totals)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1777,6 +1777,14 @@ object SparkEntry {
       // One extra scoring scan over the training passes; <=10-row agg
       graft.operators.Calibration.calibrationReport(
         t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
+    "tx38_decile_lift" -> ((s, dir) =>
+      // decile lift/gains table of tx34's trained filter: descending
+      // score deciles from the VALUE domain (no global row sort), exact
+      // ppm positive rate, lift over base rate and cumulative capture —
+      // the operating-point curve behind "keep the top k% the filter
+      // likes best"
+      graft.operators.Calibration.liftTable(
+        t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
     "s24_coalesce_plan" -> ((s, dir) =>
       // partition-coalescence planning: contiguous daily partitions merge
       // into rewrite groups of >= 2k rows (exclusive running total div
@@ -5470,6 +5478,36 @@ object SparkEntry {
           |sy * 1000000 // n_docs AS acc_u,
           |abs(sp // n_docs - sy * 1000000 // n_docs)::BIGINT AS gap_u
           |FROM bi""".stripMargin),
+    "tx38_decile_lift" ->
+      // tx34's training CTEs + a scoring pass grouped by the distinct
+      // micro-probability domain; deciles from the exclusive
+      // higher-score cumulative count (ties share a decile)
+      (domainGdOracleCtes(3) + ",\n" +
+        """sc AS (SELECT y,
+          |floor((0.5 + z / (2 * (1 + abs(z)))) * 1000000.0)::BIGINT AS p_u
+          |FROM (SELECT xc, y, (w.w0_u + w.w1_u * xc) / 1000000.0 AS z
+          |FROM b CROSS JOIN w3 w)),
+          |g AS (SELECT p_u, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
+          |FROM sc GROUP BY 1),
+          |tt AS (SELECT sum(n)::BIGINT AS nt, sum(npos)::BIGINT AS pt
+          |FROM g),
+          |c AS (SELECT p_u, n, npos,
+          |coalesce(sum(n) OVER (ORDER BY p_u DESC
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          |  AS cb FROM g),
+          |d AS (SELECT least(cb * 10 // nt, 9) AS decile,
+          |sum(n)::BIGINT AS n_docs, sum(npos)::BIGINT AS n_pos
+          |FROM c, tt GROUP BY 1),
+          |dc AS (SELECT decile, n_docs, n_pos,
+          |(sum(n_pos) OVER (ORDER BY decile
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+          |  AS cum_pos FROM d)
+          |SELECT decile, n_docs, n_pos,
+          |n_pos * 1000000 // n_docs AS pos_rate_ppm,
+          |(n_pos * 1000000 // n_docs) * 1000000
+          |  // greatest(pt * 1000000 // nt, 1) AS lift_ppm,
+          |cum_pos * 1000000 // greatest(pt, 1) AS cum_capture_ppm
+          |FROM dc, tt""".stripMargin),
     "s24_coalesce_plan" ->
       """WITH daily AS (SELECT ts::DATE AS d, count(*)::BIGINT AS nr
         |FROM events WHERE ts IS NOT NULL GROUP BY 1),

@@ -110,6 +110,67 @@ object Calibration {
     *
     * Output, one row per non-empty bin: (bin, n_docs, conf_u, acc_u,
     * gap_u) — micro-unit confidences/accuracies, bin = floor(p/0.1). */
+  /** Decile lift/gains mechanics over an already-scored (p_u, y) frame:
+    * rank documents by predicted micro-probability into 10 DESCENDING
+    * score deciles and report, per decile, the exact positive rate, the
+    * lift over the corpus base rate and the cumulative capture (gains
+    * curve) — "keep the top-k% the filter likes best; what fraction of
+    * the real positives did we keep" is precisely how a curation filter's
+    * operating point is chosen.
+    *
+    * Decile assignment avoids the global row sort a naive ntile(10)
+    * needs: p_u is already integer micro-units, so group by VALUE,
+    * cumulate counts over the ordered value domain (the
+    * perplexityBuckets/tx31 discipline — a window over distinct scores,
+    * not documents), and assign decile = cb*10 div N from the EXCLUSIVE
+    * higher-score count cb. Ties share a score, hence a decile
+    * (cume-dist semantics both engines state identically in integers).
+    *
+    * Exactness: every column is BIGINT ppm with truncating division;
+    * lift_ppm divides the two ppm rates (not the raw products) so
+    * nothing overflows at any corpus size. Output, one row per
+    * non-empty decile: (decile, n_docs, n_pos, pos_rate_ppm, lift_ppm,
+    * cum_capture_ppm). */
+  def liftFromScores(scored: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy("p_u")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+    val totals = g.agg(sum(col("n")).as("nt"), sum(col("npos")).as("pt"))
+    val byDecile = g
+      .withColumn("cb", coalesce(sum(col("n")).over(
+        W.orderBy(desc("p_u")).rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(expr("least(cb * 10 div nt, 9)").as("decile"),
+        col("n"), col("npos"))
+      .groupBy("decile")
+      .agg(sum(col("n")).as("n_docs"), sum(col("npos")).as("n_pos"))
+    byDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_rate_ppm"),
+        expr("(n_pos * 1000000 div n_docs) * 1000000 div " +
+          "greatest(pt * 1000000 div nt, 1)").as("lift_ppm"),
+        expr("cum_pos * 1000000 div greatest(pt, 1)")
+          .as("cum_capture_ppm"))
+  }
+
+  /** [[liftFromScores]] fed by the trained domain classifier's final
+    * weights — the decile-lift audit beside [[calibrationReport]]'s
+    * reliability audit: same training passes, one extra scoring scan
+    * collapsing to the distinct-score frame. */
+  def liftTable(docs: DataFrame, sourceCol: String, textCol: String,
+      targetSource: String, steps: Int = 3): DataFrame = {
+    val wFinal = domainClassifierSteps(docs, sourceCol, textCol,
+        targetSource, steps)
+      .filter(col("step") === steps).select("w0_u", "w1_u")
+    liftFromScores(centeredBase(docs, sourceCol, textCol, targetSource)
+      .crossJoin(broadcast(wFinal))
+      .select(predictedMicro().as("p_u"), col("y")))
+  }
+
   def calibrationReport(docs: DataFrame, sourceCol: String,
       textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
     val wFinal = domainClassifierSteps(docs, sourceCol, textCol,

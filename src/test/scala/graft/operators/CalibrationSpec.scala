@@ -99,4 +99,44 @@ class CalibrationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(again === r)
   }
+
+  test("lift table: hand-computed deciles from tied value groups") {
+    // 10 docs, 4 positives. cb (exclusive higher-score count): 0,2,4,7
+    // -> deciles 0,2,4,7; base rate 400000 ppm
+    val scored = (Seq.fill(2)((900000L, 1L)) ++
+      Seq((800000L, 1L), (800000L, 0L)) ++
+      Seq((500000L, 1L), (500000L, 0L), (500000L, 0L)) ++
+      Seq.fill(3)((100000L, 0L))).toDF("p_u", "y")
+    val r = Calibration.liftFromScores(scored)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    assert(r.keySet === Set(0L, 2L, 4L, 7L), r)
+    assert(r(0L) === ((2L, 2L, 1000000L, 2500000L, 500000L)))
+    assert(r(2L) === ((2L, 1L, 500000L, 1250000L, 750000L)))
+    // 1000000 div 3 = 333333; 333333 * 1e6 div 400000 = 833332 (floored)
+    assert(r(4L) === ((3L, 1L, 333333L, 833332L, 1000000L)))
+    assert(r(7L) === ((3L, 0L, 0L, 0L, 1000000L)))
+    val again = Calibration.liftFromScores(scored.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+    assert(again === r)
+  }
+
+  test("lift table over the trained filter: deciles partition the " +
+      "corpus, capture is monotone to exactly 1e6") {
+    val docs = Seq(
+      ("src0", "a b c d e f g h"), ("src0", "a b"), ("s1", "a b c"),
+      ("s1", "a b c d e"), ("s1", "a"), ("s1", "a b c d e f g h i j k l")
+    ).toDF("source", "text")
+    val r = Calibration.liftTable(docs, "source", "text", "src0", 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._2).sum === 6L, "deciles must partition all docs")
+    assert(r.map(_._3).sum === 2L, "positives accounted once")
+    assert(r.last._6 === 1000000L, "gains curve ends at full capture")
+    assert(r.map(_._6).toSeq === r.map(_._6).toSeq.sorted,
+      "cumulative capture must be monotone")
+    r.foreach { case (d, _, _, rate, _, _) =>
+      assert(d >= 0L && d <= 9L && rate >= 0L && rate <= 1000000L)
+    }
+  }
 }
