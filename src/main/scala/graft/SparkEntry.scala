@@ -1410,6 +1410,14 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterBands(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er10_review_queue" -> ((s, dir) =>
+      // budgeted clerical-review worklist: each block's 5 most-promising
+      // `possible`-band pairs, stably ranked (score, jw, keys) — the
+      // WindowGroupLimit partial top-k keeps the per-block shuffle at
+      // quota rows; one scoring pass shared with er2/er3/er6/er9
+      graft.operators.EntityResolution.reviewQueue(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice", quotaPerBlock = 5)),
     "er6_fs_em_weights" -> ((s, dir) =>
       // one classification-EM refresh of the FS m/u parameters from the
       // candidate set (hard E-step = current decision rule, M-step =
@@ -4890,6 +4898,33 @@ object SparkEntry {
         |count(*)::BIGINT AS n_pairs,
         |floor(sum(jw_u)::DOUBLE / count(*)) / 10000.0 AS avg_jw
         |FROM sb GROUP BY 1""".stripMargin,
+    "er10_review_queue" ->
+      """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
+        |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+        |FROM part),
+        |cand AS (SELECT DISTINCT a.p_brand AS block,
+        |a.pk AS pk_a, b.pk AS pk_b,
+        |a.p_name AS na, b.p_name AS nb, a.p_size AS sa, b.p_size AS sb,
+        |a.p_type AS ta, b.p_type AS tb,
+        |a.p_retailprice AS pra, b.p_retailprice AS prb
+        |FROM tk a JOIN tk b
+        |ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.pk < b.pk),
+        |s AS (SELECT block, pk_a, pk_b,
+        |floor(jaro_winkler_similarity(na, nb) * 10000.0)::BIGINT AS jw_u,
+        |(CASE WHEN abs(sa - sb) <= 2 THEN 20 ELSE -20 END
+        | + CASE WHEN ta = tb THEN 22 ELSE -30 END
+        | + CASE WHEN abs(pra - prb) <= 50.0 THEN 20 ELSE -20 END)
+        |  AS rest FROM cand),
+        |sb AS (SELECT block, pk_a, pk_b, jw_u,
+        |(CASE WHEN jw_u >= 9000 THEN 65 ELSE -43 END + rest) AS deci
+        |FROM s),
+        |q AS (SELECT block, pk_a, pk_b, jw_u, deci,
+        |row_number() OVER (PARTITION BY block
+        |ORDER BY deci DESC, jw_u DESC, pk_a, pk_b) AS rank
+        |FROM sb WHERE deci >= 0 AND deci < 60)
+        |SELECT block, rank, pk_a, pk_b, jw_u / 10000.0 AS jw,
+        |deci / 10.0 AS fs_score
+        |FROM q WHERE rank <= 5""".stripMargin,
     "er6_fs_em_weights" ->
       """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
         |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok

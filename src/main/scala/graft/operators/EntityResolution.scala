@@ -201,6 +201,42 @@ object EntityResolution {
         (floor(sum(col("jw_u")).cast("double") /
           count(lit(1))) / 10000.0).as("avg_jw"))
 
+  /** Budgeted clerical-review queue over the `possible` band — the
+    * operational tail of the Fellegi-Sunter decision model: pairs the
+    * rule can neither auto-match nor auto-reject go to HUMAN review, and
+    * review capacity is finite, so each block gets a quota of its
+    * most-promising pairs (highest score first; jw, then keys break
+    * ties, so the queue is total-ordered and reproducible across runs —
+    * reviewers see a stable worklist).
+    *
+    * Scale shape: the shared scored-candidate frame ([[scoredDistinct]],
+    * one scoring pass serving er2/er3/er6/er9 and this queue) filtered
+    * to the band, one equi-join back to the narrow (key, block)
+    * projection (broadcastable), and a rank-limited window per block —
+    * Spark >= 3.5 plants a WindowGroupLimit partial top-k BELOW the
+    * exchange, so only ~quota rows per block per mapper ever shuffle.
+    * Output: (block, rank, pk_a, pk_b, jw, fs_score), rank 1..quota. */
+  def reviewQueue(records: DataFrame, keyCol: String, nameCol: String,
+      blockCol: String, sizeCol: String, catCol: String, priceCol: String,
+      sizeTol: Int = 2, priceTol: Double = 50.0,
+      quotaPerBlock: Int = 5): DataFrame = {
+    require(quotaPerBlock >= 1, "review quota >= 1")
+    val possible = scoredDistinct(records, keyCol, nameCol, blockCol,
+        sizeCol, catCol, priceCol, sizeTol, priceTol)
+      .filter(col("fs_deci") >= 0 && col("fs_deci") < 60)
+    val blocks = records.select(col(keyCol).as("pk_a"),
+      col(blockCol).as("block"))
+    possible.join(blocks, "pk_a")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("block")
+          .orderBy(desc("fs_deci"), desc("jw_u"), col("pk_a"),
+            col("pk_b"))))
+      .filter(col("rank") <= quotaPerBlock)
+      .select(col("block"), col("rank"), col("pk_a"), col("pk_b"),
+        (col("jw_u") / lit(10000.0)).as("jw"),
+        (col("fs_deci") / lit(10.0)).as("fs_score"))
+  }
+
   /** Blocking-scheme evaluation — the standard record-linkage quality
     * pair (Christen 2012, "Data Matching", ch. 7): REDUCTION RATIO, the
     * fraction of the exhaustive within-block comparison space the token

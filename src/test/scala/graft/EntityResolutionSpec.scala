@@ -84,6 +84,33 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(m.select("pk_a", "pk_b").distinct().count() === rows.length)
   }
 
+  test("review queue: possible band only, per-block quota with " +
+      "contiguous stable ranks, best scores first") {
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    val q = EntityResolution.reviewQueue(full, "p_partkey", "p_name",
+      "p_brand", "p_size", "p_type", "p_retailprice", quotaPerBlock = 3)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getAs[Double]("fs_score")
+      assert(score >= 0.0 && score < 6.0, "queue is the possible band")
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+    }
+    val byBlock = rows.groupBy(_.getAs[String]("block"))
+    byBlock.foreach { case (b, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to rs.length).toSeq, s"ranks in $b must be contiguous from 1")
+      val scores = sorted.map(_.getAs[Double]("fs_score")).toSeq
+      assert(scores === scores.sortBy(-_),
+        s"block $b must surface best scores first")
+    }
+    // a tighter quota is a strict prefix of a looser one
+    val q5 = EntityResolution.reviewQueue(full, "p_partkey", "p_name",
+      "p_brand", "p_size", "p_type", "p_retailprice", quotaPerBlock = 5)
+    assert(q.exceptAll(q5).count() === 0)
+  }
+
   test("incremental linkage: matched batch records adopt an existing " +
       "entity, unmatched ones found their own, corpus never re-pairs") {
     val corpus = part.filter(col("p_partkey") % 10 =!= 0)
