@@ -2506,6 +2506,13 @@ object SparkEntry {
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.metadata(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())),
+    "mm12_container_audit" -> ((s, dir) =>
+      // pre-decode container screen: magic-byte sniff (JPEG/PNG/RIFF/
+      // ftyp) reconciled against the declared modality, truncation and
+      // empties flagged first — binary prefix arithmetic only, one
+      // narrow scan to a (type x status) aggregate
+      Multimodal.containerAudit(
+        Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))),
     "mm5_phash_dedup" -> ((s, dir) => {
       // media near-dup groups keyed on the integer-exact perceptual hash:
       // signature pass is narrow, grouping is one hash aggregation — no
@@ -6605,6 +6612,27 @@ object SparkEntry {
         |ELSE 'video' END AS media_type,
         |strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum
         |FROM documents""".stripMargin,
+    "mm12_container_audit" ->
+      """WITH m AS (SELECT
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |ELSE 'video' END AS media_type,
+        |upper(hex(encode(text))) AS ph,
+        |octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
+        |s AS (SELECT media_type, n_bytes,
+        |CASE WHEN ph LIKE 'FFD8FF%' THEN 'image'
+        |WHEN ph LIKE '89504E47%' THEN 'image'
+        |WHEN ph LIKE '52494646%' THEN 'audio'
+        |WHEN substr(ph, 9, 8) = '66747970' THEN 'video'
+        |ELSE 'unknown' END AS sniffed FROM m),
+        |st AS (SELECT media_type, n_bytes,
+        |CASE WHEN n_bytes = 0 THEN 'empty'
+        |WHEN n_bytes < 16 THEN 'truncated'
+        |WHEN sniffed = media_type THEN 'signed_ok'
+        |WHEN sniffed <> 'unknown' THEN 'signed_mismatch'
+        |ELSE 'unsigned' END AS status FROM s)
+        |SELECT media_type, status, count(*)::BIGINT AS n_media,
+        |sum(n_bytes)::BIGINT AS total_bytes
+        |FROM st GROUP BY 1, 2""".stripMargin,
     "mm3_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph,
         |octet_length(encode(text)) AS n FROM documents),

@@ -338,4 +338,42 @@ object Multimodal {
       .select(col("media_id"), col("seg_idx"), col("start_frame"),
         col("end_frame"), col("n_frames"))
   }
+
+  /** Container-integrity audit — the cheap pre-decode screen a media
+    * ingest runs BEFORE spending codec time: sniff the actual container
+    * from its magic bytes (JPEG `FF D8 FF` / PNG `89 50 4E 47` -> image,
+    * RIFF -> audio, ISO-BMFF `ftyp` at offset 4 -> video; all public
+    * file signatures) and reconcile it with the DECLARED media_type.
+    * Truncated and empty payloads are flagged before any signature
+    * check — a 10-byte "JPEG" is a truncation, not a valid image.
+    *
+    * Statuses: `empty` (0 bytes), `truncated` (< 16 bytes — below any
+    * real container header), `signed_ok` (sniffed == declared),
+    * `signed_mismatch` (recognized container of the WRONG modality —
+    * the mislabeled-asset detector), `unsigned` (no known signature).
+    *
+    * Pure binary-prefix arithmetic on the payload column — no decode,
+    * no UDF; one narrow scan collapsing to a (media_type x status)
+    * hash aggregate. Output: (media_type, status, n_media,
+    * total_bytes). */
+  def containerAudit(media: Dataset[MediaRow]): DataFrame = {
+    val h = upper(hex(col("payload")))
+    val sniffed = when(h.startsWith("FFD8FF"), "image")
+      .when(h.startsWith("89504E47"), "image")
+      .when(h.startsWith("52494646"), "audio")
+      .when(substring(h, 9, 8) === "66747970", "video")
+      .otherwise("unknown")
+    media.toDF()
+      .select(col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sniffed.as("sniffed"))
+      .withColumn("status",
+        when(col("n_bytes") === 0, "empty")
+          .when(col("n_bytes") < 16, "truncated")
+          .when(col("sniffed") === col("media_type"), "signed_ok")
+          .when(col("sniffed") =!= "unknown", "signed_mismatch")
+          .otherwise("unsigned"))
+      .groupBy("media_type", "status")
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+  }
 }

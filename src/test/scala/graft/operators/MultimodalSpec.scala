@@ -35,6 +35,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("container audit: magic sniffing, mismatch, truncation and " +
+      "empty classes — hand-built payloads") {
+    def row(id: Long, mt: String, payload: Array[Byte]) =
+      Multimodal.MediaRow(id, mt, payload, 0, 0, 0)
+    val pad = Array.fill[Byte](20)(0x41)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++ pad
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47) ++ pad
+    val riff = "RIFF".getBytes("UTF-8") ++ pad
+    val mp4 = Array[Byte](0, 0, 0, 0x20) ++ "ftyp".getBytes("UTF-8") ++ pad
+    val media = Seq(
+      row(1, "image", jpeg),                   // signed_ok
+      row(2, "audio", png),                    // signed_mismatch
+      row(3, "audio", riff),                   // signed_ok
+      row(4, "video", mp4),                    // signed_ok
+      row(5, "image", "plain text here".getBytes("UTF-8") ++ pad), // unsigned
+      row(6, "image", jpeg.take(10)),          // truncated
+      row(7, "video", Array.empty[Byte])       // empty
+    ).toDS()
+    val got = Multimodal.containerAudit(media)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("image", "signed_ok"))._1 === 1L)
+    assert(got(("audio", "signed_mismatch"))._1 === 1L)
+    assert(got(("audio", "signed_ok"))._1 === 1L)
+    assert(got(("video", "signed_ok"))._1 === 1L)
+    assert(got(("image", "unsigned"))._1 === 1L)
+    assert(got(("image", "truncated")) === ((1L, 10L)))
+    assert(got(("video", "empty")) === ((1L, 0L)))
+    assert(got.values.map(_._1).sum === 7L, "statuses partition the media")
+  }
+
   test("resize caps payload size and scales dimensions; small payloads untouched") {
     val media = Multimodal.mediaFromDocuments(spark,
       Tables.load(spark, TestSpark.sf0001, "documents"))
