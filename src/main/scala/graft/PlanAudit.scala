@@ -41,6 +41,7 @@ object PlanAudit {
       "st9_timer_sessions" -> "materialized streaming result; timer semantics pinned in TimerSessionsSpec",
       "st11_file_sink" -> "materialized parquet file-sink read-back; committed content oracle-checked",
       "st12_stream_novelty" -> "materialized streaming result; stream-static join gated in DocsStreamingSpec",
+      "st13_stream_sketch" -> "foreachBatch-folded 256-cell sketch state; linearity + fold order proven in SketchesSpec",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",

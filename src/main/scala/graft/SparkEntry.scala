@@ -1123,6 +1123,51 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st13_stream_sketch" -> ((s, dir) => {
+      // streaming maintenance of a mergeable summary: each micro-batch
+      // reduces to its own 256-cell Count-Min sketch, folded into the
+      // running sketch by CMS linearity (q88's algebra) in foreachBatch.
+      // The final state is bit-equal to sketching the whole corpus at
+      // once — micro-batch boundaries cannot show — which is exactly
+      // what the oracle computes. State is 256 rows forever: the
+      // streaming-friendly alternative to unbounded keyed counts.
+      val tmp = tmpPath("graft-st13")
+      val ev = t(s, dir, "events").select(col("user_id"))
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, tmp.resolve(name + ".parquet"))
+        tmp.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", ev.filter(col("user_id") % 2 === 0), 1700000000000L)
+      writeHalf("b", ev.filter(col("user_id") % 2 === 1), 1700000100000L)
+      var state = graft.operators.Sketches.countMinByGroup(
+          ev.limit(0).withColumn("one", lit(0)), "one", "user_id")
+        .select("d", "bucket", "cell")
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = graft.operators.Sketches.countMinByGroup(
+              batch.withColumn("one", lit(0)), "one", "user_id")
+            .select("d", "bucket", "cell")
+          // materialize inside the batch; constant-size state each fold
+          state = graft.operators.Sketches
+            .mergeCountMin(state.unionAll(bs)).localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      state
+    }),
     "st12_stream_novelty" -> ((s, dir) => {
       // streaming ingest gate: arriving document files classify against
       // the EXISTING corpus fingerprint set — a stateless stream-static
@@ -4420,6 +4465,13 @@ object SparkEntry {
         |AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id))
         |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin
     },
+    "st13_stream_sketch" ->
+      """WITH b AS (SELECT user_id, d,
+        |('0x' || substr(md5(d::VARCHAR || ':' || user_id::VARCHAR),
+        |  1, 8))::BIGINT % 64 AS bucket
+        |FROM events CROSS JOIN range(0, 4) r(d))
+        |SELECT d, bucket, count(*)::BIGINT AS cell
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "st8_stream_cdc_apply" ->
       """WITH log AS (SELECT
         |  o_custkey + CASE WHEN o_orderkey % 13 = 0 THEN 1000000 ELSE 0 END

@@ -81,6 +81,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(m.getDouble(5) === 2.0) // < k distinct -> sketch size, exact
   }
 
+  test("incremental micro-batch fold (the st13 foreachBatch shape) " +
+      "equals the direct one-shot sketch regardless of batch boundaries") {
+    val spark2 = spark; import spark2.implicits._
+    val all = Seq.tabulate(90)(i => (i % 13).toLong)
+    def sk(xs: Seq[Long]) = Sketches.countMinByGroup(
+      xs.map(x => (0, x)).toDF("one", "k"), "one", "k")
+      .select("d", "bucket", "cell")
+    val direct = sk(all)
+    def fold(batches: Seq[Seq[Long]]) =
+      batches.map(sk).reduce((st, b) =>
+        Sketches.mergeCountMin(st.unionAll(b)))
+    val even = fold(Seq(all.take(30), all.slice(30, 60), all.drop(60)))
+    val skewed = fold(Seq(all.take(1), all.drop(1)))
+    assert(even.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(even).count() === 0)
+    assert(skewed.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(skewed).count() === 0)
+  }
+
   test("partitioning invariance of build + merge + probe") {
     val probes = corpus.select("k").distinct()
     def run(df: org.apache.spark.sql.DataFrame) =
