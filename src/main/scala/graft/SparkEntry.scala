@@ -1361,6 +1361,24 @@ object SparkEntry {
       graft.operators.Decontaminate.semanticContaminationReport(
         train, bench, "vec_id", "embedding", minCos = 0.35)
     }),
+    "dc3_contamination_matrix" -> ((s, dir) => {
+      // method-attribution matrix: dc1's verbatim-shingle verdict joined
+      // with dc2's embedding-radius verdict per training doc (doc_id and
+      // vec_id share the fixture id space) — both/ngram_only/
+      // semantic_only/clean counts, the audit that justifies running
+      // both passes
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.contaminationMatrix(
+        graft.operators.Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, minOverlap = 1L),
+        graft.operators.Decontaminate.semanticContaminationReport(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", minCos = 0.35))
+    }),
     "pk1_sequence_pack" -> ((s, dir) =>
       // token-budget sequence packing (concat-and-chunk): deterministic
       // (bucket, seq, offset) slot per document, parallel across 8 hash
@@ -1643,6 +1661,14 @@ object SparkEntry {
       // Output: (doc_id, n_tokens, n_cut, n_kept) audit rows
       Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd42_exactsubstr_apply" -> ((s, dir) =>
+      // the applied form of dd39: re-emit every document with its cut
+      // spans REMOVED (earliest copy survives verbatim, later copies
+      // lose exactly the shared region) — one filter-with-index pass
+      // over each doc's token array against its few merged intervals;
+      // no explode, no token shuffle; uncut docs pass through intact
+      Dedup.exactSubstrApply(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 16, maxGramDf = 256)),
     "dd41_exactsubstr_overlap" -> ((s, dir) =>
       // pair-level verbatim overlap ratio: fraction of the LATER doc
       // covered by the merged union of its shared spans — position-aware
@@ -1882,6 +1908,13 @@ object SparkEntry {
         orders.filter(col("o_orderkey") % 2 =!= 0),
         "o_totalprice", bins = 20)
     }),
+    "dq6_column_profile" -> ((s, dir) =>
+      // per-column catalog card: nulls, distincts, dominant value +
+      // share, value-distribution entropy — string-profiled, nano-nat
+      // floors per value, one value-domain agg per column
+      graft.operators.QualityAudit.columnProfile(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey",
+          "o_orderkey"))),
     "dq3_benford" -> ((s, dir) =>
       // Benford first-digit audit on order totals — the fabricated-data /
       // corrupted-feed screen: first digit from the integer-cents DECIMAL
@@ -4810,6 +4843,36 @@ object SparkEntry {
         |coalesce(h.n_bench_hits, 0)::BIGINT AS n_bench_hits, h.max_cos,
         |coalesce(h.n_bench_hits, 0) >= 1 AS contaminated
         |FROM t LEFT JOIN h ON h.doc_id = t.vec_id""".stripMargin,
+    "dc3_contamination_matrix" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i FROM toks)),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 50 <> 0 GROUP BY 1),
+         |lex AS (SELECT d.doc_id,
+         |coalesce(ov.n_overlap, 0) >= 1 AS lex
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 50 <> 0),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bv AS (SELECT vec_id, v FROM v WHERE vec_id % 50 = 0),
+         |tr AS (SELECT vec_id, v FROM v WHERE vec_id % 50 <> 0),
+         |h AS (SELECT tr.vec_id AS doc_id, count(*)::BIGINT AS nh
+         |FROM tr JOIN bv ON list_cosine_similarity(bv.v, tr.v) >= 0.35
+         |GROUP BY 1),
+         |sem AS (SELECT tr.vec_id AS doc_id,
+         |coalesce(h.nh, 0) >= 1 AS sem
+         |FROM tr LEFT JOIN h ON h.doc_id = tr.vec_id),
+         |j AS (SELECT coalesce(l.lex, false) AS lex,
+         |coalesce(s.sem, false) AS sem
+         |FROM lex l FULL JOIN sem s USING (doc_id))
+         |SELECT CASE WHEN lex AND sem THEN 'both'
+         |WHEN lex THEN 'ngram_only'
+         |WHEN sem THEN 'semantic_only' ELSE 'clean' END AS method,
+         |count(*)::BIGINT AS n_docs
+         |FROM j GROUP BY 1""".stripMargin,
     "pk1_sequence_pack" ->
       s"""WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
          |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
@@ -5382,6 +5445,49 @@ object SparkEntry {
          |nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
          |SELECT nt.doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept
          |FROM nt JOIN cut USING (doc_id)""".stripMargin,
+    "dd42_exactsubstr_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |md5(array_to_string(t[i:i+7], ' ')) AS g
+         |FROM (SELECT doc_id, t,
+         |unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i FROM toks)),
+         |rare AS (SELECT g FROM
+         |(SELECT g, count(*) AS c FROM g GROUP BY 1) WHERE c <= 256),
+         |gg AS (SELECT g.* FROM g JOIN rare USING (g)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, a.pos - b.pos AS diag
+         |FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER
+         |(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl FROM m),
+         |sp AS (SELECT doc_a, doc_b, diag, min(pa) AS a_start,
+         |max(pa) - min(pa) + 8 AS len FROM isl GROUP BY 1, 2, 3, isl),
+         |spans AS (SELECT doc_b, a_start - diag AS b_start, len
+         |FROM sp WHERE len >= 16),
+         |iv AS (SELECT DISTINCT doc_b AS doc_id, b_start AS lo,
+         |b_start + len AS hi FROM spans),
+         |mx AS (SELECT doc_id, lo, hi, max(hi) OVER (PARTITION BY doc_id
+         |ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |AS pmh FROM iv),
+         |ni AS (SELECT doc_id, lo, hi, CASE WHEN pmh IS NULL OR lo > pmh
+         |THEN 1 ELSE 0 END AS niw FROM mx),
+         |ic AS (SELECT doc_id, lo, hi, sum(niw) OVER (PARTITION BY doc_id
+         |ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |AS isl FROM ni),
+         |mrg AS (SELECT doc_id, isl, min(lo) AS lo, max(hi) AS hi FROM ic
+         |GROUP BY 1, 2),
+         |ti AS (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+         |FROM toks),
+         |kept AS (SELECT tk.doc_id, tk.i, tk.t[(tk.i + 1)::INT] AS w
+         |FROM ti tk WHERE NOT EXISTS (SELECT 1 FROM mrg c
+         |WHERE c.doc_id = tk.doc_id AND tk.i >= c.lo AND tk.i < c.hi)),
+         |res AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |string_agg(w, ' ' ORDER BY i) AS text_dedup
+         |FROM kept GROUP BY 1),
+         |nt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |coalesce(res.n_kept, 0)::BIGINT AS n_kept,
+         |coalesce(res.text_dedup, '') AS text_dedup
+         |FROM nt LEFT JOIN res USING (doc_id)""".stripMargin,
     "w16_snapshot_publish" ->
       """WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
         |l AS (SELECT l_orderkey FROM lineitem
@@ -5698,6 +5804,35 @@ object SparkEntry {
         |abs(cum_base * 1000000 // greatest(ta, 1)
         |  - cum_cur * 1000000 // greatest(tc, 1)) AS gap_ppm
         |FROM c, t""".stripMargin,
+    "dq6_column_profile" -> {
+      // one value-domain CTE pair per profiled column, stitched with
+      // UNION ALL; tie-break and nano-nat arithmetic mirror columnProfile
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey",
+        "o_orderkey")
+      val parts = cols.zipWithIndex.map { case (c, i) =>
+        val g = s"g$i"; val t = s"t$i"
+        (s"""$g AS (SELECT $c::VARCHAR AS v, count(*)::BIGINT AS cnt
+            |FROM orders GROUP BY 1),
+            |$t AS (SELECT sum(cnt)::BIGINT AS n,
+            |coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL), 0)::BIGINT
+            |  AS nv FROM $g)""".stripMargin,
+          s"""SELECT '$c' AS column_name, $t.n AS n_rows,
+            |$t.n - $t.nv AS n_nulls,
+            |(SELECT count(*) FROM $g WHERE v IS NOT NULL)::BIGINT
+            |  AS n_distinct,
+            |(SELECT v FROM $g WHERE v IS NOT NULL
+            |ORDER BY cnt DESC, v DESC LIMIT 1) AS top_value,
+            |(SELECT cnt FROM $g WHERE v IS NOT NULL
+            |ORDER BY cnt DESC, v DESC LIMIT 1) * 1000000
+            |  // greatest($t.nv, 1) AS top_share_ppm,
+            |(SELECT coalesce(sum(floor((cnt::DOUBLE / $t.nv::DOUBLE)
+            |  * ln($t.nv::DOUBLE / cnt::DOUBLE) * 1e9)::BIGINT), 0)
+            |FROM $g WHERE v IS NOT NULL)::BIGINT AS entropy_nano
+            |FROM $t""".stripMargin)
+      }
+      "WITH " + parts.map(_._1).mkString(",\n") + "\n" +
+        parts.map(_._2).mkString("\nUNION ALL\n")
+    },
     "dq3_benford" ->
       """WITH c AS (SELECT floor(o_totalprice * 100.0)::BIGINT AS c
         |FROM orders WHERE floor(o_totalprice * 100.0)::BIGINT > 0),

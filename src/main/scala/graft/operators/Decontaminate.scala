@@ -73,4 +73,32 @@ object Decontaminate {
         col("max_cos"),
         (coalesce(col("n_bench_hits"), lit(0L)) >= 1).as("contaminated"))
   }
+
+  /** Method-attribution matrix over the two decontamination verdicts —
+    * the audit that justifies running BOTH passes: n-gram overlap
+    * ([[contaminationReport]]) catches verbatim leakage but misses
+    * paraphrase; embedding radius ([[semanticContaminationReport]])
+    * catches paraphrase but can miss short verbatim strings inside long
+    * documents. Joining the per-doc verdicts splits the training corpus
+    * into `both` / `ngram_only` / `semantic_only` / `clean` — if either
+    * `_only` class is empty at audit time, that method is dead weight on
+    * this corpus and can be dropped.
+    *
+    * Inputs are the two reports' (doc_id, ..., contaminated) frames over
+    * the SAME training membership; the full-outer join + false-backfill
+    * keeps any doc one report missed. One tiny verdict join + a 4-row
+    * aggregate on top of whatever the two passes already cost. */
+  def contaminationMatrix(lexical: DataFrame,
+      semantic: DataFrame): DataFrame = {
+    val lex = coalesce(col("lex"), lit(false))
+    val sem = coalesce(col("sem"), lit(false))
+    lexical.select(col("doc_id"), col("contaminated").as("lex"))
+      .join(semantic.select(col("doc_id"), col("contaminated").as("sem")),
+        Seq("doc_id"), "full_outer")
+      .select(when(lex && sem, "both")
+        .when(lex, "ngram_only")
+        .when(sem, "semantic_only")
+        .otherwise("clean").as("method"))
+      .groupBy("method").agg(count(lit(1)).as("n_docs"))
+  }
 }

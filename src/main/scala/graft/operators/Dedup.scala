@@ -526,7 +526,10 @@ object Dedup {
     * shared by the per-doc cut (dd39) and the per-pair overlap (dd41):
     * input (partCols..., lo, hi) distinct intervals, output (partCols...,
     * covered) with covered = total length of the union of intervals. */
-  private def mergedCoverage(iv: DataFrame, partCols: Seq[String]): DataFrame = {
+  /** The merged (maximal, disjoint) intervals themselves — one row per
+    * island: (partCols..., lo, hi). Callers either sum coverage
+    * ([[mergedCoverage]]) or apply the intervals to data (dd42). */
+  private def mergedIntervals(iv: DataFrame, partCols: Seq[String]): DataFrame = {
     val pc = partCols.map(col)
     val wPrev = Window.partitionBy(pc: _*).orderBy(col("lo"), col("hi"))
       .rowsBetween(Window.unboundedPreceding, -1L)
@@ -539,9 +542,12 @@ object Dedup {
         wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(pc :+ col("isl"): _*)
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-      .groupBy(pc: _*)
-      .agg(sum(col("hi") - col("lo")).as("covered"))
   }
+
+  private def mergedCoverage(iv: DataFrame, partCols: Seq[String]): DataFrame =
+    mergedIntervals(iv, partCols)
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col("hi") - col("lo")).as("covered"))
 
   def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
@@ -558,6 +564,47 @@ object Dedup {
       .join(merged, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_cut"),
         (col("n_tokens") - col("n_cut")).as("n_kept"))
+  }
+
+  /** Apply the cut decision to the TEXT — the final step of the Lee et
+    * al. 2022 recipe that [[exactSubstrCut]] only audits: re-emit every
+    * document with its cut spans removed (tokens at positions inside any
+    * merged b-side interval dropped, survivors re-joined in order). The
+    * earliest copy of every span survives verbatim; later copies lose
+    * exactly the shared region, not the whole document — the property
+    * that makes span-level dedup safer than document-level dropping.
+    *
+    * Scale shape: dd38's span machinery, the per-doc interval merge, then
+    * ONE ordered higher-order-function pass over each document's token
+    * array (filter-with-index against the doc's own merged cut list — a
+    * per-row codegen'd loop over tokens x its few merged intervals; no
+    * explode, no token-level shuffle). Uncut documents pass through on
+    * the left join with their text intact.
+    *
+    * Output, one row per INPUT document: (doc_id, n_tokens, n_kept,
+    * text_dedup). n_tokens - n_kept equals exactSubstrCut's n_cut for
+    * affected docs (spec-gated). */
+  def exactSubstrApply(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minTokens: Int, maxGramDf: Long): DataFrame = {
+    val iv = exactSubstrSpans(docs, idCol, textCol, k, minTokens,
+        maxGramDf)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("lo"),
+        (col("b_start") + col("len")).as("hi"))
+      .distinct()
+    val cuts = mergedIntervals(iv, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi"))))
+        .as("cuts"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        when(col("cuts").isNull, col("t")).otherwise(
+          filter(col("t"), (_, i) =>
+            !exists(col("cuts"), c => i.cast("long") >= c.getField("lo")
+              && i.cast("long") < c.getField("hi")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
   }
 
   /** Pair-level verbatim overlap ratio — the ExactSubstr analogue of a

@@ -257,6 +257,55 @@ object QualityAudit {
           "cum_cur * 1000000 div greatest(tc, 1))").as("gap_ppm"))
   }
 
+  /** Long-format column profiler — the per-column catalog card (what
+    * ANALYZE min/max/ndv doesn't say): null count, distinct count, the
+    * dominant value and its share, and the Shannon entropy of the value
+    * distribution. Near-zero entropy with a ~1e6 top share is a
+    * constant/degenerate column; high entropy with tiny top share is a
+    * key — the two ends of the "is this column informative" axis a
+    * curation pipeline profiles before feature selection.
+    *
+    * Exactness: values are profiled AS STRINGS (one casting rule for
+    * every column type); entropy contributions floor per VALUE to
+    * nano-nats from shares over the non-null total — order-free BIGINT
+    * sums, engine-identical doubles inside the single ln. The top value
+    * ties break to the LARGEST value at the max count (struct max —
+    * deterministic on any partitioning). NULLs count separately and
+    * join neither the top pick nor the entropy.
+    *
+    * Scale shape, per column: one value-domain aggregation (map-side
+    * combined) + a 1-row totals broadcast + a 1-row final reduce; the
+    * profiled frame is scanned once per column. Output, one row per
+    * column: (column_name, n_rows, n_nulls, n_distinct, top_value,
+    * top_share_ppm, entropy_nano). */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    columns.map { c =>
+      val g = df.select(col(c).cast("string").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val tot = g.agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+          .as("nv"))
+      g.crossJoin(broadcast(tot))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          max(when(col("v").isNotNull, struct(col("cnt"), col("v"))))
+            .as("top"),
+          coalesce(sum(when(col("v").isNotNull,
+            floor((col("cnt").cast("double") / col("nv").cast("double")) *
+              log(col("nv").cast("double") / col("cnt").cast("double")) *
+              lit(1e9)).cast("long"))), lit(0L)).as("entropy_nano"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("top.v").as("top_value"),
+          expr("top.cnt * 1000000 div greatest(n_rows - n_nulls, 1)")
+            .as("top_share_ppm"),
+          col("entropy_nano"))
+    }.reduce(_.unionAll(_))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val expected: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
       3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,

@@ -66,4 +66,18 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(r(3L) === ((0L, None, false)))
     assert(r.size === 3)
   }
+
+  test("contamination matrix classifies verdict combinations and keeps " +
+      "docs either report missed") {
+    val spark2 = spark; import spark2.implicits._
+    val lex = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("doc_id", "contaminated")
+    val sem = Seq((1L, true), (2L, true), (3L, false), (5L, true))
+      .toDF("doc_id", "contaminated")
+    val got = Decontaminate.contaminationMatrix(lex, sem)
+      .as[(String, Long)].collect().toMap
+    // 1 both; 2 sem-only; 3 lex-only; 4 clean; 5 (sem report only) sem
+    assert(got === Map("both" -> 1L, "semantic_only" -> 2L,
+      "ngram_only" -> 1L, "clean" -> 1L))
+  }
 }

@@ -510,6 +510,40 @@ class DedupSpec extends AnyFunSuite {
       s"overlap must merge before counting: $r")
   }
 
+  test("exact-substring apply: cut spans removed from the text, " +
+      "earliest/uncut docs verbatim, n_kept consistent with the audit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (2L, "w2 w3 w4 w5 w6 w7"),
+      (3L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 r0 r1"),
+      (4L, "z0 z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrApply(d, "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L), "one row per input doc")
+    assert(r(1L) === ((10L, 10L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")),
+      "earliest copy keeps its text verbatim")
+    assert(r(2L) === ((6L, 0L, "")), "fully-shared later doc empties")
+    assert(r(3L) === ((12L, 2L, "r0 r1")),
+      "nested spans merge; only the unshared tail survives")
+    assert(r(4L) === ((6L, 6L, "z0 z1 z2 z3 z4 z5")),
+      "uncut docs pass through")
+    // apply and audit agree on every affected doc
+    val cut = Dedup.exactSubstrCut(d, "doc_id", "text", 4, 6, 64)
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    cut.foreach { case (id, nCut) =>
+      assert(r(id)._1 - r(id)._2 === nCut, s"apply/audit disagree on $id")
+    }
+    val again = Dedup.exactSubstrApply(d.repartition(7), "doc_id", "text",
+        k = 4, minTokens = 6, maxGramDf = 64)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(again === r)
+  }
+
   test("exact-substring cut: nested and duplicate intervals, lowest doc " +
       "survives untouched") {
     import spark.implicits._

@@ -159,6 +159,31 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("column profile: nulls/distincts/top-share/entropy hand-computed, " +
+      "largest-value tie-break, partitioning invariance") {
+    val spark2 = spark; import spark2.implicits._
+    // col a: b,b,a,a,c,NULL -> 5 valid, 3 distinct, tie 2-2 -> top 'b'
+    // col k: constant -> entropy exactly 0
+    val df = Seq(
+      (Some("b"), 1L), (Some("b"), 1L), (Some("a"), 1L), (Some("a"), 1L),
+      (Some("c"), 1L), (None, 1L)
+    ).toDF("a", "k")
+    val r = QualityAudit.columnProfile(df, Seq("a", "k"))
+      .as[(String, Long, Long, Long, String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6, x._7))).toMap
+    val ent = {
+      def term(c: Long) =
+        math.floor((c.toDouble / 5.0) * math.log(5.0 / c) * 1e9).toLong
+      term(2) + term(2) + term(1)
+    }
+    assert(r("a") === ((6L, 1L, 3L, "b", 400000L, ent)))
+    assert(r("k") === ((6L, 0L, 1L, "1", 1000000L, 0L)))
+    val again = QualityAudit.columnProfile(df.repartition(5), Seq("a", "k"))
+      .as[(String, Long, Long, Long, String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6, x._7))).toMap
+    assert(again === r)
+  }
+
   test("benford audit: string-derived first digits, exact ppm, " +
       "non-positive values excluded") {
     val spark2 = spark; import spark2.implicits._
