@@ -92,6 +92,7 @@ object PlanAudit {
       "ss21_ivfpq_topk" -> "tiny centroid-table broadcast crosses (coarse assignment)",
       "dq3_benford" -> "1-row total broadcast cross",
       "tx34_domain_calibration" -> "1-row weight-state/stats broadcast crosses per GD step",
+      "tx36_calibration_ece" -> "1-row weight-state/stats broadcast crosses (tx34 trainer + final-weight scoring)",
       "q87_cuped_readout" -> "1-row span/pooled-moments broadcast crosses",
       "er9_fs_em_iterated" -> "1-row refreshed-weight broadcast crosses per EM step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",

@@ -358,6 +358,15 @@ class PlanSpec extends AnyFunSuite {
       s"NormalizeText must stay inside codegen:\n$p")
   }
 
+  test("clerical-review queue rank-limit engages WindowGroupLimit " +
+      "per block (er10)") {
+    // the scaladoc's scale claim, pinned: only ~quota rows per block per
+    // mapper reach the shuffle feeding the review-queue window
+    val p = plan("er10_review_queue")
+    assert(p.contains("WindowGroupLimit"),
+      s"review-queue rank-limit pushdown must engage:\n$p")
+  }
+
   test("window top-k engages the built-in WindowGroupLimit pushdown: " +
       "partial rank-limit BELOW the exchange (q6)") {
     // the reason graft ships NO custom top-k operator: Spark's own
