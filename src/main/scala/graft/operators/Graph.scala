@@ -444,10 +444,16 @@ object Graph {
     *
     * Scale shape, per [[pageRankInt]]: the edge list is materialized
     * once and keeps its partitioning; each half-iteration joins the
-    * tiny |V|-row score frame (broadcast) against it, reduces by the
-    * opposite endpoint, and normalizes via a 1-row total broadcast
-    * cross. No per-iteration persist (see pageRankInt's measured note);
-    * checkpoint every ~10 rounds on a long production run. */
+    * tiny |V|-row score frame (broadcast) against it and reduces by the
+    * opposite endpoint. The L1 total is folded in as a single-partition
+    * window over that |V|-row raw frame — NOT a separate 1-row
+    * aggregate crossed back, which would reference the raw frame twice
+    * and (with no per-iteration persist, pageRankInt's measured rule)
+    * multiply the un-materialized edge-join lineage ~4x per half-step:
+    * measured 18.7 s for 3 iterations vs ~2 s with the window form.
+    * Each half-step references its predecessor exactly once, so total
+    * work stays linear in the iteration count; checkpoint every ~10
+    * rounds on a long production run. */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int, unit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "at least one HITS iteration")
@@ -462,25 +468,24 @@ object Graph {
     val totalW = e.agg(sum(col("w"))).head().getLong(0)
     require(totalW > 0 && totalW < Long.MaxValue / unit / unit,
       s"total edge weight $totalW would overflow score arithmetic")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     var h = nodes.select(col("node"), lit(unit / n).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
       val aRaw = e
         .join(broadcast(h.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node")).agg(sum(expr("h * w")).as("s"))
-      val aTot = aRaw.agg(sum(col("s")).as("ts"))
+        .withColumn("ts", sum(col("s")).over(wAll))
       a = nodes.join(broadcast(aRaw), Seq("node"), "left")
-        .crossJoin(broadcast(aTot))
         .select(col("node"),
-          expr(s"coalesce(s, 0L) * $unit div greatest(ts, 1)").as("a"))
+          expr(s"coalesce(s * $unit div greatest(ts, 1), 0L)").as("a"))
       val hRaw = e
         .join(broadcast(a.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node")).agg(sum(expr("a * w")).as("s"))
-      val hTot = hRaw.agg(sum(col("s")).as("ts"))
+        .withColumn("ts", sum(col("s")).over(wAll))
       h = nodes.join(broadcast(hRaw), Seq("node"), "left")
-        .crossJoin(broadcast(hTot))
         .select(col("node"),
-          expr(s"coalesce(s, 0L) * $unit div greatest(ts, 1)").as("h"))
+          expr(s"coalesce(s * $unit div greatest(ts, 1), 0L)").as("h"))
     }
     val result = h
       .join(a.withColumnRenamed("a", "auth_u"), "node")
