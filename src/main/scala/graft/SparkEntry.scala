@@ -2814,6 +2814,14 @@ object SparkEntry {
           iterations = 3)
         .select(col("node").as("nation_name"), col("hub_u"), col("auth_u"))
     }),
+    "g8_bipartite_project" -> ((s, dir) =>
+      // audience co-occurrence projection: users x event types ->
+      // type-type edges weighted by distinct shared users, hub users
+      // capped (their signal is uniform noise; the cap bounds the
+      // quadratic fan-out); exact integer ppm overlap coefficient
+      graft.operators.Graph.bipartiteProject(
+        t(s, dir, "events").select("user_id", "event_type"),
+        "user_id", "event_type", maxLeftDegree = 64)),
     "g5_link_pred" -> ((s, dir) =>
       // neighborhood link prediction on the near-dup candidate graph:
       // non-adjacent doc pairs ranked by common-neighbor count and
@@ -7075,6 +7083,21 @@ object SparkEntry {
         "\nFROM nodes nd JOIN h3 ON h3.node = nd.node" +
         "\nJOIN a3 ON a3.node = nd.node"
     },
+    "g8_bipartite_project" ->
+      """WITH e AS (SELECT DISTINCT user_id AS l, event_type AS r
+        |FROM events),
+        |kl AS (SELECT l FROM
+        |(SELECT l, count(*) AS dl FROM e GROUP BY 1) WHERE dl <= 64),
+        |ke AS (SELECT e.l, e.r FROM e JOIN kl USING (l)),
+        |dr AS (SELECT r, count(*)::BIGINT AS deg FROM ke GROUP BY 1),
+        |p AS (SELECT a.r AS node_a, b.r AS node_b,
+        |count(*)::BIGINT AS n_shared
+        |FROM ke a JOIN ke b ON a.l = b.l AND a.r < b.r GROUP BY 1, 2)
+        |SELECT node_a, node_b, n_shared, da.deg AS deg_a,
+        |db.deg AS deg_b,
+        |n_shared * 1000000 // least(da.deg, db.deg) AS overlap_ppm
+        |FROM p JOIN dr da ON da.r = p.node_a
+        |JOIN dr db ON db.r = p.node_b""".stripMargin,
     "g2_triangles" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

@@ -420,6 +420,58 @@ object Graph {
     result
   }
 
+  /** Bipartite projection with a hub cap — the co-occurrence graph
+    * builder (users x event types -> "types that share audiences",
+    * docs x entities -> entity co-mention): two right-nodes are linked
+    * with weight = number of DISTINCT left-nodes adjacent to both.
+    *
+    * The scale hazard is the projection's quadratic fan-out: one
+    * left-node of degree d emits d*(d-1)/2 pairs, so a single hub (a
+    * user who touches everything, a stopword-like entity) can dominate
+    * the whole join. [[linkPrediction]]'s discipline applies: left-nodes
+    * above `maxLeftDegree` are EXCLUDED from evidence (their
+    * co-occurrence signal is near-uniform noise anyway — the tf-idf
+    * argument), bounding output by |L| * cap^2 / 2 regardless of skew.
+    * The cap is part of the contract; right-degrees are counted over the
+    * same capped universe so the overlap coefficient stays internally
+    * consistent.
+    *
+    * Output per co-occurring pair (a < b): (node_a, node_b, n_shared,
+    * deg_a, deg_b, overlap_ppm) with overlap_ppm = n_shared * 1e6 div
+    * min(deg_a, deg_b) — the Szymkiewicz-Simpson overlap coefficient in
+    * exact integer ppm. Shuffles: one distinct, one degree agg, one
+    * self-equi-join on the left key, one pair reduce — no Cartesian. */
+  def bipartiteProject(edges: DataFrame, leftCol: String,
+      rightCol: String, maxLeftDegree: Int = 64): DataFrame = {
+    require(maxLeftDegree >= 2, "projection needs left degree >= 2")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptL = e.groupBy("l").agg(count(lit(1)).as("dl"))
+      .filter(col("dl") <= maxLeftDegree).select("l")
+    val ke = e.join(keptL, "l")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degR = ke.groupBy("r").agg(count(lit(1)).as("deg"))
+    val pairs = ke.as("a").join(ke.as("b"),
+        col("a.l") === col("b.l") && col("a.r") < col("b.r"))
+      .groupBy(col("a.r").as("node_a"), col("b.r").as("node_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val result = pairs
+      .join(degR.select(col("r").as("node_a"), col("deg").as("deg_a")),
+        "node_a")
+      .join(degR.select(col("r").as("node_b"), col("deg").as("deg_b")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("n_shared"),
+        col("deg_a"), col("deg_b"),
+        expr("n_shared * 1000000 div least(deg_a, deg_b)")
+          .as("overlap_ppm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    e.unpersist(false)
+    ke.unpersist(false)
+    result
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) hubs-and-authorities carried
     * in integer units — [[pageRankInt]]'s discipline applied to the
     * two-score mutual recursion: a directed graph's authority score is

@@ -152,6 +152,35 @@ class GraphSpec extends AnyFunSuite {
     assert(r("B")._2 === 2L * r("C")._2)
   }
 
+  test("bipartiteProject: hand-computed co-occurrence with hub-cap " +
+      "exclusion; partition-invariant") {
+    val edges = Seq(
+      ("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"),
+      ("u3", "A"), ("u3", "C"), ("u4", "C"), ("u4", "D"),
+      ("u6", "B"), ("u6", "D"),
+      ("hub", "A"), ("hub", "B"), ("hub", "C"), ("hub", "D")
+    ).toDF("l", "r")
+    val r = Graph.bipartiteProject(edges, "l", "r", maxLeftDegree = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    // hub (degree 4 > cap 3) contributes no evidence; capped degrees
+    // A=3 B=3 C=2 D=2
+    assert(r.keySet === Set(("A", "B"), ("A", "C"), ("C", "D"),
+      ("B", "D")), r)
+    assert(r(("A", "B")) === ((2L, 3L, 3L, 666666L)))
+    assert(r(("A", "C")) === ((1L, 3L, 2L, 500000L)))
+    assert(r(("C", "D")) === ((1L, 2L, 2L, 500000L)))
+    assert(r(("B", "D")) === ((1L, 3L, 2L, 500000L)))
+    val again = Graph.bipartiteProject(edges.repartition(7), "l", "r", 3)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    assert(again === r)
+    // without the cap the hub links every pair (including B-C)
+    val uncapped = Graph.bipartiteProject(edges, "l", "r", 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(uncapped.map(x => (x._1, x._2)).toSet.contains(("B", "C")))
+  }
+
   test("kCore: triangle with a pendant chain peels to the triangle") {
     // d-e pendant chain and c-d bridge peel away round by round; the
     // triangle is the 2-core, every member with core-degree 2
