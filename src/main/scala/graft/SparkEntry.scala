@@ -1908,6 +1908,15 @@ object SparkEntry {
         orders.filter(col("o_orderkey") % 2 =!= 0),
         "o_totalprice", bins = 20)
     }),
+    "dq7_fd_audit" -> ((s, dir) =>
+      // functional-dependency measurement: the PK dependency must hold
+      // exactly (0 violations certifies it); the customer/priority pairs
+      // quantify how far real data is from the FDs a denormalizer would
+      // like to assume
+      graft.operators.QualityAudit.fdAudit(t(s, dir, "orders"), Seq(
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus")))),
     "dq6_column_profile" -> ((s, dir) =>
       // per-column catalog card: nulls, distincts, dominant value +
       // share, value-distribution entropy — string-profiled, nano-nat
@@ -2845,6 +2854,12 @@ object SparkEntry {
           "doc_id", "n_chars", k = 50)
         .select(col("doc_id"), col("n_chars"),
           fround(col("es_key"), 9).as("es_key"))),
+    "pk9_span_corruption" -> ((s, dir) =>
+      // T5 span-corruption plan: deterministic md5 position draws at
+      // 15%, consecutive picks merged into sentinel spans — the
+      // denoising-objective mask, reproducible across runs/engines
+      graft.operators.Packing.spanCorruptionPlan(
+        t(s, dir, "documents"), "doc_id", "text", maskPpm = 150000L)),
     "pk2_stride_chunks" -> ((s, dir) =>
       // overlapping context windows (64 tokens, stride 32) for embedding /
       // retrieval corpora — narrow fan-out, no shuffle; the md5 is the
@@ -4881,6 +4896,20 @@ object SparkEntry {
          |WHEN sem THEN 'semantic_only' ELSE 'clean' END AS method,
          |count(*)::BIGINT AS n_docs
          |FROM j GROUP BY 1""".stripMargin,
+    "pk9_span_corruption" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |p AS (SELECT doc_id, i AS pos FROM
+         |(SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM toks)),
+         |sel AS (SELECT doc_id, pos FROM p WHERE
+         |('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR),
+         |  1, 8))::BIGINT % 1000000 < 150000),
+         |isl AS (SELECT doc_id, pos, pos - row_number() OVER
+         |(PARTITION BY doc_id ORDER BY pos) AS isl FROM sel),
+         |sp AS (SELECT doc_id, isl, min(pos)::BIGINT AS start,
+         |count(*)::BIGINT AS len FROM isl GROUP BY 1, 2)
+         |SELECT doc_id, row_number() OVER
+         |(PARTITION BY doc_id ORDER BY start)::BIGINT AS span_idx,
+         |start, len FROM sp""".stripMargin,
     "pk1_sequence_pack" ->
       s"""WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
          |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
@@ -5812,6 +5841,22 @@ object SparkEntry {
         |abs(cum_base * 1000000 // greatest(ta, 1)
         |  - cum_cur * 1000000 // greatest(tc, 1)) AS gap_ppm
         |FROM c, t""".stripMargin,
+    "dq7_fd_audit" -> {
+      val deps = Seq(("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"))
+      deps.map { case (det, dep) =>
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |count(*)::BIGINT AS n_keys,
+           |coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)::BIGINT
+           |  AS n_violating,
+           |coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)::BIGINT
+           |  * 1000000 // greatest(count(*), 1) AS violation_ppm
+           |FROM (SELECT $det::VARCHAR AS a,
+           |count(DISTINCT $dep::VARCHAR) AS nd FROM orders
+           |WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "dq6_column_profile" -> {
       // one value-domain CTE pair per profiled column, stitched with
       // UNION ALL; tie-break and nano-nat arithmetic mirror columnProfile

@@ -163,6 +163,44 @@ object Packing {
     * audit row stays ~100 bytes regardless of document size. Zero
     * shuffles — pure per-row column arithmetic.
     */
+  /** T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): which
+    * token spans each document masks for a denoising objective. Position
+    * p is selected iff its md5-derived draw lands under `maskPpm`
+    * (deterministic, seedless, per (doc, p) — the dd8 hash discipline,
+    * so the plan is reproducible across runs and engines); consecutive
+    * selected positions merge into one span (pos - row_number islands,
+    * the q54 trick), giving the mean-span-length ~1/(1-rate) geometric
+    * shape the objective wants without any sequential sampling loop.
+    *
+    * Output, one row per span: (doc_id, span_idx, start, len) —
+    * span_idx orders sentinels <extra_id_k> within the doc. Everything
+    * is integer arithmetic; the oracle reproduces the identical plan.
+    *
+    * Scale shape: one tokenize + posexplode pass (narrow), one window
+    * per doc for the islands — a single doc_id shuffle; output volume
+    * ~ maskPpm x corpus tokens. */
+  def spanCorruptionPlan(docs: DataFrame, idCol: String, textCol: String,
+      maskPpm: Long = 150000L): DataFrame = {
+    require(maskPpm > 0 && maskPpm < 1000000L, "0 < maskPpm < 1e6")
+    val sel = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("draw", pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(1000000L)))
+      .filter(col("draw") < maskPpm)
+    val wI = Window.partitionBy("doc_id").orderBy("pos")
+    sel
+      .withColumn("isl", col("pos") - row_number().over(wI))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).cast("long").as("start"),
+        count(lit(1)).as("len"))
+      .withColumn("span_idx", row_number().over(
+        Window.partitionBy("doc_id").orderBy("start")).cast("long"))
+      .select(col("doc_id"), col("span_idx"), col("start"), col("len"))
+  }
+
   def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def h32(salt: String) =
       conv(substring(md5(concat(lit(salt + ":"),

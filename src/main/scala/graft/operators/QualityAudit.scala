@@ -306,6 +306,38 @@ object QualityAudit {
     }.reduce(_.unionAll(_))
   }
 
+  /** Functional-dependency audit — does `determinant -> dependent`
+    * actually hold in the data? A clean FD (0 violations) certifies a
+    * denormalization / join-elimination opportunity; a NEAR-clean one
+    * (violation_ppm just above 0) is the classic smell of corrupted or
+    * hand-edited rows, and the violating-key count sizes the cleanup. The
+    * reference trusts the live schema's declared constraints
+    * (`/root/reference/osarchiver/common/db.py:461-482`); real FDs at
+    * 100 TB are a property of the DATA and have to be measured.
+    *
+    * Per declared pair: one value-domain aggregation (determinant ->
+    * distinct dependent count; strings, the dq6 casting rule; NULL
+    * determinants excluded, NULL dependents ignored by the distinct
+    * count — an all-NULL key can never violate) collapsing
+    * to a 1-row summary — map-side combined, one scan per pair. Output:
+    * (determinant, dependent, n_keys, n_violating, violation_ppm). */
+  def fdAudit(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "audit at least one dependency")
+    deps.map { case (det, dep) =>
+      df.select(col(det).cast("string").as("a"),
+          col(dep).cast("string").as("b"))
+        .filter(col("a").isNotNull)
+        .groupBy("a").agg(countDistinct(col("b")).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("nd") > 1, 1L)), lit(0L))
+            .as("n_violating"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating"),
+          expr("n_violating * 1000000 div greatest(n_keys, 1)")
+            .as("violation_ppm"))
+    }.reduce(_.unionAll(_))
+  }
+
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val expected: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
       3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,

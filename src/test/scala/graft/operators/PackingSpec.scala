@@ -38,6 +38,52 @@ class PackingSpec extends AnyFunSuite {
     assert(a.filter("tok_offset < 0 OR tok_offset >= 128").count() === 0)
   }
 
+  test("span corruption: engine spans equal a plain-Scala replica of " +
+      "the md5 draw + island merge; spans disjoint and in range") {
+    def draw(id: Long, pos: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(8), 16) % 1000000L
+    }
+    def expectedSpans(id: Long, n: Int, ppm: Long): Seq[(Long, Long, Long)] = {
+      val sel = (0 until n).filter(p => draw(id, p) < ppm)
+      val spans = sel.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      spans.zipWithIndex.map { case ((s, e), i) =>
+        ((i + 1).toLong, s.toLong, (e - s + 1).toLong) }
+    }
+    val n1 = 60; val n2 = 45
+    val docs = Seq(
+      (7L, Seq.fill(n1)("w").mkString(" ")),
+      (9L, Seq.fill(n2)("w").mkString(" "))).toDF("doc_id", "text")
+    // high rate so the fixture exercises multi-token islands
+    val got = Packing.spanCorruptionPlan(docs, "doc_id", "text",
+        maskPpm = 400000L)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+    assert(got(7L) === expectedSpans(7L, n1, 400000L))
+    assert(got(9L) === expectedSpans(9L, n2, 400000L))
+    got.foreach { case (id, spans) =>
+      val bound = if (id == 7L) n1 else n2
+      spans.foreach { case (_, s, l) =>
+        assert(s >= 0 && s + l <= bound) }
+      // disjoint AND non-adjacent (adjacent picks merged into one span)
+      spans.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) => assert(s2 > s1 + l1)
+        case _ =>
+      }
+    }
+    val again = Packing.spanCorruptionPlan(docs.repartition(5), "doc_id",
+        "text", maskPpm = 400000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again === Packing.spanCorruptionPlan(docs, "doc_id", "text",
+      maskPpm = 400000L).as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("stride chunks overlap by window - stride and cover every token") {
     // 10 tokens, window 4, stride 2 -> starts 0,2,4,6: every token covered,
     // the last window ends exactly at n (no redundant tail chunk)

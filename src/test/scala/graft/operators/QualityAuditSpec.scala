@@ -184,6 +184,27 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(again === r)
   }
 
+  test("fd audit: violations counted per key, nulls excluded on the " +
+      "determinant and ignored on the dependent") {
+    val spark2 = spark; import spark2.implicits._
+    val df = Seq[(Option[Int], Option[String])](
+      (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
+      (Some(2), Some("b")), (Some(3), None), (None, Some("c"))
+    ).toDF("k", "v")
+    val r = QualityAudit.fdAudit(df, Seq(("k", "v"), ("v", "k")))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    // k->v: keys 1 (nd 1), 2 (nd 2, violates), 3 (all-NULL dep, nd 0)
+    assert(r(("k", "v")) === ((3L, 1L, 333333L)))
+    // v->k: a {1,2} violates, b {2}, c (NULL dep ignored -> nd 0)
+    assert(r(("v", "k")) === ((3L, 1L, 333333L)))
+    val again = QualityAudit.fdAudit(df.repartition(5),
+      Seq(("k", "v"), ("v", "k")))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(again === r)
+  }
+
   test("benford audit: string-derived first digits, exact ppm, " +
       "non-positive values excluded") {
     val spark2 = spark; import spark2.implicits._
