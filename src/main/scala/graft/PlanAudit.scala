@@ -103,7 +103,8 @@ object PlanAudit {
       "tx37_kn_bigram" -> "1-row distinct-bigram-total broadcast cross",
       "s25_stats_rollup" -> "1-row merged-stats/exact-count broadcast crosses",
       "tx38_decile_lift" -> "1-row weight-state/totals broadcast crosses (tx34 trainer + lift totals)",
-      "dq6_column_profile" -> "1-row per-column totals broadcast crosses")
+      "dq6_column_profile" -> "1-row per-column totals broadcast crosses",
+      "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2326,6 +2326,16 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
         "vec_id", "embedding", k = 5)
     }),
+    "ss22_matryoshka_rerank" -> ((s, dir) => {
+      // Matryoshka two-stage search: 16-dim prefix scan shortlists 20
+      // per query (4x less vector data per candidate), full 64-dim
+      // cosine reranks only the shortlist — shortlist >= corpus is
+      // provably brute-force (spec-gated)
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaRerank(
+        emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", k = 5, prefixDim = 16, shortlist = 20)
+    }),
     "ss17_radius_search" -> ((s, dir) => {
       // range search: EVERY corpus vector within cosine >= 0.35 of a query
       // — the completeness contract top-k can't express (duplicate-sweep
@@ -6504,6 +6514,24 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY query_id
         |ORDER BY cosraw DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, floor(cosraw * 1000.0) / 1000.0 AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "ss22_matryoshka_rerank" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pre AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |q.v AS qv, c.v AS cv,
+        |list_cosine_similarity(q.v[1:16], c.v[1:16]) AS cos_pre
+        |FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |sl AS (SELECT query_id, neighbor_id, qv, cv FROM (
+        |SELECT *, row_number() OVER (PARTITION BY query_id
+        |ORDER BY cos_pre DESC, neighbor_id) AS pr FROM pre)
+        |WHERE pr <= 20),
+        |rr AS (SELECT query_id, neighbor_id,
+        |list_cosine_similarity(qv, cv) AS cosraw FROM sl),
+        |ranked AS (SELECT query_id, neighbor_id, cosraw,
+        |row_number() OVER (PARTITION BY query_id
+        |ORDER BY cosraw DESC, neighbor_id) AS rank FROM rr)
+        |SELECT query_id, rank, neighbor_id,
+        |floor(cosraw * 1000.0)::BIGINT AS cos_milli
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "ss17_radius_search" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

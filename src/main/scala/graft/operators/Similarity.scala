@@ -21,6 +21,52 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Two-stage prefix-dimension search — the Matryoshka retrieval
+    * pattern (Kusupati et al. 2022 MRL): embeddings trained
+    * front-loaded let stage 1 score on only the first `prefixDim`
+    * components (a d/prefixDim cheaper scan — at 100 TB, the stage that
+    * reads 4x less vector data per candidate), keep a per-query
+    * `shortlist`, and stage 2 rerank only the shortlist with the
+    * full-dimension cosine. Recall loss is confined to true neighbors
+    * whose PREFIX cosine falls past the shortlist boundary — widening
+    * `shortlist` buys it back linearly; with shortlist >= |corpus| the
+    * result provably equals [[bruteForceTopK]] (spec-gated).
+    *
+    * Deterministic: both stages rank (cos desc, neighbor_id). Scale
+    * shape: bounded query-batch broadcast against the corpus scan (the
+    * ss1/ss17 contract), a rank-limited window per stage
+    * (WindowGroupLimit bounds the shuffle to shortlist rows per query);
+    * the full-dimension work touches |Q| x shortlist rows only. */
+  def matryoshkaRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDim: Int,
+      shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k && prefixDim >= 1,
+      "k >= 1, shortlist >= k, prefixDim >= 1")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val pre = c.crossJoin(broadcast(q))
+      .withColumn("qp", slice(col("qv"), 1, prefixDim))
+      .withColumn("cp", slice(col("cv"), 1, prefixDim))
+      .withColumn("cos_pre",
+        dot(col("qp"), col("cp")) / (norm2(col("qp")) * norm2(col("cp"))))
+      .withColumn("prerank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(desc("cos_pre"), col("neighbor_id"))))
+      .filter(col("prerank") <= shortlist)
+    pre
+      .withColumn("cosraw",
+        dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(desc("cosraw"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.NumericFunctions.fround(col("cosraw") * 1000.0, 0)
+          .cast("long").as("cos_milli"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Deterministic: ties broken by neighbor id.
     *

@@ -26,6 +26,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head._2 === 1.0)
   }
 
+  test("matryoshka rerank: full shortlist equals brute force; a tight " +
+      "shortlist evicts prefix-misranked true neighbors") {
+    val q = Seq((100L, Array(1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0f, 1.0f, 0f, 0f, 1.0f, 0f, 0f, 0f)), // prefix 0, full .5
+      (2L, Array(1.0f, 0f, 0f, 0f, -1.0f, 0f, 0f, 0f)), // prefix 1, full 0
+      (3L, Array(0.5f, 0f, 0f, 0f, 0.5f, 0f, 0f, 0f))  // prefix 1, full 1
+    ).toDF("vec_id", "embedding")
+    def run(shortlist: Int, k: Int) =
+      Similarity.matryoshkaRerank(q, corpus, "vec_id", "embedding",
+          k = k, prefixDim = 4, shortlist = shortlist)
+        .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // shortlist 2 keeps prefix winners {2, 3}; the true #2 neighbor (1,
+    // full cos .5) was prefix-misranked out — the documented trade
+    assert(run(2, 2) === Seq(3L, 2L))
+    // widening the shortlist buys the recall back
+    assert(run(3, 2) === Seq(3L, 1L))
+    // full shortlist == brute force on the same fixture
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id",
+        "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(run(3, 3) === brute)
+    val again = Similarity.matryoshkaRerank(q, corpus.repartition(5),
+        "vec_id", "embedding", k = 3, prefixDim = 4, shortlist = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(again === run(3, 3))
+  }
+
   test("radius search returns exactly the neighbors above the cosine floor") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // cos 1.0
