@@ -104,7 +104,8 @@ object PlanAudit {
       "s25_stats_rollup" -> "1-row merged-stats/exact-count broadcast crosses",
       "tx38_decile_lift" -> "1-row weight-state/totals broadcast crosses (tx34 trainer + lift totals)",
       "dq6_column_profile" -> "1-row per-column totals broadcast crosses",
-      "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)")
+      "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)",
+      "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

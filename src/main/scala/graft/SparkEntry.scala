@@ -3490,6 +3490,37 @@ object SparkEntry {
         .select(col("o_custkey"), col("exact_cnt"), col("cms_estimate"),
           (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"))
     }),
+    "q89_rfm_segments" -> ((s, dir) => {
+      // RFM customer segmentation: recency/frequency/monetary quintiles
+      // from the VALUE domain (tx38's exclusive-higher-count discipline
+      // — no global row sort; ties share a score), monetary in exact
+      // integer cents, segment = concatenated scores. One customer agg
+      // (persisted: three scorers + the final join read it) + three
+      // value-domain window frames joined back
+      val cust = t(s, dir, "orders").groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("r_v"),
+          count(lit(1)).as("f_v"),
+          sum(floor(col("o_totalprice") * 100.0).cast("long")).as("m_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def score(vcol: String, sname: String) = {
+        val byVal = cust.groupBy(vcol).agg(count(lit(1)).as("c"))
+        val tot = byVal.agg(sum(col("c")).as("n"))
+        byVal.withColumn("cb", coalesce(sum(col("c")).over(
+            Window.orderBy(col(vcol).desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col(vcol),
+            (lit(5L) - least(expr("cb * 5 div n"), lit(4L))).as(sname))
+      }
+      cust.join(score("r_v", "r_score"), "r_v")
+        .join(score("f_v", "f_score"), "f_v")
+        .join(score("m_v", "m_score"), "m_v")
+        .select(col("o_custkey"), col("r_score"), col("f_score"),
+          col("m_score"),
+          concat(col("r_score").cast("string"),
+            col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+    }),
     "q88_sketch_rollup" -> ((s, dir) => {
       // the sketch-reaggregation pattern: one Count-Min sketch PER DAY
       // of events (the artifact a pipeline persists at ingest), merged
@@ -7855,6 +7886,30 @@ object SparkEntry {
         |  min(s.cell) >= pe.exact_cnt AS no_underestimate
         |FROM pe JOIN sketch s USING (d, bucket)
         |GROUP BY 1, 2""".stripMargin,
+    "q89_rfm_segments" -> {
+      def sc(m: String, s: String) =
+        s"""${m}b AS (SELECT ${m}_v, count(*)::BIGINT AS c
+           |FROM cust GROUP BY 1),
+           |${m}s AS (SELECT ${m}_v,
+           |(5 - least(coalesce(cb, 0)::BIGINT * 5
+           |  // (SELECT sum(c)::BIGINT FROM ${m}b), 4))::BIGINT AS $s
+           |FROM (SELECT ${m}_v, sum(c) OVER (ORDER BY ${m}_v DESC
+           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+           |FROM ${m}b))""".stripMargin
+      """WITH cust AS (SELECT o_custkey, max(o_orderdate) AS r_v,
+        |count(*)::BIGINT AS f_v,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS m_v
+        |FROM orders GROUP BY 1),
+        |""".stripMargin +
+        Seq(sc("r", "r_score"), sc("f", "f_score"), sc("m", "m_score"))
+          .mkString(",\n") +
+        """
+          |SELECT c.o_custkey, rs.r_score, fs.f_score, ms.m_score,
+          |rs.r_score::VARCHAR || fs.f_score::VARCHAR
+          |  || ms.m_score::VARCHAR AS segment
+          |FROM cust c JOIN rs USING (r_v) JOIN fs USING (f_v)
+          |JOIN ms USING (m_v)""".stripMargin
+    },
     "q88_sketch_rollup" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP::DATE AS day
         |FROM events),
