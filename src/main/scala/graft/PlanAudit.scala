@@ -105,7 +105,8 @@ object PlanAudit {
       "tx38_decile_lift" -> "1-row weight-state/totals broadcast crosses (tx34 trainer + lift totals)",
       "dq6_column_profile" -> "1-row per-column totals broadcast crosses",
       "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)",
-      "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses")
+      "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses",
+      "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -1473,6 +1473,14 @@ object SparkEntry {
       graft.operators.EntityResolution.fellegiSunterBands(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         "p_size", "p_type", "p_retailprice")),
+    "er11_tf_adjusted" -> ((s, dir) =>
+      // term-frequency-adjusted FS decision: agreement on the pair's
+      // rarest shared token earns floor(10*log2(N/df)) deci-units, so
+      // rare-name borderline pairs cross the threshold while
+      // common-token pairs don't get rescued
+      graft.operators.EntityResolution.tfAdjustedMatches(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice")),
     "er10_review_queue" -> ((s, dir) =>
       // budgeted clerical-review worklist: each block's 5 most-promising
       // `possible`-band pairs, stably ranked (score, jw, keys) — the
@@ -5098,6 +5106,39 @@ object SparkEntry {
         |count(*)::BIGINT AS n_pairs,
         |floor(sum(jw_u)::DOUBLE / count(*)) / 10000.0 AS avg_jw
         |FROM sb GROUP BY 1""".stripMargin,
+    "er11_tf_adjusted" ->
+      """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
+        |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+        |FROM part),
+        |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM
+        |(SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' '))
+        |  AS tok FROM part) GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM part),
+        |cand AS (SELECT a.pk AS pk_a, b.pk AS pk_b, d.df,
+        |a.p_name AS na, b.p_name AS nb, a.p_size AS sa, b.p_size AS sb,
+        |a.p_type AS ta, b.p_type AS tb,
+        |a.p_retailprice AS pra, b.p_retailprice AS prb
+        |FROM tk a JOIN tk b
+        |ON a.p_brand = b.p_brand AND a.tok = b.tok AND a.pk < b.pk
+        |JOIN dfreq d ON d.tok = a.tok),
+        |s0 AS (SELECT pk_a, pk_b, na, nb, sa, sb, ta, tb, pra, prb,
+        |min(df)::BIGINT AS min_df
+        |FROM cand GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+        |s AS (SELECT pk_a, pk_b, min_df,
+        |floor(jaro_winkler_similarity(na, nb) * 10000.0)::BIGINT AS jw_u,
+        |(CASE WHEN abs(sa - sb) <= 2 THEN 20 ELSE -20 END
+        | + CASE WHEN ta = tb THEN 22 ELSE -30 END
+        | + CASE WHEN abs(pra - prb) <= 50.0 THEN 20 ELSE -20 END)
+        |  AS rest FROM s0),
+        |sc AS (SELECT pk_a, pk_b, min_df,
+        |(CASE WHEN jw_u >= 9000 THEN 65 ELSE -43 END + rest) AS fs_deci,
+        |CASE WHEN jw_u >= 9000 THEN
+        |floor(ln(n.n::DOUBLE / min_df::DOUBLE) / ln(2.0) * 10)::BIGINT
+        |ELSE 0 END AS adj
+        |FROM s CROSS JOIN nn n)
+        |SELECT pk_a, pk_b, min_df, fs_deci,
+        |(fs_deci + adj)::BIGINT AS fs_tf_deci FROM sc
+        |WHERE fs_deci + adj >= 60""".stripMargin,
     "er10_review_queue" ->
       """WITH tk AS (SELECT p_partkey AS pk, p_brand, p_name, p_size,
         |p_type, p_retailprice, unnest(string_split(p_name, ' ')) AS tok

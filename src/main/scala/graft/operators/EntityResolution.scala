@@ -237,6 +237,56 @@ object EntityResolution {
         (col("fs_deci") / lit(10.0)).as("fs_score"))
   }
 
+  /** Term-frequency-adjusted Fellegi-Sunter matching — the classic
+    * refinement (Fellegi & Sunter 1969 §3.3; the tf-adjustment of
+    * modern linkage engines): agreement on a RARE name token is far
+    * stronger evidence than agreement on a ubiquitous one, so the name
+    * weight earns a bonus of floor(10 * log2(N / df)) deci-units, where
+    * df is the document frequency of the rarest token the pair shares
+    * (min over its blocking-join tokens — the most evidential shared
+    * term, deterministic). The bonus applies only when the name actually
+    * agrees (jw >= 0.9); disagreeing names get no rarity rescue.
+    *
+    * Output: candidate pairs whose ADJUSTED score crosses the match
+    * threshold — (pk_a, pk_b, min_df, fs_deci, fs_tf_deci), i.e. er2's
+    * decision plus the borderline pairs a rare shared term rescues.
+    *
+    * Scale shape: the er2 candidate join with the token retained, one
+    * token-df aggregate joined by token (both sides of the join already
+    * shuffle on tok for blocking), a per-pair min-df reduce, and a 1-row
+    * corpus-count broadcast. Candidate-bounded like everything else in
+    * this family. */
+  def tfAdjustedMatches(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, sizeTol: Int = 2,
+      priceTol: Double = 50.0): DataFrame = {
+    val n = records.select(count(lit(1)).as("n"))
+    val tokDf = records
+      .select(col(keyCol).as("k"),
+        explode(split(col(nameCol), " ")).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+        catCol, priceCol, sizeTol, priceTol)
+      .join(tokDf, "tok")
+      .groupBy("pk_a", "pk_b", "jw_u", "fs_deci")
+      .agg(min(col("df")).as("min_df"))
+      .crossJoin(broadcast(n))
+      // ln(x)/ln(2), not log2(x): an engine's std::log2 can differ from
+      // the ln ratio in the last ulp exactly at power-of-two boundaries,
+      // where the floor would flip; the ln form is the same expression
+      // on both engines (house ln-floored discipline)
+      .withColumn("adj",
+        when(col("jw_u") >= 9000,
+          floor(log(col("n").cast("double") /
+            col("min_df").cast("double")) / log(lit(2.0)) * 10)
+            .cast("long"))
+          .otherwise(0L))
+      .select(col("pk_a"), col("pk_b"), col("min_df"), col("fs_deci"),
+        (col("fs_deci") + col("adj")).as("fs_tf_deci"))
+      .filter(col("fs_tf_deci") >= 60)
+  }
+
   /** Blocking-scheme evaluation — the standard record-linkage quality
     * pair (Christen 2012, "Data Matching", ch. 7): REDUCTION RATIO, the
     * fraction of the exhaustive within-block comparison space the token

@@ -111,6 +111,43 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(q.exceptAll(q5).count() === 0)
   }
 
+  test("tf adjustment: rare shared token rescues a borderline pair, " +
+      "common token doesn't; adjusted decision contains er2's") {
+    val spark2 = spark; import spark2.implicits._
+    // n=16 records. Pair (1,2): shares only rare "zyx" (df 2), name
+    // agrees (jw .9259), size agrees only -> fs 35; adj =
+    // floor(ln(16/2)/ln(2)*10) = 30 -> 65 crosses the threshold.
+    // Pair (3,4): same shape but shares "common" (df 14) -> adj 1 -> 36.
+    val recs = (Seq(
+      (1L, "zyx alpha", "B1", 10, "t1", 100.0),
+      (2L, "zyx alphb", "B1", 11, "t2", 300.0),
+      (3L, "common c3", "B2", 10, "t1", 100.0),
+      (4L, "common c4", "B2", 11, "t2", 300.0)
+    ) ++ (5L to 16L).map(i =>
+      (i, s"common p$i", s"PAD$i", 50, "tp", 900.0)))
+      .toDF("k", "name", "brand", "size", "cat", "price")
+    val r = EntityResolution.tfAdjustedMatches(recs, "k", "name", "brand",
+        "size", "cat", "price")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    // same ln-ratio arithmetic the engine floors (bit-for-bit replica —
+    // whichever side of the exact log2 the double ratio lands on)
+    val expAdj = math.floor(
+      math.log(16.0 / 2.0) / math.log(2.0) * 10).toLong
+    assert(r === Map((1L, 2L) -> ((2L, 35L, 35L + expAdj))),
+      s"only the rare-token pair crosses: $r")
+    // monotonicity on the real fixture: every er2 match survives (the
+    // adjustment is non-negative)
+    val full = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    val er2 = EntityResolution.fellegiSunterMatches(full, "p_partkey",
+      "p_name", "p_brand", "p_size", "p_type", "p_retailprice")
+      .select("pk_a", "pk_b")
+    val er11 = EntityResolution.tfAdjustedMatches(full, "p_partkey",
+      "p_name", "p_brand", "p_size", "p_type", "p_retailprice")
+      .select("pk_a", "pk_b")
+    assert(er2.exceptAll(er11).count() === 0)
+  }
+
   test("incremental linkage: matched batch records adopt an existing " +
       "entity, unmatched ones found their own, corpus never re-pairs") {
     val corpus = part.filter(col("p_partkey") % 10 =!= 0)
