@@ -687,6 +687,25 @@ object SparkEntry {
         .select(col("user_id"), col("len").as("longest_streak"),
           col("start_day").as("streak_start_day"))
     }),
+    "q90_markov_stationary" -> ((s, dir) => {
+      // stationary distribution of the q55 behavior chain: 5 power-
+      // method iterations in g1's integer micro-units — dampingPct=100
+      // makes pageRankInt the PURE power method (teleport 0, damped
+      // mass x*100 div 100 = x exactly); the "where do user journeys
+      // spend their time" readout
+      val prev = lag(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", prev)
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRankInt(edges, "prev_type", "next_type",
+          "w", iterations = 5, dampingPct = 100)
+        .select(col("node").as("event_type"), col("rank_u").as("pi_u"))
+    }),
     "q55_transitions" -> ((s, dir) => {
       // first-order event-type transition matrix (Markov edge counts):
       // lag over the per-user timeline, then one aggregation
@@ -7188,6 +7207,34 @@ object SparkEntry {
       }.mkString(",\n")
       head + ",\n" + iters +
         "\nSELECT node AS nation_name, r AS rank_u FROM r5"
+    },
+    "q90_markov_stationary" -> {
+      // g1's unrolled fixed point at damping 100: teleport term is 0 and
+      // the damped term collapses to the raw contribution sum exactly
+      val head =
+        """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+          |lag(event_type) OVER (PARTITION BY user_id
+          |ORDER BY ts, event_id) AS prev_type FROM events),
+          |e0 AS (SELECT prev_type AS src, event_type AS dst,
+          |count(*)::BIGINT AS w FROM ev WHERE prev_type IS NOT NULL
+          |GROUP BY 1, 2),
+          |ow AS (SELECT src, sum(w)::BIGINT AS out_w FROM e0 GROUP BY 1),
+          |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0
+          |JOIN ow USING (src)),
+          |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          |r0 AS (SELECT node, (1000000000000 // p.n)::BIGINT AS r
+          |FROM nodes, p)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |((coalesce(c.s, 0) * 100) // 100)::BIGINT AS r
+           |FROM nodes nd LEFT JOIN
+           |(SELECT e.dst AS node, sum((r.r * e.w) // e.out_w)::BIGINT AS s
+           |FROM r${k - 1} r JOIN e ON e.src = r.node GROUP BY 1) c
+           |ON c.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters +
+        "\nSELECT node AS event_type, r AS pi_u FROM r5"
     },
     "g7_hits" -> {
       // g1's unrolled-iteration discipline applied to the HITS mutual

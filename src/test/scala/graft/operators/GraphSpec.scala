@@ -117,6 +117,16 @@ class GraphSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("pageRankInt at dampingPct=100 is the pure power method: a " +
+      "2-cycle holds the exact uniform stationary distribution") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankInt(edges, "src", "dst", "w", iterations = 5,
+        dampingPct = 100)
+      .as[(String, Long)].collect().toMap
+    // teleport 0, damped x*100 div 100 = x: mass circulates losslessly
+    assert(r === Map("a" -> unit1 / 2, "b" -> unit1 / 2))
+  }
+
   test("hitsInt: hand-computed two-iteration scores; partition-invariant") {
     // A->B, A->C, B->C with unit 600: n=3, h0=200 each.
     // it1: a_raw B=200 C=400 (ts 600) -> a B=200 C=400;
