@@ -1944,6 +1944,33 @@ object SparkEntry {
         ("o_orderkey", "o_orderstatus"),
         ("o_custkey", "o_orderpriority"),
         ("o_orderpriority", "o_orderstatus")))),
+    "dq8_ndv_drift" -> ((s, dir) => {
+      // key-cardinality drift monitor: per-ingest-day NDV from the s25
+      // KMV artifacts (constant-size per day — never a distinct over raw
+      // history), day-over-day ratio in floored ppm, flagged outside
+      // [0.5x, 2x] — the "did upstream start minting ids" alarm. The
+      // ordered lag runs on the day-level frame only
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val k = 16
+      val est = graft.operators.Sketches.columnStatsByGroup(
+          ev, "day", "user_id", k)
+        .select(col("grp").cast("string").as("day"), col("n_rows"),
+          fround(when(size(col("kmv")) < k, size(col("kmv"))
+              .cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(2147483648.0) /
+              element_at(col("kmv"), k).cast("double")), 2)
+            .as("est_distinct"))
+      est
+        .withColumn("prev_est",
+          lag(col("est_distinct"), 1).over(Window.orderBy("day")))
+        .withColumn("change_ppm",
+          floor(col("est_distinct") / greatest(col("prev_est"), lit(1.0))
+            * 1000000).cast("long"))
+        .withColumn("flagged",
+          coalesce(col("change_ppm") >= 2000000L ||
+            col("change_ppm") <= 500000L, lit(false)))
+    }),
     "dq6_column_profile" -> ((s, dir) =>
       // per-column catalog card: nulls, distincts, dominant value +
       // share, value-distribution entropy — string-profiled, nano-nat
@@ -5958,6 +5985,30 @@ object SparkEntry {
            |WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
+    "dq8_ndv_drift" ->
+      """WITH e AS (SELECT ts::TIMESTAMP::DATE AS day, user_id AS v
+        |FROM events),
+        |per AS (SELECT day, count(*)::BIGINT AS n_rows FROM e
+        |GROUP BY 1),
+        |hs AS (SELECT DISTINCT day, (v * 2654435761) % 2147483648 AS h
+        |FROM e WHERE v IS NOT NULL),
+        |pk AS (SELECT day, list_sort(list(h))[1:16] AS kmv
+        |FROM hs GROUP BY 1),
+        |est AS (SELECT per.day::VARCHAR AS day, per.n_rows,
+        |floor((CASE WHEN pk.day IS NULL THEN 0.0
+        |WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE
+        |ELSE 15.0 * 2147483648.0 / kmv[16] END) * 100.0) / 100.0
+        |  AS est_distinct
+        |FROM per LEFT JOIN pk ON pk.day = per.day),
+        |lg AS (SELECT day, n_rows, est_distinct,
+        |lag(est_distinct) OVER (ORDER BY day) AS prev_est FROM est),
+        |cp AS (SELECT day, n_rows, est_distinct, prev_est,
+        |floor(est_distinct / greatest(prev_est, 1.0)
+        |  * 1000000)::BIGINT AS change_ppm FROM lg)
+        |SELECT day, n_rows, est_distinct, prev_est, change_ppm,
+        |coalesce(change_ppm >= 2000000 OR change_ppm <= 500000, false)
+        |  AS flagged
+        |FROM cp""".stripMargin,
     "dq6_column_profile" -> {
       // one value-domain CTE pair per profiled column, stitched with
       // UNION ALL; tie-break and nano-nat arithmetic mirror columnProfile
