@@ -44,6 +44,7 @@ object PlanAudit {
       "st13_stream_sketch" -> "foreachBatch-folded 256-cell sketch state; linearity + fold order proven in SketchesSpec",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
+      "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec",
       "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec")

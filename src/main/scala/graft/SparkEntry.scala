@@ -1891,6 +1891,41 @@ object SparkEntry {
       // likes best"
       graft.operators.Calibration.liftTable(
         t(s, dir, "documents"), "source", "text", "src0", steps = 3)),
+    "w17_compact_rewrite" -> ((s, dir) => {
+      // EXECUTE the s24 coalescence plan: tag each event with its
+      // rewrite group (equi-join on the day), write one partition per
+      // group, and prove content preservation by comparing pre-write vs
+      // read-back counts AND an order-free XOR key fingerprint (the dq2
+      // discipline) — the oracle pins the read-back fingerprint to the
+      // raw data, so a corrupted rewrite cannot pass
+      val tmp = tmpPath("graft-w17")
+      val groups = graft.operators.Compaction.dayGroups(
+        t(s, dir, "events"), "ts", 2000L)
+      val tagged = t(s, dir, "events").filter(col("ts").isNotNull)
+        .withColumn("d", to_date(col("ts")))
+        .join(broadcast(groups.select("d", "grp")), "d")
+      def fp(df: DataFrame) = df
+        .groupBy(col("grp").cast("long").as("grp"))
+        .agg(count(lit(1)).as("rows"),
+          coalesce(bit_xor(conv(substring(
+            md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")), lit(0L)).as("x"))
+      val pre = fp(tagged)
+      tagged.write.mode("overwrite").partitionBy("grp")
+        .parquet(tmp.toString)
+      val post = fp(s.read.parquet(tmp.toString))
+      val nDays = groups.groupBy("grp")
+        .agg(count(lit(1)).as("n_days"))
+      post
+        .join(pre.select(col("grp"), col("rows").as("pre_rows"),
+          col("x").as("pre_x")), "grp")
+        .join(nDays, "grp")
+        .select(col("grp"), col("n_days"), col("rows").as("rb_rows"),
+          col("x").as("xor_fp"),
+          (col("rows") === col("pre_rows")).as("rows_match"),
+          (col("x") === col("pre_x")).as("checksum_match"))
+        .localCheckpoint(true)
+    }),
     "s24_coalesce_plan" -> ((s, dir) =>
       // partition-coalescence planning: contiguous daily partitions merge
       // into rewrite groups of >= 2k rows (exclusive running total div
@@ -5873,6 +5908,22 @@ object SparkEntry {
           |  // greatest(pt * 1000000 // nt, 1) AS lift_ppm,
           |cum_pos * 1000000 // greatest(pt, 1) AS cum_capture_ppm
           |FROM dc, tt""".stripMargin),
+    "w17_compact_rewrite" ->
+      """WITH daily AS (SELECT ts::DATE AS d, count(*)::BIGINT AS nr
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT d, coalesce(sum(nr) OVER (ORDER BY d
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |AS cb FROM daily),
+        |g AS (SELECT d, cb // 2000 AS grp FROM c),
+        |ev AS (SELECT e.event_id, g.grp FROM events e
+        |JOIN g ON e.ts::DATE = g.d),
+        |nd AS (SELECT grp, count(*)::BIGINT AS n_days FROM g GROUP BY 1),
+        |st AS (SELECT grp, count(*)::BIGINT AS rb_rows,
+        |coalesce(bit_xor(('0x' || substr(md5(event_id::VARCHAR),
+        |  1, 8))::BIGINT), 0)::BIGINT AS xor_fp FROM ev GROUP BY 1)
+        |SELECT st.grp, nd.n_days, st.rb_rows, st.xor_fp,
+        |true AS rows_match, true AS checksum_match
+        |FROM st JOIN nd USING (grp)""".stripMargin,
     "s24_coalesce_plan" ->
       """WITH daily AS (SELECT ts::DATE AS d, count(*)::BIGINT AS nr
         |FROM events WHERE ts IS NOT NULL GROUP BY 1),

@@ -127,7 +127,11 @@ object Compaction {
     * calendar-bounded frame (the q72 spine discipline — days, never
     * rows). Output per group: (grp, n_days, d_from, d_to, total_rows),
     * dates rendered as strings for engine-portable comparison. */
-  def coalescePlan(df: DataFrame, tsCol: String,
+  /** The day -> rewrite-group mapping [[coalescePlan]] aggregates,
+    * exposed so an executor (w17) can tag fact rows with their group via
+    * an EQUI-join on the day — never a range join against the plan's
+    * (d_from, d_to) summary. Output: (d, grp, nr). */
+  def dayGroups(df: DataFrame, tsCol: String,
       targetRows: Long): DataFrame = {
     require(targetRows > 0)
     val daily = df.filter(col(tsCol).isNotNull)
@@ -139,10 +143,15 @@ object Compaction {
     daily
       .withColumn("cb", coalesce(sum(col("nr")).over(w), lit(0L)))
       .withColumn("grp", expr(s"cb div ${targetRows}L"))
+      .select(col("d"), col("grp"), col("nr"))
+  }
+
+  def coalescePlan(df: DataFrame, tsCol: String,
+      targetRows: Long): DataFrame =
+    dayGroups(df, tsCol, targetRows)
       .groupBy("grp")
       .agg(count(lit(1)).as("n_days"),
         min(col("d")).cast("string").as("d_from"),
         max(col("d")).cast("string").as("d_to"),
         sum(col("nr")).as("total_rows"))
-  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Tables, TestSpark}
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CompactionSpec extends AnyFunSuite {
@@ -144,5 +144,26 @@ class CompactionSpec extends AnyFunSuite {
       (2L, 1L, "2024-03-05", "2024-03-05", 2L)), got)
     // every group but the last reaches the target; overshoot < one day
     assert(got.init.forall(_._5 >= 8L))
+  }
+
+  test("dayGroups: monotone contiguous group ids that aggregate exactly " +
+      "to the plan (the w17 executor's join key)") {
+    val spark2 = spark; import spark2.implicits._
+    val rows = Seq("01" -> 3, "02" -> 5, "03" -> 4, "04" -> 9, "05" -> 2)
+      .flatMap { case (dd, n) => (1 to n).map(_ => s"2024-03-$dd 10:00:00") }
+    val df = rows.toDF("raw").select(col("raw").cast("timestamp").as("ts"))
+    val g = Compaction.dayGroups(df, "ts", targetRows = 8L)
+      .orderBy("d").as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(g.map(_._2) === Seq(0L, 0L, 1L, 1L, 2L), "grp per day")
+    assert(g.map(_._2) === g.map(_._2).sorted, "calendar-monotone groups")
+    assert(g.map(_._3).sum === rows.length.toLong, "every row accounted")
+    val fromGroups = Compaction.dayGroups(df, "ts", 8L)
+      .groupBy("grp").agg(count(lit(1)).as("n_days"),
+        min(col("d")).cast("string").as("d_from"),
+        max(col("d")).cast("string").as("d_to"),
+        sum(col("nr")).as("total_rows"))
+    val plan = Compaction.coalescePlan(df, "ts", 8L)
+    assert(fromGroups.exceptAll(plan).count() === 0)
+    assert(plan.exceptAll(fromGroups).count() === 0)
   }
 }
