@@ -47,7 +47,8 @@ object PlanAudit {
       "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec",
-      "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec")
+      "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec",
+      "q92_markov_attribution" -> "driver-folded transition matrix, bounded <= (event types + 3)^2 BY CONSTRUCTION; the distributed journey/count plan is the q55 shape, fixed point spec-replicated")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate
     // brute-force baseline whose scale path exists separately. A loop in
@@ -107,7 +108,8 @@ object PlanAudit {
       "dq6_column_profile" -> "1-row per-column totals broadcast crosses",
       "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)",
       "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses",
-      "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)")
+      "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)",
+      "dq9_error_pchart" -> "1-row pooled-totals broadcast cross (center line)")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2006,6 +2006,57 @@ object SparkEntry {
           coalesce(col("change_ppm") >= 2000000L ||
             col("change_ppm") <= 500000L, lit(false)))
     }),
+    "dq9_error_pchart" -> ((s, dir) =>
+      // Shewhart p-chart on the daily error share: pooled center line,
+      // per-day 3-sigma binomial limits tested sqrt-free in exact
+      // integers ((d_ppm^2 * n) vs (9 * p(1e6-p)) in decimal(38,0)) —
+      // the SPC alarm an ops pipeline runs on its own failure rate.
+      // One day-grain agg + a 1-row totals broadcast
+      graft.operators.QualityAudit.rateControlChart(
+        t(s, dir, "events"), to_date(col("ts")),
+        col("event_type") === "error")),
+    "g9_assortativity" -> ((s, dir) => {
+      // directed degree assortativity of the customer -> supplier
+      // purchase graph (Newman 2002): one number answering "do busy
+      // customers buy from popular suppliers, or do hubs fan out to
+      // leaves" — the shape signal that predicts whether g8-style
+      // degree capping bites. Exact BIGINT moments, decimal(38,0)
+      // Pearson combination, IEEE-exact final ratio
+      val edges = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      graft.operators.Graph.assortativity(edges, "cust", "supp")
+    }),
+    "q91_theilsen" -> ((s, dir) => {
+      // Theil-Sen robust revenue trend per order priority: median of
+      // pairwise slopes over the MONTHLY aggregate (84 calendar months
+      // — the O(n^2) pair join is calendar-bounded by construction,
+      // never data-sized), integer cents, micro-unit slopes, lower
+      // median under a total order — engine-exact robust drift
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mx"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      graft.operators.TimeSeries.theilSen(monthly, "priority", "mx",
+          "cents")
+        .withColumnRenamed("key", "priority")
+    }),
+    "q92_markov_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution (Anderl et al. 2014): build
+      // the first-order journey chain (distributed windows + one agg —
+      // the q55 plan), then credit each channel by the drop in START's
+      // absorption probability when that channel is pinned to zero.
+      // The K=16 fixed point runs on the collected transition matrix —
+      // bounded by (event types + 3)^2 BY CONSTRUCTION — in exact
+      // integer micro-units the oracle unrolls CTE-for-CTE
+      val trans = graft.operators.Attribution.journeyTransitions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "purchase")
+      graft.operators.Attribution.removalEffects(trans, iterations = 16)
+    }),
     "dq6_column_profile" -> ((s, dir) =>
       // per-column catalog card: nulls, distincts, dominant value +
       // share, value-distribution entropy — string-profiled, nano-nat
@@ -6035,6 +6086,136 @@ object SparkEntry {
            |count(DISTINCT $dep::VARCHAR) AS nd FROM orders
            |WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+    "dq9_error_pchart" ->
+      """WITH daily AS (SELECT ts::TIMESTAMP::DATE::VARCHAR AS bucket,
+        |count(*)::BIGINT AS n_rows,
+        |sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |  AS n_defects
+        |FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n_rows)::BIGINT AS tn,
+        |sum(n_defects)::BIGINT AS tx FROM daily),
+        |r AS (SELECT bucket, n_rows, n_defects,
+        |n_defects * 1000000 // n_rows AS rate_ppm,
+        |tx * 1000000 // greatest(tn, 1) AS center_ppm
+        |FROM daily, tot)
+        |SELECT bucket, n_rows, n_defects, rate_ppm, center_ppm,
+        |(rate_ppm - center_ppm)::HUGEINT * (rate_ppm - center_ppm)
+        |  * n_rows > 9::HUGEINT * center_ppm * (1000000 - center_ppm)
+        |  AS out_of_control,
+        |CASE WHEN NOT ((rate_ppm - center_ppm)::HUGEINT
+        |    * (rate_ppm - center_ppm) * n_rows
+        |    > 9::HUGEINT * center_ppm * (1000000 - center_ppm))
+        |  THEN 'in' WHEN rate_ppm > center_ppm THEN 'high'
+        |  ELSE 'low' END AS side
+        |FROM r""".stripMargin,
+    "g9_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS cust,
+        |l_suppkey AS supp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |od AS (SELECT cust, count(*)::BIGINT AS j FROM e GROUP BY 1),
+        |idg AS (SELECT supp, count(*)::BIGINT AS k FROM e GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS m_edges,
+        |sum(j)::BIGINT AS sum_j, sum(k)::BIGINT AS sum_k,
+        |sum(j * k)::BIGINT AS sum_jk, sum(j * j)::BIGINT AS sum_j2,
+        |sum(k * k)::BIGINT AS sum_k2
+        |FROM e JOIN od USING (cust) JOIN idg USING (supp))
+        |SELECT m_edges, sum_j, sum_k, sum_jk,
+        |floor(((m_edges::HUGEINT * sum_jk - sum_j::HUGEINT * sum_k)
+        |    ::DOUBLE
+        |  / sqrt((m_edges::HUGEINT * sum_j2 - sum_j::HUGEINT * sum_j)
+        |      ::DOUBLE
+        |    * (m_edges::HUGEINT * sum_k2 - sum_k::HUGEINT * sum_k)
+        |      ::DOUBLE)) * 1000000) / 1000000 AS assortativity
+        |FROM m""".stripMargin,
+    "q91_theilsen" ->
+      """WITH monthly AS (SELECT o_orderpriority AS priority,
+        |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1, 2),
+        |pairs AS (SELECT a.priority, a.mx AS x1, b.mx AS x2,
+        |((b.cents - a.cents) * 1000000) // (b.mx - a.mx) AS slope_micro
+        |FROM monthly a JOIN monthly b
+        |ON a.priority = b.priority AND a.mx < b.mx),
+        |ranked AS (SELECT priority, slope_micro,
+        |row_number() OVER (PARTITION BY priority
+        |  ORDER BY slope_micro, x1, x2) AS rn,
+        |count(*) OVER (PARTITION BY priority)::BIGINT AS n_pairs
+        |FROM pairs),
+        |nb AS (SELECT priority, count(*)::BIGINT AS n_buckets
+        |FROM monthly GROUP BY 1)
+        |SELECT r.priority, nb.n_buckets, r.n_pairs,
+        |r.slope_micro AS median_slope_micro
+        |FROM ranked r JOIN nb USING (priority)
+        |WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+    "q92_markov_attribution" -> {
+      // the g1/g7 unrolled-iteration discipline applied to the
+      // absorption fixed point: one CTE per step, scenario ('remove
+      // channel c' / '__none__') carried as a column, clamps identical
+      // to Attribution.removalEffects — bit-exact at every k
+      val head =
+        """WITH ev AS (SELECT user_id AS u, ts, event_id AS eid,
+          |event_type AS et FROM events),
+          |fp AS MATERIALIZED (SELECT u, ts AS fp_ts, eid AS fp_id FROM (
+          |SELECT u, ts, eid, row_number() OVER (PARTITION BY u
+          |  ORDER BY ts, eid) AS rn FROM ev WHERE et = 'purchase')
+          |WHERE rn = 1),
+          |touches AS MATERIALIZED (SELECT e.u, e.ts, e.eid, e.et,
+          |fp.u IS NOT NULL AS converted
+          |FROM ev e LEFT JOIN fp ON e.u = fp.u
+          |WHERE e.et <> 'purchase' AND (fp.u IS NULL
+          |  OR e.ts < fp.fp_ts
+          |  OR (e.ts = fp.fp_ts AND e.eid < fp.fp_id))),
+          |seq AS (SELECT u, et, converted,
+          |lag(et) OVER (PARTITION BY u ORDER BY ts, eid) AS prev,
+          |row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS i,
+          |count(*) OVER (PARTITION BY u) AS m FROM touches),
+          |trans AS (
+          |SELECT coalesce(prev, 'START') AS src, et AS dst FROM seq
+          |UNION ALL SELECT et,
+          |CASE WHEN converted THEN 'CONV' ELSE 'NULL' END
+          |FROM seq WHERE i = m
+          |UNION ALL SELECT 'START', 'CONV' FROM fp
+          |LEFT JOIN (SELECT DISTINCT u FROM touches) t ON fp.u = t.u
+          |WHERE t.u IS NULL),
+          |cnt AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS n
+          |FROM trans GROUP BY 1, 2),
+          |outs AS MATERIALIZED (SELECT src, sum(n)::BIGINT AS o
+          |FROM cnt GROUP BY 1),
+          |states AS MATERIALIZED (SELECT src AS st FROM cnt
+          |UNION SELECT dst FROM cnt),
+          |scen AS MATERIALIZED (SELECT DISTINCT et AS scen FROM touches
+          |UNION ALL SELECT '__none__'),
+          |v0 AS (SELECT s.scen, st.st,
+          |(CASE WHEN st.st = 'CONV' THEN 1000000 ELSE 0 END)::BIGINT
+          |  AS v
+          |FROM scen s CROSS JOIN states st)""".stripMargin
+      val iters = (1 to 16).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT b.scen, b.st,
+           |(CASE WHEN b.st = 'CONV' THEN 1000000
+           |  WHEN b.st = 'NULL' OR b.st = b.scen THEN 0
+           |  ELSE coalesce(r.sv, 0) END)::BIGINT AS v
+           |FROM (SELECT s.scen, st.st FROM scen s CROSS JOIN states st)
+           |  b
+           |LEFT JOIN (SELECT p.scen, c.src AS st,
+           |  sum(c.n * p.v)::BIGINT // o.o AS sv
+           |  FROM v${k - 1} p JOIN cnt c ON c.dst = p.st
+           |  JOIN outs o ON o.src = c.src
+           |  GROUP BY p.scen, c.src, o.o) r
+           |ON r.scen = b.scen AND r.st = b.st)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters + ",\n" +
+        """rv AS (SELECT scen, v FROM v16 WHERE st = 'START'),
+          |pf AS (SELECT v AS p_full FROM rv WHERE scen = '__none__'),
+          |ch AS (SELECT scen AS channel, v AS p_removed FROM rv
+          |WHERE scen <> '__none__')
+          |SELECT channel, pf.p_full AS p_full_u,
+          |p_removed AS p_removed_u,
+          |(pf.p_full - p_removed)::BIGINT AS removal_u,
+          |(((pf.p_full - p_removed) * 1000000)
+          |  // greatest((sum(pf.p_full - p_removed) OVER ())::BIGINT,
+          |    1))::BIGINT AS attribution_ppm
+          |FROM ch, pf""".stripMargin
     },
     "dq8_ndv_drift" ->
       """WITH e AS (SELECT ts::TIMESTAMP::DATE AS day, user_id AS v

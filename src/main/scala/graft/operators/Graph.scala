@@ -548,4 +548,56 @@ object Graph {
     e.unpersist(false)
     result
   }
+
+  /** Directed degree assortativity (Newman 2002/2003): the Pearson
+    * correlation, over EDGES, of the source's out-degree with the
+    * target's in-degree. Positive r = busy sources link to popular
+    * targets (hub-hub "rich club"); negative r = hubs fan out to leaves
+    * (the usual shape of catalog/purchase graphs). One number that tells
+    * a curation pipeline whether degree capping (g8's hub exclusion)
+    * will bite.
+    *
+    * Determinism: degrees and the five moment sums (M, sum_j, sum_k,
+    * sum_jk, sum_j2, sum_k2) are exact BIGINT aggregates; the Pearson
+    * combination runs in DECIMAL(38,0) (products of two ~1e18 moments
+    * overflow BIGINT long before 100 TB), and only the final ratio
+    * drops to double — where multiply, divide and sqrt are all IEEE
+    * correctly-rounded, so any engine computes the identical double
+    * from the identical integers.
+    *
+    * Scale shape: one `distinct` on the edge list, two map-side-combined
+    * degree aggregations, then the degree maps join back onto the edges
+    * (both sides shuffled by key once; the degree frames are |V|-sized
+    * and hash-join cheaply) and everything collapses into a single
+    * 1-row moment aggregate — nothing after the distinct grows with
+    * |E|. Self-loops (src == dst after projection) stay in, per
+    * Newman's edge-list convention. */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("j"))
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("k"))
+    val m = e.join(outDeg, "src").join(inDeg, "dst")
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("j")).as("sum_j"), sum(col("k")).as("sum_k"),
+        sum(expr("j * k")).as("sum_jk"),
+        sum(expr("j * j")).as("sum_j2"),
+        sum(expr("k * k")).as("sum_k2"))
+    val num = expr("""cast(cast(m_edges as decimal(38,0)) * sum_jk
+          - cast(sum_j as decimal(38,0)) * sum_k as double)""")
+    val denJ = expr("""cast(cast(m_edges as decimal(38,0)) * sum_j2
+          - cast(sum_j as decimal(38,0)) * sum_j as double)""")
+    val denK = expr("""cast(cast(m_edges as decimal(38,0)) * sum_k2
+          - cast(sum_k as decimal(38,0)) * sum_k as double)""")
+    val result = m.select(col("m_edges"), col("sum_j"), col("sum_k"),
+        col("sum_jk"),
+        graft.functions.NumericFunctions
+          .fround(num / sqrt(denJ * denK), 6).as("assortativity"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    e.unpersist(false)
+    result
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Constraint audit — machine-checkable table invariants, reported as one
@@ -358,5 +358,48 @@ object QualityAudit {
         expr("n_obs * 1000000 div greatest(n_total, 1)").as("obs_ppm"),
         element_at(expMap, col("digit")).as("expected_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
+  }
+
+  /** Shewhart p-chart over a per-bucket defect rate (Shewhart 1931; the
+    * SPC chart ops teams run on daily error share): each bucket's rate
+    * is tested against the pooled center line at 3 sigma under the
+    * binomial model, with per-bucket limits (small days get wide
+    * limits, big days tight ones).
+    *
+    * sqrt-free integer test: out-of-control iff
+    * `(p_i - pbar)^2 > 9 * pbar(1-pbar)/n_i`, which in floored-ppm
+    * units is `d_ppm^2 * n_i > 9 * c_ppm * (1e6 - c_ppm)` — every
+    * quantity an exact integer, the one comparison that matters never
+    * touching libm. `d_ppm` floors each side's rate independently
+    * (<=1 ppm quantization at the boundary, identically on every
+    * engine). The square times n_i runs in DECIMAL(38,0): 1e12 * a
+    * per-bucket count overflows BIGINT at real scale.
+    *
+    * Scale shape: one map-side-combined aggregation to the bucket
+    * grain, a 1-row totals aggregate broadcast back over the bucket
+    * frame (bounded by the calendar, never the data), and a per-row
+    * verdict. */
+  def rateControlChart(df: DataFrame, bucketCol: Column,
+      defect: Column): DataFrame = {
+    val daily = df
+      .select(bucketCol.cast("string").as("bucket"),
+        when(defect, 1L).otherwise(0L).as("is_defect"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("is_defect")).as("n_defects"))
+    val tot = daily.agg(sum(col("n_rows")).as("tn"),
+      sum(col("n_defects")).as("tx"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("n_defects"),
+        expr("n_defects * 1000000 div n_rows").as("rate_ppm"),
+        expr("tx * 1000000 div greatest(tn, 1)").as("center_ppm"))
+      .withColumn("out_of_control",
+        expr("""cast(rate_ppm - center_ppm as decimal(38,0))
+            * (rate_ppm - center_ppm) * n_rows
+            > cast(9 as decimal(38,0)) * center_ppm
+            * (1000000 - center_ppm)"""))
+      .withColumn("side",
+        when(!col("out_of_control"), "in")
+          .when(col("rate_ppm") > col("center_ppm"), "high")
+          .otherwise("low"))
   }
 }

@@ -74,4 +74,49 @@ object TimeSeries {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("h").as("cp_h"), col("s_abs"))
   }
+
+  /** Theil-Sen robust trend estimator (Theil 1950 / Sen 1968) per series:
+    * the median of all pairwise slopes over a PRE-AGGREGATED series — the
+    * outlier-robust answer to "is this KPI drifting", immune to the
+    * single crazy month OLS would chase.
+    *
+    * Determinism: each pairwise slope is one floored division to
+    * micro-units per x step (`1e6 * dy div dx` — signed `div` truncates
+    * toward zero identically on every engine), and the median is the
+    * LOWER median — the row at rank `(n+1) div 2` under the total order
+    * (slope, x1, x2), so ties and even counts resolve identically
+    * everywhere.
+    *
+    * Scale shape: the O(n^2) pair join runs on the AGGREGATE series —
+    * bounded by the calendar (84 months of TPC-H dates; `maxBuckets`
+    * `require`s the bound holds), never the fact rows, so the pair count
+    * is a constant ~3.5k per series regardless of data scale. The heavy
+    * work is the one map-side-combined bucketing aggregation.
+    *
+    * `series`: (key, x BIGINT bucket index, y BIGINT) one row per bucket.
+    * Output: (key, n_buckets, n_pairs, median_slope_micro). */
+  def theilSen(series: DataFrame, keyCol: String, xCol: String,
+      yCol: String, maxBuckets: Int = 1024): DataFrame = {
+    val s = series.select(col(keyCol).as("key"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val maxN = s.groupBy("key").count().agg(max("count")).head()
+    require(maxN.isNullAt(0) || maxN.getLong(0) <= maxBuckets,
+      s"a series exceeds $maxBuckets buckets — aggregate coarser first")
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.key") === col("b.key") && col("a.x") < col("b.x"))
+      .select(col("a.key").as("key"), col("a.x").as("x1"),
+        col("b.x").as("x2"),
+        expr("(b.y - a.y) * 1000000L div (b.x - a.x)")
+          .as("slope_micro"))
+    val wOrd = Window.partitionBy("key")
+      .orderBy(col("slope_micro"), col("x1"), col("x2"))
+    val wAll = Window.partitionBy("key")
+    pairs
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .join(s.groupBy("key").agg(count(lit(1)).as("n_buckets")), "key")
+      .select(col("key"), col("n_buckets"), col("n_pairs"),
+        col("slope_micro").as("median_slope_micro"))
+  }
 }

@@ -394,4 +394,33 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(again === rc)
   }
+
+  test("assortativity: hand-computed Pearson, perfect extremes, " +
+      "duplicate-edge dedup, partition invariance") {
+    // (a->x, a->y, b->x): out-deg a=2 b=1; in-deg x=2 y=1.
+    // Edge (j,k) tuples (2,2) (2,1) (1,2): M=3, sum_j=sum_k=5,
+    // sum_jk=8, sum_j2=sum_k2=9 -> r = (24-25)/sqrt(2*2) = -0.5
+    val e1 = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("s", "d")
+    val r1 = Graph.assortativity(e1, "s", "d")
+      .select("m_edges", "sum_jk", "assortativity")
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 === ((3L, 8L, -0.5)))
+    // perfectly assortative: both hubs link both popular targets, the
+    // leaf links the leaf -> every edge has j == k -> r = +1
+    val ePos = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+      ("c", "z")).toDF("s", "d")
+    assert(Graph.assortativity(ePos, "s", "d")
+      .select("assortativity").as[Double].collect().head === 1.0)
+    // perfectly disassortative: hubs fan to leaves only -> r = -1
+    val eNeg = Seq(("a", "x"), ("a", "y"), ("b", "z"), ("c", "z"))
+      .toDF("s", "d")
+    assert(Graph.assortativity(eNeg, "s", "d")
+      .select("assortativity").as[Double].collect().head === -1.0)
+    // duplicate edges collapse before degrees are counted
+    val dup = Graph.assortativity(e1.unionAll(e1).repartition(5),
+        "s", "d")
+      .select("m_edges", "sum_jk", "assortativity")
+      .as[(Long, Long, Double)].collect().head
+    assert(dup === r1)
+  }
 }

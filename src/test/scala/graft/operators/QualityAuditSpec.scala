@@ -227,4 +227,39 @@ class QualityAuditSpec extends AnyFunSuite {
     val r2 = QualityAudit.benfordAudit(df.repartition(5), "v")
     assert(QualityAudit.benfordAudit(df, "v").exceptAll(r2).count() === 0)
   }
+
+  test("rateControlChart: hand-computed 3-sigma verdicts on both sides") {
+    // three 100-row days with 10 / 50 / 0 defects: center = 60/300 =
+    // 200000 ppm; sigma^2 test boundary 9*c*(1e6-c) = 1.44e12.
+    // day1 d=-1e5 -> d^2*n = 1e12 (in); day2 d=3e5 -> 9e12 (out high);
+    // day3 d=-2e5 -> 4e12 (out low)
+    val rows = (1 to 100).map(i => ("d1", i <= 10)) ++
+      (1 to 100).map(i => ("d2", i <= 50)) ++
+      (1 to 100).map(i => ("d3", false))
+    val df = rows.toDF("bucket", "bad")
+    val r = QualityAudit.rateControlChart(df, col("bucket"), col("bad"))
+      .select("bucket", "rate_ppm", "center_ppm", "out_of_control",
+        "side")
+      .as[(String, Long, Long, Boolean, String)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("d1") === (("d1", 100000L, 200000L, false, "in")))
+    assert(r("d2") === (("d2", 500000L, 200000L, true, "high")))
+    assert(r("d3") === (("d3", 0L, 200000L, true, "low")))
+  }
+
+  test("rateControlChart: uniform rates are all in control; single " +
+      "bucket sits exactly on its own center line") {
+    val uni = (1 to 3).flatMap(d =>
+      (1 to 40).map(i => (s"d$d", i <= 4))).toDF("bucket", "bad")
+    val ru = QualityAudit.rateControlChart(uni, col("bucket"),
+      col("bad"))
+    assert(ru.filter(col("out_of_control")).count() === 0)
+    assert(ru.select("side").as[String].collect().forall(_ == "in"))
+    val one = (1 to 40).map(i => ("only", i <= 7)).toDF("bucket", "bad")
+    val ro = QualityAudit.rateControlChart(one, col("bucket"),
+        col("bad"))
+      .select("rate_ppm", "center_ppm", "out_of_control")
+      .as[(Long, Long, Boolean)].collect().head
+    assert(ro._1 === ro._2 && !ro._3)
+  }
 }

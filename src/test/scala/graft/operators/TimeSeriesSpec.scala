@@ -84,4 +84,45 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(interior.forall(t => t == math.floor(370.0 / 25 * 10000) / 10000
       || t == math.floor(380.0 / 25 * 10000) / 10000))
   }
+
+  test("theilSen: hand-computed lower median over all pairwise slopes") {
+    // (0,0) (1,10) (2,14) (3,100): six slopes in micro-units
+    // 10e6, 7e6, 33333333, 4e6, 45e6, 86e6 -> sorted rank (6+1)/2 = 3
+    // -> 10e6. The trunc division shows on the (0,3) pair: 100/3.
+    val s = Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 14L),
+      ("a", 3L, 100L)).toDF("key", "x", "y")
+    val r = TimeSeries.theilSen(s, "key", "x", "y")
+      .select("key", "n_buckets", "n_pairs", "median_slope_micro")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(r === (("a", 4L, 6L, 10000000L)))
+  }
+
+  test("theilSen: one wild outlier cannot move the median slope; " +
+      "negative-trend truncation is toward zero") {
+    // y = 2x on x=0..4 plus a wild (5, 1000): 10 of 15 pairwise slopes
+    // are exactly 2e6, so the rank-8 lower median stays 2e6
+    val s = ((0L to 4L).map(x => ("k", x, 2L * x)) :+ (("k", 5L, 1000L)))
+      .toDF("key", "x", "y")
+    val r = TimeSeries.theilSen(s, "key", "x", "y")
+      .select("n_pairs", "median_slope_micro")
+      .as[(Long, Long)].collect().head
+    assert(r === ((15L, 2000000L)))
+    // falling series: -7 over 2 steps -> -3500000 exactly; over 3 steps
+    // -7e6/3 truncates toward zero to -2333333 (not floor -2333334)
+    val neg = Seq(("n", 0L, 7L), ("n", 3L, 0L)).toDF("key", "x", "y")
+    assert(TimeSeries.theilSen(neg, "key", "x", "y")
+      .select("median_slope_micro").as[Long].collect().head
+      === -2333333L)
+  }
+
+  test("theilSen: maxBuckets guard fails loudly; partition invariance") {
+    val big = (0L to 40L).map(x => ("k", x, x)).toDF("key", "x", "y")
+    intercept[IllegalArgumentException] {
+      TimeSeries.theilSen(big, "key", "x", "y", maxBuckets = 10)
+    }
+    val a = TimeSeries.theilSen(big, "key", "x", "y").collect().toSeq
+    val b = TimeSeries.theilSen(big.repartition(7), "key", "x", "y")
+      .collect().toSeq
+    assert(a === b)
+  }
 }
