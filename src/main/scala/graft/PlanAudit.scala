@@ -109,7 +109,8 @@ object PlanAudit {
       "ss22_matryoshka_rerank" -> "bounded query-batch broadcast cross (prefix stage; shortlist bounds the rerank)",
       "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses",
       "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)",
-      "dq9_error_pchart" -> "1-row pooled-totals broadcast cross (center line)")
+      "dq9_error_pchart" -> "1-row pooled-totals broadcast cross (center line)",
+      "q93_conversion_hazard" -> "1-row observation-end broadcast cross")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2057,6 +2057,53 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q93_conversion_hazard" -> ((s, dir) => {
+      // discrete-time conversion hazard with right censoring (the
+      // life-table form of time-to-convert; Kaplan-Meier's product is
+      // implied by the published hazards without ever multiplying):
+      // per user one (lag-day, converted?) event — converts die at
+      // datediff(first purchase, first touch), the rest censor at the
+      // observation end — then at-risk counts fall out of one cumulative
+      // window over the day grain: n_at_risk(t) = total - all deaths and
+      // censorings before t. Day rows without an exit are omitted
+      // (hazard there is exactly 0). Everything after the per-user agg
+      // is calendar-sized; exact integer ppm throughout
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val users = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("ft"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("fp"))
+      val end = ev.agg(max(col("ts")).as("obs_end"))
+      val exits = users.crossJoin(broadcast(end))
+        .select(
+          when(col("fp").isNotNull,
+              datediff(to_date(col("fp")), to_date(col("ft"))))
+            .otherwise(
+              datediff(to_date(col("obs_end")), to_date(col("ft"))))
+            .cast("long").as("t_day"),
+          col("fp").isNotNull.as("is_conv"))
+        .groupBy("t_day")
+        .agg(sum(when(col("is_conv"), 1L).otherwise(0L))
+            .as("n_converted"),
+          sum(when(col("is_conv"), 0L).otherwise(1L)).as("n_censored"))
+      val wOrd = Window.orderBy("t_day")
+      val wAll = Window.partitionBy()
+      exits
+        .withColumn("total", sum(col("n_converted") + col("n_censored"))
+          .over(wAll))
+        .withColumn("prior", coalesce(
+          sum(col("n_converted") + col("n_censored")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum_conv", sum(col("n_converted")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("t_day"), (col("total") - col("prior"))
+            .as("n_at_risk"),
+          col("n_converted"), col("n_censored"),
+          expr("n_converted * 1000000 div (total - prior)")
+            .as("hazard_ppm"),
+          expr("cum_conv * 1000000 div total").as("cum_conv_ppm"))
+    }),
     "dq6_column_profile" -> ((s, dir) =>
       // per-column catalog card: nulls, distincts, dominant value +
       // share, value-distribution entropy — string-profiled, nano-nat
@@ -6217,6 +6264,37 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q93_conversion_hazard" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |users AS (SELECT user_id, min(ts) AS ft,
+        |min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |FROM ev GROUP BY 1),
+        |e AS (SELECT max(ts) AS obs_end FROM ev),
+        |exits AS (SELECT
+        |(CASE WHEN fp IS NOT NULL
+        |  THEN date_diff('day', ft::DATE, fp::DATE)
+        |  ELSE date_diff('day', ft::DATE, obs_end::DATE) END)::BIGINT
+        |  AS t_day,
+        |fp IS NOT NULL AS is_conv FROM users, e),
+        |g AS (SELECT t_day,
+        |sum(CASE WHEN is_conv THEN 1 ELSE 0 END)::BIGINT
+        |  AS n_converted,
+        |sum(CASE WHEN is_conv THEN 0 ELSE 1 END)::BIGINT AS n_censored
+        |FROM exits GROUP BY 1),
+        |w AS (SELECT t_day, n_converted, n_censored,
+        |sum(n_converted + n_censored) OVER ()::BIGINT AS total,
+        |coalesce(sum(n_converted + n_censored) OVER (ORDER BY t_day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0)::BIGINT AS prior,
+        |sum(n_converted) OVER (ORDER BY t_day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |  AS cum_conv
+        |FROM g)
+        |SELECT t_day, (total - prior) AS n_at_risk, n_converted,
+        |n_censored,
+        |n_converted * 1000000 // (total - prior) AS hazard_ppm,
+        |cum_conv * 1000000 // total AS cum_conv_ppm
+        |FROM w""".stripMargin,
     "dq8_ndv_drift" ->
       """WITH e AS (SELECT ts::TIMESTAMP::DATE AS day, user_id AS v
         |FROM events),

@@ -51,6 +51,33 @@ object Calibration {
       .select((col("x") - col("xbar")).as("xc"), col("y"), col("n"))
   }
 
+  /** Memoized [[centeredBase]] / trained-trajectory frames, the
+    * EntityResolution.scoredDistinct discipline: tx34 (trainer), tx36
+    * (reliability audit) and tx38 (decile lift) all consume the same
+    * tokenize pass and the same trained weights in one bench/verify
+    * session, and without the memo each re-pays the full tokenize scan
+    * and the whole GD chain. Keyed by session identity + source-plan
+    * semantic hash + params so a stopped test session can never poison
+    * a later one; frames persist MEMORY_AND_DISK and die with their
+    * session. */
+  private val baseCache =
+    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+  private val trainCache =
+    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+
+  private def cacheKey(docs: DataFrame, params: Seq[Any]) =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.semanticHash().toString,
+      params.mkString("|"))
+
+  private def centeredBaseCached(docs: DataFrame, sourceCol: String,
+      textCol: String, targetSource: String): DataFrame = synchronized {
+    baseCache.getOrElseUpdate(
+      cacheKey(docs, Seq(sourceCol, textCol, targetSource)),
+      centeredBase(docs, sourceCol, textCol, targetSource)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Rational-sigmoid prediction in [0, 1e6) micro-units for a weight
     * state carried as (w0_u, w1_u) columns — shared trainer/audit math. */
   private def predictedMicro(): org.apache.spark.sql.Column = {
@@ -61,10 +88,20 @@ object Calibration {
   }
 
   def domainClassifierSteps(docs: DataFrame, sourceCol: String,
-      textCol: String, targetSource: String, steps: Int = 3): DataFrame = {
+      textCol: String, targetSource: String,
+      steps: Int = 3): DataFrame = synchronized {
+    trainCache.getOrElseUpdate(
+      cacheKey(docs, Seq(sourceCol, textCol, targetSource, steps)),
+      domainClassifierStepsUncached(docs, sourceCol, textCol,
+          targetSource, steps)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def domainClassifierStepsUncached(docs: DataFrame,
+      sourceCol: String, textCol: String, targetSource: String,
+      steps: Int): DataFrame = {
     require(steps >= 1 && steps <= 16, "1 <= steps <= 16 (unrolled plan)")
-    val base = centeredBase(docs, sourceCol, textCol, targetSource)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = centeredBaseCached(docs, sourceCol, textCol, targetSource)
     var state = docs.sparkSession.range(1).select(lit(0).as("step"),
       lit(0L).as("s0"), lit(0L).as("s1"),
       lit(0L).as("w0_u"), lit(0L).as("w1_u"))
@@ -166,7 +203,8 @@ object Calibration {
     val wFinal = domainClassifierSteps(docs, sourceCol, textCol,
         targetSource, steps)
       .filter(col("step") === steps).select("w0_u", "w1_u")
-    liftFromScores(centeredBase(docs, sourceCol, textCol, targetSource)
+    liftFromScores(centeredBaseCached(docs, sourceCol, textCol,
+        targetSource)
       .crossJoin(broadcast(wFinal))
       .select(predictedMicro().as("p_u"), col("y")))
   }
@@ -176,7 +214,7 @@ object Calibration {
     val wFinal = domainClassifierSteps(docs, sourceCol, textCol,
         targetSource, steps)
       .filter(col("step") === steps).select("w0_u", "w1_u")
-    centeredBase(docs, sourceCol, textCol, targetSource)
+    centeredBaseCached(docs, sourceCol, textCol, targetSource)
       .crossJoin(broadcast(wFinal))
       .select(predictedMicro().as("p_u"), col("y"))
       .withColumn("bin", expr("least(p_u div 100000, 9)"))
