@@ -600,8 +600,32 @@ object EntityResolution {
           .as("weak"))
   }
 
+  /** Memoized per (session, projected source plan, params) — the
+    * [[scoredDistinct]] discipline one level up: er1 (the clustering
+    * itself), er4 (golden records) and er8 (cluster audit) all consume
+    * the same entity assignment in one bench/verify session, and
+    * without the memo each re-pays blocking + scoring + the full
+    * connected-components fixpoint. Keyed on the OPTIMIZED plan of the
+    * (key, name, block) projection so callers that pass wider frames of
+    * the same table still share; the assignment frame is record-sized
+    * and persists MEMORY_AND_DISK (spills, never OOMs), dying with its
+    * session. */
+  private val entityCache =
+    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+
   def resolveEntities(records: DataFrame, keyCol: String, nameCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double): DataFrame = synchronized {
+    val proj = records.select(col(keyCol), col(nameCol), col(blockCol))
+    val key = (System.identityHashCode(records.sparkSession),
+      proj.queryExecution.optimizedPlan.semanticHash().toString,
+      Seq(keyCol, nameCol, blockCol, threshold).mkString("|"))
+    entityCache.getOrElseUpdate(key,
+      resolveEntitiesUncached(proj, keyCol, nameCol, blockCol, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def resolveEntitiesUncached(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, threshold: Double): DataFrame = {
     val pairs = tokenBlockedPairs(records, keyCol, nameCol, blockCol,
         threshold)
       .select(col("pk_a").as("doc_a"), col("pk_b").as("doc_b"))
