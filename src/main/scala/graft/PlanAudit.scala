@@ -48,6 +48,7 @@ object PlanAudit {
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec",
       "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec",
+      "tx39_bpe_encode" -> "shares tx35's memoized training run (construction-time checkpoints); encode itself is one corpus shuffle + vocabulary-sized merge application, gated in TokenizerTrainSpec",
       "q92_markov_attribution" -> "driver-folded transition matrix, bounded <= (event types + 3)^2 BY CONSTRUCTION; the distributed journey/count plan is the q55 shape, fixed point spec-replicated")
     // queries whose loop joins are KNOWN-benign (curated, not inferred):
     // 1-row aggregate / tiny-centroid broadcast crosses, or a deliberate

@@ -2266,6 +2266,14 @@ object SparkEntry {
       // merges ride a checkpointed 1-row broadcast frame
       TokenizerTrain.bpeTrain(t(s, dir, "documents"), "text",
         nMerges = 6)),
+    "tx39_bpe_encode" -> ((s, dir) =>
+      // the trained tokenizer APPLIED: encode the corpus with tx35's
+      // merge table (shared memoized training run) and report per-source
+      // token compression — merges run over the post-aggregation
+      // (source, word) vocabulary with the table on a 1-row broadcast;
+      // the corpus pays one shuffle, the output is |sources| rows
+      TokenizerTrain.bpeEncodeReport(t(s, dir, "documents"), "text",
+        "source", nMerges = 6)),
     "tx22_feature_hash" -> ((s, dir) =>
       // hashing-trick featurizer: tokens land in 16 hash buckets (first
       // 32 md5 bits mod D), per-doc bucket counts are the fixed-width
@@ -4161,7 +4169,7 @@ object SparkEntry {
     * ss13 unrolled-greedy pattern). Mirrors TokenizerTrain.bpeTrain
     * exactly: two-space symbol serialization, literal replace merges,
     * (cnt DESC, pair) tie-break. */
-  private def bpeTrainOracleSql(n: Int): String = {
+  private def bpeCtes(n: Int): String = {
     val init =
       "WITH w0 AS (SELECT w, count(*)::BIGINT AS freq FROM (SELECT " +
         s"unnest($duckToks) AS w FROM documents) GROUP BY 1),\n" +
@@ -4179,10 +4187,43 @@ object SparkEntry {
         "|| '  ' || split_part(pair, ' ', 2) || ' ', ' ' || " +
         s"replace(pair, ' ', '') || ' ') AS s FROM v${k - 1}, b$k)"
     }.mkString(",\n")
+    s"$init,\n$rounds"
+  }
+
+  private def bpeTrainOracleSql(n: Int): String = {
     val sel = (1 to n).map(k =>
       s"SELECT $k::BIGINT AS step, pair, cnt FROM b$k")
       .mkString("\nUNION ALL\n")
-    s"$init,\n$rounds\n$sel"
+    s"${bpeCtes(n)}\n$sel"
+  }
+
+  /** Oracle for tx39: replays the tx35 training CTEs, then encodes the
+    * per-(source, word) vocabulary with the same nested literal-replace
+    * merge semantics and aggregates per source. */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val mrg = "mrg AS (SELECT " +
+      (1 to n).map(k => s"b$k.pair AS p$k").mkString(", ") +
+      " FROM " + (1 to n).map(k => s"b$k").mkString(", ") + ")"
+    val ser = (1 to n).foldLeft("regexp_replace(w, '(.)', ' \\1 ', 'g')") {
+      (c, k) =>
+        s"replace($c, ' ' || split_part(p$k, ' ', 1) || '  ' || " +
+          s"split_part(p$k, ' ', 2) || ' ', ' ' || " +
+          s"replace(p$k, ' ', '') || ' ')"
+    }
+    s"""${bpeCtes(n)},
+       |$mrg,
+       |sv AS (SELECT source, w, count(*)::BIGINT AS freq FROM
+       |(SELECT source, unnest($duckToks) AS w FROM documents)
+       |GROUP BY 1, 2),
+       |enc AS (SELECT source, freq, len(w)::BIGINT AS nc,
+       |len(regexp_split_to_array(trim($ser), ' +'))::BIGINT AS nt
+       |FROM sv, mrg)
+       |SELECT source, sum(freq)::BIGINT AS n_words,
+       |sum(freq * nc)::BIGINT AS n_chars,
+       |sum(freq * nt)::BIGINT AS n_tokens,
+       |(sum(freq * nt) * 1000 // greatest(sum(freq * nc), 1))::BIGINT
+       |AS tok_per_kchar
+       |FROM enc GROUP BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6497,6 +6538,7 @@ object SparkEntry {
          |row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM pc)
          |SELECT rank, pair, cnt FROM r WHERE rank <= 10""".stripMargin,
     "tx35_bpe_train" -> bpeTrainOracleSql(6),
+    "tx39_bpe_encode" -> bpeEncodeOracleSql(6),
     "dd31_dsir_weight" ->
       s"""WITH tk AS (SELECT doc_id, source = 'src0' AS is_t,
          |unnest($duckToks) AS tok FROM documents),

@@ -68,7 +68,75 @@ object TokenizerTrain {
         .as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("cnt"))
 
+  /** Trained merge tables memoized per (session, optimized source plan,
+    * params) — the scoredDistinct discipline: tx35 (the merge table
+    * itself) and tx39 (applying it to encode the corpus) both need the
+    * SAME training run in one bench/verify session, and training is the
+    * expensive part (one corpus shuffle + nMerges vocabulary rounds).
+    * The cached frame is the 1-row checkpointed wide frame (<= 16
+    * merges), so the memo holds bytes, not corpus data; checkpointed
+    * RDDs die with their session, and the session identity is part of
+    * the key so a stopped test session can never poison a later one. */
+  private val trainCache =
+    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+
+  /** 1-row wide frame (pair_k, cnt_k, x_k, y_k for k=1..nMerges) of the
+    * trained merge table — memoized; see [[trainCache]]. */
+  private def trainedMergesWide(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = synchronized {
+    val proj = docs.select(col(textCol))
+    val key = (System.identityHashCode(docs.sparkSession),
+      proj.queryExecution.optimizedPlan.semanticHash().toString,
+      s"$textCol|$nMerges")
+    trainCache.getOrElseUpdate(key,
+      trainWideUncached(docs, textCol, nMerges))
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val wide = trainedMergesWide(docs, textCol, nMerges)
+    wide.select(explode(array((1 to nMerges).map(k =>
+        struct(lit(k.toLong).as("step"), col(s"pair_$k").as("pair"),
+          col(s"cnt_$k").as("cnt"))): _*)).as("m"))
+      .select(col("m.step").as("step"), col("m.pair").as("pair"),
+        col("m.cnt").as("cnt"))
+  }
+
+  /** Applies the trained merge table to encode the corpus and reports
+    * per-source token compression: (source, n_words, n_chars, n_tokens,
+    * tok_per_kchar) — the "how many tokens is this corpus under MY
+    * tokenizer" pass every token-budgeted curation plan runs after
+    * training (tx6's counts assume a merge table; this measures one).
+    *
+    * Scale shape: encoding never touches corpus-sized data with
+    * per-merge work — one corpus shuffle builds per-(source, word)
+    * counts, then the <= 16 literal-replace merges apply over the
+    * POST-AGGREGATION (source, word) vocabulary with the merge table on
+    * a broadcast 1-row frame, and the result collapses to |sources|
+    * rows via a map-side-combined hash agg. Integer-exact throughout
+    * (`div` truncation identical in DuckDB). */
+  def bpeEncodeReport(docs: DataFrame, textCol: String, srcCol: String,
+      nMerges: Int): DataFrame = {
+    val wide = trainedMergesWide(docs, textCol, nMerges)
+    val vocab = docs
+      .select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val serial = (1 to nMerges).foldLeft(
+        regexp_replace(col("w"), "(.)", " $1 ")) { (c, k) =>
+      applyMerge(c, col(s"x_$k"), col(s"y_$k")) }
+    vocab.crossJoin(broadcast(wide))
+      .select(col("source"), col("freq"), length(col("w")).as("nc"),
+        size(split(trim(serial), " +")).as("nt"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("nc")).as("n_chars"),
+        sum(col("freq") * col("nt")).as("n_tokens"))
+      .withColumn("tok_per_kchar",
+        expr("n_tokens * 1000 div greatest(n_chars, 1)"))
+  }
+
+  private def trainWideUncached(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 16, "1 <= nMerges <= 16")
     // the one corpus-sized stage; persisted because every round's pair
     // count re-derives its vocabulary view from this base. Unpersisted
@@ -102,10 +170,6 @@ object TokenizerTrain {
         .localCheckpoint())
     }
     words.unpersist()
-    wide.get.select(explode(array((1 to nMerges).map(k =>
-        struct(lit(k.toLong).as("step"), col(s"pair_$k").as("pair"),
-          col(s"cnt_$k").as("cnt"))): _*)).as("m"))
-      .select(col("m.step").as("step"), col("m.pair").as("pair"),
-        col("m.cnt").as("cnt"))
+    wide.get
   }
 }
