@@ -2057,6 +2057,17 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q94_exact_quantile" -> ((s, dir) =>
+      // exact p50/p90/p99 of line-item price WITHOUT a global sort —
+      // two-level histogram bisection: per-level map-side-combined
+      // bucket counts (<= 4096 rows on the wire), then only the final
+      // n/4096^2-row sliver ever sorts; percentile()'s per-distinct-value
+      // state and orderBy's range exchange both stay off the plan
+      graft.operators.Quantile.exactQuantiles(
+        t(s, dir, "lineitem").select(
+          floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
+        "cents",
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))),
     "q93_conversion_hazard" -> ((s, dir) => {
       // discrete-time conversion hazard with right censoring (the
       // life-table form of time-to-convert; Kaplan-Meier's product is
@@ -6305,6 +6316,15 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q94_exact_quantile" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |t AS (SELECT 'p50' AS q, greatest(1, (n * 1 + 1) // 2)::BIGINT AS k FROM n
+        |UNION ALL SELECT 'p90', greatest(1, (n * 9 + 9) // 10)::BIGINT FROM n
+        |UNION ALL SELECT 'p99', greatest(1, (n * 99 + 99) // 100)::BIGINT FROM n),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT q, k, x AS value FROM t JOIN r ON r.rn = t.k""".stripMargin,
     "q93_conversion_hazard" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),
         |users AS (SELECT user_id, min(ts) AS ft,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles WITHOUT a global sort — the
+  * histogram-bisection scale path.
+  *
+  * `percentile()` (tx7's oracle baseline) holds per-value state
+  * proportional to the number of distinct values and `orderBy` ranks pay
+  * a full-data range exchange; neither survives a 100 TB column. The
+  * standard scale answer is bisection: histogram the value range into
+  * equal-width buckets (map-side combined agg, output is |buckets| rows
+  * regardless of data size), locate the bucket holding the k-th value
+  * from the cumulative counts, recurse into that bucket, and only ever
+  * sort the final sliver. Two levels of 4096 buckets bound the sliver at
+  * n / 4096^2 rows (~60 K rows even at 10^12 input rows), so the one
+  * window sort at the end is always partition-local in practice.
+  *
+  * Everything is lazy and integer-exact:
+  *  - target rank k = ceil(n * num / den) per requested quantile,
+  *    computed from a 1-row count frame (exact rational, no doubles);
+  *  - bucket ids are floor divisions of (x - min); the level-2 id is a
+  *    global fine id at nBuckets^2 resolution whose floor-div parent is
+  *    EXACTLY the level-1 id (nested floor-division identity), so the
+  *    two levels can never disagree on bucket boundaries;
+  *  - the corpus is scanned once per level plus once for the final pick
+  *    (each scan is embarrassingly parallel; the only exchanges carry
+  *    bucket-count rows and the final sliver);
+  *  - ties are a non-issue: the k-th smallest VALUE is well-defined
+  *    under duplicates whatever order row_number visits them.
+  *
+  * Domain requirement: (max - min + 1) * nBuckets^2 must fit in a Long —
+  * holds for any realistic integer-unit measure (cents at 2^63 /
+  * 4096^2 ~ 5.5e11 dollars of range).
+  *
+  * Reference context: osarchiver never computes quantiles (its only
+  * ordering is the keyset-paginated PK scan, `source/db.py`); this is
+  * part of the north-star analytics surface (SURVEY.md §2.8).
+  *
+  * Output: one row per requested quantile — (q, k, value), where k is
+  * the 1-based target rank and value the exact k-th smallest.
+  */
+object Quantile {
+
+  /** @param quantiles (label, numerator, denominator) — e.g.
+    *                  ("p90", 9, 10) targets rank ceil(9n/10). */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      quantiles: Seq[(String, Long, Long)],
+      nBuckets: Int = 4096): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall { case (_, nu, de) =>
+      nu >= 0 && de > 0 && nu <= de }, "quantiles must be rationals in [0,1]")
+    val nB = nBuckets.toLong
+    val v = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val stats = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+
+    // level-1 bucket counts: one corpus scan, exchange carries <= nB rows
+    val coarse = v.crossJoin(broadcast(stats))
+      .select(expr(s"CASE WHEN mx = mn THEN 0L ELSE (x - mn) * $nB div " +
+        "(mx - mn + 1) END").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = coarse
+      .withColumn("cum_thru", sum(col("c")).over(Window.orderBy(col("b"))))
+      .withColumn("cum_below", col("cum_thru") - col("c"))
+
+    // target ranks from the 1-row stats frame: k = ceil(n * nu / de)
+    val targets = stats.select(explode(array(quantiles.map {
+        case (lb, nu, de) => struct(lit(lb).as("q"),
+          expr(s"greatest(1L, (n * $nu + $de - 1) div $de)").as("k"))
+      }: _*)).as("t"))
+      .select(col("t.q").as("q"), col("t.k").as("k"))
+    val tb1 = targets.join(cum,
+        col("k") > col("cum_below") && col("k") <= col("cum_thru"))
+      .select(col("q"), col("k"), col("b"), col("cum_below"))
+
+    // level-2: re-scan filtered (map-side, broadcast predicate) to the
+    // target buckets, histogram them at fine resolution
+    val fine = v.crossJoin(broadcast(stats))
+      .select(col("x"),
+        expr(s"CASE WHEN mx = mn THEN 0L ELSE (x - mn) * $nB * $nB div " +
+          "(mx - mn + 1) END").as("f"))
+      .withColumn("b", expr(s"f div $nB"))
+    val cum2 = fine
+      .join(broadcast(tb1), Seq("b"))
+      .groupBy(col("q"), col("f"))
+      .agg(count(lit(1)).as("c2"), first(col("k")).as("k"),
+        first(col("cum_below")).as("cum_below"))
+      .withColumn("cum2_thru", col("cum_below") + sum(col("c2"))
+        .over(Window.partitionBy(col("q")).orderBy(col("f"))))
+      .withColumn("cum2_below", col("cum2_thru") - col("c2"))
+    val tb2 = cum2
+      .filter(col("k") > col("cum2_below") && col("k") <= col("cum2_thru"))
+      .select(col("q"), col("k"), col("f").as("tf"), col("cum2_below"))
+
+    // final pick: the sliver (one fine bucket per quantile, n / nB^2
+    // rows each) sorts partition-locally under the per-q window
+    fine.join(broadcast(tb2), col("f") === col("tf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("x"))))
+      .filter(col("rn") === col("k") - col("cum2_below"))
+      .select(col("q"), col("k"), col("x").as("value"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Q = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  private def run(xs: Seq[Long], nBuckets: Int = 8) =
+    Quantile.exactQuantiles(xs.toDF("v"), "v", Q, nBuckets)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+
+  /** Ground truth: k = ceil(n * nu / de), value = k-th smallest. */
+  private def truth(xs: Seq[Long]) = {
+    val sorted = xs.sorted
+    Q.map { case (q, nu, de) =>
+      val k = math.max(1L, (xs.size * nu + de - 1) / de)
+      (q, k, sorted((k - 1).toInt))
+    }.sortBy(_._1)
+  }
+
+  test("hand-computed ranks on 1..10") {
+    // n=10: p50 k=5 -> 5, p90 k=9 -> 9, p99 k=10 -> 10
+    assert(run(1L to 10L) ===
+      Seq(("p50", 5L, 5L), ("p90", 9L, 9L), ("p99", 10L, 10L)))
+  }
+
+  test("duplicates: the k-th smallest value is tie-stable") {
+    // sorted [1,5,5,5,9]: p50 k=3 -> 5, p90 k=5 -> 9, p99 k=5 -> 9
+    assert(run(Seq(5L, 5L, 5L, 1L, 9L)) ===
+      Seq(("p50", 3L, 5L), ("p90", 5L, 9L), ("p99", 5L, 9L)))
+  }
+
+  test("degenerate single-value domain (mx = mn) hits bucket 0") {
+    assert(run(Seq(7L, 7L, 7L)) ===
+      Seq(("p50", 2L, 7L), ("p90", 3L, 7L), ("p99", 3L, 7L)))
+  }
+
+  test("matches the sorted ground truth on a scattered domain with " +
+      "few buckets (multi-level bisection exercised)") {
+    // Weyl-sequence spread over a range >> nBuckets^2 so both histogram
+    // levels carry real mass; negatives included
+    val xs = (1 to 500).map(i => ((i.toLong * 2654435761L) % 100000L) - 50000L)
+    assert(run(xs, nBuckets = 4) === truth(xs))
+  }
+
+  test("result is partitioning-invariant") {
+    val xs = (1 to 300).map(i => (i.toLong * 48271L) % 7919L)
+    val base = run(xs)
+    val repart = Quantile
+      .exactQuantiles(xs.toDF("v").repartition(13), "v", Q, 8)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base === repart && base === truth(xs))
+  }
+}
