@@ -2057,6 +2057,21 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q95_acf" -> ((s, dir) =>
+      // lag-1..7 autocorrelation of daily order revenue — the
+      // seasonality diagnostic before any forecast fit. One corpus
+      // shuffle (the daily bucketing agg); the centered series joins
+      // itself per lag at calendar-day offsets, all bucket-sized.
+      // Units are whole dollars: ACF's denominator sums squared daily
+      // deviations, so unit choice bounds it (dollars keep it < 2^63
+      // through sf1; cents overflow under ANSI at sf0.01 already)
+      graft.operators.TimeSeries.acf(
+        t(s, dir, "orders")
+          .filter(col("o_orderdate").isNotNull)
+          .groupBy(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01")).cast("long").as("x"))
+          .agg(sum(floor(col("o_totalprice")).cast("long")).as("y")),
+        "x", "y", maxLag = 7)),
     "q94_exact_quantile" -> ((s, dir) =>
       // exact p50/p90/p99 of line-item price WITHOUT a global sort —
       // two-level histogram bisection: per-level map-side-combined
@@ -6316,6 +6331,23 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q95_acf" ->
+      """WITH s AS (SELECT datediff('day', DATE '1970-01-01',
+        |CAST(o_orderdate AS DATE))::BIGINT AS x,
+        |sum(CAST(floor(o_totalprice) AS BIGINT))::BIGINT AS y
+        |FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy FROM s),
+        |c AS (SELECT x, y - (SELECT sy // n FROM st) AS c FROM s),
+        |dn AS (SELECT sum(c * c)::BIGINT AS den FROM c),
+        |l AS (SELECT unnest(range(1, 8))::BIGINT AS lag),
+        |p AS (SELECT l.lag AS lag, a.c * b.c AS prod
+        |FROM l CROSS JOIN c a JOIN c b ON b.x = a.x + l.lag),
+        |agg AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+        |sum(prod)::BIGINT AS num FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |(CASE WHEN den >= 1000000 THEN num // (den // 1000000)
+        |ELSE num * 1000000 // greatest(den, 1) END)::BIGINT AS rho_ppm
+        |FROM agg, dn""".stripMargin,
     "q94_exact_quantile" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
         |FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -119,4 +119,49 @@ object TimeSeries {
       .select(col("key"), col("n_buckets"), col("n_pairs"),
         col("slope_micro").as("median_slope_micro"))
   }
+
+  /** Box-Jenkins sample autocorrelation of an aggregated series — the
+    * seasonality/memory diagnostic run before fitting any forecast model
+    * (a weekly cycle shows as a rho spike at lag 7).
+    *
+    * Definition (the classic one, integer-exact, libm-free): center at
+    * the floor mean c_t = y_t - (Σy div n); rho_k in ppm is
+    * Σ_t c_t * c_{t+k} normalized by the GLOBAL Σ c_t^2 — the standard
+    * ACF normalizer, which needs no per-lag sqrt. The ppm ratio uses
+    * div-before-mul when the denominator exceeds 1e6 (`num div (den div
+    * 1e6)`), so no product ever overflows a BIGINT at any data scale;
+    * the formula (not an idealized real-number ratio) is the contract
+    * and the oracle replicates it bit-exactly. Relative error vs the
+    * exact ratio is < 1e-6 of the denominator — sub-ppm in practice.
+    *
+    * Lags are CALENDAR lags: pairs join on x + k, so bucket gaps drop
+    * pairs rather than sliding across them (n_pairs reports coverage).
+    *
+    * Scale shape: like [[theilSen]], everything after the caller's
+    * bucketing aggregation is bucket-sized — the centered series joins
+    * itself once per lag via one hash equi-join against a broadcast
+    * <= 64-row lag frame; the fact rows are never touched here.
+    *
+    * `series`: (x BIGINT bucket index, y BIGINT) — ONE row per bucket.
+    * Output: (lag, n_pairs, rho_ppm), lags with zero pairs omitted. */
+  def acf(series: DataFrame, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "1 <= maxLag <= 64")
+    val s = series.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val stats = s.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val c = s.crossJoin(broadcast(stats))
+      .select(col("x"), (col("y") - expr("sy div n")).as("c"))
+    val den = c.agg(sum(expr("c * c")).as("den"))
+    val lags = stats.select(explode(array((1 to maxLag).map(k =>
+      lit(k.toLong)): _*)).as("lag"))
+    c.as("a").crossJoin(broadcast(lags))
+      .join(c.as("b"), col("b.x") === col("a.x") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("a.c * b.c")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("CASE WHEN den >= 1000000L THEN num div (den div 1000000L) " +
+          "ELSE num * 1000000L div greatest(den, 1L) END").as("rho_ppm"))
+  }
 }

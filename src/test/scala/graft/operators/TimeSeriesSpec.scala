@@ -125,4 +125,46 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a === b)
   }
+
+  test("acf: hand-computed lags on a linear ramp") {
+    // y = 1..5: mean 3, c = [-2,-1,0,1,2], den = 10
+    // lag1 num = 2+0+0+2 = 4 -> 400000; lag2 num = 0-1+0 = -1 ->
+    // -100000; lag3 num = -2-2 = -4 -> -400000
+    val s = (1L to 5L).map(x => (x, x)).toDF("x", "y")
+    val r = TimeSeries.acf(s, "x", "y", maxLag = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r === Seq((1L, 4L, 400000L), (2L, 3L, -100000L),
+      (3L, 2L, -400000L)))
+  }
+
+  test("acf: alternating series has strongly negative lag-1, " +
+      "positive lag-2") {
+    // y = [0,10,0,10]: mean 5, c = [-5,5,-5,5], den = 100
+    // lag1 num = -25*3 = -75 -> -750000; lag2 num = 25*2 -> 500000
+    val s = Seq((1L, 0L), (2L, 10L), (3L, 0L), (4L, 10L)).toDF("x", "y")
+    val r = TimeSeries.acf(s, "x", "y", 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r === Seq((1L, 3L, -750000L), (2L, 2L, 500000L)))
+  }
+
+  test("acf: calendar gaps drop pairs instead of sliding; constant " +
+      "series yields rho 0, not a division error") {
+    // x = [1,2,4]: lag-1 pairs only (1,2); lag-2 only (2,4)
+    val g = Seq((1L, 1L), (2L, 2L), (4L, 4L)).toDF("x", "y")
+    val np = TimeSeries.acf(g, "x", "y", 2)
+      .select("lag", "n_pairs").as[(Long, Long)].collect().sortBy(_._1)
+    assert(np === Seq((1L, 1L), (2L, 1L)))
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    assert(TimeSeries.acf(const, "x", "y", 1)
+      .select("rho_ppm").as[Long].collect() === Array(0L))
+  }
+
+  test("acf: partitioning-invariant") {
+    val s = (1L to 40L).map(x => (x, (x * 48271L) % 101L)).toDF("x", "y")
+    val a = TimeSeries.acf(s, "x", "y", 7).collect().toSeq
+      .sortBy(_.getLong(0))
+    val b = TimeSeries.acf(s.repartition(9), "x", "y", 7).collect().toSeq
+      .sortBy(_.getLong(0))
+    assert(a === b)
+  }
 }
