@@ -2057,6 +2057,20 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "s26_sliding_ndv" -> ((s, dir) => {
+      // trailing-7-day distinct users, daily — answered entirely from
+      // the s25/dq8 per-day KMV artifacts (bottom-k of a union = bottom-k
+      // of the per-day bottom-k's): one corpus pass builds the daily
+      // sketches, every window after that merges 7 constant-size lists.
+      // The naive form re-scans 7 days of facts per report day
+      val ev = t(s, dir, "events")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"), col("user_id"))
+      graft.operators.Sketches.slidingNdv(
+        graft.operators.Sketches.columnStatsByGroup(
+          ev, "day", "user_id", 16),
+        "grp", windowDays = 7, k = 16)
+    }),
     "q95_acf" -> ((s, dir) =>
       // lag-1..7 autocorrelation of daily order revenue — the
       // seasonality diagnostic before any forecast fit. One corpus
@@ -6331,6 +6345,33 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "s26_sliding_ndv" ->
+      """WITH e AS (SELECT datediff('day', DATE '1970-01-01',
+        |ts::TIMESTAMP::DATE)::BIGINT AS day, user_id AS v FROM events),
+        |per AS (SELECT day, count(*)::BIGINT AS n_rows FROM e GROUP BY 1),
+        |hs AS (SELECT DISTINCT day, (v * 2654435761) % 2147483648 AS h
+        |FROM e WHERE v IS NOT NULL),
+        |pk AS (SELECT day, list_sort(list(h))[1:16] AS kmv
+        |FROM hs GROUP BY 1),
+        |art AS (SELECT per.day, per.n_rows,
+        |coalesce(pk.kmv, []::BIGINT[]) AS kmv
+        |FROM per LEFT JOIN pk ON pk.day = per.day),
+        |exp AS (SELECT n_rows, kmv, unnest(range(day, day + 7)) AS wd
+        |FROM art),
+        |anch AS (SELECT exp.* FROM exp
+        |JOIN (SELECT DISTINCT day AS wd FROM art) dd ON dd.wd = exp.wd),
+        |base AS (SELECT wd, count(*)::BIGINT AS n_days,
+        |sum(n_rows)::BIGINT AS n_rows_win FROM anch GROUP BY 1),
+        |uh AS (SELECT DISTINCT wd, h FROM
+        |(SELECT wd, unnest(kmv) AS h FROM anch)),
+        |bk AS (SELECT wd, list_sort(list(h))[1:16] AS kmv
+        |FROM uh GROUP BY 1)
+        |SELECT base.wd AS d, n_days, n_rows_win,
+        |floor((CASE WHEN bk.wd IS NULL THEN 0.0
+        |WHEN len(kmv) < 16 THEN len(kmv)::DOUBLE
+        |ELSE 15.0 * 2147483648.0 / kmv[16] END) * 100.0) / 100.0
+        |  AS est_distinct
+        |FROM base LEFT JOIN bk ON bk.wd = base.wd""".stripMargin,
     "q95_acf" ->
       """WITH s AS (SELECT datediff('day', DATE '1970-01-01',
         |CAST(o_orderdate AS DATE))::BIGINT AS x,

@@ -115,6 +115,54 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Trailing-window NDV for EVERY day from the per-day KMV artifacts —
+    * "distinct users in the last W days, daily" without re-scanning any
+    * raw history: bottom-k of a union is the bottom-k of the per-part
+    * bottom-k's (see [[columnStatsByGroup]]), so a W-day window merges W
+    * constant-size sketches. The raw-data alternative re-reads W days of
+    * facts per window — W x the corpus across the full report; this
+    * never touches fact rows at all.
+    *
+    * Input: per-day artifacts from [[columnStatsByGroup]] keyed by a
+    * NUMERIC day (e.g. days-since-epoch). Every stage is |days| * k
+    * sized: each day's sketch fans out to the <= W windows it feeds
+    * (sequence + explode), anchors restrict to days present in the
+    * input (absent days neither anchor nor contribute), then one
+    * rank-limited window per anchor re-derives the merged bottom-k.
+    *
+    * Output: (d, n_days, n_rows_win, est_distinct) — est is the classic
+    * (k-1) * M / h_k, or the exact union size when fewer than k distinct
+    * hashes exist in the window. */
+  def slidingNdv(stats: DataFrame, dayCol: String, windowDays: Int,
+      k: Int = 16): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 64, "1 <= windowDays <= 64")
+    require(k >= 2, "KMV needs k >= 2")
+    val s = stats.select(col(dayCol).cast("long").as("d"),
+      col("n_rows"), col("kmv"))
+    val expanded = s.select(col("n_rows"), col("kmv"),
+      explode(sequence(col("d"), col("d") + lit((windowDays - 1).toLong)))
+        .as("wd"))
+    val anchored = expanded
+      .join(s.select(col("d").as("wd")).distinct(), Seq("wd"))
+    val base = anchored.groupBy("wd").agg(
+      count(lit(1)).as("n_days"), sum(col("n_rows")).as("n_rows_win"))
+    val bk = anchored.select(col("wd"), explode(col("kmv")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("wd").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("wd").agg(sort_array(collect_list(col("h"))).as("kmv"))
+    base.join(bk, Seq("wd"), "left")
+      .select(col("wd").as("d"), col("n_days"), col("n_rows_win"),
+        graft.functions.NumericFunctions.fround(
+          when(col("kmv").isNull, lit(0.0))
+            .when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(2147483648.0) /
+              element_at(col("kmv"), k).cast("double")), 2)
+          .as("est_distinct"))
+  }
+
   /** Point-frequency estimates for each probe row's `keyCol`: min over
     * the depth rows' cells — never an underestimate. The sketch is
     * <= depth*width rows, so the probe join broadcasts it; probe columns

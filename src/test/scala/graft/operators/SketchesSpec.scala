@@ -110,4 +110,53 @@ class SketchesSpec extends AnyFunSuite {
     val b = run(corpus.repartition(13))
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  // day 1: users {1,2}; day 2: {2,3}; day 4: {9} — day 3 absent
+  private def dailyEvents = Seq(
+    (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (4L, 9L))
+    .toDF("day", "uid")
+
+  test("slidingNdv: windows anchor only at present days; below-k " +
+      "windows report the exact union size") {
+    val art = Sketches.columnStatsByGroup(dailyEvents, "day", "uid", 16)
+    val r = Sketches.slidingNdv(art, "grp", windowDays = 7, k = 16)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // wd=1: day1 only -> {1,2}; wd=2: day1+2 -> {1,2,3};
+    // wd=4: day1+2+4 -> {1,2,3,9}; wd=3 never appears
+    assert(r === Seq((1L, 1L, 2L, 2.0), (2L, 2L, 4L, 3.0),
+      (4L, 3L, 5L, 4.0)))
+  }
+
+  test("slidingNdv: a window never reaches back further than " +
+      "windowDays") {
+    val art = Sketches.columnStatsByGroup(dailyEvents, "day", "uid", 16)
+    val r = Sketches.slidingNdv(art, "grp", windowDays = 2, k = 16)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // wd=4 with W=2 sees only day 4 (day 2 is 2 back, outside [3,4])
+    assert(r === Seq((1L, 1L, 2L, 2.0), (2L, 2L, 4L, 3.0),
+      (4L, 1L, 1L, 1.0)))
+  }
+
+  test("slidingNdv: merged window bottom-k equals the bottom-k of the " +
+      "union (k smaller than the union)") {
+    val many = (1L to 40L).map(u => (1L, u)) ++
+      (41L to 80L).map(u => (2L, u))
+    val art = Sketches.columnStatsByGroup(
+      many.toDF("day", "uid"), "day", "uid", 4)
+    val win = Sketches.slidingNdv(art, "grp", 7, 4)
+      .filter($"d" === 2L).select("est_distinct").as[Double].head()
+    // ground truth: 3 * 2^31 / h_4 over the union of BOTH days' hashes
+    val h4 = (1L to 80L).map(u => (u * 2654435761L) % 2147483648L)
+      .distinct.sorted.apply(3)
+    assert(win === math.floor(3.0 * 2147483648.0 / h4 * 100.0) / 100.0)
+  }
+
+  test("slidingNdv: partitioning-invariant") {
+    val df = dailyEvents
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.slidingNdv(
+        Sketches.columnStatsByGroup(d, "day", "uid", 16), "grp", 7, 16)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(df) === run(df.repartition(7)))
+  }
 }
