@@ -2057,6 +2057,15 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "dq10_chi2" -> ((s, dir) =>
+      // chi-square independence of language x source on the corpus —
+      // the categorical sampling-bias audit (PSI/KS cover numeric
+      // features; this covers the label-ish ones). One corpus agg to
+      // the contingency grain; margins cross is |langs| x |sources|
+      graft.operators.QualityAudit.chi2Independence(
+          t(s, dir, "documents"), "lang", "source")
+        .withColumnRenamed("a", "lang")
+        .withColumnRenamed("b", "source")),
     "s26_sliding_ndv" -> ((s, dir) => {
       // trailing-7-day distinct users, daily — answered entirely from
       // the s25/dq8 per-day KMV artifacts (bottom-k of a union = bottom-k
@@ -6345,6 +6354,32 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "dq10_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |count(*)::BIGINT AS observed FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(observed)::BIGINT AS row_tot FROM cells
+        |GROUP BY 1),
+        |ct AS (SELECT b, sum(observed)::BIGINT AS col_tot FROM cells
+        |GROUP BY 1),
+        |tot AS (SELECT sum(observed)::BIGINT AS n,
+        |count(DISTINCT a)::BIGINT AS nr,
+        |count(DISTINCT b)::BIGINT AS nc FROM cells),
+        |f AS (SELECT rt.a, ct.b, row_tot, col_tot,
+        |coalesce(cells.observed, 0)::BIGINT AS observed
+        |FROM rt CROSS JOIN ct
+        |LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |calc AS (SELECT a, b, observed,
+        |(row_tot::HUGEINT * col_tot * 1000000 // n)::BIGINT
+        |  AS expected_micro FROM f, tot),
+        |c2 AS (SELECT a, b, observed, expected_micro,
+        |((observed * 1000000 - expected_micro)::HUGEINT
+        |  * (observed * 1000000 - expected_micro)
+        |  // greatest(expected_micro, 1))::BIGINT AS contrib_micro
+        |FROM calc)
+        |SELECT a AS lang, b AS source, observed, expected_micro,
+        |contrib_micro, (sum(contrib_micro) OVER ())::BIGINT AS chi2_micro,
+        |(SELECT (nr - 1) * (nc - 1) FROM tot)::BIGINT AS dof
+        |FROM c2""".stripMargin,
     "s26_sliding_ndv" ->
       """WITH e AS (SELECT datediff('day', DATE '1970-01-01',
         |ts::TIMESTAMP::DATE)::BIGINT AS day, user_id AS v FROM events),

@@ -402,4 +402,56 @@ object QualityAudit {
           .when(col("rate_ppm") > col("center_ppm"), "high")
           .otherwise("low"))
   }
+
+  /** Pearson chi-square independence audit of two categorical columns —
+    * "is the language mix the same across sources, or does some source
+    * skew" (the categorical sibling of the PSI/KS drift monitors; also
+    * the standard sampling-bias check after any filtering stage).
+    *
+    * Integer-exact, libm-free: expected counts in floored micro-units
+    * E_micro = row_tot * col_tot * 1e6 div n (the product runs in
+    * DECIMAL(38,0) — n^2 * 1e6 overflows BIGINT at real scale), each
+    * cell's contribution (O*1e6 - E_micro)^2 div E_micro lands back in
+    * micro-units of the chi-square statistic, and the scalar statistic
+    * is an exact BIGINT sum of per-cell BIGINTs (no float summation
+    * order anywhere). Structural zeros are REAL cells: the margins
+    * cross-join materializes every (a, b) combination, observed 0 where
+    * the pair never occurs — omitting them understates the statistic.
+    *
+    * Scale shape: one map-side-combined agg to the contingency grain,
+    * margin rollups of that tiny frame, a margins cross bounded by
+    * |dom(a)| * |dom(b)|, and a 1-row totals broadcast. Fact rows are
+    * touched exactly once.
+    *
+    * Output: one row per contingency cell — (a, b, observed,
+    * expected_micro, contrib_micro, chi2_micro, dof); chi2_micro and
+    * dof = (|dom a|-1)(|dom b|-1) repeat on every row. */
+  def chi2Independence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("a").agg(sum(col("observed")).as("row_tot"))
+    val colTot = cells.groupBy("b").agg(sum(col("observed")).as("col_tot"))
+    val tot = cells.agg(sum(col("observed")).as("n"),
+      countDistinct(col("a")).as("nr"), countDistinct(col("b")).as("nc"))
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_micro",
+        expr("cast(row_tot as decimal(38,0)) * col_tot * 1000000 div n"))
+      .withColumn("diff_micro",
+        expr("observed * 1000000 - expected_micro"))
+      .withColumn("contrib_micro",
+        expr("cast(diff_micro as decimal(38,0)) * diff_micro " +
+          "div greatest(expected_micro, 1)"))
+      .withColumn("chi2_micro",
+        sum(col("contrib_micro")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("dof", expr("(nr - 1) * (nc - 1)"))
+      .select(col("a"), col("b"), col("observed"), col("expected_micro"),
+        col("contrib_micro"), col("chi2_micro"), col("dof"))
+  }
 }

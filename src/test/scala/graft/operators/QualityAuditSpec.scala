@@ -262,4 +262,36 @@ class QualityAuditSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().head
     assert(ro._1 === ro._2 && !ro._3)
   }
+
+  test("chi2: exactly independent table scores zero on every cell") {
+    // O(x,u)=2 O(x,v)=2 O(y,u)=1 O(y,v)=1: every E equals its O
+    val rows = Seq.fill(2)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+      Seq(("y", "u"), ("y", "v"))
+    val r = QualityAudit.chi2Independence(rows.toDF("a", "b"), "a", "b")
+    assert(r.filter($"contrib_micro" =!= 0L).count() === 0)
+    assert(r.select("chi2_micro").as[Long].head() === 0L)
+    assert(r.select("dof").as[Long].head() === 1L)
+  }
+
+  test("chi2: perfect 2x2 association scores chi2 = n, with structural " +
+      "zeros present as real cells") {
+    // only (x,u) and (y,v) occur; classic result chi2 = n = 4
+    val rows = Seq.fill(2)(("x", "u")) ++ Seq.fill(2)(("y", "v"))
+    val r = QualityAudit.chi2Independence(rows.toDF("a", "b"), "a", "b")
+    assert(r.count() === 4) // includes the two zero cells
+    assert(r.filter($"observed" === 0L).count() === 2)
+    // every cell: E = 1 -> E_micro 1e6, diff 1e6, contrib 1e6
+    assert(r.select("contrib_micro").as[Long].collect().toSeq ===
+      Seq.fill(4)(1000000L))
+    assert(r.select("chi2_micro").as[Long].head() === 4000000L)
+  }
+
+  test("chi2: partitioning-invariant") {
+    val rows = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 4}"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QualityAudit.chi2Independence(df, "a", "b")
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(rows.toDF("a", "b")) ===
+      run(rows.toDF("a", "b").repartition(11)))
+  }
 }
