@@ -2057,6 +2057,13 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q96_assoc_rules" -> ((s, dir) =>
+      // market-basket rules over orders: parts bought together, apriori
+      // pruning bounds the basket self-join to frequent items, rule
+      // metrics in exact floored ppm/micro, top-100 under a total order
+      graft.operators.MarketBasket.pairRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemBaskets = 2, minPairBaskets = 2, topK = 100)),
     "dq10_chi2" -> ((s, dir) =>
       // chi-square independence of language x source on the corpus —
       // the categorical sampling-bias audit (PSI/KS cover numeric
@@ -6354,6 +6361,31 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q96_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM li),
+        |fi AS (SELECT it, count(*)::BIGINT AS n_it FROM li GROUP BY 1
+        |HAVING count(*) >= 2),
+        |fitems AS (SELECT li.bk, li.it, fi.n_it FROM li
+        |JOIN fi ON fi.it = li.it),
+        |p AS (SELECT a.it AS ia, b.it AS ib, count(*)::BIGINT AS n_ab,
+        |min(a.n_it)::BIGINT AS n_a, min(b.n_it)::BIGINT AS n_b
+        |FROM fitems a JOIN fitems b ON a.bk = b.bk AND a.it < b.it
+        |GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT ia AS antecedent, ib AS consequent, n_ab, n_a, n_b
+        |FROM p
+        |UNION ALL SELECT ib, ia, n_ab, n_b, n_a FROM p)
+        |SELECT antecedent, consequent, n_ab,
+        |(n_ab * 1000000 // n_baskets)::BIGINT AS support_ppm,
+        |(n_ab * 1000000 // n_a)::BIGINT AS confidence_ppm,
+        |((n_ab * 1000000 // n_a) * 1000000
+        |  // greatest(n_b * 1000000 // n_baskets, 1))::BIGINT
+        |  AS lift_micro
+        |FROM r, nb
+        |ORDER BY lift_micro DESC, confidence_ppm DESC,
+        |antecedent, consequent
+        |LIMIT 100""".stripMargin,
     "dq10_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b,
         |count(*)::BIGINT AS observed FROM documents GROUP BY 1, 2),
