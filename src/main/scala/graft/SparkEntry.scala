@@ -2057,6 +2057,31 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "dq11_winsorize" -> ((s, dir) =>
+      // winsorization at the exact p01/p99 from the bisection quantiles
+      // (q94's machinery, no global sort): the clip bounds a feature
+      // pipeline persists, plus what clamping does to the mean
+      graft.operators.Quantile.winsorizeReport(
+        t(s, dir, "lineitem").select(
+          floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
+        "cents", ("p01", 1L, 100L), ("p99", 99L, 100L))),
+    "ss23_embedding_drift" -> ((s, dir) => {
+      // embedding-space drift between corpus halves (the retrain/reindex
+      // trigger): per-dimension floored micro-unit mean delta from two
+      // ss20 dim audits — cohort stats are |dims|-sized after one
+      // map-side-combined agg per half; no vector ever crosses the wire
+      val e = t(s, dir, "embeddings")
+      def half(rem: Int) = graft.operators.Similarity
+        .dimAudit(e.filter(col("vec_id") % 2 === rem), "embedding")
+        .select(col("dim"), col("n"), expr("sum_mu div n").as("mean_mu"))
+      half(0)
+        .select(col("dim"), col("n").as("n_a"),
+          col("mean_mu").as("mean_a_mu"))
+        .join(half(1).select(col("dim"), col("n").as("n_b"),
+          col("mean_mu").as("mean_b_mu")), "dim")
+        .withColumn("delta_mu", col("mean_a_mu") - col("mean_b_mu"))
+        .withColumn("drifted", abs(col("delta_mu")) >= 1000L)
+    }),
     "q96_assoc_rules" -> ((s, dir) =>
       // market-basket rules over orders: parts bought together, apriori
       // pruning bounds the basket self-join to frequent items, rule
@@ -6361,6 +6386,36 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "dq11_winsorize" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |b AS (SELECT
+        |(SELECT x FROM r, nn WHERE rn = greatest(1, (n * 1 + 99) // 100))
+        |  AS lo,
+        |(SELECT x FROM r, nn WHERE rn = greatest(1, (n * 99 + 99) // 100))
+        |  AS hi)
+        |SELECT lo, hi, count(*)::BIGINT AS n,
+        |count(*) FILTER (x < lo)::BIGINT AS n_low,
+        |count(*) FILTER (x > hi)::BIGINT AS n_high,
+        |(sum(x) // count(*))::BIGINT AS mean_value,
+        |(sum(greatest(lo, least(hi, x))) // count(*))::BIGINT
+        |  AS w_mean_value
+        |FROM v, b GROUP BY lo, hi""".stripMargin,
+    "ss23_embedding_drift" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |FROM embeddings),
+        |e AS (SELECT vec_id % 2 AS half, i AS dim,
+        |floor(v[(i + 1)::INT] * 1000000.0)::BIGINT AS x_mu
+        |FROM (SELECT vec_id, v, unnest(range(0, len(v))) AS i FROM v)),
+        |g AS (SELECT half, dim, count(*)::BIGINT AS n,
+        |(sum(x_mu) // count(*))::BIGINT AS mean_mu FROM e GROUP BY 1, 2)
+        |SELECT a.dim, a.n AS n_a, a.mean_mu AS mean_a_mu,
+        |b.n AS n_b, b.mean_mu AS mean_b_mu,
+        |(a.mean_mu - b.mean_mu)::BIGINT AS delta_mu,
+        |abs(a.mean_mu - b.mean_mu) >= 1000 AS drifted
+        |FROM g a JOIN g b ON a.dim = b.dim AND a.half = 0 AND b.half = 1""".stripMargin,
     "q96_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |FROM lineitem),

@@ -103,4 +103,36 @@ object Quantile {
       .filter(col("rn") === col("k") - col("cum2_below"))
       .select(col("q"), col("k"), col("x").as("value"))
   }
+
+  /** Winsorization report: clamp the column at its EXACT lo/hi quantiles
+    * (from [[exactQuantiles]] — no global sort) and report what clamping
+    * does to the mean — the outlier-robustness pass a feature pipeline
+    * runs before normalizing anything, with the clip bounds it should
+    * persist alongside the model.
+    *
+    * Fully lazy: the two quantile rows pivot into a 1-row bounds frame
+    * broadcast over one final corpus scan. Integer-exact; means are
+    * floored divisions (sum must fit a Long — true for any sane integer
+    * unit, the same contract every micro-unit op here carries).
+    *
+    * Output (1 row): (lo, hi, n, n_low, n_high, mean_value,
+    * w_mean_value). */
+  def winsorizeReport(df: DataFrame, valueCol: String,
+      lo: (String, Long, Long), hi: (String, Long, Long),
+      nBuckets: Int = 4096): DataFrame = {
+    val v = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val bounds = exactQuantiles(v, "x", Seq(lo, hi), nBuckets)
+      .agg(max(when(col("q") === lo._1, col("value"))).as("lo"),
+        max(when(col("q") === hi._1, col("value"))).as("hi"))
+    v.crossJoin(broadcast(bounds))
+      .select(col("x"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("x"))).as("w"))
+      .agg(min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        count(when(col("x") < col("lo"), 1)).as("n_low"),
+        count(when(col("x") > col("hi"), 1)).as("n_high"),
+        expr("sum(x) div count(1)").as("mean_value"),
+        expr("sum(w) div count(1)").as("w_mean_value"))
+  }
 }

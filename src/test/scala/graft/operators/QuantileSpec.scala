@@ -48,6 +48,27 @@ class QuantileSpec extends AnyFunSuite {
     assert(run(xs, nBuckets = 4) === truth(xs))
   }
 
+  test("winsorize: hand-computed clip report with outliers on both " +
+      "tails") {
+    // 1..98 plus outliers 1000 and -500; p05 -> rank 5 -> 4,
+    // p95 -> rank 95 -> 94. n_low = |{-500,1,2,3}| = 4,
+    // n_high = |{95..98,1000}| = 5; mean 5351 div 100 = 53,
+    // winsorized mean (16 + 4459 + 470) div 100 = 49
+    val xs = (1L to 98L) ++ Seq(1000L, -500L)
+    val r = Quantile.winsorizeReport(xs.toDF("v"), "v",
+        ("p05", 5L, 100L), ("p95", 95L, 100L), nBuckets = 8)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r === Array((4L, 94L, 100L, 4L, 5L, 53L, 49L)))
+  }
+
+  test("winsorize: clamping is a no-op when nothing crosses the bounds") {
+    val xs = Seq.fill(50)(10L)
+    val r = Quantile.winsorizeReport(xs.toDF("v"), "v",
+        ("p01", 1L, 100L), ("p99", 99L, 100L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r === Array((10L, 10L, 50L, 0L, 0L, 10L, 10L)))
+  }
+
   test("result is partitioning-invariant") {
     val xs = (1 to 300).map(i => (i.toLong * 48271L) % 7919L)
     val base = run(xs)
