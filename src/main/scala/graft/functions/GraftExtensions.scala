@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, LangIdVote, MisraGries, NormalizeText, RollingMinHash, WordShingles}
+import graft.functions.expressions.{ArrayDot, HyperLogLog, JaroWinkler, KmvBottomK, LangIdVote, MisraGries, NormalizeText, RollingMinHash, WordShingles}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -63,6 +63,12 @@ object GraftExtensions {
     "graft_approx_topk" -> (args =>
       MisraGries(args(0),
         if (args.length > 1) intArg(args(1), "capacity") else 64)
+        .toAggregateExpression()),
+    // graft_kmv(col[, k]) — k smallest DISTINCT BIGINTs, ascending: the
+    // mergeable KMV sketch primitive with k-bounded partial buffers
+    "graft_kmv" -> (args =>
+      KmvBottomK(args(0),
+        if (args.length > 1) intArg(args(1), "k") else 16)
         .toAggregateExpression()),
     // graft_word_shingles(tokens, n[, distinct]) — n-token shingles of a
     // token array; third arg false keeps the repetition multiset

@@ -73,15 +73,18 @@ object Sketches {
       count(lit(1)).as("n_rows"),
       count(when(col("v").isNull, lit(1))).as("n_nulls"),
       min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    // native KMV aggregate: partial buffers are k-capped per partition
+    // (map-side combine), so the exchange carries |groups| * k longs —
+    // the declarative distinct + rank-window form shuffles EVERY
+    // distinct hash first, which is the whole job at 100 TB
     val bottomK = vals.filter(col("v").isNotNull)
       .select(col("grp"),
         pmod(col("v") * lit(2654435761L), lit(2147483648L)).as("h"))
-      .distinct()
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("grp").orderBy("h")))
-      .filter(col("rn") <= k)
-      .groupBy("grp").agg(sort_array(collect_list(col("h"))).as("kmv"))
+      .groupBy("grp").agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.expressions.KmvBottomK(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("h")), k)
+            .toAggregateExpression()).as("kmv"))
     base.join(bottomK, Seq("grp"), "left")
       .select(col("grp"), col("n_rows"), col("n_nulls"),
         col("min_v"), col("max_v"),

@@ -151,6 +151,14 @@ class SketchesSpec extends AnyFunSuite {
     assert(win === math.floor(3.0 * 2147483648.0 / h4 * 100.0) / 100.0)
   }
 
+  test("columnStatsByGroup builds its sketch via the k-capped partial " +
+      "aggregate — no distinct + rank window on the hash stream") {
+    val plan = Sketches.columnStatsByGroup(dailyEvents, "day", "uid", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("kmvbottomk"))
+    assert(!plan.contains("Window"))
+  }
+
   test("slidingNdv: partitioning-invariant") {
     val df = dailyEvents
     def run(d: org.apache.spark.sql.DataFrame) =
