@@ -2057,6 +2057,31 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "tx40_vocab_growth" -> ((s, dir) => {
+      // Heaps-law vocabulary-growth curve, exactly and libm-free: the
+      // vocabulary inside any corpus prefix is |{words whose FIRST
+      // doc_id falls in it}|, so ONE min-per-word shuffle answers every
+      // prefix at once — the naive form re-tokenizes each nested prefix.
+      // Cutoffs are doc-id quartiles riding a 1-row max broadcast; the
+      // growth curve flattening is the "new data stopped adding new
+      // vocabulary" signal a corpus-expansion plan reads
+      val docs = t(s, dir, "documents")
+      val cuts = docs.agg(max(col("doc_id")).as("m"))
+        .select(explode(array((1 to 4).map(kk =>
+          struct(lit(kk.toLong).as("k"),
+            expr(s"m * $kk div 4").as("cutoff"))): _*)).as("c"))
+        .select(col("c.k").as("k"), col("c.cutoff").as("cutoff"))
+      val firstOcc = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      val vocab = firstOcc.crossJoin(broadcast(cuts))
+        .filter(col("first_doc") <= col("cutoff"))
+        .groupBy("k", "cutoff").agg(count(lit(1)).as("vocab_size"))
+      val nd = docs.select("doc_id").crossJoin(broadcast(cuts))
+        .filter(col("doc_id") <= col("cutoff"))
+        .groupBy("k", "cutoff").agg(count(lit(1)).as("n_docs"))
+      nd.join(vocab, Seq("k", "cutoff"))
+    }),
     "dq11_winsorize" -> ((s, dir) =>
       // winsorization at the exact p01/p99 from the bisection quantiles
       // (q94's machinery, no global sort): the clip bounds a feature
@@ -6386,6 +6411,19 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "tx40_vocab_growth" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS w
+         |FROM documents),
+         |fo AS (SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+         |m AS (SELECT max(doc_id) AS m FROM documents),
+         |cut AS (SELECT k::BIGINT AS k, (m * k) // 4 AS cutoff
+         |FROM m, (SELECT unnest(range(1, 5)) AS k))
+         |SELECT k, cutoff,
+         |(SELECT count(*) FROM documents WHERE doc_id <= cutoff)::BIGINT
+         |  AS n_docs,
+         |(SELECT count(*) FROM fo WHERE first_doc <= cutoff)::BIGINT
+         |  AS vocab_size
+         |FROM cut""".stripMargin,
     "dq11_winsorize" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
         |FROM lineitem WHERE l_extendedprice IS NOT NULL),
