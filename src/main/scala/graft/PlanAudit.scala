@@ -42,6 +42,7 @@ object PlanAudit {
       "st11_file_sink" -> "materialized parquet file-sink read-back; committed content oracle-checked",
       "st12_stream_novelty" -> "materialized streaming result; stream-static join gated in DocsStreamingSpec",
       "st13_stream_sketch" -> "foreachBatch-folded 256-cell sketch state; linearity + fold order proven in SketchesSpec",
+      "st14_stream_kmv" -> "foreachBatch-folded per-day KMV/column-stats state; fold closure proven in SketchesSpec",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",

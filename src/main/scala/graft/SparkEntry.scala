@@ -1142,6 +1142,54 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st14_stream_kmv" -> ((s, dir) => {
+      // streaming maintenance of the per-day column-stats/KMV artifacts:
+      // each micro-batch reduces to its own constant-size per-day
+      // sketches, folded into running state by the exact KMV merge
+      // (bottom-k of a union = bottom-k of the bottom-k's) — final state
+      // bit-equal to sketching the whole corpus at once, micro-batch
+      // boundaries cannot show. State is |days| * (k+4) values forever.
+      val tmp = tmpPath("graft-st14")
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("user_id"))
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, tmp.resolve(name + ".parquet"))
+        tmp.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", ev.filter(col("user_id") % 2 === 0), 1700000000000L)
+      writeHalf("b", ev.filter(col("user_id") % 2 === 1), 1700000100000L)
+      var state = graft.operators.Sketches.columnStatsByGroup(
+        ev.limit(0), "day", "user_id", 16)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = graft.operators.Sketches.columnStatsByGroup(
+            batch, "day", "user_id", 16)
+          state = graft.operators.Sketches
+            .foldColumnStats(state.unionAll(bs), 16).localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      state.select(col("grp").as("day"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        fround(when(size(col("kmv")) < 16, size(col("kmv")).cast("double"))
+          .otherwise(lit(15.0) * lit(2147483648.0) /
+            element_at(col("kmv"), 16).cast("double")), 2)
+          .as("est_distinct"))
+    }),
     "st13_stream_sketch" -> ((s, dir) => {
       // streaming maintenance of a mergeable summary: each micro-batch
       // reduces to its own 256-cell Count-Min sketch, folded into the
@@ -6411,6 +6459,22 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "st14_stream_kmv" ->
+      """WITH e AS (SELECT ts::TIMESTAMP::DATE::VARCHAR AS day,
+        |user_id AS v FROM events),
+        |per AS (SELECT day, count(*)::BIGINT AS n_rows,
+        |count(*) FILTER (v IS NULL)::BIGINT AS n_nulls,
+        |min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v FROM e
+        |GROUP BY 1),
+        |hs AS (SELECT DISTINCT day, (v * 2654435761) % 2147483648 AS h
+        |FROM e WHERE v IS NOT NULL),
+        |pk AS (SELECT day, list_sort(list(h)) AS kl FROM hs GROUP BY 1)
+        |SELECT per.day, n_rows, n_nulls, min_v, max_v,
+        |floor((CASE WHEN pk.day IS NULL THEN 0.0
+        |WHEN len(kl) < 16 THEN len(kl)::DOUBLE
+        |ELSE 15.0 * 2147483648.0 / kl[16] END) * 100.0) / 100.0
+        |  AS est_distinct
+        |FROM per LEFT JOIN pk ON pk.day = per.day""".stripMargin,
     "tx40_vocab_growth" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS w
          |FROM documents),

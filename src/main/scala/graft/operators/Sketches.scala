@@ -118,6 +118,31 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Re-aggregate per-group column-stats artifacts BY GROUP — the fold a
+    * streaming maintainer runs per micro-batch (st14), and the rollup a
+    * partitioned catalog runs when files merge: counts sum, extrema
+    * min/max, and the merged KMV is the native bottom-k aggregate over
+    * the unioned sketch entries (exact — bottom-k of a union is the
+    * bottom-k of the per-part bottom-k's). Output schema is identical to
+    * [[columnStatsByGroup]], so folding is closed: fold(fold(a, b), c)
+    * == stats(a + b + c) bit-for-bit, any grouping, any order.
+    * Everything is artifact-sized. */
+  def foldColumnStats(stats: DataFrame, k: Int = 16): DataFrame = {
+    val base = stats.groupBy("grp").agg(
+      sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    val merged = stats.select(col("grp"), explode(col("kmv")).as("h"))
+      .groupBy("grp").agg(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.expressions.KmvBottomK(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("h")), k)
+            .toAggregateExpression()).as("kmv"))
+    base.join(merged, Seq("grp"), "left")
+      .select(col("grp"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        coalesce(col("kmv"), array().cast("array<long>")).as("kmv"))
+  }
+
   /** Trailing-window NDV for EVERY day from the per-day KMV artifacts —
     * "distinct users in the last W days, daily" without re-scanning any
     * raw history: bottom-k of a union is the bottom-k of the per-part

@@ -151,6 +151,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(win === math.floor(3.0 * 2147483648.0 / h4 * 100.0) / 100.0)
   }
 
+  test("foldColumnStats is closed: folding split artifacts equals " +
+      "sketching the whole input, any split, any order") {
+    // > k distinct per group so the bottom-k genuinely truncates
+    val rows = (1 to 400).map(i => ((i % 3).toLong, (i * 48271L) % 977L))
+    val df = rows.toDF("day", "uid")
+    val whole = Sketches.columnStatsByGroup(df, "day", "uid", 4)
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    def part(p: Long => Boolean) = Sketches.columnStatsByGroup(
+      rows.filter(r => p(r._2)).toDF("day", "uid"), "day", "uid", 4)
+    val foldedAB = Sketches.foldColumnStats(
+      part(_ % 2 == 0).unionAll(part(_ % 2 == 1)), 4)
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(foldedAB === whole)
+    // re-folding an already-folded artifact is a no-op (closure)
+    val refold = Sketches.foldColumnStats(
+      Sketches.foldColumnStats(
+        part(_ % 2 == 0).unionAll(part(_ % 2 == 1)), 4), 4)
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(refold === whole)
+  }
+
   test("columnStatsByGroup builds its sketch via the k-capped partial " +
       "aggregate — no distinct + rank window on the hash stream") {
     val plan = Sketches.columnStatsByGroup(dailyEvents, "day", "uid", 4)
