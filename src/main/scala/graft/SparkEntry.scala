@@ -2105,6 +2105,25 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q97_pareto" -> ((s, dir) => {
+      // revenue-concentration (Pareto) report: customer deciles by
+      // revenue, share and cumulative share in exact floored ppm — the
+      // "how top-heavy is the business" readout. The global ntile sort
+      // runs on the CUSTOMER aggregate (dimension-sized), never fact
+      // rows; whole-dollar units keep every product inside BIGINT
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("d"))
+      rev.withColumn("decile", ntile(10)
+          .over(Window.orderBy(col("d").desc, col("cust"))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("d")).as("dollars"))
+        .withColumn("share_ppm",
+          expr("dollars * 1000000 div (sum(dollars) over ())"))
+        .withColumn("cum_share_ppm",
+          expr("(sum(dollars) over (order by decile)) * 1000000 " +
+            "div (sum(dollars) over ())"))
+    }),
     "tx40_vocab_growth" -> ((s, dir) => {
       // Heaps-law vocabulary-growth curve, exactly and libm-free: the
       // vocabulary inside any corpus prefix is |{words whose FIRST
@@ -6459,6 +6478,20 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q97_pareto" ->
+      """WITH rev AS (SELECT o_custkey AS cust,
+        |sum(CAST(floor(o_totalprice) AS BIGINT))::BIGINT AS d
+        |FROM orders GROUP BY 1),
+        |dd AS (SELECT cust, d,
+        |ntile(10) OVER (ORDER BY d DESC, cust) AS decile FROM rev),
+        |g AS (SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_cust,
+        |sum(d)::BIGINT AS dollars FROM dd GROUP BY 1)
+        |SELECT decile, n_cust, dollars,
+        |(dollars * 1000000 // (sum(dollars) OVER ()))::BIGINT
+        |  AS share_ppm,
+        |((sum(dollars) OVER (ORDER BY decile)) * 1000000
+        |  // (sum(dollars) OVER ()))::BIGINT AS cum_share_ppm
+        |FROM g""".stripMargin,
     "st14_stream_kmv" ->
       """WITH e AS (SELECT ts::TIMESTAMP::DATE::VARCHAR AS day,
         |user_id AS v FROM events),
