@@ -2105,6 +2105,16 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q98_group_quantile" -> ((s, dir) =>
+      // per-return-flag exact p50/p99 via GROUPED histogram bisection —
+      // histogram frames are |groups| x 4096 rows, group stats ride
+      // broadcast joins, the corpus pays map-side scans only; no grouped
+      // sort, no per-distinct-value percentile state
+      graft.operators.Quantile.exactQuantilesByGroup(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
+        "flag", "cents", Seq(("p50", 1L, 2L), ("p99", 99L, 100L)))
+        .withColumnRenamed("g", "flag")),
     "q97_pareto" -> ((s, dir) => {
       // revenue-concentration (Pareto) report: customer deciles by
       // revenue, share and cumulative share in exact floored ppm — the
@@ -6478,6 +6488,19 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q98_group_quantile" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |t AS (SELECT g, 'p50' AS q, greatest(1, (n + 1) // 2)::BIGINT AS k
+        |FROM n
+        |UNION ALL SELECT g, 'p99',
+        |greatest(1, (n * 99 + 99) // 100)::BIGINT FROM n),
+        |r AS (SELECT g, x,
+        |row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM v)
+        |SELECT t.g AS flag, q, k, x AS value FROM t
+        |JOIN r ON r.g = t.g AND r.rn = t.k""".stripMargin,
     "q97_pareto" ->
       """WITH rev AS (SELECT o_custkey AS cust,
         |sum(CAST(floor(o_totalprice) AS BIGINT))::BIGINT AS d

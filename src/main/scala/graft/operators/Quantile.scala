@@ -104,6 +104,75 @@ object Quantile {
       .select(col("q"), col("k"), col("x").as("value"))
   }
 
+  /** Per-group exact quantiles — the grouped form of [[exactQuantiles]]
+    * ("p99 per category" at 100 TB): the same two-level histogram
+    * bisection with the group key threaded through every stage. All
+    * histogram frames are |groups| * nBuckets rows; the group-stats
+    * frame (|groups| rows) rides broadcast joins, so the corpus pays
+    * map-side scans only, and the final sliver sort is per (group,
+    * quantile) — n_g / nBuckets^2 rows each. `percentile()` holds
+    * per-distinct-value state per group and a grouped sort re-ranges
+    * everything; neither shape survives a wide group.
+    *
+    * Output: (g, q, k, value) — one row per (group, quantile); groups
+    * arrive from the data, empty groups don't exist by construction. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Long, Long)],
+      nBuckets: Int = 4096): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall { case (_, nu, de) =>
+      nu >= 0 && de > 0 && nu <= de }, "quantiles must be rationals in [0,1]")
+    val nB = nBuckets.toLong
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val stats = v.groupBy("g").agg(min(col("x")).as("mn"),
+      max(col("x")).as("mx"), count(lit(1)).as("n"))
+
+    val coarse = v.join(broadcast(stats), Seq("g"))
+      .select(col("g"), expr(s"CASE WHEN mx = mn THEN 0L ELSE " +
+        s"(x - mn) * $nB div (mx - mn + 1) END").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val cum = coarse
+      .withColumn("cum_thru", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("b"))))
+      .withColumn("cum_below", col("cum_thru") - col("c"))
+
+    val targets = stats.select(col("g"), explode(array(quantiles.map {
+        case (lb, nu, de) => struct(lit(lb).as("q"),
+          expr(s"greatest(1L, (n * $nu + $de - 1) div $de)").as("k"))
+      }: _*)).as("t"))
+      .select(col("g"), col("t.q").as("q"), col("t.k").as("k"))
+    val tb1 = targets.join(cum, Seq("g"))
+      .filter(col("k") > col("cum_below") && col("k") <= col("cum_thru"))
+      .select(col("g"), col("q"), col("k"), col("b"), col("cum_below"))
+
+    val fine = v.join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("x"),
+        expr(s"CASE WHEN mx = mn THEN 0L ELSE (x - mn) * $nB * $nB div " +
+          "(mx - mn + 1) END").as("f"))
+      .withColumn("b", expr(s"f div $nB"))
+    val cum2 = fine
+      .join(broadcast(tb1), Seq("g", "b"))
+      .groupBy(col("g"), col("q"), col("f"))
+      .agg(count(lit(1)).as("c2"), first(col("k")).as("k"),
+        first(col("cum_below")).as("cum_below"))
+      .withColumn("cum2_thru", col("cum_below") + sum(col("c2")).over(
+        Window.partitionBy(col("g"), col("q")).orderBy(col("f"))))
+      .withColumn("cum2_below", col("cum2_thru") - col("c2"))
+    val tb2 = cum2
+      .filter(col("k") > col("cum2_below") && col("k") <= col("cum2_thru"))
+      .select(col("g"), col("q"), col("k"), col("f").as("tf"),
+        col("cum2_below"))
+
+    fine.join(broadcast(tb2),
+        col("f") === col("tf") && fine("g") === tb2("g"))
+      .drop(tb2("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("q")).orderBy(col("x"))))
+      .filter(col("rn") === col("k") - col("cum2_below"))
+      .select(col("g"), col("q"), col("k"), col("x").as("value"))
+  }
+
   /** Winsorization report: clamp the column at its EXACT lo/hi quantiles
     * (from [[exactQuantiles]] — no global sort) and report what clamping
     * does to the mean — the outlier-robustness pass a feature pipeline

@@ -48,6 +48,37 @@ class QuantileSpec extends AnyFunSuite {
     assert(run(xs, nBuckets = 4) === truth(xs))
   }
 
+  test("grouped: each group gets its own exact quantiles from its own " +
+      "distribution") {
+    // group a = 1..10, group b = 1000..1004: radically different ranges
+    val xs = (1L to 10L).map(("a", _)) ++ (1000L to 1004L).map(("b", _))
+    val r = Quantile.exactQuantilesByGroup(xs.toDF("g", "v"), "g", "v",
+        Seq(("p50", 1L, 2L), ("p99", 99L, 100L)), nBuckets = 8)
+      .as[(String, String, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(r === Seq(
+      ("a", "p50", 5L, 5L), ("a", "p99", 10L, 10L),
+      ("b", "p50", 3L, 1002L), ("b", "p99", 5L, 1004L)))
+  }
+
+  test("grouped: matches per-group sorted ground truth on scattered " +
+      "data; partitioning-invariant") {
+    val xs = (1 to 600).map(i =>
+      (s"g${i % 4}", ((i.toLong * 2654435761L) % 9973L) - 5000L))
+    def truthG = xs.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      Q.map { case (q, nu, de) =>
+        val k = math.max(1L, (rows.size * nu + de - 1) / de)
+        (g, q, k, sorted((k - 1).toInt))
+      }
+    }.sortBy(t => (t._1, t._2))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Quantile.exactQuantilesByGroup(df, "g", "v", Q, nBuckets = 4)
+        .as[(String, String, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(xs.toDF("g", "v")) === truthG)
+    assert(run(xs.toDF("g", "v").repartition(13)) === truthG)
+  }
+
   test("winsorize: hand-computed clip report with outliers on both " +
       "tails") {
     // 1..98 plus outliers 1000 and -500; p05 -> rank 5 -> 4,
