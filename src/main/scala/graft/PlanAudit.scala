@@ -85,6 +85,7 @@ object PlanAudit {
       "dq10_chi2" -> "margins cross bounded by |dom(a)| x |dom(b)| (structural zeros are real cells) + 1-row totals broadcast",
       "dq11_winsorize" -> "q94's 1-row bisection crosses + a 1-row clip-bounds broadcast over the final scan",
       "tx40_vocab_growth" -> "4-row quartile-cutoff broadcast crosses over the vocab and doc-id frames",
+      "q96_assoc_rules" -> "1-row basket-total broadcast cross over the frequent-pair rule frame",
       "dd32_temperature_mix" -> "1-row budget-totals broadcast cross",
       "ss15_ivf_append" -> "tiny centroid-table + 1-row totals broadcast crosses",
       "ss16_hybrid_rrf" -> "legs: bm25 1-row stats cross + deliberate brute-force vector leg (scale paths: ss2/ss3)",
