@@ -2105,6 +2105,25 @@ object SparkEntry {
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
     }),
+    "q99_interarrival" -> ((s, dir) => {
+      // per-event-type inter-arrival p50/p95 in exact microseconds: one
+      // lag window partitioned by user (deterministic (ts, event_id)
+      // tie order) produces the gap stream, then the GROUPED histogram
+      // bisection takes the percentiles — no grouped sort, no
+      // per-distinct-value state; the ops-latency readout at any scale
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("gap_us", unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts"), col("event_id"))))
+        .filter(col("gap_us").isNotNull)
+      graft.operators.Quantile.exactQuantilesByGroup(
+        ev, "event_type", "gap_us",
+        Seq(("p50", 1L, 2L), ("p95", 19L, 20L)))
+        .withColumnRenamed("g", "event_type")
+    }),
     "q98_group_quantile" -> ((s, dir) =>
       // per-return-flag exact p50/p99 via GROUPED histogram bisection —
       // histogram frames are |groups| x 4096 rows, group stats ride
@@ -6488,6 +6507,21 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q99_interarrival" ->
+      """WITH g0 AS (SELECT event_type,
+        |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id) AS gap FROM events),
+        |v AS (SELECT event_type AS g, gap AS x FROM g0
+        |WHERE gap IS NOT NULL),
+        |n AS (SELECT g, count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |t AS (SELECT g, 'p50' AS q, greatest(1, (n + 1) // 2)::BIGINT AS k
+        |FROM n
+        |UNION ALL SELECT g, 'p95',
+        |greatest(1, (n * 19 + 19) // 20)::BIGINT FROM n),
+        |r AS (SELECT g, x,
+        |row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM v)
+        |SELECT t.g AS event_type, q, k, x AS value FROM t
+        |JOIN r ON r.g = t.g AND r.rn = t.k""".stripMargin,
     "q98_group_quantile" ->
       """WITH v AS (SELECT l_returnflag AS g,
         |CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
