@@ -2210,6 +2210,21 @@ object SparkEntry {
       graft.operators.MarketBasket.pairRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minItemBaskets = 2, minPairBaskets = 2, topK = 100)),
+    "dq12_constraints" -> ((s, dir) =>
+      // Deequ-style declarative constraint suite: six rules over
+      // lineitem validated in ONE map-side aggregate pass (never a scan
+      // per rule), unpivoted to a long-format violation report
+      graft.operators.QualityAudit.constraintAudit(
+        t(s, dir, "lineitem"), Seq(
+          "qty_in_1_50" ->
+            (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "discount_in_0_10pct" ->
+            (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+          "tax_in_0_8pct" -> (col("l_tax") >= 0.0 && col("l_tax") <= 0.08),
+          "price_positive" -> (col("l_extendedprice") > 0.0),
+          "flag_in_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "shipped_before_1999" ->
+            (col("l_shipdate") < lit("1999-01-01").cast("timestamp"))))),
     "dq10_chi2" -> ((s, dir) =>
       // chi-square independence of language x source on the corpus —
       // the categorical sampling-bias audit (PSI/KS cover numeric
@@ -6633,6 +6648,31 @@ object SparkEntry {
         |ORDER BY lift_micro DESC, confidence_ppm DESC,
         |antecedent, consequent
         |LIMIT 100""".stripMargin,
+    "dq12_constraints" ->
+      """WITH t AS (SELECT count(*)::BIGINT AS n_rows,
+        |count(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 50))
+        |  ::BIGINT AS v0,
+        |count(*) FILTER (NOT (l_discount >= 0 AND l_discount <= 0.1))
+        |  ::BIGINT AS v1,
+        |count(*) FILTER (NOT (l_tax >= 0 AND l_tax <= 0.08))
+        |  ::BIGINT AS v2,
+        |count(*) FILTER (NOT (l_extendedprice > 0))::BIGINT AS v3,
+        |count(*) FILTER (NOT (l_returnflag IN ('A', 'N', 'R')))
+        |  ::BIGINT AS v4,
+        |count(*) FILTER (NOT (l_shipdate < TIMESTAMP '1999-01-01'))
+        |  ::BIGINT AS v5
+        |FROM lineitem),
+        |r AS (SELECT 'qty_in_1_50' AS rule, v0 AS n_violations, n_rows
+        |FROM t
+        |UNION ALL SELECT 'discount_in_0_10pct', v1, n_rows FROM t
+        |UNION ALL SELECT 'tax_in_0_8pct', v2, n_rows FROM t
+        |UNION ALL SELECT 'price_positive', v3, n_rows FROM t
+        |UNION ALL SELECT 'flag_in_domain', v4, n_rows FROM t
+        |UNION ALL SELECT 'shipped_before_1999', v5, n_rows FROM t)
+        |SELECT rule, n_violations, n_rows,
+        |(n_violations * 1000000 // greatest(n_rows, 1))::BIGINT
+        |  AS violation_ppm
+        |FROM r""".stripMargin,
     "dq10_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b,
         |count(*)::BIGINT AS observed FROM documents GROUP BY 1, 2),

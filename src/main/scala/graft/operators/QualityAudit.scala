@@ -403,6 +403,34 @@ object QualityAudit {
           .otherwise("low"))
   }
 
+  /** Declarative constraint-suite audit (the Deequ/"expectations" shape):
+    * evaluate every rule over the table in ONE map-side pass — a single
+    * aggregate computes all violation counters, then the 1-row result
+    * unpivots to a long-format report. N rules never mean N scans.
+    *
+    * Contract: a row violates a rule iff the predicate evaluates to
+    * FALSE; a NULL predicate (null inputs) is NOT a violation — pair
+    * with an explicit IS NOT NULL rule when nulls should fail. Rates in
+    * floored ppm.
+    *
+    * Output: one row per rule — (rule, n_violations, n_rows,
+    * violation_ppm). */
+  def constraintAudit(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case ((_, c), i) =>
+        count(when(!c, lit(1))).as(s"v_$i") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"v_$i").as("n_violations"),
+          col("n_rows").as("n_rows")) }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_violations"),
+        col("r.n_rows"))
+      .withColumn("violation_ppm",
+        expr("n_violations * 1000000 div greatest(n_rows, 1)"))
+  }
+
   /** Pearson chi-square independence audit of two categorical columns —
     * "is the language mix the same across sources, or does some source
     * skew" (the categorical sibling of the PSI/KS drift monitors; also

@@ -286,6 +286,33 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(r.select("chi2_micro").as[Long].head() === 4000000L)
   }
 
+  test("constraint audit: one pass, FALSE violates, NULL does not") {
+    val df = Seq[(java.lang.Long, String)](
+      (5L, "a"), (-1L, "b"), (null, "a"), (200L, "a"))
+      .toDF("v", "tag")
+    val r = QualityAudit.constraintAudit(df, Seq(
+        "v_positive" -> ($"v" > 0L),
+        "v_under_100" -> ($"v" < 100L),
+        "v_not_null" -> $"v".isNotNull,
+        "tag_in_domain" -> $"tag".isin("a", "b")))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r === Seq(
+      ("tag_in_domain", 0L, 4L, 0L),
+      // null v: > and < are NULL, not violations; isNotNull is FALSE
+      ("v_not_null", 1L, 4L, 250000L),
+      ("v_positive", 1L, 4L, 250000L),
+      ("v_under_100", 1L, 4L, 250000L)))
+  }
+
+  test("constraint audit: single aggregate pass — no scan per rule") {
+    val rules = (1 to 8).map(i => (s"r$i", $"v" =!= i.toLong))
+    val plan = QualityAudit.constraintAudit(
+        Seq(1L, 2L).toDF("v"), rules)
+      .queryExecution.executedPlan.toString
+    // one scan feeding one aggregate chain; 8 rules never mean 8 scans
+    assert("LocalTableScan".r.findAllIn(plan).size === 1)
+  }
+
   test("chi2: partitioning-invariant") {
     val rows = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 4}"))
     def run(df: org.apache.spark.sql.DataFrame) =
