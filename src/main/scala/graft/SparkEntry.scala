@@ -2153,6 +2153,36 @@ object SparkEntry {
           expr("(sum(dollars) over (order by decile)) * 1000000 " +
             "div (sum(dollars) over ())"))
     }),
+    "er12_threshold_sweep" -> ((s, dir) => {
+      // threshold operating curve for the JW matcher: pair counts per
+      // similarity percent bucket + reverse-cumulative "pairs at or
+      // above" — the curve an MDM owner reads to PICK the threshold
+      // instead of guessing it. One scored candidate pass (the er1/tx24
+      // blocked join), then an 11-row histogram + window
+      val pairs = graft.operators.EntityResolution.tokenBlockedPairs(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand", 0.9)
+      pairs
+        .select(floor(col("jw") * 100.0).cast("long").as("threshold_pc"))
+        .groupBy("threshold_pc").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+          Window.orderBy(col("threshold_pc").desc)))
+    }),
+    "tx41_mojibake" -> ((s, dir) =>
+      // encoding-health ingestion audit: per-source docs carrying U+FFFD
+      // replacement chars or C0 control bytes — the mojibake/binary-
+      // spill screen every crawler pipeline runs before tokenizing.
+      // One map-side-combined agg; identical RE2-safe char class in the
+      // oracle
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("text").contains("\uFFFD"), 1))
+            .as("n_replacement"),
+          count(when(col("text")
+              .rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1))
+            .as("n_control"))
+        .withColumn("bad_ppm",
+          expr("(n_replacement + n_control) * 1000000 div n_docs"))),
     "tx40_vocab_growth" -> ((s, dir) => {
       // Heaps-law vocabulary-growth curve, exactly and libm-free: the
       // vocabulary inside any corpus prefix is |{words whose FIRST
@@ -6580,6 +6610,31 @@ object SparkEntry {
         |ELSE 15.0 * 2147483648.0 / kl[16] END) * 100.0) / 100.0
         |  AS est_distinct
         |FROM per LEFT JOIN pk ON pk.day = per.day""".stripMargin,
+    "er12_threshold_sweep" ->
+      """WITH p AS (SELECT
+        |floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 AS jw
+        |FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0)
+        |  / 10000.0 >= 0.9),
+        |h AS (SELECT CAST(floor(jw * 100.0) AS BIGINT) AS threshold_pc,
+        |count(*)::BIGINT AS n_pairs FROM p GROUP BY 1)
+        |SELECT threshold_pc, n_pairs,
+        |(sum(n_pairs) OVER (ORDER BY threshold_pc DESC))::BIGINT
+        |  AS n_at_or_above
+        |FROM h""".stripMargin,
+    "tx41_mojibake" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |count(*) FILTER (contains(text, chr(65533)))::BIGINT
+        |  AS n_replacement,
+        |count(*) FILTER (regexp_matches(text,
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F]'))::BIGINT AS n_control,
+        |((count(*) FILTER (contains(text, chr(65533)))
+        |  + count(*) FILTER (regexp_matches(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]'))) * 1000000
+        |  // count(*))::BIGINT AS bad_ppm
+        |FROM documents GROUP BY 1""".stripMargin,
     "tx40_vocab_growth" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS w
          |FROM documents),
