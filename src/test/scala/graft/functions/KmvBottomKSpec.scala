@@ -52,6 +52,19 @@ class KmvBottomKSpec extends AnyFunSuite {
     assert(sketch(df, 3) === Seq(-5L, -1L, 0L))
   }
 
+  test("buffer serialization round-trips exactly (the shuffle wire " +
+      "format of partial sketches)") {
+    val agg = graft.functions.expressions.KmvBottomK(
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        org.apache.spark.sql.functions.col("v")), k = 4)
+    val buf = agg.createAggregationBuffer()
+    Seq(9L, -3L, 7L, 0L, 5L).foreach(x => buf.add(x))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back === buf)
+    val empty = agg.createAggregationBuffer()
+    assert(agg.deserialize(agg.serialize(empty)).isEmpty)
+  }
+
   test("non-BIGINT input fails analysis loudly") {
     GraftExtensions.register(spark)
     Seq("a").toDF("v").createOrReplaceTempView("kmv_bad")
