@@ -118,7 +118,9 @@ object PlanAudit {
       "q89_rfm_segments" -> "1-row per-metric quintile-total broadcast crosses",
       "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)",
       "dq9_error_pchart" -> "1-row pooled-totals broadcast cross (center line)",
-      "q93_conversion_hazard" -> "1-row observation-end broadcast cross")
+      "q93_conversion_hazard" -> "1-row observation-end broadcast cross",
+      "q100_survival_km" -> "1-row observation-end broadcast cross; KM fold + join back are duration-domain-sized",
+      "q101_competing_risks" -> "1-row observation-end broadcast cross; AJ fold + join back are duration-domain-sized")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"

@@ -2076,6 +2076,24 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       graft.operators.Graph.assortativity(edges, "cust", "supp")
     }),
+    "g10_semantic_expand" -> ((s, dir) => {
+      // seed-set expansion over the ss12 kNN graph: start from the
+      // labeled cohort (label = 0) and BFS along each vector's top-3
+      // SRP-bucket neighbors, recording the exact hop level — the
+      // "propagate a trusted/contaminated flag through semantic
+      // neighborhoods" primitive. Edge build is the ss12 bucket
+      // equi-join (no all-pairs anywhere); the walk is frontier-join
+      // rounds that touch |frontier| x |E| per hop and exit early at
+      // the reachable set's diameter
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.operators.Similarity
+        .lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val seeds = emb.where(col("label") === 0).select("vec_id")
+      graft.operators.Graph
+        .bfsLevels(edges, "src", "dst", seeds, "vec_id", maxHops = 6)
+        .select(col("node").as("vec_id"), col("hop"))
+    }),
     "q91_theilsen" -> ((s, dir) => {
       // Theil-Sen robust revenue trend per order priority: median of
       // pairwise slopes over the MONTHLY aggregate (84 calendar months
@@ -2104,6 +2122,71 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
         "purchase")
       graft.operators.Attribution.removalEffects(trans, iterations = 16)
+    }),
+    "q100_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier time-to-convert with right censoring over the
+      // signup cohort: duration = days from first signup to the first
+      // purchase AT OR AFTER it; users who never convert censor at the
+      // observation end (max event ts). Complements q93's life-table
+      // hazards with the product-limit survival curve itself, carried
+      // as an exact nano-unit integer product (per-step floor) — see
+      // Survival.kaplanMeier for the estimator conventions. One
+      // user-grain shuffle builds the observations; everything after is
+      // calendar-sized
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id").filter(col("ts") >= col("t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val end = ev.agg(max(col("ts")).as("obs_end"))
+      val obs = su.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(col("t1").isNotNull,
+              datediff(to_date(col("t1")), to_date(col("t0"))))
+            .otherwise(
+              datediff(to_date(col("obs_end")), to_date(col("t0"))))
+            .cast("long").as("dur"),
+          when(col("t1").isNotNull, 1L).otherwise(0L).as("event"))
+      graft.operators.Survival.kaplanMeier(obs, "dur", "event")
+    }),
+    "q101_competing_risks" -> ((s, dir) => {
+      // Aalen-Johansen cumulative incidence: after signup a user exits
+      // by FIRST purchase (risk 1) or FIRST error (risk 2), whichever
+      // comes first — "1 - KM per risk" would overstate both; AJ
+      // allocates each step's mass to the risk that took it. The
+      // first-exit pick is an integer min over epoch_us*4 + type, a
+      // total order both engines share bit-for-bit (no arg_min tie
+      // ambiguity). Estimator arithmetic in Survival.cumulativeIncidence
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val fx = ev.filter(col("event_type").isin("purchase", "error"))
+        .join(su, "user_id").filter(col("ts") >= col("t0"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts")) * 4L +
+          when(col("event_type") === "purchase", 1L).otherwise(2L))
+          .as("k"))
+      val end = ev.agg(max(col("ts")).as("obs_end"))
+      val obs = su.join(fx, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(col("k").isNotNull,
+              datediff(to_date(timestamp_micros(expr("k div 4"))),
+                to_date(col("t0"))))
+            .otherwise(
+              datediff(to_date(col("obs_end")), to_date(col("t0"))))
+            .cast("long").as("dur"),
+          coalesce(expr("k % 4"), lit(0L)).as("typ"))
+      graft.operators.Survival.cumulativeIncidence(obs, "dur", "typ")
+        .select(col("t"), col("n_risk"),
+          col("d1").as("n_purchase"), col("d2").as("n_error"),
+          col("n_censored"), col("surv_ppm"),
+          col("cif1_ppm").as("cif_purchase_ppm"),
+          col("cif2_ppm").as("cif_error_ppm"))
     }),
     "q99_interarrival" -> ((s, dir) => {
       // per-event-type inter-arrival p50/p95 in exact microseconds: one
@@ -6463,6 +6546,34 @@ object SparkEntry {
         |    * (m_edges::HUGEINT * sum_k2 - sum_k::HUGEINT * sum_k)
         |      ::DOUBLE)) * 1000000) / 1000000 AS assortativity
         |FROM m""".stripMargin,
+    "g10_semantic_expand" ->
+      // the ss12 edge build verbatim, then a bounded recursive reach;
+      // UNION (not UNION ALL) dedups (node, hop) pairs so the recursion
+      // is level-synchronous BFS, and min(hop) is the settle rule
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id <> c.vec_id
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
+        |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM (
+        |SELECT query_id, neighbor_id, row_number() OVER (
+        |PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id) AS rank
+        |FROM scored) WHERE rank <= 3),
+        |reach AS (WITH RECURSIVE r(node, hop) AS (
+        |SELECT vec_id, 0::BIGINT FROM embeddings WHERE label = 0
+        |UNION
+        |SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON r.node = e.src
+        |WHERE r.hop < 6)
+        |SELECT node, min(hop) AS hop FROM r GROUP BY 1)
+        |SELECT node AS vec_id, hop FROM reach""".stripMargin,
     "q91_theilsen" ->
       """WITH monthly AS (SELECT o_orderpriority AS priority,
         |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
@@ -6552,6 +6663,85 @@ object SparkEntry {
           |    1))::BIGINT AS attribution_ppm
           |FROM ch, pf""".stripMargin
     },
+    "q100_survival_km" ->
+      // same estimator conventions as Survival.kaplanMeier: censored-at-t
+      // still at risk at t, event rows only, ppm floors, and the KM
+      // product as a nano-unit recurrence (per-step floor) unrolled by a
+      // linear recursive CTE over the row-numbered event times
+      """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+        |WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |JOIN su USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ts >= su.t0 GROUP BY 1),
+        |fin AS (SELECT max(ts) AS obs_end FROM events),
+        |obs AS (SELECT CASE WHEN t1 IS NOT NULL
+        |THEN date_diff('day', t0::DATE, t1::DATE)
+        |ELSE date_diff('day', t0::DATE, obs_end::DATE) END::BIGINT AS dur,
+        |CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS ev
+        |FROM su LEFT JOIN pu USING (user_id) CROSS JOIN fin),
+        |g AS (SELECT dur AS t, sum(ev)::BIGINT AS d,
+        |sum(1 - ev)::BIGINT AS c FROM obs GROUP BY 1),
+        |r AS (SELECT t, d, c, sum(d + c) OVER ()::BIGINT AS total,
+        |coalesce(sum(d + c) OVER (ORDER BY t
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |AS prior FROM g),
+        |e AS (SELECT t, total - prior AS n_risk, d AS n_event,
+        |c AS n_censored, row_number() OVER (ORDER BY t)::BIGINT AS i
+        |FROM r WHERE d >= 1),
+        |km AS (WITH RECURSIVE k(i, s) AS (
+        |SELECT 0::BIGINT, 1000000000::BIGINT
+        |UNION ALL
+        |SELECT e.i, (k.s * (e.n_risk - e.n_event)) // e.n_risk
+        |FROM k JOIN e ON e.i = k.i + 1)
+        |SELECT i, s FROM k WHERE i >= 1)
+        |SELECT e.t, e.n_risk, e.n_event, e.n_censored,
+        |e.n_event * 1000000 // e.n_risk AS hazard_ppm,
+        |(sum(e.n_event * 1000000 // e.n_risk)
+        |OVER (ORDER BY e.t))::BIGINT AS na_cum_ppm,
+        |km.s // 1000 AS km_ppm
+        |FROM e JOIN km ON km.i = e.i""".stripMargin,
+    "q101_competing_risks" ->
+      // the AJ recurrence unrolled by a linear recursive CTE carrying
+      // (s, cif1, cif2); increments use the PRIOR s (mass allocated
+      // before the step), matching Survival.cumulativeIncidence exactly
+      """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+        |WHERE event_type = 'signup' GROUP BY 1),
+        |fx AS (SELECT e.user_id, min(epoch_us(e.ts) * 4 +
+        |CASE e.event_type WHEN 'purchase' THEN 1 ELSE 2 END)::BIGINT AS k
+        |FROM events e JOIN su USING (user_id)
+        |WHERE e.event_type IN ('purchase', 'error') AND e.ts >= su.t0
+        |GROUP BY 1),
+        |fin AS (SELECT max(ts) AS obs_end FROM events),
+        |obs AS (SELECT CASE WHEN k IS NOT NULL
+        |THEN date_diff('day', t0::DATE, make_timestamp(k // 4)::DATE)
+        |ELSE date_diff('day', t0::DATE, obs_end::DATE) END::BIGINT AS dur,
+        |coalesce(k % 4, 0)::BIGINT AS typ
+        |FROM su LEFT JOIN fx USING (user_id) CROSS JOIN fin),
+        |g AS (SELECT dur AS t,
+        |sum(CASE WHEN typ = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |sum(CASE WHEN typ = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |sum(CASE WHEN typ = 0 THEN 1 ELSE 0 END)::BIGINT AS c
+        |FROM obs GROUP BY 1),
+        |r AS (SELECT t, d1, d2, c,
+        |sum(d1 + d2 + c) OVER ()::BIGINT AS total,
+        |coalesce(sum(d1 + d2 + c) OVER (ORDER BY t
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |AS prior FROM g),
+        |e AS (SELECT t, total - prior AS n_risk, d1, d2,
+        |c AS n_censored, row_number() OVER (ORDER BY t)::BIGINT AS i
+        |FROM r WHERE d1 + d2 >= 1),
+        |aj AS (WITH RECURSIVE k(i, s, c1, c2) AS (
+        |SELECT 0::BIGINT, 1000000000::BIGINT, 0::BIGINT, 0::BIGINT
+        |UNION ALL
+        |SELECT e.i, (k.s * (e.n_risk - e.d1 - e.d2)) // e.n_risk,
+        |k.c1 + (k.s * e.d1) // e.n_risk, k.c2 + (k.s * e.d2) // e.n_risk
+        |FROM k JOIN e ON e.i = k.i + 1)
+        |SELECT i, s, c1, c2 FROM k WHERE i >= 1)
+        |SELECT e.t, e.n_risk, e.d1 AS n_purchase, e.d2 AS n_error,
+        |e.n_censored, aj.s // 1000 AS surv_ppm,
+        |aj.c1 // 1000 AS cif_purchase_ppm,
+        |aj.c2 // 1000 AS cif_error_ppm
+        |FROM e JOIN aj ON aj.i = e.i""".stripMargin,
     "q99_interarrival" ->
       """WITH g0 AS (SELECT event_type,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

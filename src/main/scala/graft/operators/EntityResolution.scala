@@ -251,26 +251,39 @@ object EntityResolution {
     * threshold — (pk_a, pk_b, min_df, fs_deci, fs_tf_deci), i.e. er2's
     * decision plus the borderline pairs a rare shared term rescues.
     *
-    * Scale shape: the er2 candidate join with the token retained, one
-    * token-df aggregate joined by token (both sides of the join already
-    * shuffle on tok for blocking), a per-pair min-df reduce, and a 1-row
-    * corpus-count broadcast. Candidate-bounded like everything else in
-    * this family. */
+    * Scale shape: a KEYS-ONLY replay of the er2 candidate join (pair
+    * ids + shared token, no feature scoring — the JW/feature work rides
+    * the MEMOIZED pair-grain [[scoredDistinct]] frame er2/er3/er6/er9/
+    * er10 already paid for), the vocabulary-bounded token-df map
+    * broadcast onto it, a per-pair min-df reduce, a pair-grain join
+    * back to the scored frame, and a 1-row corpus-count broadcast.
+    * Candidate-bounded like everything else in this family. */
   def tfAdjustedMatches(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int = 2,
       priceTol: Double = 50.0): DataFrame = {
     val n = records.select(count(lit(1)).as("n"))
+    // token -> document frequency: one row per DISTINCT name token, a
+    // structured-name vocabulary — bounded far below the record count,
+    // safe to broadcast (the er1 blocking index makes the same bet)
     val tokDf = records
       .select(col(keyCol).as("k"),
         explode(split(col(nameCol), " ")).as("tok"))
       .distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
+    // same (block, tok) candidate join as fellegiSunterScored but with
+    // NOTHING carried except the pair keys — no per-duplicate-token JW
+    val bt = records.select(col(keyCol), col(blockCol).as("block"),
+      explode(split(col(nameCol), " ")).as("tok"))
+    val minDf = bt.select(col(keyCol).as("pk_a"), col("block"), col("tok"))
+      .join(bt.select(col(keyCol).as("pk_b"), col("block"), col("tok")),
+        Seq("block", "tok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .join(broadcast(tokDf), "tok")
+      .groupBy("pk_a", "pk_b").agg(min(col("df")).as("min_df"))
+    scoredDistinct(records, keyCol, nameCol, blockCol, sizeCol,
         catCol, priceCol, sizeTol, priceTol)
-      .join(tokDf, "tok")
-      .groupBy("pk_a", "pk_b", "jw_u", "fs_deci")
-      .agg(min(col("df")).as("min_df"))
+      .join(minDf, Seq("pk_a", "pk_b"))
       .crossJoin(broadcast(n))
       // ln(x)/ln(2), not log2(x): an engine's std::log2 can differ from
       // the ln ratio in the last ulp exactly at power-of-two boundaries,

@@ -600,4 +600,66 @@ object Graph {
     e.unpersist(false)
     result
   }
+
+  /** Multi-source BFS hop levels over a DIRECTED edge list: every node
+    * reachable from the seed set within `maxHops` hops, labeled with its
+    * exact hop distance (the minimum number of edges from any seed).
+    *
+    * The training-data use is seed-set expansion: start from a trusted or
+    * flagged subset (curated docs, known-contaminated ids, a labeled
+    * embedding cohort) and propagate along a similarity/co-occurrence
+    * graph, with the hop level recording propagation confidence. The
+    * reference walks its FK graph the same way, on the driver
+    * (`/root/reference/osarchiver/source/db.py:187-214`); this is the
+    * data-scale form.
+    *
+    * Algorithm: classic frontier expansion. `dist` holds settled
+    * `(node, hop)` rows; each round joins the CURRENT frontier (not the
+    * whole settled set) against the edge list, dedups the targets, and
+    * anti-joins the settled set so a node keeps its first (= minimal) hop.
+    * Frontiers are persisted and lineage-rerooted per round (the kCore
+    * discipline), and the loop exits early on an empty frontier — on a
+    * graph of diameter d only d+1 rounds run regardless of `maxHops`.
+    *
+    * Scale shape: per round one equi-join |frontier| x |E| on the edge
+    * key plus a distinct and an anti-join against at most |V| settled
+    * rows — all key-partitioned, no broadcast of anything unbounded, no
+    * driver-side state. The settled set is a union of per-round LEAF
+    * frames, so the final plan stays flat.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastCount = -1L
+    def reroot(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      lastCount = cached.count()
+      caches += cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    var frontier = reroot(seeds
+      .select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0L)))
+    var settled = Seq(frontier)
+    var hop = 0
+    while (hop < maxHops && lastCount > 0) {
+      hop += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.reduce(_ union _).select("node"), Seq("node"),
+          "left_anti")
+        .withColumn("hop", lit(hop.toLong))
+      frontier = reroot(next)
+      if (lastCount > 0) settled = settled :+ frontier
+    }
+    val result = settled.reduce(_ union _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    caches.foreach(_.unpersist(false))
+    result
+  }
 }

@@ -423,4 +423,41 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().head
     assert(dup === r1)
   }
+
+  test("bfsLevels: path + back-cycle yields exact hop levels; unreachable absent") {
+    // 1 -> 2 -> 3 -> 4, back-edge 4 -> 2 (cycle must not relabel 2),
+    // disconnected 9 -> 10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val levels = Graph.bfsLevels(edges, "src", "dst", seeds, "id", maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(levels === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsLevels: multi-source takes the minimum hop over all seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val levels = Graph.bfsLevels(edges, "src", "dst", seeds, "id", maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    // 4 is 3 hops from seed 1 but 1 hop from seed 5
+    assert(levels === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsLevels: maxHops truncates; early-exit beyond the diameter is identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val capped = Graph.bfsLevels(edges, "src", "dst", seeds, "id", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // a huge budget runs only diameter+1 rounds and returns the full set
+    val full = Graph.bfsLevels(edges, "src", "dst", seeds, "id", maxHops = 1000)
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // partition-invariance: same result on a different layout
+    val again = Graph.bfsLevels(edges.repartition(5), "src", "dst",
+      seeds.repartition(3), "id", maxHops = 1000)
+      .as[(Long, Long)].collect().toMap
+    assert(again === full)
+  }
 }
