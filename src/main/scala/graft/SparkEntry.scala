@@ -2094,6 +2094,23 @@ object SparkEntry {
         .bfsLevels(edges, "src", "dst", seeds, "vec_id", maxHops = 6)
         .select(col("node").as("vec_id"), col("hop"))
     }),
+    "g11_clustering_coeff" -> ((s, dir) =>
+      // local clustering coefficient on the g2 near-dup candidate graph:
+      // cc ~ 1 marks coherent duplicate families (safe to collapse), cc
+      // ~ 0 marks template-hub stars that transitive closure would
+      // wrongly merge — the clique-ness gate in front of dd6-style
+      // cluster collapse. Triangle joins + one degree agg, integer ppm
+      graft.operators.Graph.clusteringCoefficient(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 16, rowsPerBand = 4),
+        "doc_a", "doc_b")),
+    "tx42_pmi_collocations" -> ((s, dir) =>
+      // PMI collocation mining over the corpus bigram stream: the
+      // phrase/MWE detector (Church & Hanks 1990) that seeds tokenizer
+      // merges and phrase-aware shingles — positive-PMI pairs seen >= 5
+      // times, milli-bit integer scores via the house ln-ratio floor
+      graft.operators.LanguageModel.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5)),
     "q91_theilsen" -> ((s, dir) => {
       // Theil-Sen robust revenue trend per order priority: median of
       // pairwise slopes over the MONTHLY aggregate (84 calendar months
@@ -6574,6 +6591,50 @@ object SparkEntry {
         |WHERE r.hop < 6)
         |SELECT node, min(hop) AS hop FROM r GROUP BY 1)
         |SELECT node AS vec_id, hop FROM reach""".stripMargin,
+    "g11_clustering_coeff" ->
+      // g2's candidate/triangle CTEs plus a degree margin; same integer
+      // ppm division as Graph.clusteringCoefficient
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |degs AS (SELECT node, count(*)::BIGINT AS degree FROM
+         |(SELECT a AS node FROM cand UNION ALL SELECT b FROM cand)
+         |GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |FROM cand e1 JOIN cand e2 ON e2.a = e1.b
+         |JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tcount AS (SELECT node, count(*)::BIGINT AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+         |SELECT d.node, d.degree,
+         |coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+         |(coalesce(tc.n_triangles, 0) * 2000000)
+         |  // (d.degree * (d.degree - 1)) AS cc_ppm
+         |FROM degs d LEFT JOIN tcount tc USING (node)
+         |WHERE d.degree >= 2""".stripMargin,
+    "tx42_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |bg AS (SELECT t[i::INT] AS w1, t[(i + 1)::INT] AS w2
+         |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d2)),
+         |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+         |c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM c12 GROUP BY 1),
+         |n AS (SELECT sum(c12)::BIGINT AS n FROM c12),
+         |scored AS (SELECT w1, w2, c12.c12,
+         |floor(ln((c12.c12::DOUBLE * n.n::DOUBLE)
+         |  / (c1.c1::DOUBLE * c2.c2::DOUBLE)) / ln(2.0) * 1000)::BIGINT
+         |  AS pmi_milli
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+         |WHERE c12.c12 >= 5)
+         |SELECT w1, w2, c12, pmi_milli FROM scored
+         |WHERE pmi_milli > 0""".stripMargin,
     "q91_theilsen" ->
       """WITH monthly AS (SELECT o_orderpriority AS priority,
         |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,

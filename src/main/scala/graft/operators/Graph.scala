@@ -662,4 +662,49 @@ object Graph {
     caches.foreach(_.unpersist(false))
     result
   }
+
+  /** Local clustering coefficient per node (Watts & Strogatz 1998) over
+    * an UNDIRECTED edge list: cc(v) = 2 * tri(v) / (deg(v) * (deg(v)-1)),
+    * the fraction of a node's neighbor pairs that are themselves linked.
+    * On a near-dup candidate graph this separates coherent duplicate
+    * families (cc near 1: everyone matches everyone — safe to collapse to
+    * one survivor) from hub-shaped false-positive stars (cc near 0: a
+    * template fragment links many mutually-unrelated docs — collapsing
+    * would merge distinct content). The g2/g3/g4 cluster diagnostics
+    * report WHERE density is; this reports whether it is clique-like.
+    *
+    * Integer ppm output: cc_ppm = (2 * tri * 1e6) div (deg * (deg-1)),
+    * exact on any partitioning. Only nodes with deg >= 2 have a defined
+    * coefficient (a degree-1 node has no neighbor pairs) — they are
+    * emitted with their triangle count and cc; deg < 2 nodes are omitted.
+    *
+    * Scale shape: [[triangleCounts]]' two equi-joins (wedge + closure)
+    * plus one degree aggregation over the doubled edge list and a
+    * node-keyed join — everything hash-partitioned on node ids. Skew
+    * note: for hub-heavy graphs substitute [[triangleCountsDegree]]'s
+    * oriented wedge build; counts are bit-identical.
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e, "a", "b")
+    val result = deg.filter(col("degree") >= 2L)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("coalesce(n_triangles, 0L) * 2000000 div (degree * (degree - 1))")
+          .as("cc_ppm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    e.unpersist(false)
+    result
+  }
 }

@@ -176,4 +176,56 @@ object LanguageModel {
           .when(col("nll") <= col("c2"), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Pointwise-mutual-information collocation mining (Church & Hanks
+    * 1990): bigrams whose joint frequency beats the independence
+    * expectation — the phrase/multi-word-expression detector that seeds
+    * tokenizer merge candidates (compare tx35's frequency-greedy BPE)
+    * and phrase-aware dedup shingles.
+    *
+    * PMI = log2( p(w1,w2) / (p(w1,·) p(·,w2)) ) with all probabilities
+    * estimated from the bigram stream: p(w1,w2) = c12/N, p(w1,·) =
+    * c1/N, p(·,w2) = c2/N, N = total bigram count. Emitted as
+    * floor(1000 * ln(ratio)/ln(2)) — the house ln-ratio form (an
+    * engine's std::log2 can differ from ln/ln2 in the last ulp exactly
+    * where the floor flips). The ratio is computed as a quotient of
+    * DOUBLE products of BIGINTs in one fixed association — both engines
+    * evaluate the identical expression tree.
+    *
+    * `minCount` guards the classic PMI pathology (hapax pairs score
+    * highest); only positive-PMI collocations survive.
+    *
+    * Scale shape: one narrow bigram pass, one (w1,w2) aggregation, two
+    * vocabulary-sized margin folds OF THAT aggregate (no second corpus
+    * pass), margin joins keyed on w1/w2, and a 1-row total broadcast.
+    * Output: (w1, w2, c12, pmi_milli), collocations only.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1L)
+    val toks = docs.repartition(col(idCol))
+      .select(tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigr = toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // feeds both margins, the total and the output — one materialization
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_milli",
+        floor(log((col("c12").cast("double") * col("n").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))) /
+          log(lit(2.0)) * 1000).cast("long"))
+      .filter(col("pmi_milli") > 0L)
+      .select("w1", "w2", "c12", "pmi_milli")
+  }
 }

@@ -424,6 +424,35 @@ class GraphSpec extends AnyFunSuite {
     assert(dup === r1)
   }
 
+  test("clusteringCoefficient: triangle + pendant gives exact ppm") {
+    // triangle 1-2-3 plus pendant edge 3-4: nodes 1,2 have cc = 1
+    // (their single neighbor pair is linked), node 3 has 1 of 3 neighbor
+    // pairs linked (2*1e6 div 6 = 333333), node 4 (deg 1) is omitted
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(edges, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> (2L, 1L, 1000000L),
+      2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L)))
+    // duplicate/reversed edges canonicalize away
+    val dup = Graph.clusteringCoefficient(
+      edges.union(Seq((2L, 1L), (3L, 2L)).toDF("a", "b")), "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(dup === got)
+  }
+
+  test("clusteringCoefficient: star hub scores 0 (no closed wedges)") {
+    val star = (2L to 5L).map(i => (1L, i)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(star, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // spokes have deg 1 -> omitted; the hub's 6 neighbor pairs share no edge
+    assert(got === Map(1L -> 0L))
+  }
+
   test("bfsLevels: path + back-cycle yields exact hop levels; unreachable absent") {
     // 1 -> 2 -> 3 -> 4, back-edge 4 -> 2 (cycle must not relabel 2),
     // disconnected 9 -> 10

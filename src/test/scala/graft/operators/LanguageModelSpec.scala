@@ -93,4 +93,41 @@ class LanguageModelSpec extends AnyFunSuite {
     val perValue = r.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
     assert(perValue.values.forall(_.size == 1))
   }
+
+  // PMI fixture:
+  //   doc1 "new york is big"  -> (new,york)(york,is)(is,big)
+  //   doc2 "new york city"    -> (new,york)(york,city)
+  //   doc3 "the city is new"  -> (the,city)(city,is)(is,new)
+  //   N=8; c12(new,york)=2; margins: c1(new)=2, c2(york)=2
+  //   PMI(new,york) = log2(2*8 / (2*2)) = 2 -> 2000 milli-bits
+  private def pmiDocs = Seq(
+    (1L, "new york is big"),
+    (2L, "new york city"),
+    (3L, "the city is new")).toDF("doc_id", "text")
+
+  test("pmiCollocations: hand-computed PMI, minCount filter") {
+    val strong = LanguageModel.pmiCollocations(pmiDocs, "doc_id", "text",
+        minCount = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(strong === Seq(("new", "york", 2L, 2000L)))
+    val all = LanguageModel.pmiCollocations(pmiDocs, "doc_id", "text",
+        minCount = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // every distinct bigram in this corpus is positively associated
+    assert(all.size === 7)
+    // (the,city): 1*8/(1*2) = 4 -> 2000; (york,is): 8/(2*2) = 2 -> 1000
+    assert(all(("the", "city")) === (1L, 2000L))
+    assert(all(("york", "is")) === (1L, 1000L))
+    assert(all.values.forall(_._2 > 0L))
+  }
+
+  test("pmiCollocations: partition-invariant") {
+    val a = LanguageModel.pmiCollocations(pmiDocs, "doc_id", "text", 1)
+      .orderBy("w1", "w2").as[(String, String, Long, Long)].collect().toSeq
+    val b = LanguageModel.pmiCollocations(pmiDocs.repartition(5), "doc_id",
+        "text", 1)
+      .orderBy("w1", "w2").as[(String, String, Long, Long)].collect().toSeq
+    assert(a === b)
+  }
 }
