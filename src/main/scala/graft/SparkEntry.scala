@@ -2205,6 +2205,29 @@ object SparkEntry {
           col("cif1_ppm").as("cif_purchase_ppm"),
           col("cif2_ppm").as("cif_error_ppm"))
     }),
+    "q102_holt_winters" -> ((s, dir) => {
+      // additive Holt-Winters over monthly revenue (period 12, alpha
+      // 1/5, beta 1/10, gamma 1/5): one-step-ahead fitted values +
+      // residuals from the exact integer recurrence — the forecasting
+      // complement to q78's decomposition and q61's rolling anomalies
+      // (residual spikes here are "surprising vs level+trend+season",
+      // not just "far from the rolling mean"). One monthly aggregation
+      // is the only data-sized work; the fold is calendar-sized
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mx"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      val idx = monthly.select(col("mx"), col("cents"),
+        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      graft.operators.TimeSeries
+        .holtWintersAdditive(idx, "i", "cents", period = 12,
+          alphaInv = 5, betaInv = 10, gammaInv = 5)
+        .join(idx.select(col("i").as("idx"), col("mx")), Seq("idx"))
+        .select(col("mx"), col("x").as("cents"),
+          col("fitted").as("fitted_cents"),
+          col("resid").as("resid_cents"))
+    }),
     "q99_interarrival" -> ((s, dir) => {
       // per-event-type inter-arrival p50/p95 in exact microseconds: one
       // lag window partitioned by user (deterministic (ts, event_id)
@@ -6803,6 +6826,40 @@ object SparkEntry {
         |aj.c1 // 1000 AS cif_purchase_ppm,
         |aj.c2 // 1000 AS cif_error_ppm
         |FROM e JOIN aj ON aj.i = e.i""".stripMargin,
+    "q102_holt_winters" ->
+      // the HW recurrence as a linear recursive CTE carrying (l, b,
+      // seasonal LIST); `//` and Spark's `div` share truncate-toward-
+      // zero semantics, so negative trends/residuals stay engine-exact
+      """WITH monthly AS (SELECT
+        |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1),
+        |idx AS (SELECT mx, cents,
+        |row_number() OVER (ORDER BY mx)::BIGINT AS i FROM monthly),
+        |init1 AS (SELECT
+        |(sum(CASE WHEN i <= 12 THEN cents END) // 12)::BIGINT AS l0,
+        |((sum(CASE WHEN i > 12 AND i <= 24 THEN cents END)
+        |  - sum(CASE WHEN i <= 12 THEN cents END)) // 144)::BIGINT AS b0
+        |FROM idx),
+        |sinit AS (SELECT list(cents - (SELECT l0 FROM init1)
+        |ORDER BY i) AS s0 FROM idx WHERE i <= 12),
+        |hw AS (WITH RECURSIVE k(i, l, b, s, fitted) AS (
+        |SELECT 12::BIGINT, (SELECT l0 FROM init1),
+        |(SELECT b0 FROM init1), (SELECT s0 FROM sinit), NULL::BIGINT
+        |UNION ALL
+        |SELECT st.i,
+        |((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5,
+        |((((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5 - k.l)
+        |  + 9 * k.b) // 10,
+        |k.s[2:12] || [((st.cents
+        |  - ((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5)
+        |  + 4 * k.s[1]) // 5],
+        |k.l + k.b + k.s[1]
+        |FROM k JOIN idx st ON st.i = k.i + 1)
+        |SELECT i, fitted FROM k WHERE i >= 13)
+        |SELECT idx.mx, idx.cents, hw.fitted AS fitted_cents,
+        |idx.cents - hw.fitted AS resid_cents
+        |FROM hw JOIN idx USING (i)""".stripMargin,
     "q99_interarrival" ->
       """WITH g0 AS (SELECT event_type,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

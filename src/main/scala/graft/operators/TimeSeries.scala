@@ -164,4 +164,73 @@ object TimeSeries {
         expr("CASE WHEN den >= 1000000L THEN num div (den div 1000000L) " +
           "ELSE num * 1000000L div greatest(den, 1L) END").as("rho_ppm"))
   }
+
+  /** Additive Holt-Winters triple exponential smoothing (Holt 1957,
+    * Winters 1960) carried in EXACT integer arithmetic: level, trend and
+    * the `period`-slot seasonal state are BIGINTs in the series' own
+    * units, smoothing constants are unit fractions (alpha = 1/alphaInv,
+    * ...), and every update truncates with integral `div` — Spark's
+    * `div` and DuckDB's `//` share truncate-toward-zero semantics, so
+    * the whole trajectory is engine- and partitioning-exact even when
+    * trend or residuals go negative.
+    *
+    * Updates, for t > period (x = observation, sOld = seasonal slot
+    * from one period ago):
+    *   fitted_t = L + B + sOld                      (one-step forecast)
+    *   L' = ((x - sOld) + (alphaInv-1)(L + B)) div alphaInv
+    *   B' = ((L' - L)   + (betaInv-1) B)       div betaInv
+    *   S' = ((x - L')   + (gammaInv-1) sOld)   div gammaInv
+    * Init: L0 = mean of season 1 (floored), B0 = (mean season 2 - mean
+    * season 1) div period (per-step trend), seasonal slots = season-1
+    * deviations from L0. Fitted rows start at t = period + 1.
+    *
+    * The input must carry a CONTIGUOUS 1-based index (the caller's
+    * calendar bucketing provides it); the series is calendar-sized by
+    * construction, so the sequential fold runs on ONE collected row —
+    * the same bounded-fold discipline as Survival.kaplanMeier. The one
+    * data-sized cost is whatever aggregation built the series.
+    *
+    * Output: (idx, x, fitted, resid) for t > period.
+    */
+  def holtWintersAdditive(series: DataFrame, idxCol: String, valCol: String,
+      period: Int, alphaInv: Int, betaInv: Int, gammaInv: Int): DataFrame = {
+    require(period >= 2 && alphaInv >= 2 && betaInv >= 2 && gammaInv >= 2)
+    val m = period
+    val src = series.select(col(idxCol).cast("long").as("i"),
+      col(valCol).cast("long").as("x"))
+    val one = src.agg(
+      expr(s"sum(CASE WHEN i <= $m THEN x END) div $m").as("l0"),
+      expr(s"(sum(CASE WHEN i > $m AND i <= ${2 * m} THEN x END)" +
+        s" - sum(CASE WHEN i <= $m THEN x END)) div ${m.toLong * m}")
+        .as("b0"),
+      sort_array(collect_list(when(col("i") <= m,
+        struct(col("i"), col("x"))))).as("season1"),
+      sort_array(collect_list(when(col("i") > m,
+        struct(col("i"), col("x"))))).as("steps"))
+    val folded = one.select(explode(expr(
+      s"""aggregate(steps,
+         |  named_struct('l', l0, 'b', b0,
+         |    's', transform(season1, e -> e.x - l0),
+         |    'out', cast(array() as
+         |      array<struct<i: bigint, fitted: bigint>>)),
+         |  (acc, st) -> named_struct(
+         |    'l', ((st.x - element_at(acc.s, 1))
+         |      + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L,
+         |    'b', ((((st.x - element_at(acc.s, 1))
+         |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L
+         |      - acc.l) + ${betaInv - 1}L * acc.b) div ${betaInv}L,
+         |    's', concat(slice(acc.s, 2, ${m - 1}), array(
+         |      ((st.x - ((st.x - element_at(acc.s, 1))
+         |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L)
+         |       + ${gammaInv - 1}L * element_at(acc.s, 1))
+         |      div ${gammaInv}L)),
+         |    'out', array_append(acc.out, named_struct('i', st.i,
+         |      'fitted', acc.l + acc.b + element_at(acc.s, 1)))),
+         |  acc -> acc.out)""".stripMargin)).as("k"))
+      .select(col("k.i").as("i"), col("k.fitted").as("fitted"))
+    src.filter(col("i") > m)
+      .join(broadcast(folded), Seq("i"))
+      .select(col("i").as("idx"), col("x"), col("fitted"),
+        (col("x") - col("fitted")).as("resid"))
+  }
 }

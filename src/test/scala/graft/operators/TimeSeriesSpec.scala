@@ -167,4 +167,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       .sortBy(_.getLong(0))
     assert(a === b)
   }
+
+  test("holtWintersAdditive: hand-computed trajectory, m=2, a=b=g=1/2") {
+    // x = 10,20,14,26,18,30: L0=15, B0=2, S=[-5,5]; stepping the
+    // integer recurrence by hand gives fitted 12,25,18,29
+    val s = Seq((1L, 10L), (2L, 20L), (3L, 14L), (4L, 26L), (5L, 18L),
+      (6L, 30L)).toDF("i", "x")
+    val got = TimeSeries.holtWintersAdditive(s, "i", "x", period = 2,
+        alphaInv = 2, betaInv = 2, gammaInv = 2)
+      .orderBy("idx").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 14L, 12L, 2L), (4L, 26L, 25L, 1L),
+      (5L, 18L, 18L, 0L), (6L, 30L, 29L, 1L)))
+  }
+
+  test("holtWintersAdditive: negative trend exercises truncate-toward-zero") {
+    // decreasing series: B0 = -10 and every div sees negative numerators
+    // (e.g. -25 div 2 = -12, not floor's -13) — the engine-parity case
+    val s = Seq((1L, 100L), (2L, 90L), (3L, 80L), (4L, 70L), (5L, 60L),
+      (6L, 50L)).toDF("i", "x")
+    val got = TimeSeries.holtWintersAdditive(s, "i", "x", 2, 2, 2, 2)
+      .orderBy("idx").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 80L, 90L, -10L), (4L, 70L, 63L, 7L),
+      (5L, 60L, 63L, -3L), (6L, 50L, 45L, 5L)))
+    // partition-invariance: pure integer fold
+    val again = TimeSeries.holtWintersAdditive(s.repartition(5), "i", "x",
+        2, 2, 2, 2)
+      .orderBy("idx").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
 }
