@@ -119,6 +119,7 @@ object PlanAudit {
       "er11_tf_adjusted" -> "1-row corpus-count broadcast cross (tf-adjustment denominator)",
       "dq9_error_pchart" -> "1-row pooled-totals broadcast cross (center line)",
       "q93_conversion_hazard" -> "1-row observation-end broadcast cross",
+      "tx42_pmi_collocations" -> "1-row bigram-total broadcast cross (PMI denominator)",
       "q100_survival_km" -> "1-row observation-end broadcast cross; KM fold + join back are duration-domain-sized",
       "q101_competing_risks" -> "1-row observation-end broadcast cross; AJ fold + join back are duration-domain-sized")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

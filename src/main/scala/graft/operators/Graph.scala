@@ -638,9 +638,13 @@ object Graph {
       caches += cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
-    val e = edges
+    // persist + reroot the edge list: EVERY round joins against it, and
+    // without the cache the caller's upstream plan (for g10, the full
+    // LSH candidate join) re-runs once per hop — measured 4x on the
+    // embedding kNN graph. Same discipline as triangleCounts/kCore.
+    val e = reroot(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src") =!= col("dst")).distinct())
     var frontier = reroot(seeds
       .select(col(seedCol).as("node")).distinct()
       .withColumn("hop", lit(0L)))
