@@ -107,6 +107,7 @@ object PlanAudit {
       "er9_fs_em_iterated" -> "1-row refreshed-weight broadcast crosses per EM step",
       "pk8_budget_waterfill" -> "1-row per-round stats broadcast crosses on the per-source frame",
       "er7_blocking_quality" -> "1-row aggregate broadcast crosses (exhaustive count x candidate stats x true-match count)",
+      "er13_phonetic_blocking" -> "er7's 1-row aggregate broadcast crosses (phonetic-key variant)",
       "dq4_psi_drift" -> "1-row baseline-range + totals broadcast crosses",
       "dq5_ks_drift" -> "1-row baseline-range + totals broadcast crosses",
       "g7_hits" -> "1-row L1-normalization total broadcast cross per half-iteration",

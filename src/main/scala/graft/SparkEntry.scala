@@ -1602,6 +1602,17 @@ object SparkEntry {
       graft.operators.EntityResolution.blockingQuality(
         t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
         threshold = 0.9, sampleHexCut = "80")),
+    "er13_phonetic_blocking" -> ((s, dir) =>
+      // er7's certification re-run with PHONETIC token buckets: the
+      // inverted-index key is soundex(token) (American Soundex, H/W
+      // transparent, vowels reset — Spark's built-in), so typo'd or
+      // variant-spelled tokens still collide. Read against er7's row:
+      // RR drops (coarser buckets, more candidates), PC can only rise
+      // — the standard blocking trade (Christen 2012 ch. 4.3). Same
+      // mandatory md5-prefix sample, same integer ppm
+      graft.operators.EntityResolution.blockingQuality(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        threshold = 0.9, sampleHexCut = "80", tokenKey = soundex)),
     "tx31_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail perplexity terciles with VALUE-domain
       // cutoffs (group by the 3-dp floored nll, cumulate over the small
@@ -5958,6 +5969,78 @@ object SparkEntry {
         |(SELECT count(*) AS c FROM rec GROUP BY block)),
         |tk AS (SELECT pk, name, block,
         |unnest(string_split(name, ' ')) AS tok FROM rec),
+        |cd AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
+        |a.name AS na, b.name AS nb FROM tk a JOIN tk b
+        |ON a.block = b.block AND a.tok = b.tok AND a.pk < b.pk),
+        |cagg AS (SELECT count(*)::BIGINT AS n_candidates,
+        |coalesce(sum(CASE WHEN floor(jaro_winkler_similarity(na, nb)
+        |  * 10000.0) / 10000.0 >= 0.9 THEN 1 ELSE 0 END), 0)::BIGINT
+        |  AS n_matches_found
+        |FROM cd),
+        |tm AS (SELECT count(*)::BIGINT AS n_true_matches FROM
+        |(SELECT a.pk FROM rec a JOIN rec b
+        |ON a.block = b.block AND a.pk < b.pk
+        |WHERE floor(jaro_winkler_similarity(a.name, b.name) * 10000.0)
+        |  / 10000.0 >= 0.9))
+        |SELECT n_exhaustive, n_candidates, n_true_matches, n_matches_found,
+        |(n_exhaustive - n_candidates) * 1000000
+        |  // greatest(n_exhaustive, 1) AS rr_ppm,
+        |n_matches_found * 1000000 // greatest(n_true_matches, 1) AS pc_ppm
+        |FROM ex, cagg, tm""".stripMargin,
+    "er13_phonetic_blocking" ->
+      // er7's oracle with the token replaced by its Soundex code. DuckDB
+      // has no soundex, so the `sx` CTE replays Spark's exact variant
+      // (mapping "01230127022455012623017202": H/W code 7 = transparent
+      // keep-last, vowels/Y code 0 = reset, non-letters reset, first
+      // letter's code participates in dedup) as a linear recursive CTE
+      // over char positions of the DISTINCT token vocabulary — verified
+      // char-for-char against the built-in on a 43-word battery
+      """WITH rec AS (SELECT p_partkey AS pk, p_name AS name,
+        |p_brand AS block FROM part
+        |WHERE substr(md5(p_partkey::VARCHAR), 1, 2) < '80'),
+        |ex AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT
+        |  AS n_exhaustive FROM
+        |(SELECT count(*) AS c FROM rec GROUP BY block)),
+        |tk0 AS (SELECT pk, name, block,
+        |unnest(string_split(name, ' ')) AS tok FROM rec),
+        |vocab AS (SELECT DISTINCT tok FROM tk0),
+        |ch AS (SELECT tok, upper(tok) AS u, len(tok)::BIGINT AS n
+        |FROM vocab),
+        |sx AS (WITH RECURSIVE st(tok, pos, last, outc) AS (
+        |SELECT tok, 1::BIGINT, CASE WHEN substr(u, 1, 1)
+        |BETWEEN 'A' AND 'Z' THEN translate(substr(u, 1, 1),
+        |'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |ELSE '0' END, '' FROM ch
+        |UNION ALL
+        |SELECT st.tok, st.pos + 1,
+        |CASE WHEN substr(ch.u, (st.pos + 1)::INT, 1)
+        |  NOT BETWEEN 'A' AND 'Z' THEN '0'
+        |WHEN translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |  = '7' THEN st.last
+        |WHEN translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |  = '0' THEN '0'
+        |ELSE translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |END,
+        |CASE WHEN substr(ch.u, (st.pos + 1)::INT, 1)
+        |  BETWEEN 'A' AND 'Z'
+        |AND translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |  NOT IN ('0', '7')
+        |AND translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |  <> st.last
+        |THEN st.outc || translate(substr(ch.u, (st.pos + 1)::INT, 1),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+        |ELSE st.outc END
+        |FROM st JOIN ch ON ch.tok = st.tok AND st.pos < ch.n)
+        |SELECT st.tok, substr(ch.u, 1, 1)
+        |  || substr(st.outc || '000', 1, 3) AS sxc
+        |FROM st JOIN ch ON ch.tok = st.tok AND st.pos = ch.n),
+        |tk AS (SELECT tk0.pk, tk0.name, tk0.block, sx.sxc AS tok
+        |FROM tk0 JOIN sx ON sx.tok = tk0.tok),
         |cd AS (SELECT DISTINCT a.pk AS pk_a, b.pk AS pk_b,
         |a.name AS na, b.name AS nb FROM tk a JOIN tk b
         |ON a.block = b.block AND a.tok = b.tok AND a.pk < b.pk),

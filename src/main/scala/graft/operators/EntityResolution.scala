@@ -325,10 +325,17 @@ object EntityResolution {
     * reports pc_ppm = 0 instead of NULL (or an ANSI-mode throw).
     *
     * Output one row: (n_exhaustive, n_candidates, n_true_matches,
-    * n_matches_found, rr_ppm, pc_ppm). */
+    * n_matches_found, rr_ppm, pc_ppm).
+    *
+    * `tokenKey` generalizes the inverted-index key: identity certifies
+    * exact token blocking (er7); `soundex(_)` certifies PHONETIC token
+    * blocking (er13), where typo'd/variant spellings of a token still
+    * land in the same bucket — RR drops (coarser buckets generate more
+    * candidates) in exchange for PC that exact tokens can miss. */
   def blockingQuality(records: DataFrame, keyCol: String, nameCol: String,
       blockCol: String, threshold: Double,
-      sampleHexCut: String): DataFrame = {
+      sampleHexCut: String,
+      tokenKey: Column => Column = identity): DataFrame = {
     require(sampleHexCut.nonEmpty,
       "sampleHexCut is mandatory: the true-match denominator is " +
         "quadratic within blocks; pass a hash-prefix cut (e.g. \"80\" " +
@@ -342,7 +349,9 @@ object EntityResolution {
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
         .as("n_exhaustive"))
     val tk = base.select(col("pk"), col("name"), col("block"),
-      explode(split(col("name"), " ")).as("tok"))
+        explode(split(col("name"), " ")).as("tok0"))
+      .select(col("pk"), col("name"), col("block"),
+        tokenKey(col("tok0")).as("tok"))
     val cand = tk.as("a").join(tk.as("b"), Seq("block", "tok"))
       .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"),

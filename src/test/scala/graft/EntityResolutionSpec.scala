@@ -330,6 +330,27 @@ class EntityResolutionSpec extends AnyFunSuite {
         s"${r.toSeq}")
   }
 
+  test("phonetic token blocking rescues typo pairs exact tokens miss (er13)") {
+    import spark.implicits._
+    // "smith" vs "smyth": NO shared exact token, so er7-style blocking
+    // generates zero candidates and PC = 0 — but both soundex to S530,
+    // so the phonetic index finds the pair (jw 0.8933 >= 0.85).
+    // 3 records in one block -> 3 exhaustive pairs, 1 true match.
+    val rec = Seq((1L, "smith", "b1"), (2L, "smyth", "b1"),
+      (3L, "zzzz", "b1")).toDF("pk", "name", "block")
+    val exact = EntityResolution
+      .blockingQuality(rec, "pk", "name", "block", 0.85, "zz")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(exact === ((3L, 0L, 1L, 0L, 1000000L, 0L)))
+    val phonetic = EntityResolution
+      .blockingQuality(rec, "pk", "name", "block", 0.85, "zz",
+        tokenKey = org.apache.spark.sql.functions.soundex)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // one candidate (the S530 bucket), found as a match: PC 0 -> 1e6,
+    // RR 1e6 -> 2/3 — the documented phonetic trade
+    assert(phonetic === ((3L, 1L, 1L, 1L, 666666L, 1000000L)))
+  }
+
   test("blocking quality zero-denominator convention and mandatory sample") {
     import spark.implicits._
     // all-dissimilar corpus: one exhaustive pair, zero candidates, zero
