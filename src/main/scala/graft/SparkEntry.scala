@@ -2239,6 +2239,30 @@ object SparkEntry {
           col("fitted").as("fitted_cents"),
           col("resid").as("resid_cents"))
     }),
+    "q103_hw_by_group" -> ((s, dir) => {
+      // q102's Holt-Winters fitted PER ORDER PRIORITY — the production
+      // shape (one grouped aggregation, folds parallel across the key
+      // domain, no per-series loop). Per-key contiguous index from a
+      // key-partitioned window; everything after the monthly agg is
+      // |keys| x |calendar| sized
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mx"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      val idx = monthly.select(col("priority"), col("mx"), col("cents"),
+        row_number().over(Window.partitionBy("priority").orderBy("mx"))
+          .cast("long").as("i"))
+      graft.operators.TimeSeries
+        .holtWintersByGroup(idx, "priority", "i", "cents", period = 12,
+          alphaInv = 5, betaInv = 10, gammaInv = 5)
+        .join(idx.select(col("priority").as("key"), col("i").as("idx"),
+          col("mx")), Seq("key", "idx"))
+        .select(col("key").as("priority"), col("mx"),
+          col("x").as("cents"), col("fitted").as("fitted_cents"),
+          (col("x") - col("fitted")).as("resid_cents"))
+    }),
     "q99_interarrival" -> ((s, dir) => {
       // per-event-type inter-arrival p50/p95 in exact microseconds: one
       // lag window partitioned by user (deterministic (ts, event_id)
@@ -6943,6 +6967,42 @@ object SparkEntry {
         |SELECT idx.mx, idx.cents, hw.fitted AS fitted_cents,
         |idx.cents - hw.fitted AS resid_cents
         |FROM hw JOIN idx USING (i)""".stripMargin,
+    "q103_hw_by_group" ->
+      // q102's recursion with the group carried through every CTE: the
+      // per-key chains advance independently inside ONE recursive CTE
+      """WITH monthly AS (SELECT o_orderpriority AS g,
+        |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1, 2),
+        |idx AS (SELECT g, mx, cents, row_number() OVER (
+        |PARTITION BY g ORDER BY mx)::BIGINT AS i FROM monthly),
+        |init1 AS (SELECT g,
+        |(sum(CASE WHEN i <= 12 THEN cents END) // 12)::BIGINT AS l0,
+        |((sum(CASE WHEN i > 12 AND i <= 24 THEN cents END)
+        |  - sum(CASE WHEN i <= 12 THEN cents END)) // 144)::BIGINT AS b0
+        |FROM idx GROUP BY g
+        |HAVING sum(CASE WHEN i <= 24 THEN 1 ELSE 0 END) = 24),
+        |sinit AS (SELECT idx.g, list(cents - init1.l0 ORDER BY i) AS s0
+        |FROM idx JOIN init1 ON init1.g = idx.g WHERE i <= 12
+        |GROUP BY idx.g),
+        |hw AS (WITH RECURSIVE k(g, i, l, b, s, fitted) AS (
+        |SELECT init1.g, 12::BIGINT, init1.l0, init1.b0, sinit.s0,
+        |NULL::BIGINT FROM init1 JOIN sinit ON sinit.g = init1.g
+        |UNION ALL
+        |SELECT st.g, st.i,
+        |((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5,
+        |((((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5 - k.l)
+        |  + 9 * k.b) // 10,
+        |k.s[2:12] || [((st.cents
+        |  - ((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5)
+        |  + 4 * k.s[1]) // 5],
+        |k.l + k.b + k.s[1]
+        |FROM k JOIN idx st ON st.g = k.g AND st.i = k.i + 1)
+        |SELECT g, i, fitted FROM k WHERE i >= 13)
+        |SELECT idx.g AS priority, idx.mx, idx.cents,
+        |hw.fitted AS fitted_cents,
+        |idx.cents - hw.fitted AS resid_cents
+        |FROM hw JOIN idx ON idx.g = hw.g AND idx.i = hw.i""".stripMargin,
     "q99_interarrival" ->
       """WITH g0 AS (SELECT event_type,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -193,12 +193,30 @@ object TimeSeries {
     * Output: (idx, x, fitted, resid) for t > period.
     */
   def holtWintersAdditive(series: DataFrame, idxCol: String, valCol: String,
+      period: Int, alphaInv: Int, betaInv: Int, gammaInv: Int): DataFrame =
+    holtWintersByGroup(series.withColumn("__hw_g", lit(1)), "__hw_g",
+        idxCol, valCol, period, alphaInv, betaInv, gammaInv)
+      .select("idx", "x", "fitted", "resid")
+
+  /** [[holtWintersAdditive]] fitted per series key — the production
+    * shape: "forecast every source/SKU/event-type at once". Each key's
+    * fold is independent, so the work is one grouped aggregation whose
+    * per-group state is period+history-bounded, parallel across the
+    * key domain — no per-series driver loop, no global sort. Output:
+    * (key, idx, x, fitted, resid) for t > period per key. Keys without
+    * TWO FULL seasons of observations (a point at every index in
+    * [1, 2*period]) are dropped: HW cannot initialize level, trend and
+    * the seasonal slots from a partial history.
+    */
+  def holtWintersByGroup(series: DataFrame, keyCol: String,
+      idxCol: String, valCol: String,
       period: Int, alphaInv: Int, betaInv: Int, gammaInv: Int): DataFrame = {
     require(period >= 2 && alphaInv >= 2 && betaInv >= 2 && gammaInv >= 2)
     val m = period
-    val src = series.select(col(idxCol).cast("long").as("i"),
+    val src = series.select(col(keyCol).as("g"),
+      col(idxCol).cast("long").as("i"),
       col(valCol).cast("long").as("x"))
-    val one = src.agg(
+    val one = src.groupBy("g").agg(
       expr(s"sum(CASE WHEN i <= $m THEN x END) div $m").as("l0"),
       expr(s"(sum(CASE WHEN i > $m AND i <= ${2 * m} THEN x END)" +
         s" - sum(CASE WHEN i <= $m THEN x END)) div ${m.toLong * m}")
@@ -206,8 +224,10 @@ object TimeSeries {
       sort_array(collect_list(when(col("i") <= m,
         struct(col("i"), col("x"))))).as("season1"),
       sort_array(collect_list(when(col("i") > m,
-        struct(col("i"), col("x"))))).as("steps"))
-    val folded = one.select(explode(expr(
+        struct(col("i"), col("x"))))).as("steps"),
+      sum(when(col("i") <= 2 * m, 1L).otherwise(0L)).as("n_init"))
+      .filter(col("n_init") === 2L * m)
+    val folded = one.select(col("g"), explode(expr(
       s"""aggregate(steps,
          |  named_struct('l', l0, 'b', b0,
          |    's', transform(season1, e -> e.x - l0),
@@ -227,10 +247,11 @@ object TimeSeries {
          |    'out', array_append(acc.out, named_struct('i', st.i,
          |      'fitted', acc.l + acc.b + element_at(acc.s, 1)))),
          |  acc -> acc.out)""".stripMargin)).as("k"))
-      .select(col("k.i").as("i"), col("k.fitted").as("fitted"))
+      .select(col("g"), col("k.i").as("i"), col("k.fitted").as("fitted"))
+    // fitted frame is |keys| x |calendar| — broadcast onto the series
     src.filter(col("i") > m)
-      .join(broadcast(folded), Seq("i"))
-      .select(col("i").as("idx"), col("x"), col("fitted"),
-        (col("x") - col("fitted")).as("resid"))
+      .join(broadcast(folded), Seq("g", "i"))
+      .select(col("g").as("key"), col("i").as("idx"), col("x"),
+        col("fitted"), (col("x") - col("fitted")).as("resid"))
   }
 }

@@ -195,4 +195,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       .orderBy("idx").as[(Long, Long, Long, Long)].collect().toSeq
     assert(again === got)
   }
+
+  test("holtWintersByGroup: independent per-key folds; short series dropped") {
+    // key "up" = the rising fixture, key "dn" = the falling one — each
+    // group must reproduce its single-series trajectory exactly; key
+    // "short" has fewer than 2 periods and is dropped (no init trend)
+    val s = (Seq((1L, 10L), (2L, 20L), (3L, 14L), (4L, 26L), (5L, 18L),
+        (6L, 30L)).map { case (i, x) => ("up", i, x) } ++
+      Seq((1L, 100L), (2L, 90L), (3L, 80L), (4L, 70L), (5L, 60L),
+        (6L, 50L)).map { case (i, x) => ("dn", i, x) } ++
+      Seq(("short", 1L, 5L), ("short", 2L, 6L), ("short", 3L, 7L)))
+      .toDF("k", "i", "x")
+    val got = TimeSeries.holtWintersByGroup(s, "k", "i", "x", 2, 2, 2, 2)
+      .orderBy("key", "idx")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("dn", 3L, 80L, 90L, -10L), ("dn", 4L, 70L, 63L, 7L),
+      ("dn", 5L, 60L, 63L, -3L), ("dn", 6L, 50L, 45L, 5L),
+      ("up", 3L, 14L, 12L, 2L), ("up", 4L, 26L, 25L, 1L),
+      ("up", 5L, 18L, 18L, 0L), ("up", 6L, 30L, 29L, 1L)))
+  }
 }
