@@ -43,6 +43,7 @@ object PlanAudit {
       "st12_stream_novelty" -> "materialized streaming result; stream-static join gated in DocsStreamingSpec",
       "st13_stream_sketch" -> "foreachBatch-folded 256-cell sketch state; linearity + fold order proven in SketchesSpec",
       "st14_stream_kmv" -> "foreachBatch-folded per-day KMV/column-stats state; fold closure proven in SketchesSpec",
+      "st15_stream_dim_refresh" -> "foreachBatch re-resolves the w13 _LATEST dimension per micro-batch; deterministic batch/version schedule oracle-checked end-to-end",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",

@@ -1142,6 +1142,73 @@ object SparkEntry {
       }
       s.table(qn)
     }),
+    "st15_stream_dim_refresh" -> ((s, dir) => {
+      // slowly-updating dimension under streaming ingest: every
+      // micro-batch re-resolves the LATEST atomically published
+      // dimension (w13's _SUCCESS-gated _LATEST pointer) before
+      // enriching, and the dimension is REPUBLISHED between batches —
+      // batch 0 joins v1 (tier = user % 2), batch 1 joins v2 (tier =
+      // user % 3). File mtimes + maxFilesPerTrigger pin batch order and
+      // the halves split BY the same user parity, so the per-version
+      // enrichment is deterministic and the oracle replays it exactly.
+      // The join is per-batch bounded; dimension resolution is one
+      // pointer read — no stream-stream state
+      val tmp = tmpPath("graft-st15")
+      // stream files and the published dimension live in SIBLING dirs:
+      // nesting dim/v=N under the stream source trips partition discovery
+      val streamDir = tmp.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          streamDir.resolve(name + ".parquet"))
+        streamDir.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", ev.filter(col("user_id") % 2 === 0), 1700000000000L)
+      writeHalf("b", ev.filter(col("user_id") % 2 =!= 0), 1700000100000L)
+      val users = ev.select("user_id").distinct()
+      val dimDir = tmp.resolve("dim").toString
+      graft.sinks.VersionedPublish.publish(
+        users.select(col("user_id"), (col("user_id") % 2).as("tier")),
+        dimDir)
+      var acc: DataFrame = null
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(streamDir.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val (ver, path) =
+            graft.sinks.VersionedPublish.resolve(s, dimDir).get
+          val agg = batch
+            .join(s.read.parquet(path), "user_id")
+            .groupBy(lit(ver).as("dim_version"), col("tier"))
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct(col("user_id")).as("n_users"))
+          acc = (if (acc == null) agg else acc.unionAll(agg))
+            .localCheckpoint(true)
+          if (id == 0L) {
+            graft.sinks.VersionedPublish.publish(
+              users.select(col("user_id"),
+                (col("user_id") % 3).as("tier")), dimDir)
+            ()
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$n.parquet")))
+      acc.groupBy("dim_version", "tier")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("n_users")).as("n_users"))
+    }),
     "st14_stream_kmv" -> ((s, dir) => {
       // streaming maintenance of the per-day column-stats/KMV artifacts:
       // each micro-batch reduces to its own constant-size per-day
@@ -7045,6 +7112,19 @@ object SparkEntry {
         |((sum(dollars) OVER (ORDER BY decile)) * 1000000
         |  // (sum(dollars) OVER ()))::BIGINT AS cum_share_ppm
         |FROM g""".stripMargin,
+    "st15_stream_dim_refresh" ->
+      // replay of the deterministic batch/version schedule: the even-user
+      // half enriches against dimension v1 (tier = user % 2), the odd
+      // half against v2 (tier = user % 3)
+      """WITH ev AS (SELECT event_id, user_id FROM events),
+        |r0 AS (SELECT 1::BIGINT AS dim_version,
+        |(user_id % 2)::BIGINT AS tier, count(*)::BIGINT AS n_events,
+        |count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM ev WHERE user_id % 2 = 0 GROUP BY 2),
+        |r1 AS (SELECT 2::BIGINT, (user_id % 3)::BIGINT,
+        |count(*)::BIGINT, count(DISTINCT user_id)::BIGINT
+        |FROM ev WHERE user_id % 2 <> 0 GROUP BY 2)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin,
     "st14_stream_kmv" ->
       """WITH e AS (SELECT ts::TIMESTAMP::DATE::VARCHAR AS day,
         |user_id AS v FROM events),
