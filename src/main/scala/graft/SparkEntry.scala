@@ -2182,6 +2182,21 @@ object SparkEntry {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 16, rowsPerBand = 4),
         "doc_a", "doc_b")),
+    "g12_harmonic_centrality" -> ((s, dir) => {
+      // harmonic centrality of a FIXED 32-seed panel over the ss12 kNN
+      // graph (Eppstein-Wang sampling regime: the panel size is a
+      // constant, never data-sized) — which curated docs sit centrally
+      // in the semantic neighborhood graph vs on its periphery. Same
+      // bucket equi-join edge build as g10; per-seed frontier BFS with
+      // first-arrival settle; exact floored milli-unit scores
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.operators.Similarity
+        .lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val seeds = emb.where(col("vec_id") < 32).select("vec_id")
+      graft.operators.Graph.harmonicCentrality(
+        edges, "src", "dst", seeds, "vec_id", maxHops = 6)
+    }),
     "tx42_pmi_collocations" -> ((s, dir) =>
       // PMI collocation mining over the corpus bigram stream: the
       // phrase/MWE detector (Church & Hanks 1990) that seeds tokenizer
@@ -2329,6 +2344,64 @@ object SparkEntry {
         .select(col("key").as("priority"), col("mx"),
           col("x").as("cents"), col("fitted").as("fitted_cents"),
           (col("x") - col("fitted")).as("resid_cents"))
+    }),
+    "q104_did" -> ((s, dir) => {
+      // difference-in-differences readout: treat = odd custkey (the
+      // assignment-hash stand-in), post = ordered on/after 1998-01-01
+      // (interior to the corpus' 1995..2001 span, so all 4 cells fill);
+      // cell means in floored cents, and the DiD estimate
+      // (m11-m10)-(m01-m00) restated as the signed sum over the four
+      // cells — ONE fact pass to the 2x2 grain, then a 4-row window.
+      // The pre-period difference (m10-m00) is the parallel-trends
+      // baseline the post difference is corrected by
+      val cells = t(s, dir, "orders")
+        .select((col("o_custkey") % 2).cast("long").as("treat"),
+          when(to_date(col("o_orderdate")) >= lit("1998-01-01"), 1L)
+            .otherwise(0L).as("post"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("cents"))
+        .groupBy("treat", "post")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("mean_cents", expr("sum_cents div n"))
+      cells.withColumn("did_cents",
+          sum((col("treat") * 2 - 1) * (col("post") * 2 - 1) *
+            col("mean_cents")).over(Window.partitionBy()))
+        .select("treat", "post", "n", "mean_cents", "did_cents")
+    }),
+    "q105_fifo_aging" -> ((s, dir) => {
+      // FIFO inventory aging: per part, returned units (l_returnflag =
+      // 'R') consume earlier-shipped non-returned units first-in-first-
+      // out, and each matched allocation's age (outflow ship date minus
+      // inflow ship date) feeds a 30-day-bucket holding-time histogram
+      // — the inventory-aging readout ONLY a FIFO match can produce
+      // (totals alone can't say WHICH units left). The classic
+      // cursor-loop problem, restated declaratively: cumulative-qty
+      // intervals per side ([hi-qty, hi) from one per-part window
+      // each), FIFO allocation = interval overlap, matched qty =
+      // least(hi) - greatest(lo). Per-part overlap count is linear in
+      // that part's line count (sorted intervals), never quadratic in
+      // the table; both windows and the join share the l_partkey
+      // partitioning
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey").as("pk"),
+        (col("l_returnflag") === "R").as("is_out"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        to_date(col("l_shipdate")).as("d"),
+        col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
+      val w = Window.partitionBy("pk").orderBy("d", "ok", "ln")
+      def side(f: Column) = li.filter(f)
+        .withColumn("hi", sum(col("qty")).over(w))
+        .withColumn("lo", col("hi") - col("qty"))
+      val ins = side(!col("is_out"))
+      val outs = side(col("is_out"))
+      ins.as("b").join(outs.as("s"),
+          col("b.pk") === col("s.pk") &&
+          col("b.hi") > col("s.lo") && col("s.hi") > col("b.lo"))
+        .select(datediff(col("s.d"), col("b.d")).as("age_days"),
+          (least(col("b.hi"), col("s.hi")) -
+            greatest(col("b.lo"), col("s.lo"))).as("qty"))
+        .groupBy(floor(col("age_days") / lit(30.0)).cast("long")
+          .as("age_month"))
+        .agg(count(lit(1)).as("n_allocs"), sum(col("qty")).as("qty"))
     }),
     "q99_interarrival" -> ((s, dir) => {
       // per-event-type inter-arrival p50/p95 in exact microseconds: one
@@ -2489,6 +2562,20 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "source")
         .withColumnRenamed("a", "lang")
         .withColumnRenamed("b", "source")),
+    "dq13_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson correlation audit of the lineitem numerics —
+      // the feature-redundancy / leakage screen. ONE map-side agg
+      // computes all 15 moments (fact rows touched once); r² in exact
+      // floored ppm + cov sign, sqrt-free. Units: whole qty/dollars,
+      // discount+tax in percent (floor(x*100+0.5) — the doubles sit
+      // within 1 ulp of exact hundredths, identical tree both engines)
+      graft.operators.QualityAudit.correlationMatrix(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity")).cast("long").as("qty"),
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          floor(col("l_discount") * 100.0 + 0.5).cast("long").as("disc"),
+          floor(col("l_tax") * 100.0 + 0.5).cast("long").as("tax")),
+        Seq("qty", "price", "disc", "tax"))),
     "s26_sliding_ndv" -> ((s, dir) => {
       // trailing-7-day distinct users, daily — answered entirely from
       // the s25/dq8 per-day KMV artifacts (bottom-k of a union = bottom-k
@@ -6815,6 +6902,43 @@ object SparkEntry {
          |  // (d.degree * (d.degree - 1)) AS cc_ppm
          |FROM degs d LEFT JOIN tcount tc USING (node)
          |WHERE d.degree >= 2""".stripMargin,
+    "g12_harmonic_centrality" ->
+      // the g10 edge CTEs verbatim, then a per-seed bounded recursive
+      // reach: the recursion carries (seed, node, hop) so distances are
+      // per seed, min(hop) is the settle rule, and the harmonic sum
+      // floors each 1000/hop term before adding (the Spark side's
+      // integer discipline)
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id <> c.vec_id
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
+        |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM (
+        |SELECT query_id, neighbor_id, row_number() OVER (
+        |PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id) AS rank
+        |FROM scored) WHERE rank <= 3),
+        |reach AS (WITH RECURSIVE r(seed, node, hop) AS (
+        |SELECT vec_id, vec_id, 0::BIGINT FROM embeddings WHERE vec_id < 32
+        |UNION
+        |SELECT r.seed, e.dst, r.hop + 1 FROM r JOIN edges e
+        |ON r.node = e.src WHERE r.hop < 6)
+        |SELECT seed, node, min(hop) AS hop FROM r GROUP BY 1, 2),
+        |agg AS (SELECT seed, count(*)::BIGINT AS n_reached,
+        |sum(1000 // hop)::BIGINT AS harmonic_milli
+        |FROM reach WHERE hop > 0 GROUP BY 1)
+        |SELECT s.vec_id AS seed, coalesce(agg.n_reached, 0)::BIGINT
+        |  AS n_reached,
+        |coalesce(agg.harmonic_milli, 0)::BIGINT AS harmonic_milli
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 32) s
+        |LEFT JOIN agg ON agg.seed = s.vec_id""".stripMargin,
     "tx42_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
@@ -7034,6 +7158,39 @@ object SparkEntry {
         |SELECT idx.mx, idx.cents, hw.fitted AS fitted_cents,
         |idx.cents - hw.fitted AS resid_cents
         |FROM hw JOIN idx USING (i)""".stripMargin,
+    "q104_did" ->
+      """WITH c AS (SELECT (o_custkey % 2)::BIGINT AS treat,
+        |(CASE WHEN o_orderdate::TIMESTAMP::DATE >= DATE '1998-01-01'
+        |THEN 1 ELSE 0 END)::BIGINT AS post,
+        |CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT treat, post, count(*)::BIGINT AS n,
+        |sum(cents)::BIGINT AS sc FROM c GROUP BY 1, 2),
+        |m AS (SELECT treat, post, n, (sc // n)::BIGINT AS mean_cents
+        |FROM g)
+        |SELECT treat, post, n, mean_cents,
+        |(sum((treat * 2 - 1) * (post * 2 - 1) * mean_cents)
+        |  OVER ())::BIGINT AS did_cents
+        |FROM m""".stripMargin,
+    "q105_fifo_aging" ->
+      // the identical cumulative-interval FIFO restatement: both sides'
+      // [hi-qty, hi) intervals from per-part windows, overlap = match
+      """WITH li AS (SELECT l_partkey AS pk, l_returnflag = 'R' AS is_out,
+        |floor(l_quantity)::BIGINT AS qty,
+        |l_shipdate::TIMESTAMP::DATE AS d, l_orderkey AS ok,
+        |l_linenumber AS ln FROM lineitem),
+        |ins AS (SELECT pk, d, qty, sum(qty) OVER (
+        |PARTITION BY pk ORDER BY d, ok, ln) AS hi FROM li
+        |WHERE NOT is_out),
+        |outs AS (SELECT pk, d, qty, sum(qty) OVER (
+        |PARTITION BY pk ORDER BY d, ok, ln) AS hi FROM li
+        |WHERE is_out),
+        |a AS (SELECT datediff('day', b.d, s.d) AS age_days,
+        |least(b.hi, s.hi) - greatest(b.hi - b.qty, s.hi - s.qty) AS qty
+        |FROM ins b JOIN outs s ON b.pk = s.pk
+        |AND b.hi > s.hi - s.qty AND s.hi > b.hi - b.qty)
+        |SELECT CAST(floor(age_days / 30.0) AS BIGINT) AS age_month,
+        |count(*)::BIGINT AS n_allocs, sum(qty)::BIGINT AS qty
+        |FROM a GROUP BY 1""".stripMargin,
     "q103_hw_by_group" ->
       // q102's recursion with the group carried through every CTE: the
       // per-key chains advance independently inside ONE recursive CTE
@@ -7285,6 +7442,38 @@ object SparkEntry {
         |contrib_micro, (sum(contrib_micro) OVER ())::BIGINT AS chi2_micro,
         |(SELECT (nr - 1) * (nc - 1) FROM tot)::BIGINT AS dof
         |FROM c2""".stripMargin,
+    "dq13_corr_matrix" ->
+      // identical moment sums and two-step floored division in HUGEINT
+      """WITH v AS (SELECT CAST(floor(l_quantity) AS HUGEINT) AS q,
+        |CAST(floor(l_extendedprice) AS HUGEINT) AS p,
+        |CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS d,
+        |CAST(floor(l_tax * 100.0 + 0.5) AS HUGEINT) AS t FROM lineitem),
+        |m AS (SELECT count(*)::HUGEINT AS n,
+        |sum(q) AS s0, sum(p) AS s1, sum(d) AS s2, sum(t) AS s3,
+        |sum(q*q) AS p00, sum(q*p) AS p01, sum(q*d) AS p02,
+        |sum(q*t) AS p03, sum(p*p) AS p11, sum(p*d) AS p12,
+        |sum(p*t) AS p13, sum(d*d) AS p22, sum(d*t) AS p23,
+        |sum(t*t) AS p33 FROM v),
+        |pairs AS (
+        |SELECT 'qty' AS x_col, 'price' AS y_col, n,
+        |n*p01 - s0*s1 AS cov, n*p00 - s0*s0 AS vx, n*p11 - s1*s1 AS vy
+        |FROM m
+        |UNION ALL SELECT 'qty', 'disc', n, n*p02 - s0*s2,
+        |n*p00 - s0*s0, n*p22 - s2*s2 FROM m
+        |UNION ALL SELECT 'qty', 'tax', n, n*p03 - s0*s3,
+        |n*p00 - s0*s0, n*p33 - s3*s3 FROM m
+        |UNION ALL SELECT 'price', 'disc', n, n*p12 - s1*s2,
+        |n*p11 - s1*s1, n*p22 - s2*s2 FROM m
+        |UNION ALL SELECT 'price', 'tax', n, n*p13 - s1*s3,
+        |n*p11 - s1*s1, n*p33 - s3*s3 FROM m
+        |UNION ALL SELECT 'disc', 'tax', n, n*p23 - s2*s3,
+        |n*p22 - s2*s2, n*p33 - s3*s3 FROM m)
+        |SELECT x_col, y_col, n::BIGINT AS n,
+        |((abs(cov) * 1000000 // greatest(vx, 1)) * abs(cov)
+        |  // greatest(vy, 1))::BIGINT AS r2_ppm,
+        |(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0
+        |  END)::BIGINT AS corr_sign
+        |FROM pairs""".stripMargin,
     "s26_sliding_ndv" ->
       """WITH e AS (SELECT datediff('day', DATE '1970-01-01',
         |ts::TIMESTAMP::DATE)::BIGINT AS day, user_id AS v FROM events),

@@ -482,4 +482,73 @@ object QualityAudit {
       .select(col("a"), col("b"), col("observed"), col("expected_micro"),
         col("contrib_micro"), col("chi2_micro"), col("dof"))
   }
+
+  /** Pairwise Pearson correlation audit over a fixed list of numeric
+    * columns — the multivariate sibling of [[columnProfile]]: which
+    * feature pairs move together (redundant features, leakage suspects,
+    * derived-column drift like price no longer tracking quantity).
+    *
+    * Integer-exact, sqrt-free: callers pass PRE-SCALED integer columns
+    * (whole units — the unit contract every house audit states). One
+    * map-side-combined aggregation computes every moment — n, each
+    * column sum, and each pairwise product sum — in DECIMAL(38,0), so
+    * fact rows are touched exactly once and the result is one row
+    * regardless of corpus size. Per pair (i, j):
+    *
+    *   cov = n·S_ij − S_i·S_j,  vx = n·S_ii − S_i²,  vy = n·S_jj − S_j²
+    *
+    * and instead of r (whose sqrt would drag in libm), the audit emits
+    * r² in floored ppm plus the sign of cov — exactly the information a
+    * redundancy screen reads, with zero float anywhere:
+    *
+    *   r2_ppm = (|cov|·1e6 div vx) · |cov| div vy   (two-step div)
+    *
+    * The two-step floored division is the house overflow-free form (cf.
+    * q96's lift): |cov|·1e6 ≤ 1e6·√(vx·vy)·√(vx·vy) stays inside
+    * DECIMAL(38,0) headroom wherever the single-step |cov|²·1e6 would
+    * not; both engines state the identical floor sequence. All
+    * intermediates non-negative, so trunc-vs-floor division semantics
+    * can never diverge. Constant columns (vx = 0 or vy = 0) force
+    * cov = 0 and report r2_ppm = 0, sign 0 via the greatest(·, 1)
+    * guard. Headroom: n·max|x|²·max|y|² · 1e6 < 1e38 — at 100 TB keep
+    * unit choice coarse enough (the audit is about direction and
+    * strength, not the 7th decimal).
+    *
+    * Output: one row per unordered pair — (x_col, y_col, n, r2_ppm,
+    * corr_sign in {-1, 0, 1}). */
+  def correlationMatrix(df: DataFrame,
+      columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns to correlate")
+    require(columns.distinct.size == columns.size, "duplicate column")
+    val pairs = for {
+      i <- columns.indices; j <- columns.indices if i <= j
+    } yield (i, j)
+    val aggs = count(lit(1)).cast("decimal(38,0)").as("n") +:
+      (columns.zipWithIndex.map { case (c, i) =>
+        sum(col(c).cast("decimal(38,0)")).as(s"s_$i") } ++
+       pairs.map { case (i, j) =>
+         sum((col(columns(i)).cast("decimal(38,0)") *
+           col(columns(j))).cast("decimal(38,0)")).as(s"p_${i}_$j") })
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val out = pairs.filter { case (i, j) => i < j }.map { case (i, j) =>
+      struct(lit(columns(i)).as("x_col"), lit(columns(j)).as("y_col"),
+        col("n").cast("long").as("n"),
+        (col("n") * col(s"p_${i}_$j") - col(s"s_$i") * col(s"s_$j"))
+          .as("cov"),
+        (col("n") * col(s"p_${i}_$i") - col(s"s_$i") * col(s"s_$i"))
+          .as("vx"),
+        (col("n") * col(s"p_${j}_$j") - col(s"s_$j") * col(s"s_$j"))
+          .as("vy"))
+    }
+    moments.select(explode(array(out: _*)).as("r"))
+      .select(col("r.x_col").as("x_col"), col("r.y_col").as("y_col"),
+        col("r.n").as("n"), col("r.cov"), col("r.vx"), col("r.vy"))
+      .withColumn("r2_ppm",
+        expr("cast((abs(cov) * 1000000 div greatest(vx, 1)) * abs(cov)" +
+          " div greatest(vy, 1) as bigint)"))
+      .withColumn("corr_sign",
+        when(col("cov") > 0, 1L).when(col("cov") < 0, -1L)
+          .otherwise(0L))
+      .select("x_col", "y_col", "n", "r2_ppm", "corr_sign")
+  }
 }

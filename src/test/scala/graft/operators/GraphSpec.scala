@@ -489,4 +489,39 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(again === full)
   }
+
+  test("harmonicCentrality: hand-computed path, per-seed distances " +
+      "(not min over the seed set), isolated seed zeros") {
+    // 1 -> 2 -> 3 -> 4; seeds 1 and 3 and isolated 9.
+    // H(1) = 1000/1 + 1000/2 + floor(1000/3) = 1833 over {2,3,4}
+    // H(3) = 1000/1 = 1000 over {4}  (per-seed: NOT relabeled by seed 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L, 9L).toDF("id")
+    val h = Graph.harmonicCentrality(edges, "src", "dst", seeds, "id",
+        maxHops = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(h === Map(1L -> ((3L, 1833L)), 3L -> ((1L, 1000L)),
+      9L -> ((0L, 0L))))
+  }
+
+  test("harmonicCentrality: cycle symmetry, maxHops truncation, " +
+      "partition-invariance") {
+    // directed 4-cycle: every seed reaches 3 nodes at hops 1,2,3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val h = Graph.harmonicCentrality(edges, "src", "dst", seeds, "id",
+        maxHops = 10).as[(Long, Long, Long)].collect()
+    assert(h.length === 4)
+    assert(h.forall(r => r._2 == 3L && r._3 == 1833L))
+    // truncation at 1 hop: each seed sees only its direct successor
+    val h1 = Graph.harmonicCentrality(edges, "src", "dst", seeds, "id",
+        maxHops = 1).as[(Long, Long, Long)].collect()
+    assert(h1.forall(r => r._2 == 1L && r._3 == 1000L))
+    val again = Graph.harmonicCentrality(edges.repartition(5), "src",
+        "dst", seeds.repartition(3), "id", maxHops = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === h.sortBy(_._1).toSeq)
+  }
 }

@@ -313,6 +313,48 @@ class QualityAuditSpec extends AnyFunSuite {
     assert("LocalTableScan".r.findAllIn(plan).size === 1)
   }
 
+  test("correlation matrix: hand-computed pair, perfect and inverse") {
+    // x=(1,2,3) y=(1,3,4): cov=3*19-6*8=9, vx=3*14-36=6, vy=3*26-64=14
+    // r2_ppm = (9e6 div 6)*9 div 14 = 13_500_000 div 14 = 964_285
+    val df = Seq((1L, 1L, 1L, 3L), (2L, 3L, 2L, 2L), (3L, 4L, 3L, 1L))
+      .toDF("x", "y", "ident", "neg")
+    val r = QualityAudit.correlationMatrix(df,
+        Seq("x", "y", "ident", "neg"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._4, t._5))).toMap
+    assert(r.size === 6)
+    assert(r(("x", "y")) === ((964285L, 1L)))
+    assert(r(("x", "ident")) === ((1000000L, 1L)))  // y = x exactly
+    assert(r(("x", "neg")) === ((1000000L, -1L)))   // y = 4 - x
+    assert(r(("ident", "neg")) === ((1000000L, -1L)))
+  }
+
+  test("correlation matrix: constant column reports 0 with sign 0") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "c")
+    val r = QualityAudit.correlationMatrix(df, Seq("x", "c"))
+      .as[(String, String, Long, Long, Long)].head()
+    assert((r._4, r._5) === ((0L, 0L)))
+  }
+
+  test("correlation matrix: one aggregate pass — no scan per pair") {
+    val df = Seq((1L, 2L, 3L, 4L), (5L, 6L, 7L, 8L))
+      .toDF("a", "b", "c", "d")
+    val plan = QualityAudit.correlationMatrix(df, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    // 6 pairs never mean 6 scans: one LocalTableScan feeds one agg chain
+    assert("LocalTableScan".r.findAllIn(plan).size === 1)
+  }
+
+  test("correlation matrix: partitioning-invariant") {
+    val rows = (1 to 97).map(i =>
+      (i.toLong, (i * i % 31).toLong, (97 - i).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QualityAudit.correlationMatrix(df, Seq("a", "b", "c"))
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(rows.toDF("a", "b", "c")) ===
+      run(rows.toDF("a", "b", "c").repartition(13)))
+  }
+
   test("chi2: partitioning-invariant") {
     val rows = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 4}"))
     def run(df: org.apache.spark.sql.DataFrame) =
