@@ -2451,6 +2451,27 @@ object SparkEntry {
           expr("(sum(dollars) over (order by decile)) * 1000000 " +
             "div (sum(dollars) over ())"))
     }),
+    "q106_gini" -> ((s, dir) => {
+      // Gini coefficient of customer revenue — the single-number
+      // concentration summary q97's decile table expands: with customers
+      // ranked ascending by revenue (ties broken by custkey — the rank
+      // SUM over a tied run is order-free, so the statistic is exact),
+      // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), floored ppm.
+      // The global sort runs on the CUSTOMER aggregate, never fact rows
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      rev.withColumn("i", row_number()
+          .over(Window.orderBy(col("cents"), col("cust"))).cast("long"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nc"),
+          sum(col("cents")).cast("decimal(38,0)").as("tot"),
+          sum(col("i").cast("decimal(38,0)") * col("cents")).as("si"))
+        .select(col("nc").cast("long").as("n_customers"),
+          col("tot").cast("long").as("total_cents"),
+          expr("cast((2*si - (nc+1)*tot) * 1000000 div (nc * tot) " +
+            "as bigint)").as("gini_ppm"))
+    }),
     "er12_threshold_sweep" -> ((s, dir) => {
       // threshold operating curve for the JW matcher: pair counts per
       // similarity percent bucket + reverse-cumulative "pairs at or
@@ -7269,6 +7290,19 @@ object SparkEntry {
         |((sum(dollars) OVER (ORDER BY decile)) * 1000000
         |  // (sum(dollars) OVER ()))::BIGINT AS cum_share_ppm
         |FROM g""".stripMargin,
+    "q106_gini" ->
+      // identical ascending rank-sum Gini in HUGEINT; // == div since
+      // the ascending-order numerator is provably non-negative
+      """WITH rev AS (SELECT o_custkey AS cust,
+        |sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cents
+        |FROM orders GROUP BY 1),
+        |r AS (SELECT cents::HUGEINT AS cents, (row_number() OVER (
+        |ORDER BY cents, cust))::HUGEINT AS i FROM rev),
+        |m AS (SELECT count(*)::HUGEINT AS nc, sum(cents) AS tot,
+        |sum(i * cents) AS si FROM r)
+        |SELECT nc::BIGINT AS n_customers, tot::BIGINT AS total_cents,
+        |((2*si - (nc+1)*tot) * 1000000 // (nc * tot))::BIGINT
+        |  AS gini_ppm FROM m""".stripMargin,
     "st15_stream_dim_refresh" ->
       // replay of the deterministic batch/version schedule: the even-user
       // half enriches against dimension v1 (tier = user % 2), the odd

@@ -1266,4 +1266,5 @@ object Dedup {
       .select(col("doc_id"), col("match_id"),
         col("match_id").isNotNull.as("is_dup"))
   }
+
 }

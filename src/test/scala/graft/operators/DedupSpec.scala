@@ -658,4 +658,5 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactSubstrSpans(d, "doc_id", "text",
       k = 4, minTokens = 6, maxGramDf = 5).count() === 10)
   }
+
 }
