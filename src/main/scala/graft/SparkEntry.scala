@@ -2197,6 +2197,20 @@ object SparkEntry {
       graft.operators.Graph.harmonicCentrality(
         edges, "src", "dst", seeds, "vec_id", maxHops = 6)
     }),
+    "g13_betweenness" -> ((s, dir) => {
+      // seed-sampled Brandes betweenness over the same kNN graph and
+      // 32-seed panel as g12: which docs BROKER shortest-path traffic
+      // between semantic neighborhoods (the bridge/boundary docs a
+      // curation pass reviews first). Exact milli-unit dependency
+      // accumulation, 4-hop bounded
+      val emb = t(s, dir, "embeddings")
+      val edges = graft.operators.Similarity
+        .lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val seeds = emb.where(col("vec_id") < 32).select("vec_id")
+      graft.operators.Graph.betweennessCentrality(
+        edges, "src", "dst", seeds, "vec_id", maxHops = 4)
+    }),
     "tx42_pmi_collocations" -> ((s, dir) =>
       // PMI collocation mining over the corpus bigram stream: the
       // phrase/MWE detector (Church & Hanks 1990) that seeds tokenizer
@@ -6960,6 +6974,79 @@ object SparkEntry {
         |coalesce(agg.harmonic_milli, 0)::BIGINT AS harmonic_milli
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 32) s
         |LEFT JOIN agg ON agg.seed = s.vec_id""".stripMargin,
+    "g13_betweenness" ->
+      // the g10/g12 edge CTEs, then Brandes UNROLLED: 4 forward
+      // sigma levels (anti-joined against settled), 3 backward
+      // dependency steps with the floor inside each term — the same
+      // unrolled-iteration oracle style as q90
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(v[d::INT] *
+        |CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+        |THEN 1.0 ELSE -1.0 END) AS pr
+        |FROM v, range(0, 4) rp(p), range(1, 65) rd(d) GROUP BY 1, 2),
+        |buck AS (SELECT vec_id, sum(CASE WHEN pr > 0
+        |THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |FROM proj GROUP BY 1),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_cosine_similarity(qv.v, cv.v) AS cosraw
+        |FROM buck q JOIN buck c ON q.bucket = c.bucket
+        |AND q.vec_id <> c.vec_id
+        |JOIN v qv ON qv.vec_id = q.vec_id JOIN v cv ON cv.vec_id = c.vec_id),
+        |e AS (SELECT DISTINCT query_id AS src, neighbor_id AS dst FROM (
+        |SELECT query_id, neighbor_id, row_number() OVER (
+        |PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id) AS rank
+        |FROM scored) WHERE rank <= 3),
+        |l0 AS (SELECT vec_id AS seed, vec_id AS node, 1::HUGEINT AS sigma
+        |FROM embeddings WHERE vec_id < 32),
+        |l1 AS (SELECT l0.seed, e.dst AS node, sum(l0.sigma) AS sigma
+        |FROM l0 JOIN e ON l0.node = e.src
+        |WHERE NOT EXISTS (SELECT 1 FROM l0 s
+        |WHERE s.seed = l0.seed AND s.node = e.dst) GROUP BY 1, 2),
+        |s1 AS (SELECT seed, node FROM l0 UNION
+        |SELECT seed, node FROM l1),
+        |l2 AS (SELECT l1.seed, e.dst AS node, sum(l1.sigma) AS sigma
+        |FROM l1 JOIN e ON l1.node = e.src
+        |WHERE NOT EXISTS (SELECT 1 FROM s1
+        |WHERE s1.seed = l1.seed AND s1.node = e.dst) GROUP BY 1, 2),
+        |s2 AS (SELECT seed, node FROM s1 UNION
+        |SELECT seed, node FROM l2),
+        |l3 AS (SELECT l2.seed, e.dst AS node, sum(l2.sigma) AS sigma
+        |FROM l2 JOIN e ON l2.node = e.src
+        |WHERE NOT EXISTS (SELECT 1 FROM s2
+        |WHERE s2.seed = l2.seed AND s2.node = e.dst) GROUP BY 1, 2),
+        |s3 AS (SELECT seed, node FROM s2 UNION
+        |SELECT seed, node FROM l3),
+        |l4 AS (SELECT l3.seed, e.dst AS node, sum(l3.sigma) AS sigma
+        |FROM l3 JOIN e ON l3.node = e.src
+        |WHERE NOT EXISTS (SELECT 1 FROM s3
+        |WHERE s3.seed = l3.seed AND s3.node = e.dst) GROUP BY 1, 2),
+        |d3 AS (SELECT l3.seed, l3.node,
+        |sum((l3.sigma * 1000) // l4.sigma) AS delta
+        |FROM l3 JOIN e ON l3.node = e.src
+        |JOIN l4 ON l4.seed = l3.seed AND l4.node = e.dst GROUP BY 1, 2),
+        |d2 AS (SELECT l2.seed, l2.node,
+        |sum((l2.sigma * (1000 + coalesce(d3.delta, 0))) // l3.sigma)
+        |  AS delta
+        |FROM l2 JOIN e ON l2.node = e.src
+        |JOIN l3 ON l3.seed = l2.seed AND l3.node = e.dst
+        |LEFT JOIN d3 ON d3.seed = l3.seed AND d3.node = l3.node
+        |GROUP BY 1, 2),
+        |d1 AS (SELECT l1.seed, l1.node,
+        |sum((l1.sigma * (1000 + coalesce(d2.delta, 0))) // l2.sigma)
+        |  AS delta
+        |FROM l1 JOIN e ON l1.node = e.src
+        |JOIN l2 ON l2.seed = l1.seed AND l2.node = e.dst
+        |LEFT JOIN d2 ON d2.seed = l2.seed AND d2.node = l2.node
+        |GROUP BY 1, 2),
+        |bc AS (SELECT node, sum(delta) AS bc FROM (
+        |SELECT node, delta FROM d1 UNION ALL
+        |SELECT node, delta FROM d2 UNION ALL
+        |SELECT node, delta FROM d3) GROUP BY 1),
+        |reached AS (SELECT DISTINCT node FROM (
+        |SELECT node FROM l1 UNION ALL SELECT node FROM l2 UNION ALL
+        |SELECT node FROM l3 UNION ALL SELECT node FROM l4))
+        |SELECT r.node, coalesce(bc.bc, 0)::BIGINT AS bc_milli
+        |FROM reached r LEFT JOIN bc ON bc.node = r.node""".stripMargin,
     "tx42_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),

@@ -735,6 +735,118 @@ object Graph {
     result
   }
 
+  /** Seed-sampled betweenness centrality (Brandes 2001 accumulation over
+    * the Brandes-Pich 2007 / Bader et al. sampling regime): how much
+    * shortest-path traffic flows THROUGH each node, from a BOUNDED panel
+    * of source seeds — the broker/bridge detector (which docs stitch
+    * otherwise-separate semantic neighborhoods together; removing them
+    * fragments the graph) that degree and closeness both miss.
+    *
+    * Forward phase: level-synchronous BFS per seed carrying the
+    * shortest-path COUNT — sigma(s, w) = sum of sigma(s, u) over
+    * in-neighbors u on the previous level (exact for unweighted graphs).
+    * Backward phase: Brandes' dependency accumulation by DESCENDING
+    * level,
+    *
+    *   delta(s,v) = sum over DAG edges v->w of
+    *                floor(sigma_v * (1000 + delta_w) / sigma_w)
+    *
+    * in exact milli-units with the floor INSIDE each term, so every sum
+    * is order-free and the result is partitioning-exact (the house
+    * integer discipline; real-valued Brandes would be float-summation-
+    * order-dependent across engines). bc_milli(v) = sum over seeds of
+    * delta(s, v). maxHops truncates both phases — the k-bounded
+    * betweenness standard in sampling approximations.
+    *
+    * Scale: per level ONE frontier equi-join + one (seed, node)
+    * aggregation forward, one three-way level join backward — 2*maxHops
+    * bounded rounds total, every shuffle keyed on node, per-seed state
+    * rides the same joins (|seeds| x |reach| rows, the panel is a
+    * constant). No driver state, no broadcasts, no path enumeration
+    * (sigma/delta recurrences carry path COUNTS, never paths).
+    *
+    * Output: (node, bc_milli) for every node reached at hop >= 1 from
+    * any seed (nodes with zero accumulated dependency report 0). */
+  def betweennessCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastCount = -1L
+    def reroot(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      lastCount = cached.count()
+      caches += cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
+    val e = reroot(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+    // forward: levels(h) = (seed, node, sigma) settled at distance h
+    val lvl0 = reroot(seeds.select(col(seedCol).as("seed")).distinct()
+      .withColumn("node", col("seed")).withColumn("sigma", lit(1L)))
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var h = 0
+    while (h < maxHops && lastCount > 0) {
+      h += 1
+      val settled = levels.map(_.select("seed", "node")).reduce(_ union _)
+      val next = levels.last.join(e, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+      levels += reroot(next)
+      if (lastCount == 0) levels.remove(levels.size - 1)
+    }
+    // backward: delta at the deepest level is 0; walk levels up through
+    // the BFS DAG (edges v -> w with lvl(w) = lvl(v) + 1)
+    var deltas = List.empty[DataFrame] // deltas.head = level i+1's delta
+    var acc: DataFrame = null
+    for (i <- levels.size - 2 to 0 by -1) {
+      val wLvl = levels(i + 1).withColumnRenamed("node", "w")
+        .withColumnRenamed("sigma", "sigma_w")
+      val wDelta = (deltas.headOption match {
+        case Some(d) => wLvl.join(d, Seq("seed", "w"), "left")
+        case None => wLvl.withColumn("delta", lit(0L))
+      }).withColumn("delta",
+        coalesce(col("delta"), lit(0L)).cast("decimal(38,0)"))
+      val dI = levels(i)
+        .withColumnRenamed("seed", "vseed")
+        .join(e, col("node") === col("src"))
+        .join(wDelta, col("vseed") === col("seed") &&
+          col("dst") === col("w"))
+        // sigma * (1000 + delta) in DECIMAL(38,0): path counts times
+        // accumulated milli-dependencies overflow BIGINT on dense DAGs
+        .select(col("vseed").as("seed"), col("node"),
+          expr("cast(sigma as decimal(38,0)) * (1000 + delta) " +
+            "div sigma_w").as("term"))
+        .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
+      val dcached = reroot(dI.withColumnRenamed("node", "w"))
+      deltas = dcached :: deltas
+      val contrib = dcached.where(col("seed") =!= col("w"))
+        .groupBy(col("w").as("node")).agg(sum(col("delta")).as("bc"))
+      acc = if (acc == null) contrib
+        else acc.union(contrib).groupBy("node").agg(sum(col("bc")).as("bc"))
+    }
+    if (levels.size == 1) {
+      // nothing reachable: empty (node, bc_milli) frame
+      caches.foreach(_.unpersist(false))
+      return lvl0.limit(0).select(col("node"),
+        lit(0L).as("bc_milli"))
+    }
+    val reached = levels.drop(1).map(_.select("node")).reduce(_ union _)
+      .distinct()
+    val result = reached
+      .join(if (acc == null) reached.limit(0)
+          .withColumn("bc", lit(0L)) else acc,
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("bc"), lit(0L)).cast("long").as("bc_milli"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    caches.foreach(_.unpersist(false))
+    result
+  }
+
   /** Local clustering coefficient per node (Watts & Strogatz 1998) over
     * an UNDIRECTED edge list: cc(v) = 2 * tri(v) / (deg(v) * (deg(v)-1)),
     * the fraction of a node's neighbor pairs that are themselves linked.

@@ -505,6 +505,44 @@ class GraphSpec extends AnyFunSuite {
       9L -> ((0L, 0L))))
   }
 
+  test("betweennessCentrality: diamond splits dependency, path chains it") {
+    // diamond 1->{2,3}->4: sigma(4)=2, delta(2)=delta(3)=floor(1500/... )
+    //   = floor(1*(1000+0)/2) = 500; 4 carries nothing
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val s1 = Seq(1L).toDF("id")
+    val d = Graph.betweennessCentrality(diamond, "src", "dst", s1, "id",
+        maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(2L -> 500L, 3L -> 500L, 4L -> 0L))
+    // path 1->2->3->4: delta(3) = 1000, delta(2) = floor(1*(2000)/1)
+    //   = 2000 (Brandes: 2 pair-dependencies through 2)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Graph.betweennessCentrality(path, "src", "dst", s1, "id",
+        maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(p === Map(2L -> 2000L, 3L -> 1000L, 4L -> 0L))
+  }
+
+  test("betweennessCentrality: multi-seed sums, truncation zeroes " +
+      "interior, partition-invariant") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("id")
+    val b = Graph.betweennessCentrality(path, "src", "dst", seeds, "id",
+        maxHops = 10).as[(Long, Long)].collect().toMap
+    // bc(2) = delta(1,2) = 2000; bc(3) = delta(1,3) + delta(2,3)
+    //   = 1000 + 1000
+    assert(b === Map(2L -> 2000L, 3L -> 2000L, 4L -> 0L))
+    // maxHops = 1: no node ever sits between a seed and a deeper node
+    val t = Graph.betweennessCentrality(path, "src", "dst", seeds, "id",
+        maxHops = 1).as[(Long, Long)].collect().toMap
+    assert(t === Map(2L -> 0L, 3L -> 0L))
+    val again = Graph.betweennessCentrality(path.repartition(5), "src",
+        "dst", seeds.repartition(3), "id", maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(again === b)
+  }
+
   test("harmonicCentrality: cycle symmetry, maxHops truncation, " +
       "partition-invariance") {
     // directed 4-cycle: every seed reaches 3 nodes at hops 1,2,3
