@@ -1814,6 +1814,21 @@ object SparkEntry {
       // Output: (doc_id, n_tokens, n_cut, n_kept) audit rows
       Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd44_capture_recapture" -> ((s, dir) => {
+      // Chapman capture-recapture estimate of duplicate pairs BOTH
+      // detectors missed: the dd9 MinHash-verified pass and the dd22
+      // SimHash Hamming pass are two independent "captures" of the true
+      // duplicate-pair population — their overlap sizes the blind spot
+      // and answers "is a third dedup pass worth running"
+      val docs = t(s, dir, "documents")
+      Dedup.captureRecapture(
+        Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+          n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+          .select("doc_a", "doc_b"),
+        Dedup.simhashHammingPairs(docs, "doc_id", "text",
+          bits = 32, bands = 4, maxHamming = 2)
+          .select("doc_a", "doc_b"))
+    }),
     "dd42_exactsubstr_apply" -> ((s, dir) =>
       // the applied form of dd39: re-emit every document with its cut
       // spans REMOVED (earliest copy survives verbatim, later copies
@@ -5521,6 +5536,63 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dd44_capture_recapture" ->
+      // the dd9 verified-Jaccard chain and the dd22 SimHash chain
+      // verbatim, then the Chapman overlap arithmetic in HUGEINT
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+         |FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM toks)),
+         |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || sh)) AS mh
+         |FROM sh, range(0, 16) rj(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |string_agg(mh, '' ORDER BY j) AS sig FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |JOIN sh a ON a.doc_id = cand.doc_a
+         |JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh GROUP BY 1, 2),
+         |pa AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000.0)
+         |  / 10000.0 >= 0.5),
+         |tok2 AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |bits AS (SELECT doc_id, b,
+         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |FROM tok2, range(0, 32) rb(b)),
+         |votes AS (SELECT doc_id, b,
+         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |FROM bits GROUP BY 1, 2),
+         |sig2 AS (SELECT doc_id,
+         |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
+         |  AS simhash
+         |FROM votes GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, bb,
+         |(simhash >> (bb * 8)::INT) & 255 AS bsig
+         |FROM sig2, range(0, 4) rbb(bb)),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |a.simhash AS sa, b2.simhash AS sb
+         |FROM banded a JOIN banded b2
+         |ON a.bb = b2.bb AND a.bsig = b2.bsig AND a.doc_id < b2.doc_id),
+         |pb AS (SELECT doc_a, doc_b FROM cand2
+         |WHERE bit_count(xor(sa, sb)) <= 2),
+         |j AS (SELECT coalesce(pa.doc_a, pb.doc_a) AS x,
+         |CASE WHEN pa.doc_a IS NOT NULL THEN 1 END AS in_a,
+         |CASE WHEN pb.doc_a IS NOT NULL THEN 1 END AS in_b
+         |FROM pa FULL OUTER JOIN pb
+         |ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b),
+         |m AS (SELECT count(in_a)::HUGEINT AS n_a,
+         |count(in_b)::HUGEINT AS n_b,
+         |count(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+         |THEN 1 END)::HUGEINT AS n_both FROM j)
+         |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+         |n_both::BIGINT AS n_both,
+         |((n_a + 1) * (n_b + 1) // (n_both + 1) - 1)::BIGINT AS est_total,
+         |((n_a + 1) * (n_b + 1) // (n_both + 1) - 1
+         |  - (n_a + n_b - n_both))::BIGINT AS est_undetected
+         |FROM m""".stripMargin,
     "dd9_lsh_verified_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh

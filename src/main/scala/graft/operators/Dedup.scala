@@ -1267,4 +1267,43 @@ object Dedup {
         col("match_id").isNotNull.as("is_dup"))
   }
 
+  /** Capture-recapture residual-duplicate estimate: how many duplicate
+    * pairs did BOTH detectors miss? Two independent near-dup passes
+    * (e.g. MinHash-verified Jaccard and SimHash Hamming) are two
+    * "captures" of the same closed population of true duplicate pairs;
+    * the bias-corrected Chapman (1951) form of Lincoln-Petersen
+    * estimates the population from the overlap:
+    *
+    *   est_total = (n_a + 1)(n_b + 1) div (n_both + 1) - 1
+    *
+    * and est_undetected = est_total - |union| — the "should we run a
+    * third pass" decision number no single detector can produce.
+    * Integer-exact (one floored division; est_undetected is provably
+    * >= 0 since (na+1)(nb+1) - (m+1)(na+nb-m+1) = (na-m)(nb-m) >= 0).
+    *
+    * Scale: the two pair sets are the detectors' own outputs (candidate-
+    * bounded); this adds one canonicalizing distinct each and one
+    * full-outer equi-join on the pair key, collapsing straight to ONE
+    * row. Independence caveat (Petersen's): correlated detectors bias
+    * est_total low — pick mechanistically different passes.
+    *
+    * Output: 1 row — (n_a, n_b, n_both, est_total, est_undetected). */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def canon(df: DataFrame, flag: String) = df.select(
+        least(col(aCol), col(bCol)).as("pa"),
+        greatest(col(aCol), col(bCol)).as("pb"))
+      .distinct().withColumn(flag, lit(1L))
+    canon(pairsA, "in_a")
+      .join(canon(pairsB, "in_b"), Seq("pa", "pb"), "full_outer")
+      .agg(count(col("in_a")).as("n_a"), count(col("in_b")).as("n_b"),
+        count(when(col("in_a").isNotNull && col("in_b").isNotNull, 1))
+          .as("n_both"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        expr("cast(cast(n_a + 1 as decimal(38,0)) * (n_b + 1) " +
+          "div (n_both + 1) - 1 as bigint)").as("est_total"),
+        expr("cast(cast(n_a + 1 as decimal(38,0)) * (n_b + 1) " +
+          "div (n_both + 1) - 1 - (n_a + n_b - n_both) as bigint)")
+          .as("est_undetected"))
+  }
 }

@@ -659,4 +659,28 @@ class DedupSpec extends AnyFunSuite {
       k = 4, minTokens = 6, maxGramDf = 5).count() === 10)
   }
 
+  test("captureRecapture: Chapman estimate, canonicalized pair keys") {
+    import spark.implicits._
+    // A = {12, 34, 56} (with a reversed+repeated 12 that must collapse),
+    // B = {12, 78}: n_a=3, n_b=2, m=1 -> est = 4*3 div 2 - 1 = 5,
+    // undetected = 5 - (3+2-1) = 1
+    val a = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val b = Seq((2L, 1L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val r = Dedup.captureRecapture(a, b)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r === ((3L, 2L, 1L, 5L, 1L)))
+  }
+
+  test("captureRecapture: disjoint detectors and empty inputs") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val b = Seq((3L, 4L)).toDF("doc_a", "doc_b")
+    // (2*2) div 1 - 1 = 3 estimated, 2 seen -> 1 missed
+    assert(Dedup.captureRecapture(a, b)
+      .as[(Long, Long, Long, Long, Long)].head() === ((1L, 1L, 0L, 3L, 1L)))
+    val e = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.captureRecapture(e, e)
+      .as[(Long, Long, Long, Long, Long)].head() === ((0L, 0L, 0L, 0L, 0L)))
+  }
 }
