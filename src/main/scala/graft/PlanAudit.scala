@@ -49,6 +49,8 @@ object PlanAudit {
       "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",
       "ss13_mmr_topk" -> "driver-assembled k-row result; per-round pool scans audited in SimilaritySpec",
       "g4_label_prop" -> "re-rooted iterative result (persisted leaf); per-round shapes match kCore's, gated in GraphSpec",
+      "g12_harmonic_centrality" -> "re-rooted per-seed BFS result (persisted leaf); per-round shape = one frontier equi-join + anti-join settle, gated in GraphSpec",
+      "g13_betweenness" -> "re-rooted Brandes result (persisted leaf); 2*maxHops bounded rounds of node-keyed joins, gated in GraphSpec",
       "tx35_bpe_train" -> "per-merge-round vocabulary jobs materialize at construction (checkpointed 1-row merge frame, dd25 discipline); merge semantics pinned in TokenizerTrainSpec",
       "tx39_bpe_encode" -> "shares tx35's memoized training run (construction-time checkpoints); encode itself is one corpus shuffle + vocabulary-sized merge application, gated in TokenizerTrainSpec",
       "q92_markov_attribution" -> "driver-folded transition matrix, bounded <= (event types + 3)^2 BY CONSTRUCTION; the distributed journey/count plan is the q55 shape, fixed point spec-replicated")

@@ -1814,6 +1814,14 @@ object SparkEntry {
       // Output: (doc_id, n_tokens, n_cut, n_kept) audit rows
       Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minTokens = 16, maxGramDf = 256)),
+    "dd45_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking dedup (LBFS/rsync): boundaries where
+      // the rolling 4-token window's last md5 nibble mod 8 == 0
+      // (expected 8-token chunks), so one prepended token cannot shift
+      // every chunk the way it defeats dd11's fixed chunks; per-doc
+      // reclaimable-token report under first-occurrence discipline
+      Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, divisor = 8)),
     "dd44_capture_recapture" -> ((s, dir) => {
       // Chapman capture-recapture estimate of duplicate pairs BOTH
       // detectors missed: the dd9 MinHash-verified pass and the dd22
@@ -2349,6 +2357,25 @@ object SparkEntry {
         .select(col("mx"), col("x").as("cents"),
           col("fitted").as("fitted_cents"),
           col("resid").as("resid_cents"))
+    }),
+    "q107_hw_forecast" -> ((s, dir) => {
+      // the true h-step FORECAST q102's one-step fitted values stop
+      // short of: roll the same exact integer fold to the end of the
+      // monthly history, keep the final (level, trend, seasonal ring),
+      // extrapolate 6 months with pure integer multiply-add — the
+      // capacity-planning number, engine-exact at every horizon
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mx"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      val idx = monthly.select(col("cents"),
+        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      graft.operators.TimeSeries.holtWintersForecast(idx, "i", "cents",
+          period = 12, alphaInv = 5, betaInv = 10, gammaInv = 5,
+          horizon = 6)
+        .select(col("h"), col("idx"),
+          col("forecast").as("forecast_cents"))
     }),
     "q103_hw_by_group" -> ((s, dir) => {
       // q102's Holt-Winters fitted PER ORDER PRIORITY — the production
@@ -5536,6 +5563,34 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dd45_cdc_chunks" ->
+      // identical boundary draw (last md5 nibble via the dd22
+      // single-hex-digit integerization), spans from a per-doc lag
+      // window, chunk fingerprints joined on md5 keys
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+         |WHERE len($duckToks) >= 1),
+         |bs AS (SELECT doc_id, e FROM (SELECT doc_id, t,
+         |unnest(range(4, len(t) + 1)) AS e FROM toks)
+         |WHERE strpos('123456789abcdef', substr(md5(array_to_string(
+         |t[(e - 3)::INT:e::INT], ' ')), 32, 1)) % 8 = 0),
+         |ends AS (SELECT doc_id, e FROM bs
+         |UNION SELECT doc_id, len(t) FROM toks),
+         |spans AS (SELECT doc_id, e,
+         |coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+         |  AS s FROM ends),
+         |chunks AS (SELECT sp.doc_id,
+         |md5(array_to_string(tk.t[sp.s::INT:sp.e::INT], ' ')) AS fp,
+         |(sp.e - sp.s + 1)::BIGINT AS ntok
+         |FROM spans sp JOIN toks tk ON tk.doc_id = sp.doc_id),
+         |fd AS (SELECT fp, min(doc_id) AS first_doc FROM chunks
+         |GROUP BY 1)
+         |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+         |sum(ntok)::BIGINT AS n_tokens,
+         |sum(CASE WHEN c.doc_id > fd.first_doc THEN 1 ELSE 0
+         |  END)::BIGINT AS n_dup_chunks,
+         |sum(CASE WHEN c.doc_id > fd.first_doc THEN ntok ELSE 0
+         |  END)::BIGINT AS n_dup_tokens
+         |FROM chunks c JOIN fd ON fd.fp = c.fp GROUP BY 1""".stripMargin,
     "dd44_capture_recapture" ->
       // the dd9 verified-Jaccard chain and the dd22 SimHash chain
       // verbatim, then the Chapman overlap arithmetic in HUGEINT
@@ -7338,6 +7393,40 @@ object SparkEntry {
         |SELECT idx.mx, idx.cents, hw.fitted AS fitted_cents,
         |idx.cents - hw.fitted AS resid_cents
         |FROM hw JOIN idx USING (i)""".stripMargin,
+    "q107_hw_forecast" ->
+      // q102's recursion carried to the last index, then pure
+      // multiply-add extrapolation off the final (l, b, s) state
+      """WITH monthly AS (SELECT
+        |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1),
+        |idx AS (SELECT cents,
+        |row_number() OVER (ORDER BY mx)::BIGINT AS i FROM monthly),
+        |init1 AS (SELECT
+        |(sum(CASE WHEN i <= 12 THEN cents END) // 12)::BIGINT AS l0,
+        |((sum(CASE WHEN i > 12 AND i <= 24 THEN cents END)
+        |  - sum(CASE WHEN i <= 12 THEN cents END)) // 144)::BIGINT AS b0
+        |FROM idx),
+        |sinit AS (SELECT list(cents - (SELECT l0 FROM init1)
+        |ORDER BY i) AS s0 FROM idx WHERE i <= 12),
+        |hw AS (WITH RECURSIVE k(i, l, b, s) AS (
+        |SELECT 12::BIGINT, (SELECT l0 FROM init1),
+        |(SELECT b0 FROM init1), (SELECT s0 FROM sinit)
+        |UNION ALL
+        |SELECT st.i,
+        |((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5,
+        |((((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5 - k.l)
+        |  + 9 * k.b) // 10,
+        |k.s[2:12] || [((st.cents
+        |  - ((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5)
+        |  + 4 * k.s[1]) // 5]
+        |FROM k JOIN idx st ON st.i = k.i + 1)
+        |SELECT i, l, b, s FROM k),
+        |fin AS (SELECT i, l, b, s FROM hw ORDER BY i DESC LIMIT 1)
+        |SELECT h::BIGINT AS h, (fin.i + h)::BIGINT AS idx,
+        |(fin.l + h * fin.b
+        |  + fin.s[((h - 1) % 12)::INT + 1])::BIGINT AS forecast_cents
+        |FROM fin, (SELECT unnest(range(1, 7)) AS h)""".stripMargin,
     "q104_did" ->
       """WITH c AS (SELECT (o_custkey % 2)::BIGINT AS treat,
         |(CASE WHEN o_orderdate::TIMESTAMP::DATE >= DATE '1998-01-01'

@@ -1267,6 +1267,70 @@ object Dedup {
         col("match_id").isNotNull.as("is_dup"))
   }
 
+  /** Content-defined chunking dedup report (Muthitacharoen et al. 2001,
+    * LBFS; the rsync/storage-dedup trick applied to corpus text): chunk
+    * boundaries fall where the rolling k-token window's fingerprint
+    * satisfies `hash mod divisor == 0`, so boundaries are decided by
+    * CONTENT, not offset — prepending one token shifts every fixed-size
+    * chunk (dd11 finds nothing) but leaves every content-defined chunk
+    * after the first boundary identical. This is the dedup form that
+    * catches "same boilerplate, shifted by an edit" without the full
+    * ExactSubstr position join.
+    *
+    * Expected chunk length = divisor tokens (boundary probability
+    * 1/divisor per position, read from the last md5 nibble — the same
+    * single-hex-digit integerization dd22's oracle uses, so both
+    * engines state the identical draw). The whole chunker is ONE
+    * projection of nested array functions — boundaries, spans and chunk
+    * fingerprints all materialize per row with ZERO shuffle; the only
+    * exchanges are the chunk-fingerprint groupBy (md5 keys, never text)
+    * and the per-doc verdict aggregation, exactly dd1's shape.
+    *
+    * First-occurrence discipline (tx40): a chunk instance is a
+    * duplicate iff some LOWER-id doc contains the same chunk
+    * fingerprint. Output: (doc_id, n_chunks, n_tokens, n_dup_chunks,
+    * n_dup_tokens) — n_dup_tokens/n_tokens is the reclaimable share. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Int): DataFrame = {
+    require(k >= 1, "window k >= 1")
+    require(divisor >= 2 && divisor <= 16,
+      "divisor in [2, 16] (one md5 nibble drives the boundary draw)")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      // 1-based END positions of chunks: content-defined boundaries
+      // (windows of k tokens whose last md5 nibble mod divisor == 0)
+      // plus the forced end-of-doc sentinel
+      .withColumn("ends", expr(
+        s"""array_distinct(concat(
+           |  CASE WHEN size(t) >= $k THEN
+           |    filter(sequence(${k}L, cast(size(t) as long)), e ->
+           |      cast(conv(substring(md5(array_join(
+           |        slice(t, cast(e as int) - $k + 1, $k), ' ')), 32, 1),
+           |        16, 10) as int) % $divisor = 0)
+           |  ELSE array() END,
+           |  array(cast(size(t) as long))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ends)), j -> named_struct(
+          |  'start', CASE WHEN j = 1 THEN 1L
+          |    ELSE element_at(ends, j - 1) + 1L END,
+          |  'end', element_at(ends, j)))""".stripMargin)).as("c"),
+        col("t"))
+      .select(col("doc_id"),
+        md5(array_join(expr(
+          "slice(t, cast(c.start as int), cast(c.end - c.start + 1 as int))"),
+          " ")).as("fp"),
+        (col("c.end") - col("c.start") + 1L).as("ntok"))
+    val firstDoc = chunks.groupBy("fp").agg(min("doc_id").as("first_doc"))
+    chunks.join(firstDoc, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("ntok")).as("n_tokens"),
+        sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L))
+          .as("n_dup_chunks"),
+        sum(when(col("doc_id") > col("first_doc"), col("ntok"))
+          .otherwise(0L)).as("n_dup_tokens"))
+  }
+
   /** Capture-recapture residual-duplicate estimate: how many duplicate
     * pairs did BOTH detectors miss? Two independent near-dup passes
     * (e.g. MinHash-verified Jaccard and SimHash Hamming) are two

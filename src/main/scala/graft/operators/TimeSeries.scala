@@ -216,7 +216,72 @@ object TimeSeries {
     val src = series.select(col(keyCol).as("g"),
       col(idxCol).cast("long").as("i"),
       col(valCol).cast("long").as("x"))
-    val one = src.groupBy("g").agg(
+    val one = hwInit(src, m)
+    val folded = one.select(col("g"), explode(expr(
+        hwFold(m, alphaInv, betaInv, gammaInv, "acc -> acc.out"))).as("k"))
+      .select(col("g"), col("k.i").as("i"), col("k.fitted").as("fitted"))
+    // fitted frame is |keys| x |calendar| — broadcast onto the series
+    src.filter(col("i") > m)
+      .join(broadcast(folded), Seq("g", "i"))
+      .select(col("g").as("key"), col("i").as("idx"), col("x"),
+        col("fitted"), (col("x") - col("fitted")).as("resid"))
+  }
+
+  /** True h-step-ahead Holt-Winters FORECAST per key — what q102/q103's
+    * one-step fitted values stop short of: roll the SAME exact integer
+    * fold to the end of each key's history, keep the final (level,
+    * trend, seasonal-ring) state, and extrapolate with no further
+    * observations:
+    *
+    *   forecast(t_last + h) = L + h·B + S[((h-1) mod period) + 1]
+    *
+    * (after the last update the ring's head is the slot for t_last + 1).
+    * Same engine-exact arithmetic: the extrapolation is pure integer
+    * multiply-add on the folded state, so every horizon row is exact.
+    *
+    * Scale: identical to [[holtWintersByGroup]] — one grouped
+    * aggregation whose per-key state is history-bounded, then a
+    * |keys| x horizon explode. Keys without two full seasons drop.
+    *
+    * Output: (key, h, idx, forecast) for h in [1, horizon]. */
+  def holtWintersForecastByGroup(series: DataFrame, keyCol: String,
+      idxCol: String, valCol: String, period: Int,
+      alphaInv: Int, betaInv: Int, gammaInv: Int,
+      horizon: Int): DataFrame = {
+    require(period >= 2 && alphaInv >= 2 && betaInv >= 2 && gammaInv >= 2)
+    require(horizon >= 1)
+    val m = period
+    val src = series.select(col(keyCol).as("g"),
+      col(idxCol).cast("long").as("i"),
+      col(valCol).cast("long").as("x"))
+    val state = hwInit(src, m).select(col("g"), col("last_i"),
+      expr(hwFold(m, alphaInv, betaInv, gammaInv,
+        "acc -> named_struct('l', acc.l, 'b', acc.b, 's', acc.s)"))
+        .as("st"))
+    state.select(col("g").as("key"), explode(expr(
+        s"""transform(sequence(1L, ${horizon}L), h -> named_struct(
+           |  'h', h, 'idx', last_i + h,
+           |  'forecast', st.l + h * st.b
+           |    + element_at(st.s, cast((h - 1) % $m + 1 as int))))"""
+          .stripMargin)).as("f"))
+      .select(col("key"), col("f.h").as("h"), col("f.idx").as("idx"),
+        col("f.forecast").as("forecast"))
+  }
+
+  /** Single-series form of [[holtWintersForecastByGroup]]. Output:
+    * (h, idx, forecast). */
+  def holtWintersForecast(series: DataFrame, idxCol: String,
+      valCol: String, period: Int, alphaInv: Int, betaInv: Int,
+      gammaInv: Int, horizon: Int): DataFrame =
+    holtWintersForecastByGroup(series.withColumn("__hw_g", lit(1)),
+        "__hw_g", idxCol, valCol, period, alphaInv, betaInv, gammaInv,
+        horizon)
+      .select("h", "idx", "forecast")
+
+  /** Shared HW init: per-key (l0, b0, season-1 rows, fold steps, last
+    * observed index), keys without two full seasons dropped. */
+  private def hwInit(src: DataFrame, m: Int): DataFrame =
+    src.groupBy("g").agg(
       expr(s"sum(CASE WHEN i <= $m THEN x END) div $m").as("l0"),
       expr(s"(sum(CASE WHEN i > $m AND i <= ${2 * m} THEN x END)" +
         s" - sum(CASE WHEN i <= $m THEN x END)) div ${m.toLong * m}")
@@ -225,33 +290,32 @@ object TimeSeries {
         struct(col("i"), col("x"))))).as("season1"),
       sort_array(collect_list(when(col("i") > m,
         struct(col("i"), col("x"))))).as("steps"),
+      max(col("i")).as("last_i"),
       sum(when(col("i") <= 2 * m, 1L).otherwise(0L)).as("n_init"))
       .filter(col("n_init") === 2L * m)
-    val folded = one.select(col("g"), explode(expr(
-      s"""aggregate(steps,
-         |  named_struct('l', l0, 'b', b0,
-         |    's', transform(season1, e -> e.x - l0),
-         |    'out', cast(array() as
-         |      array<struct<i: bigint, fitted: bigint>>)),
-         |  (acc, st) -> named_struct(
-         |    'l', ((st.x - element_at(acc.s, 1))
-         |      + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L,
-         |    'b', ((((st.x - element_at(acc.s, 1))
-         |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L
-         |      - acc.l) + ${betaInv - 1}L * acc.b) div ${betaInv}L,
-         |    's', concat(slice(acc.s, 2, ${m - 1}), array(
-         |      ((st.x - ((st.x - element_at(acc.s, 1))
-         |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L)
-         |       + ${gammaInv - 1}L * element_at(acc.s, 1))
-         |      div ${gammaInv}L)),
-         |    'out', array_append(acc.out, named_struct('i', st.i,
-         |      'fitted', acc.l + acc.b + element_at(acc.s, 1)))),
-         |  acc -> acc.out)""".stripMargin)).as("k"))
-      .select(col("g"), col("k.i").as("i"), col("k.fitted").as("fitted"))
-    // fitted frame is |keys| x |calendar| — broadcast onto the series
-    src.filter(col("i") > m)
-      .join(broadcast(folded), Seq("g", "i"))
-      .select(col("g").as("key"), col("i").as("idx"), col("x"),
-        col("fitted"), (col("x") - col("fitted")).as("resid"))
-  }
+
+  /** Shared HW fold over `steps` from the [[hwInit]] state; `finish`
+    * is the aggregate's final lambda (fitted trajectory for the fit
+    * form, raw (l, b, s) state for the forecast form). */
+  private def hwFold(m: Int, alphaInv: Int, betaInv: Int, gammaInv: Int,
+      finish: String): String =
+    s"""aggregate(steps,
+       |  named_struct('l', l0, 'b', b0,
+       |    's', transform(season1, e -> e.x - l0),
+       |    'out', cast(array() as
+       |      array<struct<i: bigint, fitted: bigint>>)),
+       |  (acc, st) -> named_struct(
+       |    'l', ((st.x - element_at(acc.s, 1))
+       |      + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L,
+       |    'b', ((((st.x - element_at(acc.s, 1))
+       |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L
+       |      - acc.l) + ${betaInv - 1}L * acc.b) div ${betaInv}L,
+       |    's', concat(slice(acc.s, 2, ${m - 1}), array(
+       |      ((st.x - ((st.x - element_at(acc.s, 1))
+       |        + ${alphaInv - 1}L * (acc.l + acc.b)) div ${alphaInv}L)
+       |       + ${gammaInv - 1}L * element_at(acc.s, 1))
+       |      div ${gammaInv}L)),
+       |    'out', array_append(acc.out, named_struct('i', st.i,
+       |      'fitted', acc.l + acc.b + element_at(acc.s, 1)))),
+       |  $finish)""".stripMargin
 }

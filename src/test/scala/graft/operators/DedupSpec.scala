@@ -659,6 +659,43 @@ class DedupSpec extends AnyFunSuite {
       k = 4, minTokens = 6, maxGramDf = 5).count() === 10)
   }
 
+  test("cdcChunkDedup: identical docs fully dup; token counts conserve") {
+    import spark.implicits._
+    val text = (1 to 120).map(i => s"w${i * 7 % 53}").mkString(" ")
+    val d = Seq((1L, text), (2L, text), (3L, "a b c")).toDF("doc_id", "text")
+    val r = Dedup.cdcChunkDedup(d, "doc_id", "text", k = 4, divisor = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // doc 2 = doc 1 verbatim: every chunk is a dup, all tokens dup
+    val (c1, t1, _, _) = r(1L)
+    assert(r(2L) === ((c1, t1, c1, t1)))
+    assert(t1 === 120L)
+    assert(r(1L)._3 === 0L) // first occurrence is never a dup
+    // sub-window doc: one forced whole-doc chunk, unique
+    assert(r(3L) === ((1L, 3L, 0L, 0L)))
+  }
+
+  test("cdcChunkDedup: boundaries survive a prepend (the anti-dd11 " +
+      "property); partition-invariant") {
+    import spark.implicits._
+    val base = (1 to 150).map(i => s"t${i * 11 % 97}").mkString(" ")
+    val d = Seq((1L, base), (2L, "zzz " + base)).toDF("doc_id", "text")
+    val r = Dedup.cdcChunkDedup(d, "doc_id", "text", k = 4, divisor = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // every doc-2 chunk after the first doc-1-derived boundary is
+    // verbatim a doc-1 chunk: content decides boundaries, so the +1
+    // token shift realigns there (fixed-size chunking would share
+    // nothing). At most the 1-2 chunks before that point differ.
+    val (c2, _, dup2, dupTok2) = r(2L)
+    assert(dup2 >= c2 - 2, s"expected >= ${c2 - 2} dup chunks, got $dup2")
+    assert(dupTok2 >= 80L, s"shift killed chunk sharing: $dupTok2")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunkDedup(df, "doc_id", "text", k = 4, divisor = 8)
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(d) === run(d.repartition(5)))
+  }
+
   test("captureRecapture: Chapman estimate, canonicalized pair keys") {
     import spark.implicits._
     // A = {12, 34, 56} (with a reversed+repeated 12 that must collapse),

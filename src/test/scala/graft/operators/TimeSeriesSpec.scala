@@ -215,4 +215,45 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("up", 3L, 14L, 12L, 2L), ("up", 4L, 26L, 25L, 1L),
       ("up", 5L, 18L, 18L, 0L), ("up", 6L, 30L, 29L, 1L)))
   }
+
+  test("holtWintersForecast: hand-computed horizon off the final state") {
+    // rising fixture's final state after step 6: L=24, B=2, S=[-4, 5]
+    // h=1: 24+2-4=22, h=2: 24+4+5=33, h=3: 24+6-4=26, h=4: 24+8+5=37
+    val s = Seq((1L, 10L), (2L, 20L), (3L, 14L), (4L, 26L), (5L, 18L),
+      (6L, 30L)).toDF("i", "x")
+    val got = TimeSeries.holtWintersForecast(s, "i", "x", period = 2,
+        alphaInv = 2, betaInv = 2, gammaInv = 2, horizon = 4)
+      .orderBy("h").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 7L, 22L), (2L, 8L, 33L), (3L, 9L, 26L),
+      (4L, 10L, 37L)))
+  }
+
+  test("holtWintersForecast: h=1 equals the next fitted value; " +
+      "grouped form; partition-invariant") {
+    // fit on 1..6 produces fitted(6)=29; forecasting h=1 from the
+    // series TRUNCATED at 5 must give the same 29 (same state, no
+    // observation yet)
+    val full = Seq((1L, 10L), (2L, 20L), (3L, 14L), (4L, 26L), (5L, 18L),
+      (6L, 30L)).toDF("i", "x")
+    val cut = full.where(col("i") <= 5L)
+    val f1 = TimeSeries.holtWintersForecast(cut, "i", "x", 2, 2, 2, 2,
+      horizon = 1).as[(Long, Long, Long)].head()
+    assert(f1 === ((1L, 6L, 29L)))
+    val s = (Seq((1L, 10L), (2L, 20L), (3L, 14L), (4L, 26L), (5L, 18L),
+        (6L, 30L)).map { case (i, x) => ("up", i, x) } ++
+      Seq((1L, 100L), (2L, 90L), (3L, 80L), (4L, 70L), (5L, 60L),
+        (6L, 50L)).map { case (i, x) => ("dn", i, x) } ++
+      Seq(("short", 1L, 5L), ("short", 2L, 6L), ("short", 3L, 7L)))
+      .toDF("k", "i", "x")
+    val g = TimeSeries.holtWintersForecastByGroup(s, "k", "i", "x",
+        2, 2, 2, 2, horizon = 2).orderBy("key", "h")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // dn final state: L=50, B=-10, S=[1, -1]
+    assert(g === Seq(("dn", 1L, 7L, 41L), ("dn", 2L, 8L, 29L),
+      ("up", 1L, 7L, 22L), ("up", 2L, 8L, 33L)))
+    val again = TimeSeries.holtWintersForecastByGroup(s.repartition(7),
+        "k", "i", "x", 2, 2, 2, 2, horizon = 2).orderBy("key", "h")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(again === g)
+  }
 }
