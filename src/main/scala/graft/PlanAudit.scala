@@ -125,6 +125,7 @@ object PlanAudit {
       "q93_conversion_hazard" -> "1-row observation-end broadcast cross",
       "tx42_pmi_collocations" -> "1-row bigram-total broadcast cross (PMI denominator)",
       "q100_survival_km" -> "1-row observation-end broadcast cross; KM fold + join back are duration-domain-sized",
+      "q108_mase_backtest" -> "1-row series-length broadcast cross (holdout split); everything past the monthly agg is calendar-sized",
       "q101_competing_risks" -> "1-row observation-end broadcast cross; AJ fold + join back are duration-domain-sized")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))

@@ -2234,6 +2234,34 @@ object SparkEntry {
       graft.operators.Graph.betweennessCentrality(
         edges, "src", "dst", seeds, "vec_id", maxHops = 4)
     }),
+    "tx43_textrank" -> ((s, dir) => {
+      // TextRank keyword scoring (Mihalcea & Tarau 2004): words are
+      // nodes, consecutive-token co-occurrence the symmetric count-
+      // weighted edges, importance = the SAME integer PageRank fixed
+      // point g1 runs (5 iterations, damping 85) — keyword extraction
+      // as a pure composition of the tokenizer and the graph engine.
+      // The >= 4 co-occurrence floor bounds the word graph; the final
+      // ordering window runs on that bounded vocabulary, never tokens
+      val toks = t(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigr = toks.select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val sym = bigr
+        .union(bigr.select(col("w2").as("w1"), col("w1").as("w2")))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 4L)
+      graft.operators.Graph
+        .pageRankInt(sym, "w1", "w2", "w", iterations = 5)
+        .withColumn("kw_rank", row_number().over(
+          Window.orderBy(col("rank_u").desc, col("node"))).cast("long"))
+        .filter(col("kw_rank") <= 20L)
+        .select(col("kw_rank"), col("node").as("word"), col("rank_u"))
+    }),
     "tx42_pmi_collocations" -> ((s, dir) =>
       // PMI collocation mining over the corpus bigram stream: the
       // phrase/MWE detector (Church & Hanks 1990) that seeds tokenizer
@@ -2357,6 +2385,38 @@ object SparkEntry {
         .select(col("mx"), col("x").as("cents"),
           col("fitted").as("fitted_cents"),
           col("resid").as("resid_cents"))
+    }),
+    "q108_mase_backtest" -> ((s, dir) => {
+      // forecast-accuracy backtest (Hyndman & Koehler 2006 MASE): hold
+      // out the last 6 months, forecast them with q107's fold, and
+      // scale the model's MAE by the seasonal-naive baseline's
+      // (x[t-12]) — MASE < 1e6 ppm means the model beats the naive.
+      // Everything after the monthly aggregation is calendar-sized;
+      // the holdout split rides a 1-row series-length broadcast cross
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mx"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+      val idx = monthly.select(col("cents"),
+        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      val nRow = idx.agg(max(col("i")).as("n"))
+      val train = idx.crossJoin(broadcast(nRow))
+        .where(col("i") <= col("n") - 6).select("i", "cents")
+      graft.operators.TimeSeries.holtWintersForecast(train, "i", "cents",
+          period = 12, alphaInv = 5, betaInv = 10, gammaInv = 5,
+          horizon = 6)
+        .join(idx.select(col("i").as("idx"), col("cents").as("actual")),
+          Seq("idx"))
+        .join(idx.select((col("i") + 12L).as("idx"),
+          col("cents").as("naive")), Seq("idx"))
+        .agg(count(lit(1)).as("n_test"),
+          expr("sum(abs(actual - forecast)) div count(1)")
+            .as("mae_model_cents"),
+          expr("sum(abs(actual - naive)) div count(1)")
+            .as("mae_naive_cents"))
+        .withColumn("mase_ppm", expr(
+          "mae_model_cents * 1000000 div greatest(mae_naive_cents, 1)"))
     }),
     "q107_hw_forecast" -> ((s, dir) => {
       // the true h-step FORECAST q102's one-step fitted values stop
@@ -7174,6 +7234,41 @@ object SparkEntry {
         |SELECT node FROM l3 UNION ALL SELECT node FROM l4))
         |SELECT r.node, coalesce(bc.bc, 0)::BIGINT AS bc_milli
         |FROM reached r LEFT JOIN bc ON bc.node = r.node""".stripMargin,
+    "tx43_textrank" -> {
+      // bigram-co-occurrence edges, then g1's unrolled integer PageRank
+      // fixed point verbatim; top-20 under (rank desc, word)
+      val head =
+        s"""WITH toks AS (SELECT $duckToks AS t FROM documents
+           |WHERE len($duckToks) >= 2),
+           |bg0 AS (SELECT t[i]::VARCHAR AS w1, t[i + 1]::VARCHAR AS w2
+           |FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+           |WHERE t[i] <> t[i + 1]),
+           |sym AS (SELECT w1, w2 FROM bg0
+           |UNION ALL SELECT w2, w1 FROM bg0),
+           |e0 AS (SELECT w1 AS src, w2 AS dst, count(*)::BIGINT AS w
+           |FROM sym GROUP BY 1, 2 HAVING count(*) >= 4),
+           |ow AS (SELECT src, sum(w)::BIGINT AS out_w FROM e0 GROUP BY 1),
+           |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w FROM e0
+           |JOIN ow USING (src)),
+           |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+           |p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+           |r0 AS (SELECT node, (1000000000000 // p.n)::BIGINT AS r
+           |FROM nodes, p)""".stripMargin
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |((150000000000 // p.n) + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS r
+           |FROM nodes nd CROSS JOIN p LEFT JOIN
+           |(SELECT e.dst AS node, sum((r.r * e.w) // e.out_w)::BIGINT AS s
+           |FROM r${k - 1} r JOIN e ON e.src = r.node GROUP BY 1) c
+           |ON c.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters +
+        """
+          |SELECT kw_rank, word, rank_u FROM (
+          |SELECT row_number() OVER (ORDER BY r DESC, node)::BIGINT
+          |  AS kw_rank, node AS word, r AS rank_u FROM r5)
+          |WHERE kw_rank <= 20""".stripMargin
+    },
     "tx42_pmi_collocations" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
          |d2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
@@ -7427,6 +7522,55 @@ object SparkEntry {
         |(fin.l + h * fin.b
         |  + fin.s[((h - 1) % 12)::INT + 1])::BIGINT AS forecast_cents
         |FROM fin, (SELECT unnest(range(1, 7)) AS h)""".stripMargin,
+    "q108_mase_backtest" ->
+      // q107's recursion on the TRAIN prefix (i <= n-6), extrapolated 6
+      // steps, scored against actuals and the x[t-12] seasonal naive
+      """WITH monthly AS (SELECT
+        |(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+        |sum(floor(o_totalprice * 100.0)::BIGINT)::BIGINT AS cents
+        |FROM orders GROUP BY 1),
+        |idx0 AS (SELECT cents,
+        |row_number() OVER (ORDER BY mx)::BIGINT AS i FROM monthly),
+        |nn AS (SELECT max(i)::BIGINT AS n FROM idx0),
+        |idx AS (SELECT i, cents FROM idx0, nn WHERE i <= n - 6),
+        |init1 AS (SELECT
+        |(sum(CASE WHEN i <= 12 THEN cents END) // 12)::BIGINT AS l0,
+        |((sum(CASE WHEN i > 12 AND i <= 24 THEN cents END)
+        |  - sum(CASE WHEN i <= 12 THEN cents END)) // 144)::BIGINT AS b0
+        |FROM idx),
+        |sinit AS (SELECT list(cents - (SELECT l0 FROM init1)
+        |ORDER BY i) AS s0 FROM idx WHERE i <= 12),
+        |hw AS (WITH RECURSIVE k(i, l, b, s) AS (
+        |SELECT 12::BIGINT, (SELECT l0 FROM init1),
+        |(SELECT b0 FROM init1), (SELECT s0 FROM sinit)
+        |UNION ALL
+        |SELECT st.i,
+        |((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5,
+        |((((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5 - k.l)
+        |  + 9 * k.b) // 10,
+        |k.s[2:12] || [((st.cents
+        |  - ((st.cents - k.s[1]) + 4 * (k.l + k.b)) // 5)
+        |  + 4 * k.s[1]) // 5]
+        |FROM k JOIN idx st ON st.i = k.i + 1)
+        |SELECT i, l, b, s FROM k),
+        |fin AS (SELECT i, l, b, s FROM hw ORDER BY i DESC LIMIT 1),
+        |fc AS (SELECT (fin.i + h)::BIGINT AS idx,
+        |(fin.l + h * fin.b + fin.s[((h - 1) % 12)::INT + 1])::BIGINT
+        |  AS forecast
+        |FROM fin, (SELECT unnest(range(1, 7)) AS h)),
+        |scored AS (SELECT a.cents AS actual, fc.forecast,
+        |nv.cents AS naive FROM fc
+        |JOIN idx0 a ON a.i = fc.idx
+        |JOIN idx0 nv ON nv.i + 12 = fc.idx),
+        |m AS (SELECT count(*)::BIGINT AS n_test,
+        |(sum(abs(actual - forecast)) // count(*))::BIGINT
+        |  AS mae_model_cents,
+        |(sum(abs(actual - naive)) // count(*))::BIGINT
+        |  AS mae_naive_cents FROM scored)
+        |SELECT n_test, mae_model_cents, mae_naive_cents,
+        |(mae_model_cents * 1000000
+        |  // greatest(mae_naive_cents, 1))::BIGINT AS mase_ppm
+        |FROM m""".stripMargin,
     "q104_did" ->
       """WITH c AS (SELECT (o_custkey % 2)::BIGINT AS treat,
         |(CASE WHEN o_orderdate::TIMESTAMP::DATE >= DATE '1998-01-01'
