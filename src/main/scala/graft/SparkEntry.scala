@@ -2833,6 +2833,14 @@ object SparkEntry {
       graft.operators.TableDiff.reconcile(src, lossyDst,
         Seq("l_orderkey", "l_linenumber"))
     }),
+    "dq15_chain_manifest" -> ((s, dir) =>
+      // tamper-evident archival ledger: per-day XOR content
+      // fingerprints (dq2's machinery) hash-CHAINED in day order, so
+      // any silent edit/drop/reorder of a historical batch changes
+      // every later chain hash — verify the whole archive history
+      // against one stored head hash before trusting delete-back
+      graft.operators.TableDiff.chainManifest(
+        t(s, dir, "events"), to_date(col("ts")), Seq("event_id"))),
     "dq1_quarantine" -> ((s, dir) => {
       // row-level dead-letter routing on a deliberately-perturbed orders
       // feed (s18's FK poison recipe): rejected rows carry a '|'-joined
@@ -8087,6 +8095,25 @@ object SparkEntry {
         |s.src_rows = d.dst_rows AS rows_match,
         |s.src_xor = d.dst_xor AS checksum_match
         |FROM s, d""".stripMargin,
+    "dq15_chain_manifest" ->
+      // identical per-day fingerprints, chain replayed as a linear
+      // recursive CTE over the day order
+      """WITH e AS (SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS bucket,
+        |('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS h
+        |FROM events),
+        |d AS (SELECT bucket, count(*)::BIGINT AS n_rows,
+        |coalesce(bit_xor(h), 0)::BIGINT AS fp_xor FROM e GROUP BY 1),
+        |o AS (SELECT bucket, n_rows, fp_xor,
+        |row_number() OVER (ORDER BY bucket)::BIGINT AS rn FROM d),
+        |c AS (WITH RECURSIVE k(rn, chain) AS (
+        |SELECT 0::BIGINT, ''
+        |UNION ALL
+        |SELECT o.rn, md5(k.chain || ':' || o.bucket || ':'
+        |  || o.n_rows::VARCHAR || ':' || o.fp_xor::VARCHAR)
+        |FROM k JOIN o ON o.rn = k.rn + 1)
+        |SELECT rn, chain FROM k WHERE rn >= 1)
+        |SELECT o.bucket, o.n_rows, o.fp_xor, c.chain AS chain_hash
+        |FROM o JOIN c ON c.rn = o.rn""".stripMargin,
     "dq1_quarantine" ->
       """WITH ob AS (SELECT o_orderkey,
         |CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END

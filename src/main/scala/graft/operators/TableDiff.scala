@@ -80,4 +80,56 @@ object TableDiff {
         (col("src_rows") === col("dst_rows")).as("rows_match"),
         (col("src_xor") === col("dst_xor")).as("checksum_match"))
   }
+
+  /** Tamper-evident hash-chained archival manifest — [[reconcile]]'s
+    * per-batch sibling with an ORDER guarantee: each bucket (archival
+    * day/batch) gets the usual order-free XOR content fingerprint, and
+    * the buckets then chain like a ledger,
+    *
+    *   chain(d) = md5(chain(d-1) || ':' || bucket || ':' || n_rows
+    *              || ':' || fp_xor),     chain(before first) = ''
+    *
+    * so silently EDITING, DROPPING or REORDERING any historical batch
+    * changes every later chain hash (reconcile alone certifies one
+    * snapshot; the chain certifies the whole history against a single
+    * stored head hash). The verification a regulated archive runs
+    * before trusting delete-back.
+    *
+    * Scale: one map-side-combined bucket aggregation over fact rows
+    * (the only data-sized work — shuffle keys are day strings), then
+    * the sequential chain folds over the CALENDAR-sized bucket list on
+    * one row, the house bounded-fold discipline (cf. Survival /
+    * TimeSeries). Output: (bucket, n_rows, fp_xor, chain_hash), one
+    * row per bucket, ascending. */
+  def chainManifest(df: DataFrame, bucketCol: Column,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val daily = df.select(bucketCol.cast("string").as("bucket"),
+        conv(substring(md5(concat_ws(":",
+          keyCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(col("h")), lit(0L)).as("fp_xor"))
+    daily
+      .agg(sort_array(collect_list(
+        struct(col("bucket"), col("n_rows"), col("fp_xor")))).as("days"))
+      .select(explode(expr(
+        """aggregate(days,
+          |  named_struct('prev', '', 'out', cast(array() as
+          |    array<struct<bucket: string, n_rows: bigint,
+          |      fp_xor: bigint, chain: string>>)),
+          |  (acc, d) -> named_struct(
+          |    'prev', md5(concat(acc.prev, ':', d.bucket, ':',
+          |      cast(d.n_rows as string), ':', cast(d.fp_xor as string))),
+          |    'out', array_append(acc.out, named_struct(
+          |      'bucket', d.bucket, 'n_rows', d.n_rows,
+          |      'fp_xor', d.fp_xor,
+          |      'chain', md5(concat(acc.prev, ':', d.bucket, ':',
+          |        cast(d.n_rows as string), ':',
+          |        cast(d.fp_xor as string)))))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.bucket").as("bucket"), col("r.n_rows").as("n_rows"),
+        col("r.fp_xor").as("fp_xor"), col("r.chain").as("chain_hash"))
+  }
 }

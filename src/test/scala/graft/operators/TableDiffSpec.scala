@@ -79,4 +79,39 @@ class TableDiffSpec extends AnyFunSuite {
     assert(swapped._5 && !swapped._6,
       s"count alone must not vouch for completeness: $swapped")
   }
+
+  test("chainManifest: tampering any batch changes every LATER chain " +
+      "hash and no earlier one") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, s"d${i % 5}"))
+    val t = rows.toDF("k", "day")
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      TableDiff.chainManifest(df, col("day"), Seq("k"))
+        .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val base = chain(t)
+    assert(base.map(_._1) === Seq("d0", "d1", "d2", "d3", "d4"))
+    assert(base.map(_._4).distinct.size === 5) // chains all distinct
+    // edit ONE row inside day d2 (k=7 -> k=9999)
+    val tampered = chain(t.withColumn("k",
+      when($"k" === 7L, 9999L).otherwise($"k")))
+    val diff = base.zip(tampered).map { case (a, b) => a._4 != b._4 }
+    // d0, d1 untouched; d2 and every later day's chain hash changes
+    assert(diff === Seq(false, false, true, true, true), s"$diff")
+    // dropping a whole day shifts every later chain too
+    val dropped = chain(t.where($"day" =!= "d1"))
+    assert(dropped.map(_._1) === Seq("d0", "d2", "d3", "d4"))
+    assert(dropped.head._4 === base.head._4)
+    assert(dropped(1)._4 !== base(2)._4)
+  }
+
+  test("chainManifest: partitioning-invariant (order-free XOR + " +
+      "sorted fold)") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i * 13 % 997, s"b${i % 7}"))
+    val t = rows.toDF("k", "day")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TableDiff.chainManifest(df, col("day"), Seq("k"))
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(t) === run(t.repartition(11)))
+  }
 }
