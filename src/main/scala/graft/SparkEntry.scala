@@ -1572,6 +1572,15 @@ object SparkEntry {
         t(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_brand")),
         "p_partkey", "p_name", "p_brand", threshold = 0.9)),
+    "er14_matcher_kappa" -> ((s, dir) =>
+      // Cohen's kappa between the FS multi-feature matcher and the
+      // name-only JW >= 0.92 gate on the shared candidate set — "are
+      // the extra features redundant with the name?" The disagreement
+      // cells are the clerical-review shortlist. Rides the memoized
+      // er2/er3/er6 scored frame: no extra scoring pass
+      graft.operators.EntityResolution.matcherAgreement(
+        t(s, dir, "part"), "p_partkey", "p_name", "p_brand",
+        "p_size", "p_type", "p_retailprice")),
     "er2_fellegi_sunter" -> ((s, dir) =>
       // Fellegi-Sunter record linkage: per-feature agreement /
       // disagreement log-weights (fuzzy name, size tolerance, exact
@@ -6044,6 +6053,49 @@ object SparkEntry {
         |FROM ent GROUP BY 1)
         |SELECT ent.p_partkey, ent.entity_id, sized.entity_size
         |FROM ent JOIN sized USING (entity_id)""".stripMargin,
+    "er14_matcher_kappa" ->
+      // the BLOCKED distinct candidate set replayed exactly (kappa's
+      // n00 depends on the candidate universe, so the exhaustive
+      // within-brand relaxation er2's oracle uses would not agree);
+      // er2's weights, then the 2x2 marginals in HUGEINT
+      """WITH ta AS (SELECT p_partkey, p_name, p_brand, p_size, p_type,
+        |p_retailprice, unnest(string_split(p_name, ' ')) AS tok
+        |FROM part),
+        |cand AS (SELECT DISTINCT a.p_partkey AS pk_a,
+        |b.p_partkey AS pk_b, a.p_name AS na, b.p_name AS nb,
+        |a.p_size AS sa, b.p_size AS sb, a.p_type AS ca, b.p_type AS cb,
+        |a.p_retailprice AS ra, b.p_retailprice AS rb
+        |FROM ta a JOIN ta b ON a.p_brand = b.p_brand
+        |AND a.tok = b.tok AND a.p_partkey < b.p_partkey),
+        |f AS (SELECT
+        |floor(jaro_winkler_similarity(na, nb) * 10000.0)::BIGINT AS jwu,
+        |CASE WHEN abs(sa - sb) <= 2 THEN 1 ELSE 0 END AS f_size,
+        |CASE WHEN ca = cb THEN 1 ELSE 0 END AS f_cat,
+        |CASE WHEN abs(ra - rb) <= 50.0 THEN 1 ELSE 0 END AS f_price
+        |FROM cand),
+        |s AS (SELECT
+        |CASE WHEN (CASE WHEN jwu >= 9000 THEN 65 ELSE -43 END
+        | + CASE WHEN f_size = 1 THEN 20 ELSE -20 END
+        | + CASE WHEN f_cat = 1 THEN 22 ELSE -30 END
+        | + CASE WHEN f_price = 1 THEN 20 ELSE -20 END) >= 60
+        |THEN 1 ELSE 0 END AS a,
+        |CASE WHEN jwu >= 9200 THEN 1 ELSE 0 END AS b FROM f),
+        |m AS (SELECT count(*)::HUGEINT AS n,
+        |coalesce(sum(a * b), 0)::HUGEINT AS n11,
+        |coalesce(sum(a * (1 - b)), 0)::HUGEINT AS n10,
+        |coalesce(sum((1 - a) * b), 0)::HUGEINT AS n01,
+        |coalesce(sum((1 - a) * (1 - b)), 0)::HUGEINT AS n00 FROM s),
+        |r AS (SELECT n::BIGINT AS n_pairs, n11::BIGINT AS n_both,
+        |n10::BIGINT AS n_fs_only, n01::BIGINT AS n_jw_only,
+        |n00::BIGINT AS n_neither,
+        |((n11 + n00) * 1000000 // greatest(n, 1))::BIGINT AS po_ppm,
+        |(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |  * 1000000 // greatest(n * n, 1))::BIGINT AS pe_ppm FROM m)
+        |SELECT n_pairs, n_both, n_fs_only, n_jw_only, n_neither,
+        |po_ppm, pe_ppm,
+        |((po_ppm - pe_ppm) * 1000000
+        |  // greatest(1000000 - pe_ppm, 1))::BIGINT AS kappa_ppm
+        |FROM r""".stripMargin,
     "er2_fellegi_sunter" ->
       """WITH f AS (
         |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,

@@ -665,4 +665,46 @@ object EntityResolution {
           .partitionBy("entity_id")))
       .select(col(keyCol), col("entity_id"), col("entity_size"))
   }
+
+  /** Cohen's kappa (1960) agreement between the two house matchers —
+    * the multi-feature Fellegi-Sunter decision (fs_deci >= 60) and the
+    * name-only Jaro-Winkler gate (jw_u >= jwThresholdU) — over the SAME
+    * blocked candidate set: how much do they agree BEYOND what their
+    * marginal match rates would produce by chance? Near-1 kappa says
+    * the extra FS features are redundant with the name; low kappa says
+    * they genuinely change decisions (and the disagreement cells n_fs_
+    * only / n_jw_only are exactly the pairs worth clerical review).
+    *
+    * Integer-exact floored ppm: po = agreement share, pe = chance
+    * agreement from the 2x2 marginals (single DECIMAL(38,0) division —
+    * n^2 overflows BIGINT at real candidate volumes),
+    * kappa = (po - pe) * 1e6 div (1e6 - pe). Negative kappa survives
+    * engine parity (Spark div and DuckDB // both truncate toward zero).
+    * Rides the memoized er2/er3/er6 scored frame — no extra scoring
+    * pass. Output 1 row: (n_pairs, n_both, n_fs_only, n_jw_only,
+    * n_neither, po_ppm, pe_ppm, kappa_ppm). */
+  def matcherAgreement(records: DataFrame, keyCol: String,
+      nameCol: String, blockCol: String, sizeCol: String, catCol: String,
+      priceCol: String, jwThresholdU: Long = 9200L,
+      sizeTol: Int = 2, priceTol: Double = 50.0): DataFrame =
+    scoredDistinct(records, keyCol, nameCol, blockCol, sizeCol, catCol,
+        priceCol, sizeTol, priceTol)
+      .select(when(col("fs_deci") >= 60, 1L).otherwise(0L).as("a"),
+        when(col("jw_u") >= jwThresholdU, 1L).otherwise(0L).as("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(expr("a * b")), lit(0L)).as("n_both"),
+        coalesce(sum(expr("a * (1 - b)")), lit(0L)).as("n_fs_only"),
+        coalesce(sum(expr("(1 - a) * b")), lit(0L)).as("n_jw_only"),
+        coalesce(sum(expr("(1 - a) * (1 - b)")), lit(0L)).as("n_neither"))
+      .withColumn("po_ppm", expr(
+        "(n_both + n_neither) * 1000000 div greatest(n_pairs, 1)"))
+      .withColumn("pe_ppm", expr(
+        """cast(((n_both + n_fs_only) *
+          |    cast(n_both + n_jw_only as decimal(38,0))
+          |  + (n_jw_only + n_neither) *
+          |    cast(n_fs_only + n_neither as decimal(38,0))) * 1000000
+          |  div greatest(cast(n_pairs as decimal(38,0)) * n_pairs, 1)
+          |  as bigint)""".stripMargin))
+      .withColumn("kappa_ppm", expr(
+        "(po_ppm - pe_ppm) * 1000000 div greatest(1000000 - pe_ppm, 1)"))
 }

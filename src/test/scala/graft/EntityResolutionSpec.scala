@@ -435,4 +435,34 @@ class EntityResolutionSpec extends AnyFunSuite {
       .filter(col("n") =!= col("entity_size"))
     assert(szBad.isEmpty, "entity_size must equal the member count")
   }
+
+  test("matcherAgreement: hand-computed 2x2 and kappa") {
+    import spark.implicits._
+    // four candidate pairs, one per block:
+    //  B1, B4: identical names + identical features -> both match (n11=2)
+    //  B2: identical names, every feature off -> fs -5 < 60, jw 1 (n01=1)
+    //  B3: shared token, jw < 0.9, features agree -> fs 19 < 60 (n00=1)
+    // po = 3e6 div 4 = 750000; pe = (2*3 + 2*1)*1e6 div 16 = 500000;
+    // kappa = 250000 * 1e6 div 500000 = 500000
+    val recs = Seq(
+      (1L, "alpha beta", "B1", 5, "T", 10.0),
+      (2L, "alpha beta", "B1", 5, "T", 10.0),
+      (3L, "gamma delta", "B2", 5, "T", 10.0),
+      (4L, "gamma delta", "B2", 9, "U", 100.0),
+      (5L, "echo foxtrot one", "B3", 5, "T", 10.0),
+      (6L, "echo zulu nine", "B3", 5, "T", 10.0),
+      (7L, "kilo lima", "B4", 3, "S", 20.0),
+      (8L, "kilo lima", "B4", 3, "S", 20.0)
+    ).toDF("k", "name", "block", "size", "cat", "price")
+    // guard the jw < 0.9 assumption the n00 cell rests on
+    val jwB3 = Seq(("echo foxtrot one", "echo zulu nine")).toDF("a", "b")
+      .select(graft.functions.TextFunctions
+        .jaroWinkler(col("a"), col("b")).as("jw"))
+      .as[Double].head()
+    assert(jwB3 < 0.9, s"fixture assumption broken: jw(B3) = $jwB3")
+    val r = EntityResolution.matcherAgreement(recs, "k", "name", "block",
+        "size", "cat", "price")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r === ((4L, 2L, 0L, 1L, 1L, 750000L, 500000L, 500000L)))
+  }
 }
