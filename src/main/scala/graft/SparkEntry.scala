@@ -3564,6 +3564,35 @@ object SparkEntry {
       Multimodal.frameEnergy(
         Multimodal.mediaFromDocuments(s, t(s, dir, "documents")),
         window = 32, stride = 16).toDF()),
+    "mm13_av_alignment" -> ((s, dir) => {
+      // audio/visual alignment audit over the video subset: does a
+      // shot CUT land inside an activity (speech) segment of the same
+      // clip? Straddled segments are the clips a naive cut-based
+      // extractor would sever mid-speech — the pre-extraction safety
+      // gate composing mm7's VAD islands with mm9's cut detector on
+      // ONE shared frame-energy pass; the interval probe is a media-
+      // keyed equi-join with a range conjunct, never a cross
+      val fe = Multimodal.frameEnergy(
+        Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+          .filter(col("media_type") === "video"),
+        window = 32, stride = 16)
+      // activity floor 150k (vs mm7's 310k): the straddle question is
+      // "is anything audible across the cut", not "is it loud" — at
+      // 310k both sides of a >=1e5 jump are almost never active and
+      // the audit degenerates to zeros
+      val segs = Multimodal.activeSegments(fe, minEnergy = 150000L)
+      val cuts = Multimodal.shotBoundaries(fe, minDelta = 100000L)
+        .filter(col("shot_idx") >= 2L)
+        .select(col("media_id").as("cm"), col("start_frame").as("cut_frame"))
+      segs.join(cuts, col("media_id") === col("cm") &&
+          col("cut_frame") > col("start_frame") &&
+          col("cut_frame") <= col("end_frame"), "left")
+        .groupBy("media_id")
+        .agg(countDistinct(col("seg_idx")).as("n_segments"),
+          countDistinct(when(col("cut_frame").isNotNull, col("seg_idx")))
+            .as("n_straddled"),
+          countDistinct(col("cut_frame")).as("n_cuts_in_speech"))
+    }),
     "mm9_shot_cuts" -> ((s, dir) =>
       // video cut detection on the frame-energy series: a cut is a >=1e5
       // energy jump between consecutive frames; shots are the runs
@@ -9185,6 +9214,49 @@ object SparkEntry {
         |FROM fr LEFT JOIN byt
         |ON byt.media_id = fr.media_id AND byt.f = fr.f
         |GROUP BY 1, 2""".stripMargin,
+    "mm13_av_alignment" ->
+      // the shared frame-energy chain on the video subset, then mm7's
+      // islands and mm9's cut chain joined on the interval probe
+      """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+        |octet_length(encode(text)) AS n FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT media_id, ph, n,
+        |unnest(range(0, greatest((n - 32 + 15) // 16 + 1, 1))) AS f FROM m),
+        |byt AS (SELECT media_id, f,
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 1)::INT, 1)) * 16 +
+        |strpos('123456789abcdef',
+        |  substr(ph, ((f * 16 + i) * 2 + 2)::INT, 1)) AS b
+        |FROM fr, range(0, 32) ri(i) WHERE f * 16 + i < n),
+        |fe AS (SELECT fr.media_id, fr.f AS frame_idx,
+        |coalesce(sum(byt.b * byt.b), 0)::BIGINT AS energy
+        |FROM fr LEFT JOIN byt
+        |ON byt.media_id = fr.media_id AND byt.f = fr.f GROUP BY 1, 2),
+        |act AS (SELECT media_id, frame_idx,
+        |frame_idx - row_number() OVER (PARTITION BY media_id
+        |ORDER BY frame_idx) AS grp FROM fe WHERE energy >= 150000),
+        |segs0 AS (SELECT media_id, grp, min(frame_idx) AS start_frame,
+        |max(frame_idx) AS end_frame FROM act GROUP BY 1, 2),
+        |segs AS (SELECT media_id, start_frame, end_frame,
+        |row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+        |  AS seg_idx FROM segs0),
+        |d AS (SELECT media_id, frame_idx, energy, lag(energy) OVER (
+        |PARTITION BY media_id ORDER BY frame_idx) AS prev_e FROM fe),
+        |c AS (SELECT media_id, frame_idx,
+        |CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) >= 100000
+        |THEN 1 ELSE 0 END AS cut FROM d),
+        |sh AS (SELECT media_id, frame_idx, (sum(cut) OVER (
+        |PARTITION BY media_id ORDER BY frame_idx) + 1)::BIGINT AS shot_idx
+        |FROM c),
+        |cuts AS (SELECT media_id AS cm, min(frame_idx) AS cut_frame
+        |FROM sh WHERE shot_idx >= 2 GROUP BY media_id, shot_idx)
+        |SELECT segs.media_id, count(DISTINCT seg_idx)::BIGINT
+        |  AS n_segments,
+        |count(DISTINCT CASE WHEN cut_frame IS NOT NULL THEN seg_idx
+        |  END)::BIGINT AS n_straddled,
+        |count(DISTINCT cut_frame)::BIGINT AS n_cuts_in_speech
+        |FROM segs LEFT JOIN cuts ON cuts.cm = segs.media_id
+        |AND cut_frame > start_frame AND cut_frame <= end_frame
+        |GROUP BY 1""".stripMargin,
     "mm9_shot_cuts" ->
       """WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
         |octet_length(encode(text)) AS n FROM documents),
