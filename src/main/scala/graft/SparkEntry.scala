@@ -2395,6 +2395,41 @@ object SparkEntry {
           col("fitted").as("fitted_cents"),
           col("resid").as("resid_cents"))
     }),
+    "q109_price_index" -> ((s, dir) => {
+      // matched-model Laspeyres/Paasche price indices (the CPI
+      // construction; Laspeyres 1871, Paasche 1874): each part's base
+      // period is its FIRST observed ship month (the matched-model
+      // convention for assortments with churn); for every later month,
+      // Laspeyres weights price relatives by BASE quantities, Paasche
+      // by CURRENT ones. Unit prices are floored cents (cents div qty,
+      // both engines); basket sums run in DECIMAL(38,0). One fact
+      // aggregation to the (part, month) grain, one part-keyed join —
+      // the only data-sized work
+      val pm = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("mx"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0).cast("long"))
+          .as("cents"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .withColumn("u", expr("cents div qty"))
+      val base = pm.withColumn("rn", row_number().over(
+          Window.partitionBy("pk").orderBy("mx")))
+        .where(col("rn") === 1)
+        .select(col("pk"), col("u").as("u0"), col("qty").as("q0"),
+          col("mx").as("mx0"))
+      pm.join(base, "pk").where(col("mx") > col("mx0"))
+        .groupBy("mx")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(expr("cast(u as decimal(38,0)) * q0")).as("ln_"),
+          sum(expr("cast(u0 as decimal(38,0)) * q0")).as("ld"),
+          sum(expr("cast(u as decimal(38,0)) * qty")).as("pn"),
+          sum(expr("cast(u0 as decimal(38,0)) * qty")).as("pd"))
+        .select(col("mx"), col("n_parts"),
+          expr("cast(ln_ * 1000000 div greatest(ld, 1) as bigint)")
+            .as("laspeyres_ppm"),
+          expr("cast(pn * 1000000 div greatest(pd, 1) as bigint)")
+            .as("paasche_ppm"))
+    }),
     "q108_mase_backtest" -> ((s, dir) => {
       // forecast-accuracy backtest (Hyndman & Koehler 2006 MASE): hold
       // out the last 6 months, forecast them with q107's fold, and
@@ -7611,6 +7646,29 @@ object SparkEntry {
         |(fin.l + h * fin.b
         |  + fin.s[((h - 1) % 12)::INT + 1])::BIGINT AS forecast_cents
         |FROM fin, (SELECT unnest(range(1, 7)) AS h)""".stripMargin,
+    "q109_price_index" ->
+      // identical (part, month) unit prices, per-part first-month base,
+      // basket sums in HUGEINT
+      """WITH pm AS (SELECT l_partkey AS pk,
+        |(year(l_shipdate::TIMESTAMP) * 12
+        |  + month(l_shipdate::TIMESTAMP))::BIGINT AS mx,
+        |sum(floor(l_extendedprice * 100.0)::BIGINT)::BIGINT AS cents,
+        |sum(floor(l_quantity)::BIGINT)::BIGINT AS qty
+        |FROM lineitem GROUP BY 1, 2),
+        |pu AS (SELECT pk, mx, qty, (cents // qty)::BIGINT AS u FROM pm),
+        |base AS (SELECT pk, u AS u0, qty AS q0, mx AS mx0 FROM (
+        |SELECT pk, u, qty, mx, row_number() OVER (
+        |PARTITION BY pk ORDER BY mx) AS rn FROM pu) WHERE rn = 1),
+        |j AS (SELECT c.mx, c.u::HUGEINT AS u, c.qty::HUGEINT AS qty,
+        |b.u0::HUGEINT AS u0, b.q0::HUGEINT AS q0
+        |FROM pu c JOIN base b ON b.pk = c.pk WHERE c.mx > b.mx0),
+        |g AS (SELECT mx, count(*)::BIGINT AS n_parts,
+        |sum(u * q0) AS ln_, sum(u0 * q0) AS ld,
+        |sum(u * qty) AS pn, sum(u0 * qty) AS pd FROM j GROUP BY 1)
+        |SELECT mx, n_parts,
+        |(ln_ * 1000000 // greatest(ld, 1))::BIGINT AS laspeyres_ppm,
+        |(pn * 1000000 // greatest(pd, 1))::BIGINT AS paasche_ppm
+        |FROM g""".stripMargin,
     "q108_mase_backtest" ->
       // q107's recursion on the TRAIN prefix (i <= n-6), extrapolated 6
       // steps, scored against actuals and the x[t-12] seasonal naive
