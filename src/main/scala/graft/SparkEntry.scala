@@ -2395,6 +2395,36 @@ object SparkEntry {
           col("fitted").as("fitted_cents"),
           col("resid").as("resid_cents"))
     }),
+    "q110_anova_dow" -> ((s, dir) => {
+      // one-way ANOVA: does day-of-week move order value? Between/
+      // within sums of squares from ONE moment aggregation (group sums
+      // + squares; fact rows touched once), the categorical sibling of
+      // dq13's numeric correlation screen. Floored forms documented
+      // and identical in both engines: t_g = S_g^2 div n_g,
+      // SSB = sum(t_g) - S^2 div n, SST = sum(X^2) - S^2 div n; effect
+      // size eta^2 and the F statistic in floored ppm, sqrt-free
+      val cells = t(s, dir, "orders")
+        .select(dayofweek(to_date(col("o_orderdate"))).cast("long")
+            .as("dow"),
+          floor(col("o_totalprice")).cast("long").as("x"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("ng"),
+          sum(col("x")).cast("decimal(38,0)").as("sg"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("qg"))
+      cells.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+          sum(expr("sg * sg div ng")).as("tg"))
+        .select(col("n").cast("long").as("n_orders"),
+          col("k").cast("long").as("k_groups"),
+          expr("cast(tg - s * s div n as bigint)").as("ssb"),
+          expr("cast(q - tg as bigint)").as("ssw"),
+          expr("cast((tg - s * s div n) * 1000000 " +
+            "div greatest(q - s * s div n, 1) as bigint)").as("eta2_ppm"),
+          // F = (SSB/(k-1)) / (SSW/(n-k)) in floored ppm
+          expr("cast(((tg - s * s div n) div (k - 1)) * 1000000 " +
+            "div greatest((q - tg) div (n - k), 1) as bigint)")
+            .as("f_ppm"))
+    }),
     "q109_price_index" -> ((s, dir) => {
       // matched-model Laspeyres/Paasche price indices (the CPI
       // construction; Laspeyres 1871, Paasche 1874): each part's base
@@ -7646,6 +7676,25 @@ object SparkEntry {
         |(fin.l + h * fin.b
         |  + fin.s[((h - 1) % 12)::INT + 1])::BIGINT AS forecast_cents
         |FROM fin, (SELECT unnest(range(1, 7)) AS h)""".stripMargin,
+    "q110_anova_dow" ->
+      // identical floored SSB/SST forms in HUGEINT; DuckDB dayofweek
+      // is 0-based Sunday where Spark's is 1-based, hence the +1
+      """WITH c AS (SELECT
+        |(dayofweek(o_orderdate::TIMESTAMP::DATE) + 1)::BIGINT AS dow,
+        |floor(o_totalprice)::BIGINT AS x FROM orders),
+        |g AS (SELECT dow, count(*)::HUGEINT AS ng,
+        |sum(x)::HUGEINT AS sg, sum(x::HUGEINT * x) AS qg
+        |FROM c GROUP BY 1),
+        |m AS (SELECT count(*)::HUGEINT AS k, sum(ng) AS n,
+        |sum(sg) AS s, sum(qg) AS q, sum(sg * sg // ng) AS tg FROM g)
+        |SELECT n::BIGINT AS n_orders, k::BIGINT AS k_groups,
+        |(tg - s * s // n)::BIGINT AS ssb,
+        |(q - tg)::BIGINT AS ssw,
+        |((tg - s * s // n) * 1000000
+        |  // greatest(q - s * s // n, 1))::BIGINT AS eta2_ppm,
+        |(((tg - s * s // n) // (k - 1)) * 1000000
+        |  // greatest((q - tg) // (n - k), 1))::BIGINT AS f_ppm
+        |FROM m""".stripMargin,
     "q109_price_index" ->
       // identical (part, month) unit prices, per-part first-month base,
       // basket sums in HUGEINT
