@@ -1209,6 +1209,49 @@ object SparkEntry {
         .agg(sum(col("n_events")).as("n_events"),
           sum(col("n_users")).as("n_users"))
     }),
+    "st16_stream_ledger" -> ((s, dir) => {
+      // streaming maintenance of dq15's tamper-evident ledger: each
+      // micro-batch reduces to its own per-day (count, XOR) partial
+      // fingerprints, folded into running state by the closed fold
+      // (counts add, XORs of disjoint row sets compose) — the final
+      // chain is bit-equal to fingerprinting the whole corpus at once,
+      // so micro-batch boundaries cannot show. State is |days| x 3
+      // values forever; the chain derives from state, never raw rows
+      val tmp = tmpPath("graft-st16")
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("event_id"))
+      def writeHalf(name: String, half: DataFrame, mtime: Long): Unit = {
+        val stage = tmp.resolve(name + "_stage")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, tmp.resolve(name + ".parquet"))
+        tmp.resolve(name + ".parquet").toFile.setLastModified(mtime)
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      writeHalf("a", ev.filter(col("event_id") % 2 === 0), 1700000000000L)
+      writeHalf("b", ev.filter(col("event_id") % 2 === 1), 1700000100000L)
+      var state = graft.operators.TableDiff.dayFingerprints(
+        ev.limit(0), to_date(col("ts")), Seq("event_id"))
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bd = graft.operators.TableDiff.dayFingerprints(
+            batch, to_date(col("ts")), Seq("event_id"))
+          state = graft.operators.TableDiff
+            .foldDailyFingerprints(state.unionAll(bd)).localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("a", "b").foreach(n =>
+        java.nio.file.Files.deleteIfExists(tmp.resolve(s"$n.parquet")))
+      graft.operators.TableDiff.chainFromDaily(state)
+    }),
     "st14_stream_kmv" -> ((s, dir) => {
       // streaming maintenance of the per-day column-stats/KMV artifacts:
       // each micro-batch reduces to its own constant-size per-day
@@ -8283,6 +8326,26 @@ object SparkEntry {
         |s.src_rows = d.dst_rows AS rows_match,
         |s.src_xor = d.dst_xor AS checksum_match
         |FROM s, d""".stripMargin,
+    "st16_stream_ledger" ->
+      // = dq15's oracle verbatim: the closed fold makes micro-batch
+      // boundaries provably invisible, so the streaming ledger must
+      // equal the one-shot chain over the whole corpus
+      """WITH e AS (SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS bucket,
+        |('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS h
+        |FROM events),
+        |d AS (SELECT bucket, count(*)::BIGINT AS n_rows,
+        |coalesce(bit_xor(h), 0)::BIGINT AS fp_xor FROM e GROUP BY 1),
+        |o AS (SELECT bucket, n_rows, fp_xor,
+        |row_number() OVER (ORDER BY bucket)::BIGINT AS rn FROM d),
+        |c AS (WITH RECURSIVE k(rn, chain) AS (
+        |SELECT 0::BIGINT, ''
+        |UNION ALL
+        |SELECT o.rn, md5(k.chain || ':' || o.bucket || ':'
+        |  || o.n_rows::VARCHAR || ':' || o.fp_xor::VARCHAR)
+        |FROM k JOIN o ON o.rn = k.rn + 1)
+        |SELECT rn, chain FROM k WHERE rn >= 1)
+        |SELECT o.bucket, o.n_rows, o.fp_xor, c.chain AS chain_hash
+        |FROM o JOIN c ON c.rn = o.rn""".stripMargin,
     "dq15_chain_manifest" ->
       // identical per-day fingerprints, chain replayed as a linear
       // recursive CTE over the day order

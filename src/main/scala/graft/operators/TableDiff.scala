@@ -102,15 +102,36 @@ object TableDiff {
     * TimeSeries). Output: (bucket, n_rows, fp_xor, chain_hash), one
     * row per bucket, ascending. */
   def chainManifest(df: DataFrame, bucketCol: Column,
+      keyCols: Seq[String]): DataFrame =
+    chainFromDaily(dayFingerprints(df, bucketCol, keyCols))
+
+  /** The per-bucket half of [[chainManifest]]: (bucket, n_rows, fp_xor).
+    * CLOSED under [[foldDailyFingerprints]] — counts sum and XORs of
+    * disjoint row sets compose — so a streaming ingest can maintain
+    * these incrementally (st16) and the folded state is bit-equal to
+    * fingerprinting the whole corpus at once. */
+  def dayFingerprints(df: DataFrame, bucketCol: Column,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val daily = df.select(bucketCol.cast("string").as("bucket"),
+    df.select(bucketCol.cast("string").as("bucket"),
         conv(substring(md5(concat_ws(":",
           keyCols.map(c => col(c).cast("string")): _*)), 1, 8), 16, 10)
           .cast("long").as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         coalesce(bit_xor(col("h")), lit(0L)).as("fp_xor"))
+  }
+
+  /** Fold partial per-bucket fingerprints (from disjoint row subsets)
+    * into one frame per bucket: counts add, XORs compose. */
+  def foldDailyFingerprints(daily: DataFrame): DataFrame =
+    daily.groupBy("bucket")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        coalesce(bit_xor(col("fp_xor")), lit(0L)).as("fp_xor"))
+
+  /** The chain half of [[chainManifest]] over a (bucket, n_rows,
+    * fp_xor) frame. */
+  def chainFromDaily(daily: DataFrame): DataFrame = {
     daily
       .agg(sort_array(collect_list(
         struct(col("bucket"), col("n_rows"), col("fp_xor")))).as("days"))

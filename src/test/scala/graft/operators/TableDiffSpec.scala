@@ -104,6 +104,24 @@ class TableDiffSpec extends AnyFunSuite {
     assert(dropped(1)._4 !== base(2)._4)
   }
 
+  test("dayFingerprints fold is CLOSED: folding disjoint splits " +
+      "bit-equals the one-shot chain (micro-batch boundaries invisible)") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, s"d${i % 6}"))
+    val t = rows.toDF("k", "day")
+    val direct = TableDiff.chainManifest(t, col("day"), Seq("k"))
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    // three disjoint "micro-batches", folded pairwise like foreachBatch
+    val parts = Seq(0L, 1L, 2L).map(r =>
+      TableDiff.dayFingerprints(t.where($"k" % 3 === r), col("day"),
+        Seq("k")))
+    val folded = parts.reduce((a, b) =>
+      TableDiff.foldDailyFingerprints(a.unionAll(b)))
+    val streamed = TableDiff.chainFromDaily(folded)
+      .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(streamed === direct)
+  }
+
   test("chainManifest: partitioning-invariant (order-free XOR + " +
       "sorted fold)") {
     import spark.implicits._
