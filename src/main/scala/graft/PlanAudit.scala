@@ -44,6 +44,7 @@ object PlanAudit {
       "st13_stream_sketch" -> "foreachBatch-folded 256-cell sketch state; linearity + fold order proven in SketchesSpec",
       "st14_stream_kmv" -> "foreachBatch-folded per-day KMV/column-stats state; fold closure proven in SketchesSpec",
       "st15_stream_dim_refresh" -> "foreachBatch re-resolves the w13 _LATEST dimension per micro-batch; deterministic batch/version schedule oracle-checked end-to-end",
+      "st16_stream_ledger" -> "foreachBatch-folded per-day (count, XOR) ledger state; fold closure proven in TableDiffSpec, final chain oracle-checked against the one-shot corpus chain",
       "w15_partition_overwrite" -> "materialized partitioned overwrite read-back; final content oracle-checked",
       "w16_snapshot_publish" -> "materialized multi-table snapshot read-back; content + FK consistency oracle-checked",
       "w17_compact_rewrite" -> "materialized partitioned rewrite read-back; content fingerprint oracle-checked",

@@ -2478,6 +2478,7 @@ object SparkEntry {
       // both engines); basket sums run in DECIMAL(38,0). One fact
       // aggregation to the (part, month) grain, one part-keyed join —
       // the only data-sized work
+      val wb = Window.partitionBy("pk").orderBy("mx")
       val pm = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("pk"),
           (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
@@ -2485,12 +2486,13 @@ object SparkEntry {
         .agg(sum(floor(col("l_extendedprice") * 100.0).cast("long"))
           .as("cents"), sum(floor(col("l_quantity")).cast("long")).as("qty"))
         .withColumn("u", expr("cents div qty"))
-      val base = pm.withColumn("rn", row_number().over(
-          Window.partitionBy("pk").orderBy("mx")))
-        .where(col("rn") === 1)
-        .select(col("pk"), col("u").as("u0"), col("qty").as("q0"),
-          col("mx").as("mx0"))
-      pm.join(base, "pk").where(col("mx") > col("mx0"))
+        // base period via first_value over the SAME part-month frame:
+        // one fact scan, one pk window exchange (a self-join on the
+        // first month would scan lineitem twice — PlanSpec gates this)
+        .withColumn("u0", first(col("u")).over(wb))
+        .withColumn("q0", first(col("qty")).over(wb))
+        .withColumn("mx0", first(col("mx")).over(wb))
+      pm.where(col("mx") > col("mx0"))
         .groupBy("mx")
         .agg(count(lit(1)).as("n_parts"),
           sum(expr("cast(u as decimal(38,0)) * q0")).as("ln_"),

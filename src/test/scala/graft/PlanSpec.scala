@@ -434,4 +434,35 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <= 2 key exchanges, got $exchanges:\n$p")
   }
+
+  test("FIFO interval matching never loop-joins — per-part overlap " +
+      "stays an equi-join with a range conjunct (q105)") {
+    val p = plan("q105_fifo_aging")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"FIFO matching regressed to a loop join:\n$p")
+  }
+
+  test("CDC chunker is one zero-exchange projection before the " +
+      "fingerprint groupBy (dd45)") {
+    val p = plan("dd45_cdc_chunks")
+    // exchanges: chunk-fp groupBy, first-doc groupBy + its join back,
+    // per-doc verdict — never a token/position shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"chunker grew extra shuffles ($exchanges):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("price index touches fact rows once — one lineitem scan (q109)") {
+    val p = plan("q109_price_index")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"expected a single fact scan:\n$p")
+  }
+
+  test("correlation matrix and ANOVA collapse to one moment " +
+      "aggregation — a single fact scan each (dq13, q110)") {
+    assert("Scan parquet".r.findAllIn(plan("dq13_corr_matrix")).length <= 1)
+    assert("Scan parquet".r.findAllIn(plan("q110_anova_dow")).length <= 1)
+  }
 }
