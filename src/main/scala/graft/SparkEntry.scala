@@ -2832,6 +2832,23 @@ object SparkEntry {
           floor(col("l_discount") * 100.0 + 0.5).cast("long").as("disc"),
           floor(col("l_tax") * 100.0 + 0.5).cast("long").as("tax")),
         Seq("qty", "price", "disc", "tax"))),
+    "s27_sliding_quantile" -> ((s, dir) => {
+      // trailing-7-day p50/p95 of event value, daily — answered
+      // ENTIRELY from merged per-day histograms (s26's shape for
+      // percentiles, completing the mergeable algebra: CMS counts, KMV
+      // NDV, MG heavy hitters, histogram quantiles): one corpus pass
+      // builds <=1024-bucket daily artifacts, every window after that
+      // adds 7 constant-size frames. 64-cent grid over the [0, 655.36)
+      // value domain; answers are bucket lower edges by convention
+      val ev = t(s, dir, "events")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          floor(col("value") * 100.0).cast("long").as("cents"))
+      graft.operators.Sketches.slidingQuantile(
+        graft.operators.Sketches.histogramByGroup(
+          ev, "day", "cents", bucketWidth = 64L, nBuckets = 1024),
+        "grp", windowDays = 7, bucketWidth = 64L, quantilesPc = Seq(50, 95))
+    }),
     "s26_sliding_ndv" -> ((s, dir) => {
       // trailing-7-day distinct users, daily — answered entirely from
       // the s25/dq8 per-day KMV artifacts (bottom-k of a union = bottom-k
@@ -8141,6 +8158,29 @@ object SparkEntry {
         |(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0
         |  END)::BIGINT AS corr_sign
         |FROM pairs""".stripMargin,
+    "s27_sliding_quantile" ->
+      // identical daily histograms, window join restricted to existing
+      // anchor days, ceil-k bucket pick per quantile
+      """WITH e AS (SELECT datediff('day', DATE '1970-01-01',
+        |ts::TIMESTAMP::DATE)::BIGINT AS day,
+        |floor(value * 100.0)::BIGINT AS cents FROM events),
+        |daily AS (SELECT day, least(greatest(cents // 64, 0), 1023)
+        |  AS bucket, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+        |anchors AS (SELECT DISTINCT day AS wd FROM daily),
+        |merged AS (SELECT a.wd, d.bucket, sum(d.cnt)::BIGINT AS cnt
+        |FROM anchors a JOIN daily d
+        |ON d.day BETWEEN a.wd - 6 AND a.wd GROUP BY 1, 2),
+        |cum AS (SELECT wd, bucket, cnt,
+        |sum(cnt) OVER (PARTITION BY wd ORDER BY bucket)::BIGINT AS cum,
+        |sum(cnt) OVER (PARTITION BY wd)::BIGINT AS n FROM merged),
+        |q AS (SELECT wd, 50::BIGINT AS q_pc, max(n)::BIGINT AS n_window,
+        |(min(bucket) * 64)::BIGINT AS lo_cents FROM cum
+        |WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1
+        |UNION ALL
+        |SELECT wd, 95::BIGINT, max(n)::BIGINT,
+        |(min(bucket) * 64)::BIGINT FROM cum
+        |WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1)
+        |SELECT wd AS d, q_pc, n_window, lo_cents FROM q""".stripMargin,
     "s26_sliding_ndv" ->
       """WITH e AS (SELECT datediff('day', DATE '1970-01-01',
         |ts::TIMESTAMP::DATE)::BIGINT AS day, user_id AS v FROM events),

@@ -191,6 +191,65 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Per-group fixed-grid histogram — the MERGEABLE quantile artifact
+    * completing the per-window sketch algebra (counts -> CMS, NDV ->
+    * KMV, heavy hitters -> MG, quantiles -> this): one (grp, bucket,
+    * cnt) frame bounded by nBuckets per group, mergeable across
+    * windows by plain count addition. Bucket = cents div bucketWidth,
+    * clamped into [0, nBuckets-1] (out-of-grid mass lands in the edge
+    * buckets — the documented saturation convention; size the grid to
+    * the domain). */
+  def histogramByGroup(df: DataFrame, grpCol: String, centsCol: String,
+      bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 2)
+    df.select(col(grpCol).as("grp"),
+        least(greatest(expr(s"cast($centsCol as bigint) div $bucketWidth"),
+          lit(0L)), lit(nBuckets - 1L)).as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Trailing-window quantiles answered ENTIRELY from merged per-day
+    * histograms (the s26 shape for percentiles): a W-day window merges
+    * W constant-size histograms by count addition — no raw re-scan per
+    * window — then each requested quantile reads the smallest bucket
+    * whose running count reaches k = ceil(n * pc / 100). The answer is
+    * the bucket's LOWER EDGE in cents (grid-quantized by design; the
+    * exact path is Quantile.exactQuantiles when raw rows are at hand).
+    *
+    * Input `daily` = [[histogramByGroup]] keyed by an integer day.
+    * Output long-format: (d, q_pc, n_window, lo_cents), one row per
+    * (window anchor day, quantile). */
+  def slidingQuantile(daily: DataFrame, dayCol: String, windowDays: Int,
+      bucketWidth: Long, quantilesPc: Seq[Int]): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 64, "1 <= windowDays <= 64")
+    require(quantilesPc.nonEmpty &&
+      quantilesPc.forall(p => p >= 1 && p <= 100))
+    val s = daily.select(col(dayCol).cast("long").as("d"),
+      col("bucket"), col("cnt"))
+    // each day's histogram serves the next windowDays anchor days;
+    // anchors restricted to days that exist (the s26 convention)
+    val expanded = s.select(col("bucket"), col("cnt"),
+      explode(sequence(col("d"), col("d") + lit((windowDays - 1).toLong)))
+        .as("wd"))
+    val anchored = expanded
+      .join(s.select(col("d").as("wd")).distinct(), Seq("wd"))
+    val merged = anchored.groupBy("wd", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("wd").orderBy("bucket")))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("wd")))
+    quantilesPc.map { pc =>
+      cum.where(col("cum") >= expr(s"(n * $pc + 99) div 100"))
+        .groupBy("wd")
+        .agg(max(col("n")).as("n_window"), min(col("bucket")).as("b"))
+        .select(col("wd").as("d"), lit(pc.toLong).as("q_pc"),
+          col("n_window"), (col("b") * bucketWidth).as("lo_cents"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Point-frequency estimates for each probe row's `keyCol`: min over
     * the depth rows' cells — never an underestimate. The sketch is
     * <= depth*width rows, so the probe join broadcasts it; probe columns

@@ -188,4 +188,45 @@ class SketchesSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(run(df) === run(df.repartition(7)))
   }
+
+  test("slidingQuantile: hand-computed buckets, saturation clamp, " +
+      "ceil-k pick") {
+    import spark.implicits._
+    // width 10, 4 buckets (clamp at 3): day1 cents {5, -7 -> b0, 15 ->
+    // b1, 100 -> clamped b3}, day2 {25 -> b2}; window 2 days
+    val d = Seq((1L, 5L), (1L, -7L), (1L, 15L), (1L, 100L), (2L, 25L))
+      .toDF("day", "cents")
+    val daily = Sketches.histogramByGroup(d, "day", "cents", 10L, 4)
+    val r = Sketches.slidingQuantile(daily, "grp", windowDays = 2,
+        bucketWidth = 10L, quantilesPc = Seq(50, 100))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // wd1 = day1 alone (n=4): k50=ceil(2)=2 -> b0, k100=4 -> b3 (lo 30)
+    // wd2 = day1+day2 (n=5): k50=ceil(2.5)=3 -> b1 (lo 10), k100=5 -> b3
+    assert(r === Map((1L, 50L) -> ((4L, 0L)), (1L, 100L) -> ((4L, 30L)),
+      (2L, 50L) -> ((5L, 10L)), (2L, 100L) -> ((5L, 30L))))
+  }
+
+  test("slidingQuantile: histogram merge = count addition; " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i =>
+      ((i % 10).toLong + 1L, (i * 37 % 500).toLong))
+    val df = rows.toDF("day", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.slidingQuantile(
+        Sketches.histogramByGroup(d, "day", "cents", 16L, 64),
+        "grp", 3, 16L, Seq(25, 50, 95))
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(df) === run(df.repartition(9)))
+    // merging two disjoint halves' histograms = histogram of the union
+    val h = Sketches.histogramByGroup(df, "day", "cents", 16L, 64)
+    val parts = Seq(0, 1).map(p => Sketches.histogramByGroup(
+      df.where(col("cents") % 2 === p), "day", "cents", 16L, 64))
+    val folded = parts.reduce(_ unionAll _)
+      .groupBy("grp", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(folded.collect().map(_.toSeq).sortBy(_.mkString).toSeq ===
+      h.collect().map(_.toSeq).sortBy(_.mkString).toSeq)
+  }
 }
