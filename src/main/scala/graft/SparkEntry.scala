@@ -2969,6 +2969,16 @@ object SparkEntry {
       graft.operators.TableDiff.reconcile(src, lossyDst,
         Seq("l_orderkey", "l_linenumber"))
     }),
+    "dq16_sprt_monitor" -> ((s, dir) =>
+      // Wald SPRT over the daily error rate: H0 p=0.15 vs H1 p=0.25
+      // at alpha=beta=0.05 — increments floor(1000 ln(0.25/0.15))=510 /
+      // floor(1000 ln(0.75/0.85))=-126, bound floor(1000 ln 19)=2944.
+      // The sequential "when is the alarm decisive" readout dq9's
+      // fixed-sample p-chart can't give
+      graft.operators.QualityAudit.sprtMonitor(
+        t(s, dir, "events"), to_date(col("ts")),
+        col("event_type") === "error",
+        llr1Milli = 510L, llr0Milli = -126L, boundMilli = 2944L)),
     "dq15_chain_manifest" -> ((s, dir) =>
       // tamper-evident archival ledger: per-day XOR content
       // fingerprints (dq2's machinery) hash-CHAINED in day order, so
@@ -8388,6 +8398,20 @@ object SparkEntry {
         |SELECT rn, chain FROM k WHERE rn >= 1)
         |SELECT o.bucket, o.n_rows, o.fp_xor, c.chain AS chain_hash
         |FROM o JOIN c ON c.rn = o.rn""".stripMargin,
+    "dq16_sprt_monitor" ->
+      // identical milli-nat constants and cumulative window
+      """WITH e AS (SELECT (ts::TIMESTAMP::DATE)::VARCHAR AS bucket,
+        |CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS d
+        |FROM events),
+        |g AS (SELECT bucket, count(*)::BIGINT AS n,
+        |sum(d)::BIGINT AS n_defect FROM e GROUP BY 1),
+        |c AS (SELECT bucket, n, n_defect,
+        |(sum(n_defect * 510 + (n - n_defect) * (-126))
+        |  OVER (ORDER BY bucket))::BIGINT AS cum_llr_milli FROM g)
+        |SELECT bucket, n, n_defect, cum_llr_milli,
+        |CASE WHEN cum_llr_milli >= 2944 THEN 'reject_h0'
+        |WHEN cum_llr_milli <= -2944 THEN 'accept_h0'
+        |ELSE 'continue' END AS verdict FROM c""".stripMargin,
     "dq15_chain_manifest" ->
       // identical per-day fingerprints, chain replayed as a linear
       // recursive CTE over the day order

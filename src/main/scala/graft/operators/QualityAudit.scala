@@ -551,4 +551,46 @@ object QualityAudit {
           .otherwise(0L))
       .select("x_col", "y_col", "n", "r2_ppm", "corr_sign")
   }
+
+  /** Wald's sequential probability ratio test (SPRT, Wald 1945) tracked
+    * over ordered buckets — the SEQUENTIAL companion to the fixed-sample
+    * p-chart ([[rateControlChart]]): instead of testing each bucket
+    * alone, evidence accumulates until it is DECISIVE either way, with
+    * both error rates controlled by construction. The "when did the
+    * alarm become statistically settled" readout.
+    *
+    * Callers pass the per-observation log-likelihood-ratio increments
+    * as PRE-FLOORED milli-nat constants (llr1Milli for a defect, i.e.
+    * floor(1000·ln(p1/p0)); llr0Milli for a non-defect, i.e.
+    * floor(1000·ln((1-p1)/(1-p0)))) plus the decision bound
+    * floor(1000·ln((1-err)/err)) — log-free at runtime, exactly the
+    * Benford-constant discipline, so cum sums are engine- and
+    * partitioning-exact. Per bucket:
+    *
+    *   cum = sum over buckets so far of (x·llr1 + (n-x)·llr0)
+    *   verdict: cum >= bound -> reject_h0 (rate is at p1 or worse),
+    *            cum <= -bound -> accept_h0, else continue
+    *
+    * One map-side bucket aggregation over fact rows; the cumulative
+    * window runs on the CALENDAR-sized bucket frame (single-partition
+    * by design, like every house calendar fold).
+    *
+    * Output ascending: (bucket, n, n_defect, cum_llr_milli, verdict). */
+  def sprtMonitor(df: DataFrame, bucketCol: Column, defect: Column,
+      llr1Milli: Long, llr0Milli: Long, boundMilli: Long): DataFrame = {
+    require(boundMilli > 0, "decision bound must be positive")
+    df.select(bucketCol.cast("string").as("bucket"),
+        when(defect, 1L).otherwise(0L).as("d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("n_defect"))
+      .withColumn("cum_llr_milli",
+        sum(col("n_defect") * llr1Milli +
+          (col("n") - col("n_defect")) * llr0Milli)
+          .over(org.apache.spark.sql.expressions.Window.orderBy("bucket")))
+      .withColumn("verdict",
+        when(col("cum_llr_milli") >= boundMilli, "reject_h0")
+          .when(col("cum_llr_milli") <= -boundMilli, "accept_h0")
+          .otherwise("continue"))
+      .select("bucket", "n", "n_defect", "cum_llr_milli", "verdict")
+  }
 }

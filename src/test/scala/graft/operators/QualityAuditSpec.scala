@@ -355,6 +355,33 @@ class QualityAuditSpec extends AnyFunSuite {
       run(rows.toDF("a", "b", "c").repartition(13)))
   }
 
+  test("sprtMonitor: hand-computed crossings in both directions") {
+    // increments +100 per defect, -50 per clean, bound 120
+    // day a: 2 defects, 1 clean -> +150 -> reject
+    // day b (starts fresh series below): cum continues: 150 - 200 = -50
+    //   -> continue; day c: -50 - 150 = -200 -> accept
+    val rows = Seq(("a", true), ("a", true), ("a", false),
+      ("b", false), ("b", false), ("b", false), ("b", false),
+      ("c", false), ("c", false), ("c", false))
+    val df = rows.toDF("day", "bad")
+    val r = QualityAudit.sprtMonitor(df, col("day"), col("bad"),
+        llr1Milli = 100L, llr0Milli = -50L, boundMilli = 120L)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._4, t._5))).toMap
+    assert(r === Map("a" -> ((150L, "reject_h0")),
+      "b" -> ((-50L, "continue")), "c" -> ((-200L, "accept_h0"))))
+  }
+
+  test("sprtMonitor: partitioning-invariant") {
+    val rows = (1 to 300).map(i => (s"d${i % 9}", i % 4 == 0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QualityAudit.sprtMonitor(df, col("day"), col("bad"),
+        510L, -126L, 2944L)
+        .collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    assert(run(rows.toDF("day", "bad")) ===
+      run(rows.toDF("day", "bad").repartition(13)))
+  }
+
   test("chi2: partitioning-invariant") {
     val rows = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 4}"))
     def run(df: org.apache.spark.sql.DataFrame) =
