@@ -1747,8 +1747,9 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     "pk7_bestfit_pack" -> ((s, dir) =>
       // best-fit-decreasing packing (no document ever splits across
-      // sequences); greedy recurrence has no relational form, so this
-      // entry is rows-only checked and PackingSpec gates the invariants
+      // sequences); the greedy recurrence is replayed bit-exact by a
+      // recursive-CTE oracle carrying the open-bin free list as a LIST
+      // column; PackingSpec additionally gates the invariants
       graft.operators.Packing.bestFitPack(t(s, dir, "documents"),
         "doc_id", "text", budgetTokens = 512, buckets = 8)),
     "er4_golden_records" -> ((s, dir) =>
@@ -1761,15 +1762,23 @@ object SparkEntry {
           .select(col("p_partkey"), col("p_name"), col("p_brand"),
             col("p_size")),
         "p_partkey", "p_name", "p_brand", "p_size", threshold = 0.9)),
-    "s22_file_inventory" -> ((s, dir) =>
-      // physical-layout inventory from input_file_name() during a normal
-      // scan — the small-files signal that schedules compaction. File
-      // names cannot reach the pathless-view oracle, so this entry is
-      // rows-only checked; FileAuditSpec gates known multi-file layouts
-      graft.operators.FileAudit.fileInventory(s, Seq(
-        "lineitem" -> s"$dir/lineitem.parquet",
-        "orders" -> s"$dir/orders.parquet",
-        "documents" -> s"$dir/documents.parquet"))),
+    "s22_file_inventory" -> ((s, dir) => {
+      // physical-layout inventory from input_file_name(): first WRITE a
+      // deterministic hash-bucketed layout (partitionBy over 4 md5
+      // buckets — every bucket's rows land in one task, so exactly one
+      // file per bucket dir), then inventory THAT scan — the per-file
+      // row counts surface through real input_file_name() plumbing yet
+      // equal the per-bucket counts the pathless oracle reproduces.
+      // FileAuditSpec gates arbitrary layouts incl. the UUID basenames.
+      val out = tmpDir("graft-s22") + "/docs"
+      t(s, dir, "documents")
+        .withColumn("b",
+          pmod(graft.operators.Sampling.hashBucket(col("doc_id")), lit(4)))
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(out)
+      graft.operators.FileAudit.fileInventory(s, Seq("documents" -> out))
+        .select(col("tbl"), col("file_dir").as("part_dir"), col("n_rows"))
+    }),
     "q77_bootstrap_ci" -> ((s, dir) =>
       // deterministic subsampling CI (Politis-Romano) for the corpus mean
       // doc length: md5-parity half-samples, one map-side-combined agg
@@ -6143,6 +6152,53 @@ object SparkEntry {
          |SELECT doc_id, row_number() OVER
          |(PARTITION BY doc_id ORDER BY start)::BIGINT AS span_idx,
          |start, len FROM sp""".stripMargin,
+    "pk7_bestfit_pack" ->
+      // replays the sequential best-fit-decreasing greedy exactly: the
+      // recursive CTE advances every bucket one document per iteration,
+      // carrying the bucket's open-bin free list as a LIST column. Best
+      // fit = smallest free >= n (list_min over list_filter); the tie to
+      // the LOWEST bin id falls out of list_position's first-match
+      // semantics, mirroring the strict `f < bestFree` scan in
+      // Packing.bestFitPack. New bin id = len(free) before append.
+      s"""WITH RECURSIVE d AS (
+         |SELECT doc_id::BIGINT AS doc_id, len($duckToks)::BIGINT AS n_tokens,
+         |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
+         | strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)))::INT % 8
+         |  AS bucket
+         |FROM documents),
+         |r AS (SELECT doc_id, bucket, n_tokens,
+         |row_number() OVER (PARTITION BY bucket
+         |  ORDER BY n_tokens DESC, doc_id) AS rk FROM d),
+         |pack AS (
+         |SELECT bucket, 0::BIGINT AS rk, []::BIGINT[] AS free,
+         |NULL::BIGINT AS doc_id, NULL::BIGINT AS n_tokens, NULL::BIGINT AS bin
+         |FROM (SELECT DISTINCT bucket FROM r)
+         |UNION ALL
+         |SELECT q.bucket, q.rk,
+         |CASE WHEN q.bv IS NULL THEN list_append(q.free, 512 - q.n_tokens)
+         |  ELSE q.free[1:q.pos-1] || [q.bv - q.n_tokens] || q.free[q.pos+1:]
+         |END AS free,
+         |q.doc_id, q.n_tokens,
+         |CASE WHEN q.bv IS NULL THEN len(q.free)::BIGINT
+         |  ELSE (q.pos - 1)::BIGINT END AS bin
+         |FROM (
+         |SELECT d.bucket, p.rk + 1 AS rk, p.free, d.doc_id, d.n_tokens,
+         |list_min(list_filter(p.free, x -> x >= d.n_tokens)) AS bv,
+         |list_position(p.free,
+         |  list_min(list_filter(p.free, x -> x >= d.n_tokens))) AS pos
+         |FROM pack p JOIN r d ON d.bucket = p.bucket AND d.rk = p.rk + 1) q)
+         |SELECT doc_id, bucket, n_tokens, bin AS bin_in_bucket
+         |FROM pack WHERE rk > 0""".stripMargin,
+    "s22_file_inventory" ->
+      // the Spark side writes one file per md5 bucket (partitionBy), so
+      // the per-file row counts the input_file_name() scan reports are
+      // exactly the per-bucket counts; part_dir is the partition value
+      // dir, the only deterministic component of the file path
+      """SELECT 'documents' AS tbl, 'b=' || b::VARCHAR AS part_dir,
+        |count(*)::BIGINT AS n_rows FROM
+        |(SELECT (strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +
+        | strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)))::INT % 4 AS b
+        |FROM documents) GROUP BY b""".stripMargin,
     "pk1_sequence_pack" ->
       s"""WITH d AS (SELECT doc_id, len($duckToks)::BIGINT AS n_tokens,
          |(strpos('123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) * 16 +

@@ -17,24 +17,34 @@ import org.apache.spark.sql.functions._
   * granularity); file-level observability is part of the SURVEY.md 2.8
   * layout surface.
   *
-  * Oracle note: the harness registers tables as pathless views, so file
-  * names cannot reach a SQL oracle — this operator is spec-gated
-  * (FileAuditSpec writes known multi-file layouts) plus a rows-only
-  * entry.
+  * Oracle note: file BASENAMES carry a per-write UUID, so they cannot
+  * reach a SQL oracle; the `file_dir` column (the file's immediate
+  * parent — a `partitionBy` value dir or the table dir) IS
+  * deterministic, which is how `s22_file_inventory` earns a bit-exact
+  * oracle: write a hash-bucketed `partitionBy` layout, inventory it,
+  * and project (tbl, file_dir, n_rows). FileAuditSpec additionally
+  * gates arbitrary layouts including the basenames.
   */
 object FileAudit {
 
-  /** One row per (table, data file): (tbl, file_name, n_rows), file name
-    * truncated to its basename so the report is location-portable. */
+  /** One row per (table, data file): (tbl, file_dir, file_name, n_rows);
+    * `file_name` is the basename and `file_dir` its immediate parent
+    * directory name, so the report is location-portable while still
+    * distinguishing files of a `partitionBy` layout whose basenames
+    * could repeat across value directories. */
   def fileInventory(spark: SparkSession,
       tables: Seq[(String, String)]): DataFrame = {
     require(tables.nonEmpty, "fileInventory needs at least one table")
     tables.map { case (name, path) =>
       spark.read.parquet(path)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-          .as("file_name"))
+        .groupBy(
+          regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1)
+            .as("file_dir"),
+          regexp_extract(input_file_name(), "[^/]+$", 0)
+            .as("file_name"))
         .agg(count(lit(1)).as("n_rows"))
-        .select(lit(name).as("tbl"), col("file_name"), col("n_rows"))
+        .select(lit(name).as("tbl"), col("file_dir"), col("file_name"),
+          col("n_rows"))
     }.reduce(_ unionAll _)
   }
 

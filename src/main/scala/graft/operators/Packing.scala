@@ -103,10 +103,15 @@ object Packing {
     * total sort order, greedy tie to the lowest bin id): identical
     * packing on any partitioning or rerun.
     *
-    * Not SQL-expressible (the greedy recurrence has no relational form),
-    * so correctness is spec-gated: capacity, completeness, singleton
-    * rule, determinism, bounded-memory at 1e5 docs/4 buckets, and a
-    * utilization floor (PackingSpec).
+    * Oracle: the greedy recurrence has no single-pass relational form,
+    * but it IS expressible as a recursive CTE that advances every
+    * bucket one document per iteration, carrying each bucket's open-bin
+    * free list as a LIST column (best fit = `list_min(list_filter(free,
+    * x -> x >= n))`, lowest-index tie via `list_position`) — so
+    * `pk7_bestfit_pack` is bit-exact oracle-checked in DuckDB, the same
+    * unrolling trick tx35 uses for BPE. PackingSpec additionally gates
+    * capacity, completeness, the singleton rule, determinism,
+    * bounded-memory at 1e5 docs/4 buckets, and a utilization floor.
     *
     * Output: (doc_id, bucket, n_tokens, bin_in_bucket). */
   def bestFitPack(

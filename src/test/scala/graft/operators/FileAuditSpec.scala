@@ -18,12 +18,23 @@ class FileAuditSpec extends AnyFunSuite {
   test("inventory reports one row per data file with exact counts") {
     val dir = writeTable(rows = 90, files = 3)
     val inv = FileAudit.fileInventory(spark, Seq("t1" -> dir))
-      .as[(String, String, Long)].collect()
+      .as[(String, String, String, Long)].collect()
     assert(inv.length === 3)
-    assert(inv.map(_._3).sum === 90L)
+    assert(inv.map(_._4).sum === 90L)
     assert(inv.forall(_._1 == "t1"))
-    assert(inv.map(_._2).distinct.length === 3) // distinct file basenames
-    assert(inv.forall(_._2.endsWith(".parquet")))
+    assert(inv.forall(_._2 == "t.parquet")) // immediate parent dir
+    assert(inv.map(_._3).distinct.length === 3) // distinct file basenames
+    assert(inv.forall(_._3.endsWith(".parquet")))
+  }
+
+  test("inventory distinguishes partitionBy value dirs via file_dir") {
+    val dir = TestSpark.tmpDir("graft-fa") + "/p.parquet"
+    (1 to 30).map(i => (i.toLong, i % 3)).toDF("id", "b")
+      .repartition($"b").write.partitionBy("b").parquet(dir)
+    val inv = FileAudit.fileInventory(spark, Seq("p" -> dir))
+      .as[(String, String, String, Long)].collect()
+    assert(inv.map(_._2).sorted.toSeq === Seq("b=0", "b=1", "b=2"))
+    assert(inv.forall(_._4 === 10L))
   }
 
   test("compaction report flags tables whose mean file is small") {
