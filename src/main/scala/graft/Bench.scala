@@ -30,6 +30,29 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // Load average alone cannot certify a clean run: this host has been
+    // observed DROPPING the page cache mid-bench (buff/cache fell ~10x
+    // while load stayed ~1), turning every parquet re-read into a cold
+    // disk read and shipping phantom suspects. Track buffers+cached from
+    // /proc/meminfo alongside load; a collapse below half the starting
+    // size voids the suspect list outright — one retry cannot certify
+    // cleanliness because the retry itself re-warms the cache.
+    def cachedKb(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try {
+          val m = src.getLines().flatMap { l =>
+            val p = l.split("[:\\s]+")
+            if (p.length >= 2) Some(p(0) -> p(1).toLong) else None
+          }.toMap
+          m.getOrElse("Cached", 0L) + m.getOrElse("Buffers", 0L)
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val cachedKbAtStart = cachedKb()
+    def cacheCollapsed(): Boolean = {
+      val now = cachedKb()
+      cachedKbAtStart > 0 && now >= 0 && now * 2 < cachedKbAtStart
+    }
     // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
     // 31.416 as "31,416" and break the harness's JSON parse
     def fmt(v: Double): String =
@@ -123,7 +146,12 @@ object Bench {
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "4.0").toDouble
     var contaminated = false
-    if (suspects.nonEmpty && loadAvg() > loadThreshold) {
+    if (suspects.nonEmpty && cacheCollapsed()) {
+      contaminated = true
+      System.err.println(s"[bench] CONTAMINATED (page cache collapsed: " +
+        s"${cachedKbAtStart / 1024} MB -> ${cachedKb() / 1024} MB): " +
+        s"suspect list void: ${suspects.mkString(", ")}")
+    } else if (suspects.nonEmpty && loadAvg() > loadThreshold) {
       var tries = 0
       while (loadAvg() > loadThreshold && tries < 3) {
         System.err.println(s"[bench] load ${fmt(loadAvg())} > " +
@@ -172,6 +200,8 @@ object Bench {
         s""""jw_rule_off_sec":${fmt(jwOff)},"jw_rule_on_sec":${fmt(jwOn)},""" +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
+        s""""cached_mb_start":${cachedKbAtStart / 1024},""" +
+        s""""cached_mb_end":${cachedKb() / 1024},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
         s""""suspects_under_load":$underLoadJson,""" +

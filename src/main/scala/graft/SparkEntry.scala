@@ -67,6 +67,27 @@ object SparkEntry {
   private def tmpPath(prefix: String): java.nio.file.Path =
     java.nio.file.Paths.get(TmpDirs.create(prefix))
 
+  /** Month index for the Holt-Winters family (q102/q103/q107/q108) with
+    * a LOUD density guard: the positional row_number index silently
+    * shifts the seasonal ring and the x[t-12] naive if a calendar month
+    * has zero rows (ADVICE r8), so assert max(mx)-min(mx)+1 == n (per
+    * group) and fail the job on a gap instead. The guard is a window
+    * over the already-calendar-sized monthly frame; the oracle needs no
+    * mirror because a passing guard is row-neutral. */
+  private def gaplessMonthIdx(monthly: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val wAll = Window.partitionBy(partCols.map(col): _*)
+    val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy("mx")
+    monthly
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("dense",
+        max(col("mx")).over(wAll) - min(col("mx")).over(wAll) + 1L ===
+          count(lit(1)).over(wAll))
+      .where(assert_true(col("dense"), lit("month gap in series: " +
+        "seasonal alignment would silently shift")).isNull)
+      .drop("dense")
+  }
+
   /** Register fixture tables as temp views and run a SQL-surface query —
     * used where the DataFrame API cannot express the shape (correlated
     * subqueries, GROUPING SETS, LATERAL) so Catalyst's decorrelation /
@@ -1073,9 +1094,13 @@ object SparkEntry {
         .writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // materialize INSIDE the batch (a micro-batch DF is not valid
-          // after its batch completes) and truncate lineage per fold
+          // after its batch completes), truncate lineage per fold, and
+          // release the superseded checkpoint so a long-running stream
+          // holds ONE state RDD, not one per batch (ADVICE r8)
+          val prev = state
           state = ChangeData.applyVersioned(state, batch,
             "c_custkey", "seq", "op").localCheckpoint(true)
+          prev.unpersist(false)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1190,8 +1215,10 @@ object SparkEntry {
             .groupBy(lit(ver).as("dim_version"), col("tier"))
             .agg(count(lit(1)).as("n_events"),
               countDistinct(col("user_id")).as("n_users"))
+          val prev = acc
           acc = (if (acc == null) agg else acc.unionAll(agg))
             .localCheckpoint(true)
+          if (prev != null) prev.unpersist(false)
           if (id == 0L) {
             graft.sinks.VersionedPublish.publish(
               users.select(col("user_id"),
@@ -1241,8 +1268,10 @@ object SparkEntry {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val bd = graft.operators.TableDiff.dayFingerprints(
             batch, to_date(col("ts")), Seq("event_id"))
+          val prev = state
           state = graft.operators.TableDiff
             .foldDailyFingerprints(state.unionAll(bd)).localCheckpoint(true)
+          prev.unpersist(false)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1284,8 +1313,10 @@ object SparkEntry {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val bs = graft.operators.Sketches.columnStatsByGroup(
             batch, "day", "user_id", 16)
+          val prev = state
           state = graft.operators.Sketches
             .foldColumnStats(state.unionAll(bs), 16).localCheckpoint(true)
+          prev.unpersist(false)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1333,9 +1364,12 @@ object SparkEntry {
           val bs = graft.operators.Sketches.countMinByGroup(
               batch.withColumn("one", lit(0)), "one", "user_id")
             .select("d", "bucket", "cell")
-          // materialize inside the batch; constant-size state each fold
+          // materialize inside the batch; constant-size state each fold,
+          // superseded checkpoint released (one state RDD, not per-batch)
+          val prev = state
           state = graft.operators.Sketches
             .mergeCountMin(state.unionAll(bs)).localCheckpoint(true)
+          prev.unpersist(false)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2437,8 +2471,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = monthly.select(col("mx"), col("cents"),
-        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      val idx = gaplessMonthIdx(monthly, Nil)
       graft.operators.TimeSeries
         .holtWintersAdditive(idx, "i", "cents", period = 12,
           alphaInv = 5, betaInv = 10, gammaInv = 5)
@@ -2466,14 +2499,18 @@ object SparkEntry {
       cells.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
           sum(col("sg")).as("s"), sum(col("qg")).as("q"),
           sum(expr("sg * sg div ng")).as("tg"))
+        // SSB = tg - s^2 div n uses per-group floored tg, so it can dip
+        // a hair below 0 (bounded by -k) when between-group variance is
+        // ~0 — clamp with greatest(.., 0) so a sum of squares can never
+        // print negative (ADVICE r8); SSW/SST are >= 0 by construction
         .select(col("n").cast("long").as("n_orders"),
           col("k").cast("long").as("k_groups"),
-          expr("cast(tg - s * s div n as bigint)").as("ssb"),
+          expr("cast(greatest(tg - s * s div n, 0) as bigint)").as("ssb"),
           expr("cast(q - tg as bigint)").as("ssw"),
-          expr("cast((tg - s * s div n) * 1000000 " +
+          expr("cast(greatest(tg - s * s div n, 0) * 1000000 " +
             "div greatest(q - s * s div n, 1) as bigint)").as("eta2_ppm"),
           // F = (SSB/(k-1)) / (SSW/(n-k)) in floored ppm
-          expr("cast(((tg - s * s div n) div (k - 1)) * 1000000 " +
+          expr("cast(greatest(tg - s * s div n, 0) div (k - 1) * 1000000 " +
             "div greatest((q - tg) div (n - k), 1) as bigint)")
             .as("f_ppm"))
     }),
@@ -2526,8 +2563,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = monthly.select(col("cents"),
-        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      val idx = gaplessMonthIdx(monthly, Nil).select("cents", "i")
       val nRow = idx.agg(max(col("i")).as("n"))
       val train = idx.crossJoin(broadcast(nRow))
         .where(col("i") <= col("n") - 6).select("i", "cents")
@@ -2557,8 +2593,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = monthly.select(col("cents"),
-        row_number().over(Window.orderBy("mx")).cast("long").as("i"))
+      val idx = gaplessMonthIdx(monthly, Nil).select("cents", "i")
       graft.operators.TimeSeries.holtWintersForecast(idx, "i", "cents",
           period = 12, alphaInv = 5, betaInv = 10, gammaInv = 5,
           horizon = 6)
@@ -2577,6 +2612,10 @@ object SparkEntry {
             .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
+      // per-group series are SPARSE at tiny SF (priority x month gaps
+      // exist at sf0.001), so the index is deliberately positional over
+      // observed months — both engines share the construction; the
+      // gapless guard applies only to the dense global series
       val idx = monthly.select(col("priority"), col("mx"), col("cents"),
         row_number().over(Window.partitionBy("priority").orderBy("mx"))
           .cast("long").as("i"))
@@ -7816,11 +7855,11 @@ object SparkEntry {
         |m AS (SELECT count(*)::HUGEINT AS k, sum(ng) AS n,
         |sum(sg) AS s, sum(qg) AS q, sum(sg * sg // ng) AS tg FROM g)
         |SELECT n::BIGINT AS n_orders, k::BIGINT AS k_groups,
-        |(tg - s * s // n)::BIGINT AS ssb,
+        |greatest(tg - s * s // n, 0)::BIGINT AS ssb,
         |(q - tg)::BIGINT AS ssw,
-        |((tg - s * s // n) * 1000000
+        |(greatest(tg - s * s // n, 0) * 1000000
         |  // greatest(q - s * s // n, 1))::BIGINT AS eta2_ppm,
-        |(((tg - s * s // n) // (k - 1)) * 1000000
+        |(greatest(tg - s * s // n, 0) // (k - 1) * 1000000
         |  // greatest((q - tg) // (n - k), 1))::BIGINT AS f_ppm
         |FROM m""".stripMargin,
     "q109_price_index" ->
@@ -8219,8 +8258,8 @@ object SparkEntry {
         |UNION ALL SELECT 'disc', 'tax', n, n*p23 - s2*s3,
         |n*p22 - s2*s2, n*p33 - s3*s3 FROM m)
         |SELECT x_col, y_col, n::BIGINT AS n,
-        |((abs(cov) * 1000000 // greatest(vx, 1)) * abs(cov)
-        |  // greatest(vy, 1))::BIGINT AS r2_ppm,
+        |((abs(cov) * 1000000000 // greatest(vx, 1)) * abs(cov)
+        |  // greatest(vy, 1) // 1000)::BIGINT AS r2_ppm,
         |(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0
         |  END)::BIGINT AS corr_sign
         |FROM pairs""".stripMargin,

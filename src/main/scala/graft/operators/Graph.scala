@@ -624,8 +624,11 @@ object Graph {
     * Scale shape: per round one equi-join |frontier| x |E| on the edge
     * key plus a distinct and an anti-join against at most |V| settled
     * rows — all key-partitioned, no broadcast of anything unbounded, no
-    * driver-side state. The settled set is a union of per-round LEAF
-    * frames, so the final plan stays flat.
+    * driver-side state. The settled set is ONE incrementally persisted
+    * cumulative frame (folded `settled union frontier` per round, the
+    * superseded copy dropped eagerly), so every round's anti-join reads
+    * a single cached leaf and the plan stays flat and constant-size in
+    * the hop count instead of re-unioning h leaves on round h.
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
@@ -638,6 +641,18 @@ object Graph {
       caches += cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
+    // cumulative-settled reroot: persists the folded frame, then drops
+    // the superseded cumulative (its rows live on in the new one) so
+    // peak cache stays ~2x the settled set, not h copies of it
+    var prevSettled: DataFrame = null
+    def advanceSettled(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      if (prevSettled != null) prevSettled.unpersist(false)
+      prevSettled = cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
     // persist + reroot the edge list: EVERY round joins against it, and
     // without the cache the caller's upstream plan (for g10, the full
     // LSH candidate join) re-runs once per hop — measured 4x on the
@@ -648,20 +663,18 @@ object Graph {
     var frontier = reroot(seeds
       .select(col(seedCol).as("node")).distinct()
       .withColumn("hop", lit(0L)))
-    var settled = Seq(frontier)
+    var settled = frontier
     var hop = 0
     while (hop < maxHops && lastCount > 0) {
       hop += 1
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(settled.reduce(_ union _).select("node"), Seq("node"),
-          "left_anti")
+        .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop.toLong))
       frontier = reroot(next)
-      if (lastCount > 0) settled = settled :+ frontier
+      if (lastCount > 0) settled = advanceSettled(settled.union(frontier))
     }
-    val result = settled.reduce(_ union _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = settled.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     caches.foreach(_.unpersist(false))
     result
@@ -703,26 +716,37 @@ object Graph {
       caches += cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
+    // one cumulative settled frame, folded per round (bfsLevels'
+    // advanceSettled discipline): flat constant-size plans per round
+    var prevSettled: DataFrame = null
+    def advanceSettled(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      if (prevSettled != null) prevSettled.unpersist(false)
+      prevSettled = cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
     val e = reroot(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct())
     val seedSet = reroot(seeds.select(col(seedCol).as("seed")).distinct())
     var frontier = reroot(seedSet
       .withColumn("node", col("seed")).withColumn("hop", lit(0L)))
-    var settled = Seq(frontier)
+    var settled = frontier
     var hop = 0
     while (hop < maxHops && lastCount > 0) {
       hop += 1
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(settled.reduce(_ union _).select("seed", "node"),
+        .join(settled.select("seed", "node"),
           Seq("seed", "node"), "left_anti")
         .withColumn("hop", lit(hop.toLong))
       frontier = reroot(next)
-      if (lastCount > 0) settled = settled :+ frontier
+      if (lastCount > 0) settled = advanceSettled(settled.union(frontier))
     }
     val result = seedSet
-      .join(settled.reduce(_ union _).where(col("hop") > 0L)
+      .join(settled.where(col("hop") > 0L)
           .groupBy("seed").agg(count(lit(1)).as("n_reached"),
             sum(expr("1000 div hop")).as("harmonic_milli")),
         Seq("seed"), "left")
@@ -779,6 +803,19 @@ object Graph {
       caches += cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
+    // one cumulative (seed, node) settled frame, folded per level (the
+    // bfsLevels advanceSettled discipline) — the per-level anti-join
+    // reads a single cached leaf instead of re-unioning every prior
+    // level; `levels` itself is still kept, the backward phase walks it
+    var prevSettled: DataFrame = null
+    def advanceSettled(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      if (prevSettled != null) prevSettled.unpersist(false)
+      prevSettled = cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
     val e = reroot(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct())
@@ -786,16 +823,18 @@ object Graph {
     val lvl0 = reroot(seeds.select(col(seedCol).as("seed")).distinct()
       .withColumn("node", col("seed")).withColumn("sigma", lit(1L)))
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var settled = lvl0.select("seed", "node")
     var h = 0
     while (h < maxHops && lastCount > 0) {
       h += 1
-      val settled = levels.map(_.select("seed", "node")).reduce(_ union _)
       val next = levels.last.join(e, col("node") === col("src"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(settled, Seq("seed", "node"), "left_anti")
       levels += reroot(next)
       if (lastCount == 0) levels.remove(levels.size - 1)
+      else settled = advanceSettled(
+        settled.union(levels.last.select("seed", "node")))
     }
     // backward: delta at the deepest level is 0; walk levels up through
     // the BFS DAG (edges v -> w with lvl(w) = lvl(v) + 1)

@@ -543,9 +543,16 @@ object QualityAudit {
     moments.select(explode(array(out: _*)).as("r"))
       .select(col("r.x_col").as("x_col"), col("r.y_col").as("y_col"),
         col("r.n").as("n"), col("r.cov"), col("r.vx"), col("r.vy"))
+      // two-step floored division: scale the FIRST quotient by 1e9 (not
+      // the output's 1e6) and shed the extra 1e3 at the end, so a pair
+      // whose variances differ by ~1e6x no longer floors the first step
+      // to 0-1 and under-reports a real correlation (ADVICE r8). Range:
+      // the intermediate is bounded by 1e9 * vy (Cauchy-Schwarz), so
+      // decimal(38,0)/HUGEINT holds while vy < 1e29 — far beyond any
+      // 64-bit input moment
       .withColumn("r2_ppm",
-        expr("cast((abs(cov) * 1000000 div greatest(vx, 1)) * abs(cov)" +
-          " div greatest(vy, 1) as bigint)"))
+        expr("cast((abs(cov) * 1000000000 div greatest(vx, 1)) * abs(cov)" +
+          " div greatest(vy, 1) div 1000 as bigint)"))
       .withColumn("corr_sign",
         when(col("cov") > 0, 1L).when(col("cov") < 0, -1L)
           .otherwise(0L))

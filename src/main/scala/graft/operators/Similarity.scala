@@ -726,7 +726,9 @@ object Similarity {
     * vectors ever reach the driver — the same bounded-driver-state
     * contract as [[bruteForceTopK]]'s query batch. k passes over the pool
     * is the honest cost of exact greedy MMR; cheaper approximations
-    * (cluster-then-pick) trade away the guarantee.
+    * (cluster-then-pick) trade away the guarantee. k is hard-capped at
+    * 128 (one Spark job per round), and the growing filter+greatest
+    * lineage is truncated by a local checkpoint every 16 rounds.
     *
     * Output: (rank, cand_id, mmr) — mmr is round 1's plain relevance,
     * later rounds' penalized score, floor-rounded to 4 decimals.
@@ -735,7 +737,13 @@ object Similarity {
       candidates: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Double], k: Int,
       lambdaNum: Int = 1, lambdaDen: Int = 2): DataFrame = {
-    require(k >= 1 && lambdaNum >= 0 && lambdaDen > 0)
+    // each greedy round is one driver-coordinated Spark job over the
+    // pool — a hard ceiling so a caller cannot accidentally ask for
+    // thousands of jobs (the contract is "re-rank a shortlist", k<=128;
+    // for bigger k use a bucketed diversifier, not exact MMR)
+    require(k >= 1 && k <= 128,
+      s"k=$k out of [1, 128]: each MMR round is one Spark job")
+    require(lambdaNum >= 0 && lambdaDen > 0)
     require(Integer.bitCount(lambdaDen) == 1, "lambdaDen must be a power of 2")
     val spark = candidates.sparkSession
     import spark.implicits._
@@ -748,6 +756,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // maxsim starts below any cosine so round 1 ranks by pure relevance
     var pool = pool0.withColumn("maxsim", lit(-2.0))
+    var lastCkpt: DataFrame = null
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Double, Array[Double])]
     var r = 0
@@ -766,9 +775,20 @@ object Similarity {
         val vLit = array(vec.toSeq.map(lit): _*)
         pool = pool.filter(col("cand_id") =!= id)
           .withColumn("maxsim", greatest(col("maxsim"), cosine(col("v"), vLit)))
+        // the pool lineage grows one filter+greatest per round on top
+        // of the cached pool0 — truncate it every 16 rounds (and drop
+        // the superseded checkpoint) so late rounds re-evaluate a
+        // constant-depth plan instead of an O(k) expression stack
+        if (picked.size % 16 == 0) {
+          val ck = pool.localCheckpoint(true)
+          if (lastCkpt != null) lastCkpt.unpersist(false)
+          lastCkpt = ck
+          pool = ck
+        }
       }
       r += 1
     }
+    if (lastCkpt != null) lastCkpt.unpersist(false)
     pool0.unpersist(false)
     picked.zipWithIndex.map { case ((id, score, _), i) =>
       (i + 1L, id, math.floor(score * 10000.0) / 10000.0)

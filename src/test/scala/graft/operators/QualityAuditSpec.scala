@@ -315,7 +315,8 @@ class QualityAuditSpec extends AnyFunSuite {
 
   test("correlation matrix: hand-computed pair, perfect and inverse") {
     // x=(1,2,3) y=(1,3,4): cov=3*19-6*8=9, vx=3*14-36=6, vy=3*26-64=14
-    // r2_ppm = (9e6 div 6)*9 div 14 = 13_500_000 div 14 = 964_285
+    // r2_ppm = ((9e9 div 6)*9 div 14) div 1000
+    //        = 13_500_000_000 div 14 div 1000 = 964_285
     val df = Seq((1L, 1L, 1L, 3L), (2L, 3L, 2L, 2L), (3L, 4L, 3L, 1L))
       .toDF("x", "y", "ident", "neg")
     val r = QualityAudit.correlationMatrix(df,
@@ -327,6 +328,17 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(r(("x", "ident")) === ((1000000L, 1L)))  // y = x exactly
     assert(r(("x", "neg")) === ((1000000L, -1L)))   // y = 4 - x
     assert(r(("ident", "neg")) === ((1000000L, -1L)))
+  }
+
+  test("correlation matrix: mixed-scale pair does not underflow to 0") {
+    // big = 1e7 * small: vx/|cov| = 1e7, so a 1e6-scaled first quotient
+    // would floor to 0 and report r2 = 0 for a PERFECT correlation; the
+    // 1e9 first-step scale keeps 3 digits of headroom (ADVICE r8)
+    val df = Seq((10000000L, 1L), (20000000L, 2L), (30000000L, 3L))
+      .toDF("big", "small")
+    val r = QualityAudit.correlationMatrix(df, Seq("big", "small"))
+      .as[(String, String, Long, Long, Long)].head()
+    assert((r._4, r._5) === ((1000000L, 1L)))
   }
 
   test("correlation matrix: constant column reports 0 with sign 0") {

@@ -92,6 +92,22 @@ class SimilaritySpec extends AnyFunSuite {
     // k larger than the pool: returns the whole pool, no crash
     assert(Similarity.mmrTopK(corpus, "vec_id", "embedding",
       Seq(1.0, 0.0), k = 10).count() === 3)
+    // hard job ceiling: each round is a driver-coordinated Spark job,
+    // so k past 128 must refuse rather than launch thousands of jobs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(corpus, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 129)
+    }
+    assert(e.getMessage.contains("[1, 128]"))
+    // lineage checkpoint path (>16 rounds) stays correct: ranks all 20
+    val big = (1 to 20).map(i =>
+      (i.toLong, Array((1.0 / i).toFloat, (1.0 - 1.0 / i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val r20 = Similarity.mmrTopK(big, "vec_id", "embedding",
+      Seq(1.0, 0.0), k = 20).as[(Long, Long, Double)].collect()
+    assert(r20.length === 20)
+    assert(r20.map(_._2).toSet === (1L to 20L).toSet)
+    assert(r20.head._2 === 1L) // most relevant first
   }
 
   test("srp bucket is deterministic and within range") {
