@@ -38,9 +38,15 @@ final case class JdbcSinkConfig(
 
 /** Engine-specific SQL shapes and error classification. */
 trait JdbcDialect extends Serializable {
+  /** Identifier quoting — identity by default (Derby folds unquoted
+    * names to uppercase and the e2e suite relies on that); MySQL
+    * backtick-quotes, matching the reference's column rendering
+    * (`destination/db/db.py:393` builds backticked column lists). */
+  def quoteId(id: String): String = id
   /** Plain parameterized INSERT. */
   def insertSql(table: String, cols: Seq[String]): String =
-    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    s"INSERT INTO $table (${cols.map(quoteId).mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
   /** Native upsert statement, if the engine has one (used when non-empty). */
   def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] = None
   /** Duplicate-key violation? (fallback idempotence path) */
@@ -76,9 +82,21 @@ trait JdbcDialect extends Serializable {
   * uses the vendor error codes (1062 dup; 1451/1452 FK — the same codes
   * the reference special-cases, common/db.py:330-340). */
 object MySqlDialect extends JdbcDialect {
+  /** Backtick-quoted with embedded backticks doubled — the reference's
+    * identifier escaping (destination/db/db.py:393, same convention as
+    * the W7 SQL-dump sink), so reserved-word or oddly-named columns
+    * survive the round trip. */
+  override def quoteId(id: String): String =
+    "`" + id.replace("`", "``") + "`"
+  /** The reference's idempotent no-op upsert
+    * (destination/db/db.py:394-400): `INSERT … ON DUPLICATE KEY UPDATE
+    * pk = pk` — a duplicate key updates the PK to itself, turning the
+    * re-archive of an already-archived row into a no-op instead of an
+    * error. Golden-string-pinned in JdbcSinkSpec (no live MySQL in the
+    * test environment; the Derby e2e exercises the ANSI branch). */
   override def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): Option[String] =
     Some(insertSql(table, cols) +
-      s" ON DUPLICATE KEY UPDATE ${pk.head} = ${pk.head}")
+      s" ON DUPLICATE KEY UPDATE ${quoteId(pk.head)} = ${quoteId(pk.head)}")
   override def isDuplicateKey(e: SQLException): Boolean = e.getErrorCode == 1062
   override def isIntegrityViolation(e: SQLException): Boolean =
     e.getErrorCode == 1451 || e.getErrorCode == 1452
@@ -232,8 +250,9 @@ final class JdbcUpsertSink(
       val pkSet = pk.toSet
       val ddl = schema.fields.map { f =>
         val notNull = if (pkSet.contains(f.name)) " NOT NULL" else ""
-        s"${f.name} ${dialect.columnType(f.dataType)}$notNull"
-      }.mkString(", ") + s", PRIMARY KEY (${pk.mkString(", ")})"
+        s"${dialect.quoteId(f.name)} ${dialect.columnType(f.dataType)}$notNull"
+      }.mkString(", ") +
+        s", PRIMARY KEY (${pk.map(dialect.quoteId).mkString(", ")})"
       val st = conn.createStatement()
       try st.execute(s"CREATE TABLE $table ($ddl)") finally st.close()
       conn.commit()
@@ -419,7 +438,8 @@ object JdbcDeleteBack {
         val holder = new Jdbc.ConnectionHolder(localCfg)
         try {
           def deleteChunk(chunk: Vector[Any]): Unit = if (chunk.nonEmpty) {
-            val sql = s"DELETE FROM $table WHERE $pkCol IN (" +
+            val sql = s"DELETE FROM $table WHERE " +
+              s"${dialect.quoteId(pkCol)} IN (" +
               chunk.map(_ => "?").mkString(", ") + ")"
             try {
               val n = Jdbc.withRetry(localCfg, dialect.isIntegrityViolation,

@@ -101,6 +101,27 @@ class JdbcSinkSpec extends AnyFunSuite {
       new java.sql.SQLException("fk", "23000", 1451)))
   }
 
+  test("MySQL dialect generates the reference's upsert SQL (golden)") {
+    // reference destination/db/db.py:392-400: backticked columns,
+    // `INSERT INTO <table> (…) VALUES (…) ON DUPLICATE KEY UPDATE
+    // pk = pk` — the self-assignment makes re-archiving a no-op. No live
+    // MySQL exists here, so the generated text is pinned exactly.
+    assert(MySqlDialect.upsertSql("archive.orders",
+        Seq("o_orderkey", "o_custkey", "o_comment"),
+        Seq("o_orderkey")).get ===
+      "INSERT INTO archive.orders (`o_orderkey`, `o_custkey`, " +
+        "`o_comment`) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE `o_orderkey` = `o_orderkey`")
+    // embedded backticks double (MySQL identifier escaping)
+    assert(MySqlDialect.insertSql("t", Seq("weird`col")) ===
+      "INSERT INTO t (`weird``col`) VALUES (?)")
+    // the ANSI dialect stays unquoted: Derby folds unquoted identifiers
+    // to uppercase and the e2e suite depends on that
+    assert(AnsiDialect.insertSql("t", Seq("a", "b")) ===
+      "INSERT INTO t (a, b) VALUES (?, ?)")
+    assert(AnsiDialect.upsertSql("t", Seq("a"), Seq("a")).isEmpty)
+  }
+
   test("session init SQL runs on every connection (D4 hook)") {
     val c = cfg("init1").copy(sessionInitSql = Seq("SET SCHEMA APP"))
     val conn = Jdbc.connect(c)
