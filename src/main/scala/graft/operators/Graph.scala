@@ -839,7 +839,11 @@ object Graph {
     // backward: delta at the deepest level is 0; walk levels up through
     // the BFS DAG (edges v -> w with lvl(w) = lvl(v) + 1)
     var deltas = List.empty[DataFrame] // deltas.head = level i+1's delta
-    var acc: DataFrame = null
+    // per-level bc contributions are COLLECTED, not folded: every frame
+    // derives from an already-persisted delta, so deferring to a single
+    // union + groupBy at the end runs ONE node-keyed shuffle instead of
+    // one re-aggregation of the whole accumulator per level
+    var contribs = List.empty[DataFrame]
     for (i <- levels.size - 2 to 0 by -1) {
       val wLvl = levels(i + 1).withColumnRenamed("node", "w")
         .withColumnRenamed("sigma", "sigma_w")
@@ -861,11 +865,12 @@ object Graph {
         .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
       val dcached = reroot(dI.withColumnRenamed("node", "w"))
       deltas = dcached :: deltas
-      val contrib = dcached.where(col("seed") =!= col("w"))
-        .groupBy(col("w").as("node")).agg(sum(col("delta")).as("bc"))
-      acc = if (acc == null) contrib
-        else acc.union(contrib).groupBy("node").agg(sum(col("bc")).as("bc"))
+      contribs ::= dcached.where(col("seed") =!= col("w"))
+        .select(col("w").as("node"), col("delta").as("bc"))
     }
+    val acc = if (contribs.isEmpty) null
+      else contribs.reduce(_ union _)
+        .groupBy("node").agg(sum(col("bc")).as("bc"))
     if (levels.size == 1) {
       // nothing reachable: empty (node, bc_milli) frame
       caches.foreach(_.unpersist(false))
