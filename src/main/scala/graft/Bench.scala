@@ -48,11 +48,6 @@ object Bench {
           m.getOrElse("Cached", 0L) + m.getOrElse("Buffers", 0L)
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
-    val cachedKbAtStart = cachedKb()
-    def cacheCollapsed(): Boolean = {
-      val now = cachedKb()
-      cachedKbAtStart > 0 && now >= 0 && now * 2 < cachedKbAtStart
-    }
     // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would render
     // 31.416 as "31,416" and break the harness's JSON parse
     def fmt(v: Double): String =
@@ -75,6 +70,15 @@ object Bench {
       }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    // the collapse baseline is sampled AFTER the warmup on purpose: the
+    // warmup is what populates the page cache, so a pre-warmup sample on
+    // a cold host would make any later collapse undetectable (now*2 <
+    // tiny-start never fires)
+    val cachedKbWarm = cachedKb()
+    def cacheCollapsed(): Boolean = {
+      val now = cachedKb()
+      cachedKbWarm > 0 && now >= 0 && now * 2 < cachedKbWarm
+    }
     // sorted: deterministic run order, and adjacent queries sharing cached
     // subtrees (dd2's persisted shingle set feeds dd6) actually reuse them
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -145,13 +149,15 @@ object Bench {
     var suspects = suspectsOf(results)
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "4.0").toDouble
-    var contaminated = false
-    if (suspects.nonEmpty && cacheCollapsed()) {
-      contaminated = true
-      System.err.println(s"[bench] CONTAMINATED (page cache collapsed: " +
-        s"${cachedKbAtStart / 1024} MB -> ${cachedKb() / 1024} MB): " +
-        s"suspect list void: ${suspects.mkString(", ")}")
-    } else if (suspects.nonEmpty && loadAvg() > loadThreshold) {
+    // contamination cause, checked in severity order. The collapse check
+    // is UNCONDITIONAL — a collapsed run with zero >2x suspects (or no
+    // prior trend to compare against) still carries cold-read timings
+    // that must not become next round's trend baseline.
+    var cause: Option[String] = None
+    if (cacheCollapsed())
+      cause = Some(s"page cache collapsed: ${cachedKbWarm / 1024} MB -> " +
+        s"${cachedKb() / 1024} MB")
+    else if (suspects.nonEmpty && loadAvg() > loadThreshold) {
       var tries = 0
       while (loadAvg() > loadThreshold && tries < 3) {
         System.err.println(s"[bench] load ${fmt(loadAvg())} > " +
@@ -166,15 +172,16 @@ object Bench {
           case x => x
         }
         suspects = suspectsOf(results)
-      } else contaminated = true
+      } else cause = Some(s"load ${fmt(loadAvg())} > $loadThreshold")
     }
-    if (suspects.nonEmpty)
+    val contaminated = cause.isDefined
+    if (contaminated)
+      System.err.println(s"[bench] CONTAMINATED (${cause.get})" +
+        (if (suspects.nonEmpty) s": suspect list void: ${suspects.mkString(", ")}"
+         else ""))
+    else if (suspects.nonEmpty)
       System.err.println(
-        if (contaminated)
-          s"[bench] CONTAMINATED (load > $loadThreshold): suspect list " +
-            s"void: ${suspects.mkString(", ")}"
-        else
-          s"[bench] persistent >2x regressions vs trend: ${suspects.mkString(", ")}")
+        s"[bench] persistent >2x regressions vs trend: ${suspects.mkString(", ")}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (skewPlain, skewSplit) = skewDemo(spark)
@@ -200,8 +207,10 @@ object Bench {
         s""""jw_rule_off_sec":${fmt(jwOff)},"jw_rule_on_sec":${fmt(jwOn)},""" +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
-        s""""cached_mb_start":${cachedKbAtStart / 1024},""" +
+        s""""cached_mb_warm":${cachedKbWarm / 1024},""" +
         s""""cached_mb_end":${cachedKb() / 1024},""" +
+        s""""contamination_cause":${cause.map("\"" + _ + "\"")
+          .getOrElse("null")},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
         s""""suspects_under_load":$underLoadJson,""" +

@@ -67,17 +67,20 @@ object SparkEntry {
   private def tmpPath(prefix: String): java.nio.file.Path =
     java.nio.file.Paths.get(TmpDirs.create(prefix))
 
-  /** Month index for the Holt-Winters family (q102/q103/q107/q108) with
-    * a LOUD density guard: the positional row_number index silently
+  /** Month index for the GLOBAL Holt-Winters series (q102/q107/q108)
+    * with a LOUD density guard: the positional row_number index silently
     * shifts the seasonal ring and the x[t-12] naive if a calendar month
-    * has zero rows (ADVICE r8), so assert max(mx)-min(mx)+1 == n (per
-    * group) and fail the job on a gap instead. The guard is a window
-    * over the already-calendar-sized monthly frame; the oracle needs no
-    * mirror because a passing guard is row-neutral. */
-  private def gaplessMonthIdx(monthly: DataFrame,
-      partCols: Seq[String]): DataFrame = {
-    val wAll = Window.partitionBy(partCols.map(col): _*)
-    val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy("mx")
+    * has zero rows (ADVICE r8), so assert max(mx)-min(mx)+1 == n and
+    * fail the job on a gap instead. q103's sparse per-group series
+    * deliberately keep positional indexing and do not use this. The
+    * guard is a window over the already-calendar-sized monthly frame;
+    * the oracle needs no mirror because a passing guard is row-neutral. */
+  private def gaplessMonthIdx(monthly: DataFrame): DataFrame = {
+    // global windows only: the sole users are the dense GLOBAL series
+    // (q102/q107/q108); per-group series (q103) are deliberately sparse
+    // and keep positional indexing, so no partitioned variant exists
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy("mx")
     monthly
       .withColumn("i", row_number().over(wOrd).cast("long"))
       .withColumn("dense",
@@ -2471,7 +2474,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = gaplessMonthIdx(monthly, Nil)
+      val idx = gaplessMonthIdx(monthly)
       graft.operators.TimeSeries
         .holtWintersAdditive(idx, "i", "cents", period = 12,
           alphaInv = 5, betaInv = 10, gammaInv = 5)
@@ -2563,7 +2566,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = gaplessMonthIdx(monthly, Nil).select("cents", "i")
+      val idx = gaplessMonthIdx(monthly).select("cents", "i")
       val nRow = idx.agg(max(col("i")).as("n"))
       val train = idx.crossJoin(broadcast(nRow))
         .where(col("i") <= col("n") - 6).select("i", "cents")
@@ -2593,7 +2596,7 @@ object SparkEntry {
           .cast("long").as("mx"))
         .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
           .as("cents"))
-      val idx = gaplessMonthIdx(monthly, Nil).select("cents", "i")
+      val idx = gaplessMonthIdx(monthly).select("cents", "i")
       graft.operators.TimeSeries.holtWintersForecast(idx, "i", "cents",
           period = 12, alphaInv = 5, betaInv = 10, gammaInv = 5,
           horizon = 6)

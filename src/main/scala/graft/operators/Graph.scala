@@ -15,6 +15,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Persist bookkeeping shared by the frontier-iteration family
+    * ([[bfsLevels]] / [[harmonicCentrality]] / [[betweennessCentrality]]):
+    * `reroot` persists + counts + lineage-reroots a per-round frame
+    * (count kept in `lastCount` for the loop-exit test); `settle` folds
+    * the ONE cumulative settled frame, eagerly dropping the superseded
+    * copy so peak cache stays ~2x the settled set rather than h copies;
+    * `unpersistAll` releases every tracked cache at the end (eager drops
+    * re-appear here — double unpersist is a no-op). */
+  private final class FrontierCaches {
+    private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private var prevSettled: DataFrame = null
+    var lastCount: Long = -1L
+    def reroot(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      lastCount = cached.count()
+      caches += cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
+    def settle(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      caches += cached
+      if (prevSettled != null) prevSettled.unpersist(false)
+      prevSettled = cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
+    def unpersistAll(): Unit = caches.foreach(_.unpersist(false))
+  }
+
   /** Fixed-iteration PageRank carried in integer micro-units.
     *
     * Ranks live as BIGINT micro-units (`Unit1` = rank 1.0) and every
@@ -633,26 +662,8 @@ object Graph {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
-    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCount = -1L
-    def reroot(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      lastCount = cached.count()
-      caches += cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
-    // cumulative-settled reroot: persists the folded frame, then drops
-    // the superseded cumulative (its rows live on in the new one) so
-    // peak cache stays ~2x the settled set, not h copies of it
-    var prevSettled: DataFrame = null
-    def advanceSettled(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      caches += cached
-      if (prevSettled != null) prevSettled.unpersist(false)
-      prevSettled = cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
+    val fc = new FrontierCaches
+    import fc.{reroot, settle}
     // persist + reroot the edge list: EVERY round joins against it, and
     // without the cache the caller's upstream plan (for g10, the full
     // LSH candidate join) re-runs once per hop — measured 4x on the
@@ -665,18 +676,18 @@ object Graph {
       .withColumn("hop", lit(0L)))
     var settled = frontier
     var hop = 0
-    while (hop < maxHops && lastCount > 0) {
+    while (hop < maxHops && fc.lastCount > 0) {
       hop += 1
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(hop.toLong))
       frontier = reroot(next)
-      if (lastCount > 0) settled = advanceSettled(settled.union(frontier))
+      if (fc.lastCount > 0) settled = settle(settled.union(frontier))
     }
     val result = settled.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    caches.foreach(_.unpersist(false))
+    fc.unpersistAll()
     result
   }
 
@@ -708,25 +719,8 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1)
-    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCount = -1L
-    def reroot(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      lastCount = cached.count()
-      caches += cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
-    // one cumulative settled frame, folded per round (bfsLevels'
-    // advanceSettled discipline): flat constant-size plans per round
-    var prevSettled: DataFrame = null
-    def advanceSettled(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      caches += cached
-      if (prevSettled != null) prevSettled.unpersist(false)
-      prevSettled = cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
+    val fc = new FrontierCaches
+    import fc.{reroot, settle}
     val e = reroot(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct())
@@ -735,7 +729,7 @@ object Graph {
       .withColumn("node", col("seed")).withColumn("hop", lit(0L)))
     var settled = frontier
     var hop = 0
-    while (hop < maxHops && lastCount > 0) {
+    while (hop < maxHops && fc.lastCount > 0) {
       hop += 1
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
@@ -743,7 +737,7 @@ object Graph {
           Seq("seed", "node"), "left_anti")
         .withColumn("hop", lit(hop.toLong))
       frontier = reroot(next)
-      if (lastCount > 0) settled = advanceSettled(settled.union(frontier))
+      if (fc.lastCount > 0) settled = settle(settled.union(frontier))
     }
     val result = seedSet
       .join(settled.where(col("hop") > 0L)
@@ -755,7 +749,7 @@ object Graph {
         coalesce(col("harmonic_milli"), lit(0L)).as("harmonic_milli"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    caches.foreach(_.unpersist(false))
+    fc.unpersistAll()
     result
   }
 
@@ -795,27 +789,11 @@ object Graph {
       dstCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1)
-    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCount = -1L
-    def reroot(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      lastCount = cached.count()
-      caches += cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
-    // one cumulative (seed, node) settled frame, folded per level (the
-    // bfsLevels advanceSettled discipline) — the per-level anti-join
-    // reads a single cached leaf instead of re-unioning every prior
-    // level; `levels` itself is still kept, the backward phase walks it
-    var prevSettled: DataFrame = null
-    def advanceSettled(df: DataFrame): DataFrame = {
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count()
-      caches += cached
-      if (prevSettled != null) prevSettled.unpersist(false)
-      prevSettled = cached
-      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
-    }
+    val fc = new FrontierCaches
+    import fc.{reroot, settle}
+    // the cumulative (seed, node) settled frame means the per-level
+    // anti-join reads a single cached leaf instead of re-unioning every
+    // prior level; `levels` itself is kept, the backward phase walks it
     val e = reroot(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst")).distinct())
@@ -825,15 +803,15 @@ object Graph {
     val levels = scala.collection.mutable.ArrayBuffer(lvl0)
     var settled = lvl0.select("seed", "node")
     var h = 0
-    while (h < maxHops && lastCount > 0) {
+    while (h < maxHops && fc.lastCount > 0) {
       h += 1
       val next = levels.last.join(e, col("node") === col("src"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(settled, Seq("seed", "node"), "left_anti")
       levels += reroot(next)
-      if (lastCount == 0) levels.remove(levels.size - 1)
-      else settled = advanceSettled(
+      if (fc.lastCount == 0) levels.remove(levels.size - 1)
+      else settled = settle(
         settled.union(levels.last.select("seed", "node")))
     }
     // backward: delta at the deepest level is 0; walk levels up through
@@ -873,7 +851,7 @@ object Graph {
         .groupBy("node").agg(sum(col("bc")).as("bc"))
     if (levels.size == 1) {
       // nothing reachable: empty (node, bc_milli) frame
-      caches.foreach(_.unpersist(false))
+      fc.unpersistAll()
       return lvl0.limit(0).select(col("node"),
         lit(0L).as("bc_milli"))
     }
@@ -887,7 +865,7 @@ object Graph {
         coalesce(col("bc"), lit(0L)).cast("long").as("bc_milli"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    caches.foreach(_.unpersist(false))
+    fc.unpersistAll()
     result
   }
 

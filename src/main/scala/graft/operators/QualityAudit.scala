@@ -501,18 +501,23 @@ object QualityAudit {
     * r² in floored ppm plus the sign of cov — exactly the information a
     * redundancy screen reads, with zero float anywhere:
     *
-    *   r2_ppm = (|cov|·1e6 div vx) · |cov| div vy   (two-step div)
+    *   r2_ppm = ((|cov|·1e9 div vx) · |cov| div vy) div 1000
     *
     * The two-step floored division is the house overflow-free form (cf.
-    * q96's lift): |cov|·1e6 ≤ 1e6·√(vx·vy)·√(vx·vy) stays inside
-    * DECIMAL(38,0) headroom wherever the single-step |cov|²·1e6 would
-    * not; both engines state the identical floor sequence. All
+    * q96's lift), and the FIRST quotient is scaled by 1e9 — not the
+    * output's 1e6 — with the extra 1e3 shed at the end, so a pair whose
+    * variances sit ~1e6 apart (mixed units: micro-cents vs counts) does
+    * not floor the first step to 0-1 and under-report a real
+    * correlation. Both engines state the identical floor sequence. All
     * intermediates non-negative, so trunc-vs-floor division semantics
     * can never diverge. Constant columns (vx = 0 or vy = 0) force
     * cov = 0 and report r2_ppm = 0, sign 0 via the greatest(·, 1)
-    * guard. Headroom: n·max|x|²·max|y|² · 1e6 < 1e38 — at 100 TB keep
-    * unit choice coarse enough (the audit is about direction and
-    * strength, not the 7th decimal).
+    * guard. Headroom (Cauchy-Schwarz bounds the intermediate by
+    * 1e9·vy): n²·max|x|²·max|y|² · 1e9 < 1e38, i.e. moments below
+    * ~1e29 — at 100 TB keep unit choice coarse enough (the audit is
+    * about direction and strength, not the 7th decimal); beyond that
+    * Spark's non-ANSI decimal overflow NULLs while DuckDB's HUGEINT
+    * errors, so the bound is a contract, not a suggestion.
     *
     * Output: one row per unordered pair — (x_col, y_col, n, r2_ppm,
     * corr_sign in {-1, 0, 1}). */
