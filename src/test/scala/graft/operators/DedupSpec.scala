@@ -720,4 +720,74 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.captureRecapture(e, e)
       .as[(Long, Long, Long, Long, Long)].head() === ((0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("property: banded hamming pairs equal brute-force popcount pairs " +
+      "on random corpora (pigeonhole losslessness)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // docs drawn from a 6-word vocabulary so signatures collide at small
+    // hamming distances — the regime the pigeonhole claim is about
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genDocs = for {
+      n <- Gen.choose(4, 10)
+      texts <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(vocab)))
+    } yield texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val prop = Prop.forAll(genDocs, Gen.choose(1, 3)) { (rows, maxH) =>
+      val df = rows.toDF("doc_id", "text")
+      val sigs = Dedup.simhash(df, "doc_id", "text", bits = 16)
+        .as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+      } yield (a, b, java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong)).toSet
+      val banded = Dedup.simhashHammingPairs(df, "doc_id", "text",
+          bits = 16, bands = 4, maxHamming = maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      banded == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: exact-substring spans equal a naive token-level reference " +
+      "on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny vocabulary + short docs: shared k-gram runs appear often, and
+    // the naive O(n^2 * len^2) reference stays cheap
+    val vocab = Vector("a", "b", "c")
+    val genDocs = for {
+      n <- Gen.choose(2, 5)
+      texts <- Gen.listOfN(n, Gen.choose(2, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val k = 2
+    val minTokens = 3
+    val prop = Prop.forAll(genDocs) { rows =>
+      val df = rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // naive reference: for every doc pair and alignment (diagonal),
+      // maximal runs of consecutive equal k-grams, kept at len >= minTokens
+      val naive = (for {
+        (ida, ta) <- rows; (idb, tb) <- rows if ida < idb
+        diag <- (-(tb.length - k)) to (ta.length - k)
+      } yield {
+        val matches = (math.max(0, diag) to
+            math.min(ta.length - k, tb.length - k + diag))
+          .filter(pa => ta.slice(pa, pa + k) == tb.slice(pa - diag, pa - diag + k))
+        // islands: group consecutive pa into maximal runs
+        matches.foldLeft(List.empty[(Int, Int)]) { // (start, lastPa)
+          case ((s, last) :: rest, pa) if pa == last + 1 => (s, pa) :: rest
+          case (acc, pa) => (pa, pa) :: acc
+        }.map { case (s, last) => (ida, idb, s.toLong,
+          (s - diag).toLong, (last - s + k).toLong) }
+      }).flatten.filter(_._5 >= minTokens).toSet
+      val spans = Dedup.exactSubstrSpans(df, "doc_id", "text",
+          k = k, minTokens = minTokens, maxGramDf = 1000L)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      spans == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
