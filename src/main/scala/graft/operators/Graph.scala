@@ -911,6 +911,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     e.unpersist(false)
+    // triangleCounts persists ITS result for callers that reuse it; here it
+    // is internal — release it, or every clusteringCoefficient call leaks
+    // one cached frame into a long-lived session
+    tri.unpersist(false)
     result
   }
 }
