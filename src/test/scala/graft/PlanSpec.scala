@@ -465,4 +465,35 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan("dq13_corr_matrix")).length <= 1)
     assert("Scan parquet".r.findAllIn(plan("q110_anova_dow")).length <= 1)
   }
+
+  test("exact-substring candidates come from the position-gram equi-join, " +
+      "never all-pairs (dd38)") {
+    val p = plan("dd38_exact_substr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"position pairing must stay an equi-join on the gram fingerprint:\n$p")
+  }
+
+  test("prefix-filtered jaccard join keys on prefix shingles; verify is " +
+      "array-local, never a re-join (dd30)") {
+    val p = plan("dd30_prefix_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the exact-intersection verify runs on the paired shingle ARRAYS
+    // (array_intersect inside the projection) — a regression to a third
+    // shingle-grain join would show as an extra exchange-heavy join
+    assert(p.toLowerCase.contains("array_intersect"),
+      s"verify stage should intersect per-doc shingle arrays in place:\n$p")
+  }
+
+  test("simhash near-dup candidates come from the banded equi-join with a " +
+      "map-side popcount verify (dd22)") {
+    val p = plan("dd22_simhash_hamming")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must never degrade to all-pairs:\n$p")
+    // the popcount verify must run inside the join/projection, BEFORE the
+    // final distinct exchange — not after it
+    assert(p.contains("bit_count"), s"missing popcount verify:\n$p")
+  }
 }
