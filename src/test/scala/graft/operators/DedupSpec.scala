@@ -721,6 +721,32 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].head() === ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("property: prefix-filtered join equals the brute self-join on " +
+      "random corpora and thresholds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocabulary forces shared shingles; doc lengths straddle the
+    // n=2 shingle boundary so empty-shingle docs are exercised too
+    val vocab = Vector("red", "green", "blue", "cyan", "teal")
+    val genDocs = for {
+      n <- Gen.choose(3, 9)
+      texts <- Gen.listOfN(n, Gen.choose(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val prop = Prop.forAll(genDocs, Gen.oneOf(0.3, 0.5, 0.7, 0.9)) { (rows, t) =>
+      val df = rows.toDF("doc_id", "text")
+      val brute = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text", 2, t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      pref == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: banded hamming pairs equal brute-force popcount pairs " +
       "on random corpora (pigeonhole losslessness)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
