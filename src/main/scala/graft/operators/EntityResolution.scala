@@ -146,13 +146,41 @@ object EntityResolution {
     * relative to the corpus; entries die with their session (keyed by
     * session identity so a stopped test session can never poison the
     * next). */
-  private val scoredCache =
-    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+  /** Bounded LRU over persisted memo frames: the memo pattern
+    * ([[scoredDistinct]], [[resolveEntities]]) holds one PERSISTED frame
+    * per distinct (session, plan, params) key, so an unbounded map leaks
+    * cached frames in a long-lived session scoring many distinct corpora
+    * — the same defect class CacheHygieneSpec gates for the graph family.
+    * Hits refresh recency; overflow unpersists and drops the least
+    * recently used entry (correctness is unaffected — an evicted frame
+    * recomputes on next use). `maxEntries` stays comfortably above the
+    * 1-2 distinct configs per cache a bench/verify session uses. */
+  private final class LruFrameCache(maxEntries: Int) {
+    private val entries = scala.collection.mutable
+      .LinkedHashMap.empty[(Int, String, String), DataFrame]
+    def getOrElseUpdate(key: (Int, String, String),
+        build: => DataFrame): DataFrame = synchronized {
+      entries.remove(key) match {
+        case Some(hit) => entries.put(key, hit); hit
+        case None =>
+          val built = build
+          entries.put(key, built)
+          while (entries.size > maxEntries) {
+            val (oldest, frame) = entries.head
+            entries.remove(oldest)
+            frame.unpersist(false)
+          }
+          built
+      }
+    }
+    private[operators] def size: Int = synchronized { entries.size }
+  }
+
+  private val scoredCache = new LruFrameCache(maxEntries = 8)
 
   private def scoredDistinct(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
-      priceCol: String, sizeTol: Int, priceTol: Double): DataFrame =
-    synchronized {
+      priceCol: String, sizeTol: Int, priceTol: Double): DataFrame = {
       val key = (System.identityHashCode(records.sparkSession),
         records.queryExecution.analyzed.semanticHash().toString,
         Seq(keyCol, nameCol, blockCol, sizeCol, catCol, priceCol, sizeTol,
@@ -632,11 +660,10 @@ object EntityResolution {
     * the same table still share; the assignment frame is record-sized
     * and persists MEMORY_AND_DISK (spills, never OOMs), dying with its
     * session. */
-  private val entityCache =
-    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+  private val entityCache = new LruFrameCache(maxEntries = 8)
 
   def resolveEntities(records: DataFrame, keyCol: String, nameCol: String,
-      blockCol: String, threshold: Double): DataFrame = synchronized {
+      blockCol: String, threshold: Double): DataFrame = {
     val proj = records.select(col(keyCol), col(nameCol), col(blockCol))
     val key = (System.identityHashCode(records.sparkSession),
       proj.queryExecution.optimizedPlan.semanticHash().toString,

@@ -465,4 +465,25 @@ class EntityResolutionSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(r === ((4L, 2L, 0L, 1L, 1L, 750000L, 500000L, 500000L)))
   }
+
+  test("scored-candidate memo is LRU-bounded: a long-lived session " +
+      "scoring many distinct configs never holds more than 8 frames") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha widget", "B1", 5, "T", 10.0),
+      (2L, "alpha widgets", "B1", 6, "T", 12.0),
+      (3L, "beta gadget", "B1", 5, "U", 30.0),
+      (4L, "gamma thing", "B2", 7, "U", 44.0)
+    ).toDF("k", "name", "block", "size", "cat", "price")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    // 12 distinct param keys -> 12 memo builds; the LRU must have
+    // unpersisted the 4 least recently used along the way
+    for (tol <- 1 to 12) {
+      EntityResolution.fellegiSunterMatches(recs, "k", "name", "block",
+        "size", "cat", "price", sizeTol = tol, priceTol = 50.0).count()
+    }
+    val grown = spark.sparkContext.getPersistentRDDs.size - base
+    assert(grown <= 8,
+      s"memo must evict beyond its LRU bound; registry grew by $grown")
+  }
 }
