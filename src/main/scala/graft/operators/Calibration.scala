@@ -60,10 +60,11 @@ object Calibration {
     * semantic hash + params so a stopped test session can never poison
     * a later one; frames persist MEMORY_AND_DISK and die with their
     * session. */
-  private val baseCache =
-    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
-  private val trainCache =
-    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+  // bounded by the shared LruFrameCache: the centered base is
+  // CORPUS-SIZED, so an unbounded memo would leak full-corpus caches in
+  // a long-lived session training over many distinct corpora
+  private val baseCache = new LruFrameCache(maxEntries = 8)
+  private val trainCache = new LruFrameCache(maxEntries = 8)
 
   private def cacheKey(docs: DataFrame, params: Seq[Any]) =
     (System.identityHashCode(docs.sparkSession),

@@ -146,36 +146,9 @@ object EntityResolution {
     * relative to the corpus; entries die with their session (keyed by
     * session identity so a stopped test session can never poison the
     * next). */
-  /** Bounded LRU over persisted memo frames: the memo pattern
-    * ([[scoredDistinct]], [[resolveEntities]]) holds one PERSISTED frame
-    * per distinct (session, plan, params) key, so an unbounded map leaks
-    * cached frames in a long-lived session scoring many distinct corpora
-    * — the same defect class CacheHygieneSpec gates for the graph family.
-    * Hits refresh recency; overflow unpersists and drops the least
-    * recently used entry (correctness is unaffected — an evicted frame
-    * recomputes on next use). `maxEntries` stays comfortably above the
-    * 1-2 distinct configs per cache a bench/verify session uses. */
-  private final class LruFrameCache(maxEntries: Int) {
-    private val entries = scala.collection.mutable
-      .LinkedHashMap.empty[(Int, String, String), DataFrame]
-    def getOrElseUpdate(key: (Int, String, String),
-        build: => DataFrame): DataFrame = synchronized {
-      entries.remove(key) match {
-        case Some(hit) => entries.put(key, hit); hit
-        case None =>
-          val built = build
-          entries.put(key, built)
-          while (entries.size > maxEntries) {
-            val (oldest, frame) = entries.head
-            entries.remove(oldest)
-            frame.unpersist(false)
-          }
-          built
-      }
-    }
-    private[operators] def size: Int = synchronized { entries.size }
-  }
-
+  /** Memo frames bounded by the shared [[LruFrameCache]] (8 entries —
+    * comfortably above the 1-2 distinct configs per cache a bench/verify
+    * session uses); an evicted frame recomputes on next use. */
   private val scoredCache = new LruFrameCache(maxEntries = 8)
 
   private def scoredDistinct(records: DataFrame, keyCol: String,

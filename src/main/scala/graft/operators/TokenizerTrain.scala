@@ -77,8 +77,10 @@ object TokenizerTrain {
     * merges), so the memo holds bytes, not corpus data; checkpointed
     * RDDs die with their session, and the session identity is part of
     * the key so a stopped test session can never poison a later one. */
-  private val trainCache =
-    scala.collection.mutable.Map.empty[(Int, String, String), DataFrame]
+  // bounded by the shared LruFrameCache: each entry is a 1-row wide frame,
+  // but its backing checkpointed RDD still occupies the session's cache
+  // registry — the bound keeps a long-lived multi-corpus session flat
+  private val trainCache = new LruFrameCache(maxEntries = 8)
 
   /** 1-row wide frame (pair_k, cnt_k, x_k, y_k for k=1..nMerges) of the
     * trained merge table — memoized; see [[trainCache]]. */
