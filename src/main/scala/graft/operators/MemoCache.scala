@@ -36,6 +36,4 @@ private[operators] final class LruFrameCache(maxEntries: Int) {
         built
     }
   }
-
-  private[operators] def size: Int = synchronized { entries.size }
 }
