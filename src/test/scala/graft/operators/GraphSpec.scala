@@ -562,4 +562,71 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === h.sortBy(_._1).toSeq)
   }
+
+  // directed random graph + seed panel shared by the frontier-family
+  // properties below (the settled-frame fold was refactored twice in one
+  // round — these gate the shared machinery against a plain Scala BFS)
+  private val genFrontierCase = for {
+    n <- Gen.choose(2, 9)
+    edges <- Gen.listOf(for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+    } yield (a.toLong, b.toLong))
+    seeds <- Gen.nonEmptyListOf(Gen.choose(0, n - 1).map(_.toLong))
+    hops <- Gen.choose(1, 4)
+  } yield (edges.filter { case (a, b) => a != b }, seeds.distinct, hops)
+
+  /** hop map of a plain BFS from `seed` over directed `edges`, depth
+    * <= maxHops; seed itself at hop 0. */
+  private def bruteBfs(edges: Seq[(Long, Long)], seed: Long,
+      maxHops: Int): Map[Long, Int] = {
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = Map(seed -> 0)
+    var frontier = Set(seed)
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(v => out.getOrElse(v, Nil))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> hop)
+      frontier = next
+    }
+    dist
+  }
+
+  test("property: bfsLevels equals min-over-seeds brute BFS on random graphs") {
+    val prop = Prop.forAll(genFrontierCase) { case (edges, seeds, hops) =>
+      val expect = seeds.map(s => bruteBfs(edges, s, hops))
+        .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+          k -> math.min(a.getOrElse(k, Int.MaxValue),
+            b.getOrElse(k, Int.MaxValue))).toMap)
+        .map { case (k, v) => k -> v.toLong }
+      val got = Graph.bfsLevels(
+          if (edges.isEmpty) Seq((-1L, -2L)).toDF("src", "dst")
+          else edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("id"), "id", hops)
+        .as[(Long, Long)].collect().toMap
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: harmonicCentrality equals per-seed brute BFS on random graphs") {
+    val prop = Prop.forAll(genFrontierCase) { case (edges, seeds, hops) =>
+      val expect = seeds.map { s =>
+        val d = bruteBfs(edges, s, hops) - s
+        (s, d.size.toLong, d.values.map(h => 1000L / h).sum)
+      }.toSet
+      val got = Graph.harmonicCentrality(
+          if (edges.isEmpty) Seq((-1L, -2L)).toDF("src", "dst")
+          else edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("id"), "id", hops)
+        .as[(Long, Long, Long)].collect().toSet
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
