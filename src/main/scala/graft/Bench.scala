@@ -116,6 +116,11 @@ object Bench {
     val firstPass = selected.map { case (name, fn) =>
       if (family(name) != lastFamily) {
         lastFamily = family(name)
+        // flush the cross-query memo maps FIRST: the blanket unpersist
+        // below destroys their frames' checkpoint blocks, and a later
+        // memo hit on a dead frame (the end-of-run suspect retries re-run
+        // earlier families) would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+        graft.operators.LruFrameCache.clearAll()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
@@ -169,12 +174,15 @@ object Bench {
     // prior trend to compare against) still carries cold-read timings
     // that must not become next round's trend baseline.
     var cause: Option[String] = None
+    var causeIsDrift = false
     if (cacheCollapsed())
       cause = Some(s"page cache collapsed: ${cachedKbWarm / 1024} MB -> " +
         s"${cachedKb() / 1024} MB")
-    else if (medianDrift > medianDriftThreshold)
+    else if (medianDrift > medianDriftThreshold) {
       cause = Some(f"fleet-wide slowdown: median x$medianDrift%.3f vs " +
         s"trend over ${ratios.size} queries")
+      causeIsDrift = true
+    }
     else if (suspects.nonEmpty && loadAvg() > loadThreshold) {
       var tries = 0
       while (loadAvg() > loadThreshold && tries < 3) {
@@ -269,10 +277,19 @@ object Bench {
     // a 2-query subset would otherwise shadow the last full round — for
     // broken runs, whose failure-path timings would poison the baseline the
     // next run's contamination guard compares against, and for contaminated
-    // runs, whose inflated timings would hide real regressions next round)
-    if (only.isEmpty && failed.isEmpty && !contaminated) {
+    // runs, whose inflated timings would hide real regressions next round).
+    // EXCEPTION: a fleet-wide median-drift run IS appended, marked
+    // "drift_flag":true. Without it the drift check is a one-way ratchet —
+    // a genuine uniform regression (shared-helper change, Spark upgrade)
+    // would mark every future run contaminated against a stale baseline
+    // forever. readPrevTrend skips a single flagged entry (one noisy run
+    // never becomes the baseline) but accepts the newest of TWO
+    // consecutive flagged entries: a slowdown that reproduces across two
+    // full runs is the new reality, and the trend self-heals.
+    if (only.isEmpty && failed.isEmpty && (!contaminated || causeIsDrift)) {
       val trendLine = s"""{"ts_ms":${System.currentTimeMillis()},""" +
         s""""sf":"$sfDir","total":${fmt(total)},""" +
+        (if (causeIsDrift) s""""drift_flag":true,""" else "") +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
@@ -314,22 +331,36 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  /** Latest same-sf entry from the trend history: query -> min seconds.
-    * Any parse problem degrades to "no history" — the bench must never
-    * fail because of a malformed trend line. */
+  /** Baseline same-sf entry from the trend history: query -> min seconds.
+    * Usually the latest entry; a `drift_flag` (fleet-wide slowdown) entry
+    * is skipped in favor of the entry before it UNLESS that one is also
+    * flagged — two consecutive flagged runs mean the slowdown reproduces
+    * and the newest becomes the baseline (the de-ratchet; see the trend
+    * append in main). Any parse problem degrades to "no history" — the
+    * bench must never fail because of a malformed trend line. */
   private def readPrevTrend(path: String, sf: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) return Map.empty
       import scala.jdk.CollectionConverters._
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      java.nio.file.Files.readAllLines(p).asScala.reverseIterator
+      val sameSf = java.nio.file.Files.readAllLines(p).asScala
+        .reverseIterator
         .filter(_.trim.nonEmpty)
-        .map(l => scala.util.Try(mapper.readTree(l)).toOption)
-        .collectFirst { case Some(n) if n.path("sf").asText() == sf =>
-          n.path("queries").fields().asScala
-            .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }.getOrElse(Map.empty)
+        .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+        .filter(_.path("sf").asText() == sf)
+        .take(2).toVector
+      def queriesOf(n: com.fasterxml.jackson.databind.JsonNode) =
+        n.path("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      sameSf match {
+        case Vector() => Map.empty
+        case Vector(latest) => queriesOf(latest)
+        case Vector(latest, older) =>
+          if (!latest.path("drift_flag").asBoolean(false)) queriesOf(latest)
+          else if (older.path("drift_flag").asBoolean(false)) queriesOf(latest)
+          else queriesOf(older)
+      }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** A/B for the LevenshteinPrefilter optimizer rule: 200k candidate
@@ -413,6 +444,7 @@ object Bench {
     // pressure instead of join strategy (observed: the split side losing
     // 4.5x under pollution while winning 2x on a clean session). Clear
     // everything so both sides run on the same clean slate.
+    graft.operators.LruFrameCache.clearAll()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // fact: one hot key owns 3/4 of 4M rows; cold keys spread over the dim

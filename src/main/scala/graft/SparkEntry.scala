@@ -67,6 +67,29 @@ object SparkEntry {
   private def tmpPath(prefix: String): java.nio.file.Path =
     java.nio.file.Paths.get(TmpDirs.create(prefix))
 
+  /** s22's deterministic hash-bucketed fixture layout, written ONCE per
+    * (session, sf dir) and reused by every re-invocation — the bench runs
+    * each query at least twice plus retry passes, and stacking a full
+    * parquet copy of `documents` in /tmp per invocation multiplies a
+    * corpus-sized table for the life of the process. The layout is
+    * deterministic in the inputs, so reuse cannot change the result. */
+  private val s22Layouts =
+    scala.collection.mutable.Map.empty[(Int, String), String]
+  private def s22LayoutDir(s: SparkSession, dir: String): String =
+    s22Layouts.synchronized {
+      s22Layouts.getOrElseUpdate(
+        (System.identityHashCode(s), dir), {
+          val out = TmpDirs.create("graft-s22") + "/docs"
+          t(s, dir, "documents")
+            .withColumn("b",
+              pmod(graft.operators.Sampling.hashBucket(col("doc_id")),
+                lit(4)))
+            .repartition(col("b"))
+            .write.mode("overwrite").partitionBy("b").parquet(out)
+          out
+        })
+    }
+
   /** Month index for the GLOBAL Holt-Winters series (q102/q107/q108)
     * with a LOUD density guard: the positional row_number index silently
     * shifts the seasonal ring and the x[t-12] naive if a calendar month
@@ -1103,7 +1126,7 @@ object SparkEntry {
           val prev = state
           state = ChangeData.applyVersioned(state, batch,
             "c_custkey", "seq", "op").localCheckpoint(true)
-          prev.unpersist(false)
+          graft.FrameRelease.release(prev)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1221,7 +1244,7 @@ object SparkEntry {
           val prev = acc
           acc = (if (acc == null) agg else acc.unionAll(agg))
             .localCheckpoint(true)
-          if (prev != null) prev.unpersist(false)
+          graft.FrameRelease.release(prev)
           if (id == 0L) {
             graft.sinks.VersionedPublish.publish(
               users.select(col("user_id"),
@@ -1274,7 +1297,7 @@ object SparkEntry {
           val prev = state
           state = graft.operators.TableDiff
             .foldDailyFingerprints(state.unionAll(bd)).localCheckpoint(true)
-          prev.unpersist(false)
+          graft.FrameRelease.release(prev)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1319,7 +1342,7 @@ object SparkEntry {
           val prev = state
           state = graft.operators.Sketches
             .foldColumnStats(state.unionAll(bs), 16).localCheckpoint(true)
-          prev.unpersist(false)
+          graft.FrameRelease.release(prev)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1372,7 +1395,7 @@ object SparkEntry {
           val prev = state
           state = graft.operators.Sketches
             .mergeCountMin(state.unionAll(bs)).localCheckpoint(true)
-          prev.unpersist(false)
+          graft.FrameRelease.release(prev)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1807,12 +1830,7 @@ object SparkEntry {
       // row counts surface through real input_file_name() plumbing yet
       // equal the per-bucket counts the pathless oracle reproduces.
       // FileAuditSpec gates arbitrary layouts incl. the UUID basenames.
-      val out = tmpDir("graft-s22") + "/docs"
-      t(s, dir, "documents")
-        .withColumn("b",
-          pmod(graft.operators.Sampling.hashBucket(col("doc_id")), lit(4)))
-        .repartition(col("b"))
-        .write.mode("overwrite").partitionBy("b").parquet(out)
+      val out = s22LayoutDir(s, dir)
       graft.operators.FileAudit.fileInventory(s, Seq("documents" -> out))
         .select(col("tbl"), col("file_dir").as("part_dir"), col("n_rows"))
     }),

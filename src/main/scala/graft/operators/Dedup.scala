@@ -933,8 +933,9 @@ object Dedup {
     // references `e` five times, so without truncation the logical plan
     // grows ~6x per round (exponential — the plan string alone OOMs after
     // a handful of rounds). localCheckpoint materializes each round and
-    // cuts the plan back to a leaf; superseded round RDDs are released by
-    // the ContextCleaner once unreferenced.
+    // cuts the plan back to a leaf; superseded round RDDs are released
+    // eagerly via FrameRelease (plain unpersist no-ops on checkpoints),
+    // so only the FINAL round's checkpoint — the result's backing — stays.
     // Self-loop pairs (a, a) carry no edge but DO name a node: keep them
     // aside as singleton labels so the output matches the union-find path
     // (one row per node appearing in `pairs`).
@@ -985,6 +986,9 @@ object Dedup {
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val ncs = checksum(next)
+      // `next` is eagerly materialized: the superseded round's checkpoint
+      // blocks release here (plain unpersist is a no-op on checkpoints)
+      graft.FrameRelease.release(edges)
       edges = next
       converged = ncs == cs
       cs = ncs

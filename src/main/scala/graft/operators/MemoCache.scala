@@ -12,14 +12,24 @@ import org.apache.spark.sql.DataFrame
   * An unbounded map leaks cached frames in a long-lived session that
   * scores many distinct corpora/configs — the defect class
   * CacheHygieneSpec gates for the graph family. Hits refresh recency;
-  * overflow unpersists and drops the least recently used entry.
-  * Correctness is unaffected: an evicted frame recomputes on next use.
-  * `build` runs inside the lock so one thread pays each miss.
+  * overflow RELEASES (via [[graft.FrameRelease]] — plain `unpersist` is
+  * a no-op for the localCheckpoint-backed entries like TokenizerTrain's
+  * merge tables) and drops the least recently used entry. Correctness is
+  * unaffected: an evicted frame recomputes on next use. `build` runs
+  * inside the lock so one thread pays each miss.
+  *
+  * Every instance self-registers so harnesses that blanket-unpersist the
+  * session's RDDs between query families ([[graft.Bench]]) can first
+  * flush the memo maps through [[LruFrameCache.clearAll]] — otherwise a
+  * later memo HIT would hand back a frame whose checkpoint blocks the
+  * blanket clear already destroyed, and acting on it throws
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
   */
-private[operators] final class LruFrameCache(maxEntries: Int) {
+private[graft] final class LruFrameCache(maxEntries: Int) {
   require(maxEntries >= 1)
   private val entries = scala.collection.mutable
     .LinkedHashMap.empty[(Int, String, String), DataFrame]
+  LruFrameCache.register(this)
 
   def getOrElseUpdate(key: (Int, String, String),
       build: => DataFrame): DataFrame = synchronized {
@@ -31,9 +41,31 @@ private[operators] final class LruFrameCache(maxEntries: Int) {
         while (entries.size > maxEntries) {
           val (oldest, frame) = entries.head
           entries.remove(oldest)
-          frame.unpersist(false)
+          graft.FrameRelease.release(frame)
         }
         built
     }
+  }
+
+  /** Release every entry and empty the map (see [[LruFrameCache.clearAll]]). */
+  def clear(): Unit = synchronized {
+    entries.valuesIterator.foreach(graft.FrameRelease.release)
+    entries.clear()
+  }
+}
+
+private[graft] object LruFrameCache {
+  private val registry =
+    scala.collection.mutable.ArrayBuffer.empty[LruFrameCache]
+
+  private def register(c: LruFrameCache): Unit =
+    synchronized { registry += c }
+
+  /** Flush EVERY memo cache in the process. Harness-only: call before a
+    * blanket `getPersistentRDDs.foreach(_.unpersist)` so no memo map is
+    * left holding a frame whose backing blocks were just destroyed. */
+  def clearAll(): Unit = {
+    val caches = synchronized { registry.toVector }
+    caches.foreach(_.clear())
   }
 }

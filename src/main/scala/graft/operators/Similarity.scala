@@ -541,9 +541,13 @@ object Similarity {
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("newv"))
-      cents = cents.join(means, Seq("cent_id"), "left")
+      val next = cents.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("newv"), col("centv")).as("centv"))
         .localCheckpoint(true)
+      // the new round is EAGERLY materialized, so the superseded round's
+      // checkpoint blocks can be released (plain unpersist would no-op)
+      graft.FrameRelease.release(cents)
+      cents = next
       i += 1
     }
     v.unpersist()
@@ -781,14 +785,14 @@ object Similarity {
         // constant-depth plan instead of an O(k) expression stack
         if (picked.size % 16 == 0) {
           val ck = pool.localCheckpoint(true)
-          if (lastCkpt != null) lastCkpt.unpersist(false)
+          graft.FrameRelease.release(lastCkpt)
           lastCkpt = ck
           pool = ck
         }
       }
       r += 1
     }
-    if (lastCkpt != null) lastCkpt.unpersist(false)
+    graft.FrameRelease.release(lastCkpt)
     pool0.unpersist(false)
     picked.zipWithIndex.map { case ((id, score, _), i) =>
       (i + 1L, id, math.floor(score * 10000.0) / 10000.0)

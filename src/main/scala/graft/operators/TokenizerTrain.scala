@@ -168,8 +168,12 @@ object TokenizerTrain {
       // eager per-round materialization (one vocabulary-sized job each,
       // like any BPE trainer's merge pass); truncates lineage so round
       // k+1's plan starts from a 1-row leaf, not the whole history.
-      wide = Some(wide.map(_.crossJoin(best)).getOrElse(best)
-        .localCheckpoint())
+      val next = wide.map(_.crossJoin(best)).getOrElse(best)
+        .localCheckpoint()
+      // eager checkpoint: release the superseded round's (1-row) frame so
+      // a training call registers ONE checkpoint RDD, not nMerges of them
+      wide.foreach(graft.FrameRelease.release)
+      wide = Some(next)
     }
     words.unpersist()
     wide.get

@@ -87,4 +87,97 @@ class CacheHygieneSpec extends AnyFunSuite {
       Graph.betweennessCentrality(edges, "a", "b", seeds, "s", maxHops = 4)
     }
   }
+
+  // ---- FrameRelease: the checkpoint-aware release discipline ----------
+  //
+  // Dataset.unpersist only clears CacheManager entries (persist()-backed
+  // frames). A localCheckpoint-backed frame persists its RDD directly —
+  // unpersist on it is a silent NO-OP, which is exactly how the round-8
+  // "release the superseded checkpoint" fix shipped dead code. These
+  // gates pin the real semantics so the defect class cannot return.
+
+  /** The checkpoint's backing RDD id — registry membership by ID is
+    * flake-proof against the async ContextCleaner touching OTHER entries,
+    * where raw registry counts are not. */
+  private def ckptRddId(df: DataFrame): Int =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case other => fail(s"expected a LogicalRDD root, got $other")
+    }
+  private def registered(id: Int): Boolean =
+    spark.sparkContext.getPersistentRDDs.contains(id)
+
+  test("Dataset.unpersist is a no-op on a localCheckpointed frame; " +
+      "FrameRelease.release actually frees it") {
+    val ck = spark.range(0, 100).toDF("id").localCheckpoint(true)
+    val id = ckptRddId(ck)
+    assert(registered(id),
+      "localCheckpoint(true) should register a persisted RDD")
+    ck.unpersist(true)
+    assert(registered(id),
+      "if plain unpersist ever starts working on checkpoints, the " +
+        "FrameRelease indirection can be retired — update this gate")
+    graft.FrameRelease.release(ck)
+    assert(!registered(id),
+      "FrameRelease must unpersist the checkpoint's backing RDD")
+  }
+
+  test("FrameRelease leaves a DERIVED frame's parent checkpoint alone " +
+      "and tolerates null / plain frames") {
+    val ck = spark.range(0, 100).toDF("id").localCheckpoint(true)
+    val id = ckptRddId(ck)
+    val derived = ck.filter($"id" % 2 === 0)
+    graft.FrameRelease.release(derived) // root is Filter, not LogicalRDD
+    assert(registered(id) && derived.count() == 50L,
+      "releasing a derived frame must not kill its parent's blocks")
+    graft.FrameRelease.release(null)
+    graft.FrameRelease.release(spark.range(3).toDF("id")) // un-materialized
+    graft.FrameRelease.release(ck)
+    assert(!registered(id))
+  }
+
+  test("iterative checkpoint loops release every superseded round") {
+    // distributedComponents: one localCheckpoint per star-contraction
+    // round; only the FINAL round (the result's backing) may remain
+    locally {
+      val base = persisted()
+      val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.distributedComponents(pairs, maxIter = 20)
+      labels.count()
+      assert(persisted() <= base + 1,
+        "a 40-node chain runs several contraction rounds; superseded " +
+          "round checkpoints must be released eagerly")
+      graft.FrameRelease.release(labels)
+    }
+    // trainKMeans: one checkpoint per round; final centroids remain
+    locally {
+      val base = persisted()
+      val corpus = (0L until 32L)
+        .map(i => (i, Array.fill(4)((i % 7).toFloat)))
+        .toDF("id", "v")
+      val cents = Similarity.trainKMeans(corpus, "id", "v", k = 3, iters = 4)
+      cents.count()
+      assert(persisted() <= base + 1,
+        "4 k-means rounds must leave at most the final centroid checkpoint")
+      graft.FrameRelease.release(cents)
+      assert(persisted() <= base)
+    }
+  }
+
+  test("LruFrameCache eviction and clearAll free checkpoint-backed entries") {
+    val cache = new LruFrameCache(maxEntries = 1)
+    def ck(n: Int) = spark.range(0, n.toLong).toDF("id").localCheckpoint(true)
+    val first = cache.getOrElseUpdate((1, "a", "p"), ck(10))
+    val second = cache.getOrElseUpdate((1, "b", "p"), ck(20)) // evicts first
+    assert(!registered(ckptRddId(first)),
+      "eviction must release the evicted entry's checkpoint blocks")
+    assert(registered(ckptRddId(second)))
+    LruFrameCache.clearAll()
+    assert(!registered(ckptRddId(second)),
+      "clearAll must flush every registered cache and free its frames")
+    // a cleared cache rebuilds on the next request (no dead-frame hits)
+    val rebuilt = cache.getOrElseUpdate((1, "b", "p"), ck(20))
+    assert(rebuilt.count() == 20L)
+    cache.clear()
+  }
 }
