@@ -70,6 +70,30 @@ object Bench {
       }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    // Host-speed canary: a FIXED deterministic CPU workload (FNV-style
+    // hash fold), measured single-threaded and at full thread count. No
+    // code change can affect it, so when the fleet-wide drift check fires
+    // the canary attributes the slowdown: canary drifted too -> the HOST
+    // is slower (CPU steal, thermal/neighbor throttle, slower clock);
+    // canary stable -> the drift is in the code under test. ~2 s total.
+    def canaryWork(n: Long): Long = {
+      var i = 0L; var h = 1469598103934665603L
+      while (i < n) { h = (h ^ i) * 1099511628211L; i += 1 }
+      h
+    }
+    val (canarySingleSec, canaryParSec) = {
+      canaryWork(10_000_000L) // JIT warm
+      val t1 = System.nanoTime()
+      canaryWork(400_000_000L)
+      val single = (System.nanoTime() - t1) / 1e9
+      val nThreads = cpus.toInt
+      val t2 = System.nanoTime()
+      val threads = (1 to nThreads).map(_ =>
+        new Thread(() => { canaryWork(100_000_000L); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val par = (System.nanoTime() - t2) / 1e9
+      (single, par)
+    }
     // the collapse baseline is sampled AFTER the warmup on purpose: the
     // warmup is what populates the page cache, so a pre-warmup sample on
     // a cold host would make any later collapse undetectable (now*2 <
@@ -139,7 +163,14 @@ object Bench {
     // no downstream reader can mistake a loaded run's suspects for
     // regressions (round-6 hygiene item: one retry under sustained load
     // could not clear a pure load artifact).
-    val prevTrend = readPrevTrend(trendFile, sfDir)
+    val prevEntry = readPrevEntry(trendFile, sfDir)
+    val prevTrend = prevEntry.map(queriesOf).getOrElse(Map.empty)
+    def canaryOf(n: com.fasterxml.jackson.databind.JsonNode) =
+      if (n.has("canary_single_sec") && n.has("canary_par_sec"))
+        Some((n.path("canary_single_sec").asDouble(),
+          n.path("canary_par_sec").asDouble()))
+      else None
+    val prevCanary = prevEntry.flatMap(canaryOf)
     val qByName = selected.toMap
     def suspectsOf(rs: Seq[(String, Double)]): Seq[String] =
       rs.collect { case (name, t)
@@ -179,8 +210,23 @@ object Bench {
       cause = Some(s"page cache collapsed: ${cachedKbWarm / 1024} MB -> " +
         s"${cachedKb() / 1024} MB")
     else if (medianDrift > medianDriftThreshold) {
+      // the canary attributes the drift: it cannot be affected by code
+      // changes, so if IT drifted too the host is slower; if it held, the
+      // slowdown lives in the code under test and deserves a real look
+      val attribution = prevCanary match {
+        case Some((s0, p0))
+            if canarySingleSec > 1.15 * s0 || canaryParSec > 1.15 * p0 =>
+          f"; host canary drifted too (single ${s0}%.2f->" +
+            f"$canarySingleSec%.2f s, par ${p0}%.2f->$canaryParSec%.2f s)" +
+            " -> host-attributed"
+        case Some((s0, p0)) =>
+          f"; host canary STABLE (single ${s0}%.2f->$canarySingleSec%.2f s" +
+            f", par ${p0}%.2f->$canaryParSec%.2f s) -> code-attributed, " +
+            "investigate"
+        case None => ""
+      }
       cause = Some(f"fleet-wide slowdown: median x$medianDrift%.3f vs " +
-        s"trend over ${ratios.size} queries")
+        s"trend over ${ratios.size} queries" + attribution)
       causeIsDrift = true
     }
     else if (suspects.nonEmpty && loadAvg() > loadThreshold) {
@@ -257,6 +303,8 @@ object Bench {
         s""""contamination_cause":${cause.map("\"" + _ + "\"")
           .getOrElse("null")},""" +
         s""""median_drift_vs_trend":${fmt(medianDrift)},""" +
+        s""""canary_single_sec":${fmt(canarySingleSec)},""" +
+        s""""canary_par_sec":${fmt(canaryParSec)},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
         s""""suspects_under_load":$underLoadJson,""" +
@@ -292,6 +340,8 @@ object Bench {
         (if (causeIsDrift) s""""drift_flag":true,""" else "") +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
+        s""""canary_single_sec":${fmt(canarySingleSec)},""" +
+        s""""canary_par_sec":${fmt(canaryParSec)},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""queries":${results.map { case (k, v) =>
           "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
@@ -331,17 +381,25 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  /** Baseline same-sf entry from the trend history: query -> min seconds.
-    * Usually the latest entry; a `drift_flag` (fleet-wide slowdown) entry
-    * is skipped in favor of the entry before it UNLESS that one is also
-    * flagged — two consecutive flagged runs mean the slowdown reproduces
-    * and the newest becomes the baseline (the de-ratchet; see the trend
-    * append in main). Any parse problem degrades to "no history" — the
-    * bench must never fail because of a malformed trend line. */
-  private def readPrevTrend(path: String, sf: String): Map[String, Double] =
+  private def queriesOf(
+      n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    n.path("queries").fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  }
+
+  /** Baseline same-sf entry from the trend history. Usually the latest
+    * entry; a `drift_flag` (fleet-wide slowdown) entry is skipped in
+    * favor of the entry before it UNLESS that one is also flagged — two
+    * consecutive flagged runs mean the slowdown reproduces and the
+    * newest becomes the baseline (the de-ratchet; see the trend append
+    * in main). Any parse problem degrades to "no history" — the bench
+    * must never fail because of a malformed trend line. */
+  private def readPrevEntry(path: String, sf: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) return Map.empty
+      if (!java.nio.file.Files.exists(p)) return None
       import scala.jdk.CollectionConverters._
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val sameSf = java.nio.file.Files.readAllLines(p).asScala
@@ -350,18 +408,15 @@ object Bench {
         .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
         .filter(_.path("sf").asText() == sf)
         .take(2).toVector
-      def queriesOf(n: com.fasterxml.jackson.databind.JsonNode) =
-        n.path("queries").fields().asScala
-          .map(e => e.getKey -> e.getValue.asDouble()).toMap
       sameSf match {
-        case Vector() => Map.empty
-        case Vector(latest) => queriesOf(latest)
+        case Vector() => None
+        case Vector(latest) => Some(latest)
         case Vector(latest, older) =>
-          if (!latest.path("drift_flag").asBoolean(false)) queriesOf(latest)
-          else if (older.path("drift_flag").asBoolean(false)) queriesOf(latest)
-          else queriesOf(older)
+          if (!latest.path("drift_flag").asBoolean(false)) Some(latest)
+          else if (older.path("drift_flag").asBoolean(false)) Some(latest)
+          else Some(older)
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** A/B for the LevenshteinPrefilter optimizer rule: 200k candidate
     * pairs of ~400-char strings where most pairs differ wildly in length
