@@ -81,17 +81,23 @@ object Bench {
       while (i < n) { h = (h ^ i) * 1099511628211L; i += 1 }
       h
     }
+    // every canaryWork result is folded into a side-effecting sink: a
+    // result-discarding loop is exactly what C2 dead-code-eliminates, and
+    // a silently-zeroed canary would invert the drift attribution below
+    val canarySink = new java.util.concurrent.atomic.AtomicLong()
     val (canarySingleSec, canaryParSec) = {
-      canaryWork(10_000_000L) // JIT warm
+      canarySink.addAndGet(canaryWork(10_000_000L)) // JIT warm
       val t1 = System.nanoTime()
-      canaryWork(400_000_000L)
+      canarySink.addAndGet(canaryWork(400_000_000L))
       val single = (System.nanoTime() - t1) / 1e9
       val nThreads = cpus.toInt
       val t2 = System.nanoTime()
       val threads = (1 to nThreads).map(_ =>
-        new Thread(() => { canaryWork(100_000_000L); () }))
+        new Thread(() => { canarySink.addAndGet(canaryWork(100_000_000L)); () }))
       threads.foreach(_.start()); threads.foreach(_.join())
       val par = (System.nanoTime() - t2) / 1e9
+      if (canarySink.get == 0L) // impossible for this fold; pins the sink
+        System.err.println("[bench] canary sink zero — investigate")
       (single, par)
     }
     // the collapse baseline is sampled AFTER the warmup on purpose: the
@@ -172,13 +178,23 @@ object Bench {
       else None
     val prevCanary = prevEntry.flatMap(canaryOf)
     val qByName = selected.toMap
+    // Retries take min-of-2, NOT a single measurement: the family-boundary
+    // clear flushed the shared memo caches, so a retried memo-fed query's
+    // FIRST run pays the shared graph build its trend entry (min-of-N,
+    // memo hit) never includes — a single retry run could exceed 2x trend
+    // on a perfectly healthy host and ship a phantom permanent suspect.
+    // Run 1 rebuilds the memo; run 2 is the apples-to-apples steady state.
+    def retryOnce(name: String): Double = {
+      val fn = qByName(name)
+      math.min(runOnce(name, fn), runOnce(name, fn))
+    }
     def suspectsOf(rs: Seq[(String, Double)]): Seq[String] =
       rs.collect { case (name, t)
         if prevTrend.get(name).exists(p => t > 2 * p && t - p > 0.5) => name }
     var results = firstPass.map { case (name, t) =>
       prevTrend.get(name) match {
         case Some(p) if t > 2 * p && t - p > 0.5 =>
-          name -> math.min(t, runOnce(name, qByName(name)))
+          name -> math.min(t, retryOnce(name))
         case _ => name -> t
       }
     }
@@ -240,7 +256,7 @@ object Bench {
         val sus = suspects.toSet
         results = results.map {
           case (name, t) if sus(name) =>
-            name -> math.min(t, runOnce(name, qByName(name)))
+            name -> math.min(t, retryOnce(name))
           case x => x
         }
         suspects = suspectsOf(results)
@@ -260,7 +276,7 @@ object Bench {
       val sus = suspects.toSet
       results = results.map {
         case (name, t) if sus(name) =>
-          name -> math.min(t, runOnce(name, qByName(name)))
+          name -> math.min(t, retryOnce(name))
         case x => x
       }
       suspects = suspectsOf(results)
@@ -305,6 +321,12 @@ object Bench {
         s""""median_drift_vs_trend":${fmt(medianDrift)},""" +
         s""""canary_single_sec":${fmt(canarySingleSec)},""" +
         s""""canary_par_sec":${fmt(canaryParSec)},""" +
+        // the shared memo builds vanish from steady-state per-query times
+        // (min-of-N discards the first-touch run); report them explicitly
+        // so a build regression stays diffable round over round
+        s""""memo_build_secs":${SparkEntry.memoBuildSecs.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
         s""""suspects_under_load":$underLoadJson,""" +
@@ -342,6 +364,9 @@ object Bench {
         s""""load_avg_end":${fmt(loadAvg())},""" +
         s""""canary_single_sec":${fmt(canarySingleSec)},""" +
         s""""canary_par_sec":${fmt(canaryParSec)},""" +
+        s""""memo_build_secs":${SparkEntry.memoBuildSecs.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""queries":${results.map { case (k, v) =>
           "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
@@ -410,7 +435,11 @@ object Bench {
         .take(2).toVector
       sameSf match {
         case Vector() => None
-        case Vector(latest) => Some(latest)
+        case Vector(latest) =>
+          // a LONE flagged entry never becomes the baseline (a truncated
+          // history must not launder one noisy run into the trend)
+          if (latest.path("drift_flag").asBoolean(false)) None
+          else Some(latest)
         case Vector(latest, older) =>
           if (!latest.path("drift_flag").asBoolean(false)) Some(latest)
           else if (older.path("drift_flag").asBoolean(false)) Some(latest)

@@ -25,10 +25,15 @@ import org.apache.spark.sql.execution.LogicalRDD
 object FrameRelease {
   def release(df: Dataset[_]): Unit = {
     if (df == null) return
-    df.unpersist(false)
-    df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    // best-effort by contract: the frame is already superseded, so a
+    // failed release (e.g. the owning SparkContext was stopped between
+    // materialization and cleanup) must never abort the caller's work
+    try {
+      df.unpersist(false)
+      df.queryExecution.analyzed match {
+        case lr: LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

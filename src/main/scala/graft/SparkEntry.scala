@@ -100,9 +100,30 @@ object SparkEntry {
     * flushes it at family boundaries via LruFrameCache.clearAll. */
   private val sharedFrameCache =
     new graft.operators.LruFrameCache(maxEntries = 4)
+
+  /** Wall-seconds the shared memo builds actually cost (max seen per tag).
+    * Memoization removes a build from every steady-state per-query timing
+    * — min-of-N discards the first-touch run that paid it — so a
+    * regression in a shared build would otherwise be invisible to the
+    * bench's trend guard. [[Bench]] reads this map and reports the builds
+    * as explicit `memo_build_secs` artifact entries instead. */
+  val memoBuildSecs =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+  private def timedBuild(tag: String)(build: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val f = build
+    val sec = (System.nanoTime() - t0) / 1e9
+    memoBuildSecs.updateWith(tag) {
+      case Some(prev) => Some(math.max(prev, sec))
+      case None => Some(sec)
+    }
+    f
+  }
+
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "lshTopK|emb|k=3|planes=4"), {
+      (System.identityHashCode(s), dir, "lshTopK|emb|k=3|planes=4"),
+      timedBuild("knn_graph") {
         val emb = t(s, dir, "embeddings")
         val g = Similarity
           .lshTopK(emb, emb, "vec_id", "embedding", k = 3, planes = 4)
@@ -119,7 +140,8 @@ object SparkEntry {
     * materializes the self-join + distinct so later callers skip both. */
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "minhashLsh|doc|2|16|4"), {
+      (System.identityHashCode(s), dir, "minhashLsh|doc|2|16|4"),
+      timedBuild("lsh_candidate_pairs") {
         val p = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
             "text", shingleN = 2, numHashes = 16, rowsPerBand = 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,7 +156,8 @@ object SparkEntry {
     * edge list, so the build is memoized per (session, sf dir). */
   private def nationTradeEdges(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "nationTradeEdges"), {
+      (System.identityHashCode(s), dir, "nationTradeEdges"),
+      timedBuild("nation_trade_edges") {
         val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
         val e = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
           .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),

@@ -998,16 +998,25 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter large/small-star rounds")
     // at the fixpoint the edge set is a star per component: u -> component
-    // min; the labels plan reads the final checkpointed round directly.
-    // A self-loop node that also has real edges gets its component label
-    // via the min (component min <= own id); a pure singleton keeps itself.
-    edges
+    // min. A self-loop node that also has real edges gets its component
+    // label via the min (component min <= own id); a pure singleton keeps
+    // itself. The labels are materialized into a PERSIST-backed frame so
+    // the final round's checkpoint can be released here — a result that
+    // lazily read the checkpoint would pin it for the session's lifetime
+    // with no caller-visible way to free it (checkpoint blocks don't
+    // answer Dataset.unpersist; callers release the returned frame with a
+    // plain unpersist like any other operator result).
+    val labels = edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(
         edges.select(col("v")).distinct()
           .select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .unionByName(selfNodes)
       .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    graft.FrameRelease.release(edges)
+    labels
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, canonical (a < b).

@@ -14,8 +14,13 @@ import org.apache.spark.sql.DataFrame
   * CacheHygieneSpec gates for the graph family. Hits refresh recency;
   * overflow RELEASES (via [[graft.FrameRelease]] — plain `unpersist` is
   * a no-op for the localCheckpoint-backed entries like TokenizerTrain's
-  * merge tables) and drops the least recently used entry. Correctness is
-  * unaffected: an evicted frame recomputes on next use. `build` runs
+  * merge tables) and drops the least recently used entry. A new REQUEST
+  * for an evicted key recomputes, so correctness across calls holds; but
+  * a checkpoint-backed frame HELD from an earlier getOrElseUpdate dies
+  * with its blocks (lineage is truncated — nothing to recompute from),
+  * so consumers must finish with a returned frame before the session can
+  * touch `maxEntries` further distinct configs, and `maxEntries` is
+  * sized above any query family's concurrent working set. `build` runs
   * inside the lock so one thread pays each miss.
   *
   * Every instance self-registers so harnesses that blanket-unpersist the
@@ -47,9 +52,16 @@ private[graft] final class LruFrameCache(maxEntries: Int) {
     }
   }
 
-  /** Release every entry and empty the map (see [[LruFrameCache.clearAll]]). */
+  /** Release every entry and empty the map (see [[LruFrameCache.clearAll]]).
+    * Per-entry release failures are swallowed: entries may belong to an
+    * already-STOPPED SparkSession (test suites, session-per-request
+    * services), where touching the frame throws IllegalStateException —
+    * the flush must still drop the map entries so the dead references go. */
   def clear(): Unit = synchronized {
-    entries.valuesIterator.foreach(graft.FrameRelease.release)
+    entries.valuesIterator.foreach { f =>
+      try graft.FrameRelease.release(f)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     entries.clear()
   }
 }

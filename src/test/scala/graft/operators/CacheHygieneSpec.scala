@@ -138,16 +138,21 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   test("iterative checkpoint loops release every superseded round") {
     // distributedComponents: one localCheckpoint per star-contraction
-    // round; only the FINAL round (the result's backing) may remain
+    // round; ALL round checkpoints (including the final one) release
+    // before return — the result is an ordinary persist-backed frame the
+    // caller can free with a plain unpersist
     locally {
       val base = persisted()
       val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
       val labels = Dedup.distributedComponents(pairs, maxIter = 20)
-      labels.count()
+      assert(labels.count() == 41L)
       assert(persisted() <= base + 1,
         "a 40-node chain runs several contraction rounds; superseded " +
           "round checkpoints must be released eagerly")
-      graft.FrameRelease.release(labels)
+      labels.unpersist(true)
+      assert(persisted() <= base,
+        "the labels frame must be persist-backed (releasable by callers), " +
+          "not a lazy read of the final round's checkpoint")
     }
     // trainKMeans: one checkpoint per round; final centroids remain
     locally {
