@@ -32,4 +32,26 @@ class EntrySpec extends AnyFunSuite {
         assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("streaming fold queries hold a BOUNDED state registry end-to-end") {
+    // the foreachBatch folds checkpoint their state per micro-batch and
+    // must release the superseded checkpoint (FrameRelease) — a plain
+    // unpersist silently no-ops on checkpoints, which once shipped one
+    // leaked state RDD per batch. Running the query twice and asserting
+    // the registry growth stays far below the processed batch count gates
+    // the release discipline through the REAL query path, not just the
+    // helper unit tests.
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    Seq("st8_stream_cdc_apply", "st16_stream_ledger").foreach { name =>
+      val base = persisted()
+      val fn = SparkEntry.queries(name)
+      fn(spark, TestSpark.sf0001).count()
+      fn(spark, TestSpark.sf0001).count()
+      val grown = persisted() - base
+      assert(grown <= 4,
+        s"$name grew the persistent-RDD registry by $grown across two " +
+          "full runs — the per-batch superseded-checkpoint release is " +
+          "not holding")
+    }
+  }
 }
