@@ -74,11 +74,11 @@ object SparkEntry {
     * corpus-sized table for the life of the process. The layout is
     * deterministic in the inputs, so reuse cannot change the result. */
   private val s22Layouts =
-    scala.collection.mutable.Map.empty[(Int, String), String]
+    scala.collection.mutable.Map.empty[(String, String), String]
   private def s22LayoutDir(s: SparkSession, dir: String): String =
     s22Layouts.synchronized {
       s22Layouts.getOrElseUpdate(
-        (System.identityHashCode(s), dir), {
+        (graft.SessionKey(s), dir), {
           val out = TmpDirs.create("graft-s22") + "/docs"
           t(s, dir, "documents")
             .withColumn("b",
@@ -126,7 +126,7 @@ object SparkEntry {
 
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "lshTopK|emb|k=3|planes=4"),
+      (graft.SessionKey(s), dir, "lshTopK|emb|k=3|planes=4"),
       timedBuild("knn_graph") {
         val emb = t(s, dir, "embeddings")
         val g = Similarity
@@ -144,7 +144,7 @@ object SparkEntry {
     * materializes the self-join + distinct so later callers skip both. */
   private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "minhashLsh|doc|2|16|4"),
+      (graft.SessionKey(s), dir, "minhashLsh|doc|2|16|4"),
       timedBuild("lsh_candidate_pairs") {
         val p = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
             "text", shingleN = 2, numHashes = 16, rowsPerBand = 4)
@@ -160,7 +160,7 @@ object SparkEntry {
     * edge list, so the build is memoized per (session, sf dir). */
   private def nationTradeEdges(s: SparkSession, dir: String): DataFrame =
     sharedFrameCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, "nationTradeEdges"),
+      (graft.SessionKey(s), dir, "nationTradeEdges"),
       timedBuild("nation_trade_edges") {
         val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
         val e = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2723,10 +2723,17 @@ object SparkEntry {
       // per-group series are SPARSE at tiny SF (priority x month gaps
       // exist at sf0.001), so the index is deliberately positional over
       // observed months — both engines share the construction; the
-      // gapless guard applies only to the dense global series
+      // gapless guard applies only to the dense global series. The
+      // alignment basis is made VISIBLE instead of silent:
+      // n_missing_months = (month span) - (observed months) per group,
+      // so a reader can see exactly how far each group's positional
+      // index deviates from a true calendar index (0 = calendar-exact)
       val idx = monthly.select(col("priority"), col("mx"), col("cents"),
         row_number().over(Window.partitionBy("priority").orderBy("mx"))
           .cast("long").as("i"))
+      val gaps = monthly.groupBy("priority")
+        .agg((max(col("mx")) - min(col("mx")) + lit(1L) - count(lit(1)))
+          .as("n_missing_months"))
       graft.operators.TimeSeries
         .holtWintersByGroup(idx, "priority", "i", "cents", period = 12,
           alphaInv = 5, betaInv = 10, gammaInv = 5)
@@ -2735,6 +2742,7 @@ object SparkEntry {
         .select(col("key").as("priority"), col("mx"),
           col("x").as("cents"), col("fitted").as("fitted_cents"),
           (col("x") - col("fitted")).as("resid_cents"))
+        .join(broadcast(gaps), Seq("priority"))
     }),
     "q104_did" -> ((s, dir) => {
       // difference-in-differences readout: treat = odd custkey (the
@@ -8059,11 +8067,15 @@ object SparkEntry {
         |  + 4 * k.s[1]) // 5],
         |k.l + k.b + k.s[1]
         |FROM k JOIN idx st ON st.g = k.g AND st.i = k.i + 1)
-        |SELECT g, i, fitted FROM k WHERE i >= 13)
+        |SELECT g, i, fitted FROM k WHERE i >= 13),
+        |gaps AS (SELECT g, (max(mx) - min(mx) + 1
+        |  - count(*))::BIGINT AS n_missing_months FROM monthly GROUP BY g)
         |SELECT idx.g AS priority, idx.mx, idx.cents,
         |hw.fitted AS fitted_cents,
-        |idx.cents - hw.fitted AS resid_cents
-        |FROM hw JOIN idx ON idx.g = hw.g AND idx.i = hw.i""".stripMargin,
+        |idx.cents - hw.fitted AS resid_cents,
+        |gaps.n_missing_months
+        |FROM hw JOIN idx ON idx.g = hw.g AND idx.i = hw.i
+        |JOIN gaps ON gaps.g = hw.g""".stripMargin,
     "q99_interarrival" ->
       """WITH g0 AS (SELECT event_type,
         |epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

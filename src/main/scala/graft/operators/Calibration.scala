@@ -67,7 +67,7 @@ object Calibration {
   private val trainCache = new LruFrameCache(maxEntries = 8)
 
   private def cacheKey(docs: DataFrame, params: Seq[Any]) =
-    (System.identityHashCode(docs.sparkSession),
+    (graft.SessionKey(docs.sparkSession),
       docs.queryExecution.analyzed.semanticHash().toString,
       params.mkString("|"))
 

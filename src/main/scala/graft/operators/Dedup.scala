@@ -1000,12 +1000,16 @@ object Dedup {
     // at the fixpoint the edge set is a star per component: u -> component
     // min. A self-loop node that also has real edges gets its component
     // label via the min (component min <= own id); a pure singleton keeps
-    // itself. The labels are materialized into a PERSIST-backed frame so
-    // the final round's checkpoint can be released here — a result that
-    // lazily read the checkpoint would pin it for the session's lifetime
-    // with no caller-visible way to free it (checkpoint blocks don't
-    // answer Dataset.unpersist; callers release the returned frame with a
-    // plain unpersist like any other operator result).
+    // itself. The labels are EAGERLY checkpointed (lineage-free LogicalRDD
+    // root) BEFORE the final round's checkpoint is released — a persist
+    // here would keep the released checkpoint in the labels' recompute
+    // lineage, so any lost cached partition would recompute through
+    // destroyed checkpoint blocks and throw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-query. With the lineage cut
+    // there is nothing left referencing the round frames; callers release
+    // the returned frame with [[graft.FrameRelease]] (the house pattern
+    // for every materialized operator result — plain Dataset.unpersist is
+    // a no-op on checkpoint-backed frames).
     val labels = edges
       .select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(
@@ -1013,8 +1017,7 @@ object Dedup {
           .select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .unionByName(selfNodes)
       .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     graft.FrameRelease.release(edges)
     labels
   }

@@ -98,7 +98,7 @@ object EntityResolution {
   /** Token-blocked candidates with the FS feature vector and deci-unit
     * score, pre-decision. NOT pair-deduplicated: callers dedupe after
     * whatever filter bounds their output. */
-  private def fellegiSunterScored(records: DataFrame, keyCol: String,
+  private[operators] def fellegiSunterScored(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int, priceTol: Double): DataFrame = {
     val tk = records.select(col(keyCol), col(nameCol), col(blockCol),
@@ -154,7 +154,7 @@ object EntityResolution {
   private def scoredDistinct(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int, priceTol: Double): DataFrame = {
-      val key = (System.identityHashCode(records.sparkSession),
+      val key = (graft.SessionKey(records.sparkSession),
         records.queryExecution.analyzed.semanticHash().toString,
         Seq(keyCol, nameCol, blockCol, sizeCol, catCol, priceCol, sizeTol,
           priceTol).mkString("|"))
@@ -638,7 +638,7 @@ object EntityResolution {
   def resolveEntities(records: DataFrame, keyCol: String, nameCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val proj = records.select(col(keyCol), col(nameCol), col(blockCol))
-    val key = (System.identityHashCode(records.sparkSession),
+    val key = (graft.SessionKey(records.sparkSession),
       proj.queryExecution.optimizedPlan.semanticHash().toString,
       Seq(keyCol, nameCol, blockCol, threshold).mkString("|"))
     entityCache.getOrElseUpdate(key,

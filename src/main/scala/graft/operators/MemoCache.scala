@@ -1,13 +1,16 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Bounded LRU over persisted/checkpointed memo frames — the shared
   * backing for the cross-query memo pattern (EntityResolution's scored
   * candidates, Calibration's centered base + trained weights,
   * TokenizerTrain's merge tables): one frame per distinct
-  * (session identity, source-plan semantic hash, params) key, reused by
-  * every query in the family within a session.
+  * (session key, source-plan semantic hash, params) key, reused by
+  * every query in the family within a session. The session component
+  * comes from [[graft.SessionKey]] — a per-instance UUID, never
+  * `identityHashCode` (a GC'd session's address can be reused and would
+  * silently serve a dead session's frame to a new one).
   *
   * An unbounded map leaks cached frames in a long-lived session that
   * scores many distinct corpora/configs — the defect class
@@ -23,20 +26,28 @@ import org.apache.spark.sql.DataFrame
   * sized above any query family's concurrent working set. `build` runs
   * inside the lock so one thread pays each miss.
   *
-  * Every instance self-registers so harnesses that blanket-unpersist the
-  * session's RDDs between query families ([[graft.Bench]]) can first
-  * flush the memo maps through [[LruFrameCache.clearAll]] — otherwise a
-  * later memo HIT would hand back a frame whose checkpoint blocks the
-  * blanket clear already destroyed, and acting on it throws
-  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+  * With [[LruFrameCache.debug]] on (tests, diagnosis), every eviction of
+  * a checkpoint-backed frame leaves a TOMBSTONE keyed by the destroyed
+  * RDD id; a held-frame touch that then dies with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND can be attributed to the exact
+  * evicted memo key via [[LruFrameCache.evictionTombstone]] instead of
+  * reading as an unexplained storage failure.
+  *
+  * Every instance self-registers (weakly — a per-session/per-request
+  * instance becomes collectable once its owner drops it) so harnesses
+  * that blanket-unpersist the session's RDDs between query families
+  * ([[graft.Bench]]) can first flush the memo maps through
+  * [[LruFrameCache.clearAll]] — otherwise a later memo HIT would hand
+  * back a frame whose checkpoint blocks the blanket clear already
+  * destroyed, and acting on it throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
   */
 private[graft] final class LruFrameCache(maxEntries: Int) {
   require(maxEntries >= 1)
   private val entries = scala.collection.mutable
-    .LinkedHashMap.empty[(Int, String, String), DataFrame]
+    .LinkedHashMap.empty[(String, String, String), DataFrame]
   LruFrameCache.register(this)
 
-  def getOrElseUpdate(key: (Int, String, String),
+  def getOrElseUpdate(key: (String, String, String),
       build: => DataFrame): DataFrame = synchronized {
     entries.remove(key) match {
       case Some(hit) => entries.put(key, hit); hit
@@ -46,6 +57,7 @@ private[graft] final class LruFrameCache(maxEntries: Int) {
         while (entries.size > maxEntries) {
           val (oldest, frame) = entries.head
           entries.remove(oldest)
+          LruFrameCache.recordTombstone(oldest, frame)
           graft.FrameRelease.release(frame)
         }
         built
@@ -58,26 +70,64 @@ private[graft] final class LruFrameCache(maxEntries: Int) {
     * services), where touching the frame throws IllegalStateException —
     * the flush must still drop the map entries so the dead references go. */
   def clear(): Unit = synchronized {
-    entries.valuesIterator.foreach { f =>
-      try graft.FrameRelease.release(f)
-      catch { case scala.util.control.NonFatal(_) => () }
+    entries.foreach { case (key, f) =>
+      try {
+        LruFrameCache.recordTombstone(key, f)
+        graft.FrameRelease.release(f)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     entries.clear()
   }
 }
 
 private[graft] object LruFrameCache {
-  private val registry =
-    scala.collection.mutable.ArrayBuffer.empty[LruFrameCache]
+  private val registry = scala.collection.mutable
+    .ArrayBuffer.empty[java.lang.ref.WeakReference[LruFrameCache]]
 
-  private def register(c: LruFrameCache): Unit =
-    synchronized { registry += c }
+  private def register(c: LruFrameCache): Unit = synchronized {
+    registry.filterInPlace(_.get != null) // prune collected instances
+    registry += new java.lang.ref.WeakReference(c)
+  }
 
-  /** Flush EVERY memo cache in the process. Harness-only: call before a
-    * blanket `getPersistentRDDs.foreach(_.unpersist)` so no memo map is
-    * left holding a frame whose backing blocks were just destroyed. */
+  /** Flush EVERY live memo cache in the process. Harness-only: call
+    * before a blanket `getPersistentRDDs.foreach(_.unpersist)` so no memo
+    * map is left holding a frame whose backing blocks were just
+    * destroyed. */
   def clearAll(): Unit = {
-    val caches = synchronized { registry.toVector }
+    val caches = synchronized { registry.flatMap(r => Option(r.get)).toVector }
     caches.foreach(_.clear())
   }
+
+  /** Eviction tombstones (debug/test only): destroyed-checkpoint RDD id →
+    * the memo key whose eviction destroyed it. Bounded by eviction count
+    * in a debug run; off (and empty) in production. */
+  @volatile var debug: Boolean = java.lang.Boolean.getBoolean("graft.memo.debug")
+  private val tombstones =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  private def recordTombstone(key: (String, String, String),
+      frame: DataFrame): Unit =
+    if (debug) {
+      try {
+        frame.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            tombstones.put(lr.rdd.id, key.toString())
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** If `df` is a checkpoint-backed frame whose blocks a memo eviction
+    * destroyed (debug mode), return the evicting key — turns a cryptic
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND into "you held frame X past its
+    * eviction". None for live frames, non-checkpoint roots, or with
+    * debug off. */
+  def evictionTombstone(df: Dataset[_]): Option[String] =
+    try {
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          tombstones.get(lr.rdd.id)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -87,7 +87,7 @@ object TokenizerTrain {
   private def trainedMergesWide(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = synchronized {
     val proj = docs.select(col(textCol))
-    val key = (System.identityHashCode(docs.sparkSession),
+    val key = (graft.SessionKey(docs.sparkSession),
       proj.queryExecution.optimizedPlan.semanticHash().toString,
       s"$textCol|$nMerges")
     trainCache.getOrElseUpdate(key,

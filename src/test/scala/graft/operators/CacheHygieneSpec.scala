@@ -139,8 +139,12 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("iterative checkpoint loops release every superseded round") {
     // distributedComponents: one localCheckpoint per star-contraction
     // round; ALL round checkpoints (including the final one) release
-    // before return — the result is an ordinary persist-backed frame the
-    // caller can free with a plain unpersist
+    // before return — the result is itself an EAGER checkpoint whose
+    // lineage no longer references any round frame (a persist-backed
+    // result would keep the released final checkpoint in its recompute
+    // lineage — a lost cached partition would then throw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Callers free it through
+    // FrameRelease like every other materialized operator result.
     locally {
       val base = persisted()
       val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
@@ -149,10 +153,12 @@ class CacheHygieneSpec extends AnyFunSuite {
       assert(persisted() <= base + 1,
         "a 40-node chain runs several contraction rounds; superseded " +
           "round checkpoints must be released eagerly")
-      labels.unpersist(true)
+      assert(ckptRddId(labels) >= 0,
+        "labels must be lineage-free (LogicalRDD root): a lazy plan over " +
+          "the released final round's checkpoint dies on block loss")
+      graft.FrameRelease.release(labels)
       assert(persisted() <= base,
-        "the labels frame must be persist-backed (releasable by callers), " +
-          "not a lazy read of the final round's checkpoint")
+        "releasing the labels frame must leave no round residue")
     }
     // trainKMeans: one checkpoint per round; final centroids remain
     locally {
@@ -172,8 +178,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("LruFrameCache eviction and clearAll free checkpoint-backed entries") {
     val cache = new LruFrameCache(maxEntries = 1)
     def ck(n: Int) = spark.range(0, n.toLong).toDF("id").localCheckpoint(true)
-    val first = cache.getOrElseUpdate((1, "a", "p"), ck(10))
-    val second = cache.getOrElseUpdate((1, "b", "p"), ck(20)) // evicts first
+    val first = cache.getOrElseUpdate(("s", "a", "p"), ck(10))
+    val second = cache.getOrElseUpdate(("s", "b", "p"), ck(20)) // evicts first
     assert(!registered(ckptRddId(first)),
       "eviction must release the evicted entry's checkpoint blocks")
     assert(registered(ckptRddId(second)))
@@ -181,8 +187,43 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(!registered(ckptRddId(second)),
       "clearAll must flush every registered cache and free its frames")
     // a cleared cache rebuilds on the next request (no dead-frame hits)
-    val rebuilt = cache.getOrElseUpdate((1, "b", "p"), ck(20))
+    val rebuilt = cache.getOrElseUpdate(("s", "b", "p"), ck(20))
     assert(rebuilt.count() == 20L)
     cache.clear()
+  }
+
+  test("debug tombstones attribute a held-past-eviction frame touch to " +
+      "the evicting memo key") {
+    // the defect this gates: a consumer HOLDS a frame returned by
+    // getOrElseUpdate, the session then touches maxEntries further
+    // distinct configs, and the held frame's checkpoint blocks are
+    // destroyed by the eviction — the later touch dies deep in execution
+    // with a storage error that names an RDD id, not the memo that freed
+    // it. Debug mode turns that into an attributable tombstone.
+    val prevDebug = LruFrameCache.debug
+    LruFrameCache.debug = true
+    try {
+      val cache = new LruFrameCache(maxEntries = 1)
+      def ck(n: Int) =
+        spark.range(0, n.toLong).toDF("id").localCheckpoint(true)
+      val held = cache.getOrElseUpdate(("s", "corpusA", "cfg"), ck(10))
+      assert(LruFrameCache.evictionTombstone(held).isEmpty,
+        "a live entry has no tombstone")
+      cache.getOrElseUpdate(("s", "corpusB", "cfg"), ck(20)) // evicts held
+      assert(!registered(ckptRddId(held)))
+      val tomb = LruFrameCache.evictionTombstone(held)
+      assert(tomb.exists(_.contains("corpusA")),
+        s"the tombstone must name the evicted key, got $tomb")
+      // the touch itself fails loudly (blocks are gone, lineage truncated)
+      val thrown = intercept[Exception] { held.count() }
+      assert(LruFrameCache.evictionTombstone(held).isDefined,
+        s"after ${thrown.getClass.getSimpleName} the tombstone still " +
+          "attributes the dead frame")
+      // eviction-then-REQUEST (not hold) stays correct: recomputes fresh
+      val fresh = cache.getOrElseUpdate(("s", "corpusA", "cfg"), ck(10))
+      assert(fresh.count() == 10L &&
+        LruFrameCache.evictionTombstone(fresh).isEmpty)
+      cache.clear()
+    } finally LruFrameCache.debug = prevDebug
   }
 }
