@@ -9,12 +9,21 @@ import org.apache.spark.sql.SparkSession
   * curated subset) with a whole-surface inventory the next round can
   * diff.
   *
-  * Usage: graft.PlanAudit [sfDir] [outFile]
+  * The PRIMARY audit runs at the bench SF (sf0.1) so the recorded join
+  * strategies reflect real input-size-driven broadcast decisions, not
+  * toy-scale ones; every query is ALSO planned at the baseline SF
+  * (sf0.001) and any join-mix difference (BHJ/SMJ/SHJ/loop counts) is
+  * rendered as an explicit `flip vs <baseline>` note — a strategy that
+  * flips between SFs is exactly the one to re-review before trusting
+  * the plan shape at 1000x.
+  *
+  * Usage: graft.PlanAudit [sfDir] [outFile] [baselineSfDir]
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "PLANS.md"
+    val baseDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,51 +137,91 @@ object PlanAudit {
       "q100_survival_km" -> "1-row observation-end broadcast cross; KM fold + join back are duration-domain-sized",
       "q108_mase_backtest" -> "1-row series-length broadcast cross (holdout split); everything past the monthly agg is calendar-sized",
       "q101_competing_risks" -> "1-row observation-end broadcast cross; AJ fold + join back are duration-domain-sized")
+    case class Shape(xchg: Int, bhj: Int, smj: Int, shj: Int, loops: Int,
+        wscg: Int, pushed: Boolean) {
+      def joinMix: (Int, Int, Int, Int) = (bhj, smj, shj, loops)
+      def mixStr = s"BHJ=$bhj SMJ=$smj SHJ=$shj loop=$loops"
+    }
+    def shapeAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Shape = {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      def c(pat: String) = pat.r.findAllIn(p).length
+      Shape(
+        c("Exchange hashpartitioning"),
+        c("BroadcastHashJoin"),
+        c("SortMergeJoin"),
+        c("ShuffledHashJoin"),
+        c("BroadcastNestedLoopJoin") + c("CartesianProduct"),
+        // codegen stages appear as "*(n)" operator prefixes in toString
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size,
+        p.linesIterator.exists(l =>
+          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")))
+    }
+    // Reviewed BHJ->SMJ flips (size-driven broadcast-threshold crossings
+    // at the bigger SF). A reviewed flip is EXPECTED: the side that
+    // stopped broadcasting is corpus-sized, so sort-merge is the correct
+    // 100 TB strategy and the sf0.001 broadcast was the toy-scale
+    // artifact. An UNREVIEWED flip renders loudly for investigation.
+    val reviewedFlips = Map(
+      "dd30_prefix_join" -> ("reviewed: prefix-shingle candidate frame " +
+        "outgrows the broadcast threshold; SMJ is the corpus-scale " +
+        "strategy"),
+      "er11_tf_adjusted" -> ("reviewed: pair-keyed rare-token adjustment " +
+        "frame is candidate-set-sized; SMJ correct at corpus scale"),
+      "er5_incremental_link" -> ("reviewed: resolved-corpus sides are " +
+        "record-count-sized; SMJ correct at corpus scale"),
+      "q95_acf" -> ("reviewed: the lag self-join side is " +
+        "calendar-bounded but stats-underestimated at static planning; " +
+        "AQE re-broadcasts it at runtime, SMJ harmless on a bounded frame"))
+    var flips = 0
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (eager.contains(name))
         s"| $name | — | — | — | — | — | — | ${eager(name)} |"
       else try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        def c(pat: String) = pat.r.findAllIn(p).length
-        val shuffles = c("Exchange hashpartitioning")
-        val bhj = c("BroadcastHashJoin")
-        val smj = c("SortMergeJoin")
-        val shj = c("ShuffledHashJoin")
-        val loops = c("BroadcastNestedLoopJoin") + c("CartesianProduct")
-        // codegen stages appear as "*(n)" operator prefixes in toString
-        val wscg = "\\*\\((\\d+)\\)".r.findAllMatchIn(p)
-          .map(_.group(1)).toSet.size
-        val pushed = p.linesIterator.exists(l =>
-          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        val s1 = shapeAt(fn, sfDir)
         val note =
-          if (loops > 0)
+          if (s1.loops > 0)
             benignLoops.getOrElse(name, "UNEXPECTED loop join — investigate")
           else ""
-        val cells = Seq(if (pushed) "pushdown=yes" else "", note)
+        // baseline planning failure must not hide the primary row; a
+        // missing baseline shape simply skips the flip comparison
+        val flip = try {
+          val s0 = shapeAt(fn, baseDir)
+          if (s0.joinMix != s1.joinMix) {
+            flips += 1
+            s"flip vs $baseDir: ${s0.mixStr} -> ${s1.mixStr} (" +
+              reviewedFlips.getOrElse(name, "UNREVIEWED — investigate") + ")"
+          } else ""
+        } catch { case _: Throwable => "baseline plan ERROR" }
+        val cells = Seq(if (s1.pushed) "pushdown=yes" else "", note, flip)
           .filter(_.nonEmpty).mkString("; ")
-        s"| $name | $shuffles | $bhj | $smj | $shj | $loops | $wscg | $cells |"
+        s"| $name | ${s1.xchg} | ${s1.bhj} | ${s1.smj} | ${s1.shj} " +
+          s"| ${s1.loops} | ${s1.wscg} | $cells |"
       } catch {
         case e: Throwable => s"| $name | — | — | — | — | — | — | ERROR ${e.getClass.getSimpleName} |"
       }
     }
     val header =
-      s"""# PLANS — physical-plan audit (auto-generated by `graft.PlanAudit`, sf0.001)
+      s"""# PLANS — physical-plan audit (auto-generated by `graft.PlanAudit`, $sfDir; flips checked vs $baseDir)
          |
          |Columns: hash-partition exchanges, BroadcastHashJoin, SortMergeJoin,
          |ShuffledHashJoin, nested-loop/cartesian joins, WholeStageCodegen
-         |spans, filter pushdown present. Non-zero loop counts carry a
-         |CURATED per-query annotation (bounded 1-row/centroid broadcast
-         |cross, or a deliberate brute-force baseline whose scale path
-         |exists separately); a loop join in any query outside that
-         |allowlist renders as UNEXPECTED. `PlanSpec` gates the
-         |load-bearing subset against regressions.
+         |spans, filter pushdown present — all at the BENCH SF ($sfDir), so
+         |the recorded broadcast decisions are the input-size-driven ones.
+         |Non-zero loop counts carry a CURATED per-query annotation (bounded
+         |1-row/centroid broadcast cross, or a deliberate brute-force
+         |baseline whose scale path exists separately); a loop join in any
+         |query outside that allowlist renders as UNEXPECTED. Every query is
+         |also planned at $baseDir; a join-mix difference renders as an
+         |explicit `flip` note. `PlanSpec` gates the load-bearing subset
+         |against regressions.
          |
          || query | xchg | BHJ | SMJ | SHJ | loop | WSCG | notes |
          ||---|---|---|---|---|---|---|---|
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (header + lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    println(s"wrote $out (${lines.size} queries)")
+    println(s"wrote $out (${lines.size} queries, $flips join-mix flips vs baseline)")
     spark.stop()
   }
 }

@@ -17,6 +17,38 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Plan at the BENCH SF — used by the broadcast-decision gates, where
+    * sf0.001 would prove nothing (at toy scale everything fits under the
+    * broadcast threshold; what must hold is the decision at the sizes
+    * the bench actually runs). Planning only — nothing executes. */
+  private def planAt01(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf01)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("broadcast decisions hold at the bench SF, not just toy scale " +
+      "(q2/q3/ss9/q60/dd31/dd32/dq1/q78 at sf0.1)") {
+    // every broadcast-positive gate in this suite re-checked where the
+    // inputs are 100x bigger: the broadcast side in each of these is
+    // dimension/config/stats-sized BY CONSTRUCTION (nation, codebooks,
+    // per-source thresholds, 64-row ratio tables, 24-row seasonal), so
+    // the decision must survive the scale-up — a flip to SortMergeJoin
+    // here is exactly the toy-scale-only plan PLANS.md exists to catch
+    for (q <- Seq("q2_join_agg", "q3_broadcast_join", "ss9_pq_adc",
+        "q60_star_join", "dd31_dsir_weight", "dd32_temperature_mix",
+        "dq1_quarantine", "q78_seasonal_decompose")) {
+      val p = planAt01(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: dimension-sized side no longer broadcasts at sf0.1:\n$p")
+    }
+    // the no-SMJ halves of the original gates, at the bench SF
+    for (q <- Seq("q3_broadcast_join", "dd32_temperature_mix")) {
+      val p = planAt01(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus shuffles for a tiny side at sf0.1:\n$p")
+    }
+  }
+
   test("retention filter is pushed down to the parquet scan (S6/P2)") {
     val p = plan("s6_filtered_scan")
     assert(p.contains("PushedFilters:"))

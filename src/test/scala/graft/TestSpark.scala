@@ -25,6 +25,7 @@ object TestSpark {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.1"
 
   /** Copy the sf0.001 fixtures to a writable temp dir (for delete-back). */
   def writableCopy(): String = {

@@ -53,9 +53,43 @@ print(f"latest run: total={latest.get('total')}s "
       f"load_avg={latest.get('load_avg_start')}->{latest.get('load_avg_end')} "
       f"warmup={latest.get('warmup_sec')}s over {len(prior)} prior run(s)")
 
+# host/harness context: a canary drift explains a uniform slowdown (host),
+# a stream-null drift explains an st-family-wide shift (micro-batch
+# scheduling overhead, not the fold code). Both printed next to the
+# numbers so a reader attributes before chasing per-query ghosts.
+prior_canary = [e for e in prior if "canary_single_sec" in e]
+if prior_canary and "canary_single_sec" in latest:
+    p = prior_canary[-1]
+    same_threads = (p.get("canary_threads") is not None
+                    and p.get("canary_threads") == latest.get("canary_threads"))
+    par = (f"par={p.get('canary_par_sec')}->{latest.get('canary_par_sec')}"
+           if same_threads else
+           f"par n/c (threads {p.get('canary_threads')}->"
+           f"{latest.get('canary_threads')})")
+    print(f"host canary: single={p['canary_single_sec']}->"
+          f"{latest['canary_single_sec']} {par}")
+prior_null = [e for e in prior if "stream_null_sec" in e]
+if "stream_null_sec" in latest:
+    prev_null = prior_null[-1]["stream_null_sec"] if prior_null else None
+    print(f"stream null canary: {prev_null}->{latest['stream_null_sec']}s "
+          "(fixed micro-batch overhead; read st timings net of this)")
+
 regressed = []
+null_latest = latest.get("stream_null_sec")
+null_best = min((e["stream_null_sec"] for e in prior_null),
+                default=None) if prior_null else None
 for q, t in sorted(latest["queries"].items()):
-    if q in best and t > factor * best[q] and t - best[q] > abs_floor:
+    if q not in best:
+        continue
+    b, tt = best[q], t
+    # st-family: compare NET of each run's null-stream overhead when both
+    # sides carry the field — otherwise a scheduling-overhead shift books
+    # as a regression in every stream query at once
+    if q.startswith("st") and null_latest is not None \
+            and null_best is not None:
+        b = max(b - null_best, 0.05)
+        tt = max(t - null_latest, 0.05)
+    if tt > factor * b and tt - b > abs_floor:
         regressed.append((q, best[q], t))
 
 if not regressed:
