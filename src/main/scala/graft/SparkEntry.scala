@@ -2041,7 +2041,7 @@ object SparkEntry {
           n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
           .select("doc_a", "doc_b"),
         Dedup.simhashHammingPairs(docs, "doc_id", "text",
-          bits = 32, bands = 4, maxHamming = 2)
+          bits = 60, bands = 4, maxHamming = 2)
           .select("doc_a", "doc_b"))
     }),
     "dd42_exactsubstr_apply" -> ((s, dir) =>
@@ -4296,12 +4296,16 @@ object SparkEntry {
         "doc_id", "text", chunkWords = 20)
     }),
     "dd22_simhash_hamming" -> ((s, dir) =>
-      // SimHash near-dup at hamming <= 2 over 32 bits: banded equi-join
-      // candidates (pigeonhole over 4 8-bit bands), exact popcount verify
-      // — no pairwise text comparison. 32 bits keeps the band space
-      // sparse enough that candidate volume stays near-linear
+      // SimHash near-dup at hamming <= 2 over 60 bits: banded equi-join
+      // candidates (pigeonhole over 4 15-bit bands), exact popcount
+      // verify — no pairwise text comparison. Band width is the scale
+      // lever: random-signature collisions put a floor of
+      // ~ n^2 * bands / 2^width under the candidate count, so 8-bit
+      // bands (the old 32-bit config) went quadratic at ~50k docs —
+      // measured x40 wall for x10 docs in SCALE_PROBE — while 15-bit
+      // bands push the floor 128x down and the probe back to near-linear
       Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text",
-        bits = 32, bands = 4, maxHamming = 2)),
+        bits = 60, bands = 4, maxHamming = 2)),
     "q62_timed_funnel" -> ((s, dir) => {
       // conversion funnel with a TIME BOUND: click -> purchase within 1h,
       // counted once per user — the interval-join form of q29's ordered
@@ -5976,7 +5980,7 @@ object SparkEntry {
          |tok2 AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
          |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
-         |FROM tok2, range(0, 32) rb(b)),
+         |FROM tok2, range(0, 60) rb(b)),
          |votes AS (SELECT doc_id, b,
          |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
          |FROM bits GROUP BY 1, 2),
@@ -5985,7 +5989,7 @@ object SparkEntry {
          |  AS simhash
          |FROM votes GROUP BY doc_id),
          |banded AS (SELECT doc_id, simhash, bb,
-         |(simhash >> (bb * 8)::INT) & 255 AS bsig
+         |(simhash >> (bb * 15)::INT) & 32767 AS bsig
          |FROM sig2, range(0, 4) rbb(bb)),
          |cand2 AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          |a.simhash AS sa, b2.simhash AS sb
@@ -10272,7 +10276,7 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
          |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
-         |FROM toks, range(0, 32) rb(b)),
+         |FROM toks, range(0, 60) rb(b)),
          |votes AS (SELECT doc_id, b,
          |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
          |FROM bits GROUP BY 1, 2),
@@ -10281,7 +10285,7 @@ object SparkEntry {
          |  AS simhash
          |FROM votes GROUP BY doc_id),
          |banded AS (SELECT doc_id, simhash, bb,
-         |(simhash >> (bb * 8)::INT) & 255 AS bsig
+         |(simhash >> (bb * 15)::INT) & 32767 AS bsig
          |FROM sig, range(0, 4) rbb(bb)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          |a.simhash AS sa, b2.simhash AS sb

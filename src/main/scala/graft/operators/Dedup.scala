@@ -764,7 +764,11 @@ object Dedup {
     * (b/4)+1, weight +1/-1, majority vote). One narrow pass; returns
     * (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4, <= 32")
+    // <= 60: bit 63 would make the signature sum overflow-prone on both
+    // engines (1L << 63 is the sign bit); 60 bits = 15 md5 nibbles keeps
+    // every partial sum a positive BIGINT and is wide enough for 15-bit
+    // pigeonhole bands (see simhashHammingPairs' collision-floor note)
+    require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, <= 60")
     // one row per token; the `bits` weight columns are projected (codegen)
     // instead of exploding the token set `bits`-fold — one groupBy with
     // `bits` integer sums, no row blowup, map-side partial aggregation
