@@ -5979,10 +5979,10 @@ object SparkEntry {
          |  / 10000.0 >= 0.5),
          |tok2 AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
-         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64
          |FROM tok2, range(0, 60) rb(b)),
          |votes AS (SELECT doc_id, b,
-         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |sum(CASE WHEN (h64 >> b::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
          |FROM bits GROUP BY 1, 2),
          |sig2 AS (SELECT doc_id,
          |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
@@ -8845,10 +8845,10 @@ object SparkEntry {
     "dd4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
-         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64
          |FROM toks, range(0, 16) rb(b)),
          |votes AS (SELECT doc_id, b,
-         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |sum(CASE WHEN (h64 >> b::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
          |FROM bits GROUP BY 1, 2)
          |SELECT doc_id,
          |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
@@ -10275,10 +10275,10 @@ object SparkEntry {
     "dd22_simhash_hamming" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |bits AS (SELECT doc_id, b,
-         |strpos('123456789abcdef', substr(md5(tok), (b // 4)::INT + 1, 1)) AS nib
+         |('0x' || substr(md5(tok), 1, 15))::BIGINT AS h64
          |FROM toks, range(0, 60) rb(b)),
          |votes AS (SELECT doc_id, b,
-         |sum(CASE WHEN (nib >> (b % 4)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |sum(CASE WHEN (h64 >> b::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
          |FROM bits GROUP BY 1, 2),
          |sig AS (SELECT doc_id,
          |sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
