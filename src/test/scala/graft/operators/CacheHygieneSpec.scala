@@ -226,4 +226,18 @@ class CacheHygieneSpec extends AnyFunSuite {
       cache.clear()
     } finally LruFrameCache.debug = prevDebug
   }
+
+  test("SessionKey is stable per session, unique across sessions, and " +
+      "memo keys built from it cannot alias") {
+    // the round-9 keying used identityHashCode(session): a GC'd
+    // session's address can be REUSED by a new session, silently serving
+    // it a dead session's memoized frame. A per-instance UUID cannot
+    // collide; stability makes repeated lookups hit.
+    val k1 = graft.SessionKey(spark)
+    assert(graft.SessionKey(spark) === k1, "same session, same key")
+    val other = spark.newSession()
+    val k2 = graft.SessionKey(other)
+    assert(k2 !== k1, "distinct session instances must never share a key")
+    assert(graft.SessionKey(other) === k2)
+  }
 }
