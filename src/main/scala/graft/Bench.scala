@@ -132,9 +132,16 @@ object Bench {
     // intended reuse and caps resident cache at one family's worth.
     var lastFamily = ""
     def family(n: String) = n.takeWhile(_.isLetter)
+    // The timed action is the full-column fingerprint, NOT count():
+    // count() lets Catalyst prune every column the action doesn't
+    // reference, so projection-side cost (and hidden recomputation — the
+    // round-10 dd22 class) is systematically under-measured. See
+    // graft.Materialize. Trend entries carry "materializer" so a
+    // fingerprint run is never drift-compared against count-era history.
+    val materializer = "fingerprint"
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { Materialize.fingerprint(fn(spark, sfDir)) }
       catch { case e: Throwable =>
         if (!failed.contains(name)) {
           failed += name
@@ -169,7 +176,7 @@ object Bench {
     // no downstream reader can mistake a loaded run's suspects for
     // regressions (round-6 hygiene item: one retry under sustained load
     // could not clear a pure load artifact).
-    val prevEntry = readPrevEntry(trendFile, sfDir)
+    val prevEntry = readPrevEntry(trendFile, sfDir, materializer)
     val prevTrend = prevEntry.map(queriesOf).getOrElse(Map.empty)
     def canaryOf(n: com.fasterxml.jackson.databind.JsonNode) =
       if (n.has("canary_single_sec") && n.has("canary_par_sec"))
@@ -185,6 +192,17 @@ object Bench {
     val prevCanaryThreads =
       prevEntry.map(_.path("canary_threads").asInt(-1)).getOrElse(-1)
     val parComparable = prevCanaryThreads == cpus.toInt
+    // Canary qualification: this run's par-canary vs the fastest host
+    // state in the recent comparable trend window. >20% above it means
+    // the host is measurably slow RIGHT NOW — the run's timings are
+    // honest measurements of a dishonest environment, so the trend entry
+    // ships flagged (never silently becomes the clean baseline; two
+    // consecutive hot runs de-ratchet, see readPrevEntry).
+    val bestPar = trailingBestPar(trendFile, sfDir, materializer, cpus.toInt)
+    val canaryHot = bestPar.exists(b => canaryParSec > 1.2 * b)
+    if (canaryHot)
+      System.err.println(f"[bench] CANARY HOT: par ${canaryParSec}%.3f s vs " +
+        f"trailing-best ${bestPar.get}%.3f s (>20%% off) — trend entry flagged")
     val qByName = selected.toMap
     // Retries take min-of-2, NOT a single measurement: the family-boundary
     // clear flushed the shared memo caches, so a retried memo-fed query's
@@ -353,6 +371,8 @@ object Bench {
         s""""canary_single_sec":${fmt(canarySingleSec)},""" +
         s""""canary_par_sec":${fmt(canaryParSec)},""" +
         s""""canary_threads":${cpus.toInt},""" +
+        s""""canary_hot":$canaryHot,""" +
+        s""""materializer":"$materializer",""" +
         // fixed micro-batch scheduling cost of a 1-row AvailableNow file
         // stream: the st-family floor at small SF — read st timings NET
         // of this to see the actual query work
@@ -404,6 +424,8 @@ object Bench {
       val trendLine = s"""{"ts_ms":${System.currentTimeMillis()},""" +
         s""""sf":"$sfDir","total":${fmt(total)},""" +
         (if (causeIsDrift) s""""drift_flag":true,""" else "") +
+        (if (canaryHot) s""""canary_hot":true,""" else "") +
+        s""""materializer":"$materializer",""" +
         s""""load_avg_start":${fmt(loadAtStart)},""" +
         s""""load_avg_end":${fmt(loadAvg())},""" +
         s""""canary_single_sec":${fmt(canarySingleSec)},""" +
@@ -459,39 +481,70 @@ object Bench {
       .map(e => e.getKey -> e.getValue.asDouble()).toMap
   }
 
-  /** Baseline same-sf entry from the trend history. Usually the latest
-    * entry; a `drift_flag` (fleet-wide slowdown) entry is skipped in
-    * favor of the entry before it UNLESS that one is also flagged — two
-    * consecutive flagged runs mean the slowdown reproduces and the
-    * newest becomes the baseline (the de-ratchet; see the trend append
-    * in main). Any parse problem degrades to "no history" — the bench
-    * must never fail because of a malformed trend line. */
-  private def readPrevEntry(path: String, sf: String)
-      : Option[com.fasterxml.jackson.databind.JsonNode] =
+  /** Same-sf, same-materializer trend entries, newest first. A count-era
+    * entry must never baseline a fingerprint run (the fingerprint
+    * materializer evaluates projection work count() pruned, so every
+    * query reads uniformly "slower" — a phantom fleet-wide drift). Any
+    * parse problem degrades to "no history". */
+  private def trendEntries(path: String, sf: String, mat: String)
+      : Vector[com.fasterxml.jackson.databind.JsonNode] =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) return None
+      if (!java.nio.file.Files.exists(p)) return Vector.empty
       import scala.jdk.CollectionConverters._
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val sameSf = java.nio.file.Files.readAllLines(p).asScala
+      java.nio.file.Files.readAllLines(p).asScala
         .reverseIterator
         .filter(_.trim.nonEmpty)
         .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
-        .filter(_.path("sf").asText() == sf)
-        .take(2).toVector
-      sameSf match {
-        case Vector() => None
-        case Vector(latest) =>
-          // a LONE flagged entry never becomes the baseline (a truncated
-          // history must not launder one noisy run into the trend)
-          if (latest.path("drift_flag").asBoolean(false)) None
-          else Some(latest)
-        case Vector(latest, older) =>
-          if (!latest.path("drift_flag").asBoolean(false)) Some(latest)
-          else if (older.path("drift_flag").asBoolean(false)) Some(latest)
-          else Some(older)
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+        .filter(n => n.path("sf").asText() == sf &&
+          n.path("materializer").asText("count") == mat)
+        .toVector
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+
+  /** Baseline same-sf entry from the trend history. Usually the latest
+    * entry; a FLAGGED entry — `drift_flag` (fleet-wide slowdown) or
+    * `canary_hot` (recorded on a measurably slow host state) — is
+    * skipped in favor of the entry before it UNLESS that one is also
+    * flagged: two consecutive flagged runs mean the condition reproduces
+    * and the newest becomes the baseline (the de-ratchet; see the trend
+    * append in main). The bench must never fail on a malformed trend
+    * line. */
+  private def readPrevEntry(path: String, sf: String, mat: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    def flagged(n: com.fasterxml.jackson.databind.JsonNode) =
+      n.path("drift_flag").asBoolean(false) ||
+        n.path("canary_hot").asBoolean(false)
+    trendEntries(path, sf, mat).take(2).toList match {
+      case Nil => None
+      case latest :: Nil =>
+        // a LONE flagged entry never becomes the baseline (a truncated
+        // history must not launder one noisy run into the trend)
+        if (flagged(latest)) None else Some(latest)
+      case latest :: older :: _ =>
+        if (!flagged(latest)) Some(latest)
+        else if (flagged(older)) Some(latest)
+        else Some(older)
+    }
+  }
+
+  /** Trailing-best par-canary: the fastest known host state over the
+    * last `window` comparable (same sf/threads/materializer) trend
+    * entries. A run whose par-canary is >20% above this is measured on a
+    * demonstrably slow host and must not ship as a clean trend baseline
+    * (round-10's committed "quiet" 182.9 s bench had par 0.252 s vs the
+    * best-known 0.170 s — pure host drift booked as a code number). The
+    * window bounds the ratchet: a permanently slower host ages out of it
+    * and the gate self-heals. */
+  private def trailingBestPar(path: String, sf: String, mat: String,
+      threads: Int, window: Int = 10): Option[Double] = {
+    val pars = trendEntries(path, sf, mat)
+      .filter(_.path("canary_threads").asInt(-1) == threads)
+      .take(window)
+      .map(_.path("canary_par_sec").asDouble(Double.NaN))
+      .filter(d => !d.isNaN && d > 0)
+    if (pars.isEmpty) None else Some(pars.min)
+  }
 
   /** Null-stream canary: a 1-row parquet file stream run to completion
     * under Trigger.AvailableNow with a no-op foreachBatch — the same

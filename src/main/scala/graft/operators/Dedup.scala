@@ -267,13 +267,14 @@ object Dedup {
       md5(concat(lit(s"$j:"), col("sh"))).as(s"h$j")
     }: _*)
     val mins = (0 until numHashes).map(j => min(col(s"h$j")).as(s"mh$j"))
-    // persist the PRE-banding signatures: the plan is independent of the
-    // band layout, so every consumer re-banding the same (shingles,
+    // persist the PRE-banding signatures (via PlanPersist: owned,
+    // bounded, releasable lifetime): the plan is independent of the band
+    // layout, so every consumer re-banding the same (shingles,
     // numHashes) pass — dd20's r=2/4/8 sweep, dd3/dd9/dd17's candidate
     // joins — shares one cache entry instead of recomputing the corpus
-    // hash pass per configuration (plan-keyed reuse, see shingle note)
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hash pass per configuration
+    PlanPersist("dedup.minhashSignatures",
+      hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*))
   }
 
   /** (doc_id, band, sig) rows from a shingle set: `numHashes` minhashes
@@ -304,11 +305,10 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val stacked = bandSignatures(
-        shingleSet(docs, idCol, textCol, shingleN), numHashes, rowsPerBand)
-      // both self-join sides read this subtree; persist (plan-keyed, see
-      // shingle note) so the signature computation runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides read this subtree; PlanPersist so the
+    // signature computation runs once, with an owned releasable lifetime
+    val stacked = PlanPersist("dedup.minhashLsh.stacked", bandSignatures(
+      shingleSet(docs, idCol, textCol, shingleN), numHashes, rowsPerBand))
     val a = stacked.as("a"); val b = stacked.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -329,8 +329,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val cand = minhashLshPairs(docs, idCol, textCol, n, numHashes, rowsPerBand)
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = PlanPersist("dedup.shingleSet",
+      shingleSet(docs, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -356,8 +356,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     val cand = minhashLshPairs(docs, idCol, textCol, n, numHashes,
       rowsPerBand)
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = PlanPersist("dedup.shingleSet",
+      shingleSet(docs, idCol, textCol, n))
     val nDocs = sh.agg(countDistinct(col("doc_id")).as("n_docs"))
     val wts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -444,15 +444,13 @@ object Dedup {
     require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
     require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
     // Feeds the df cap AND both join sides: one materialization. Cache
-    // lifetime: the returned frame is lazy, so the persist must outlive
-    // this call; it is corpus-token-sized (one md5 per token position)
-    // and MEMORY_AND_DISK so it spills rather than evicts hot executor
-    // memory. Callers running exact-substring as a standalone 100 TB
-    // pass should `spark.catalog.clearCache()` (or unpersist via
-    // `spark.sparkContext.getPersistentRDDs`) after materializing the
-    // spans; in the bench/oracle harness the LRU store handles it.
-    val grams = posGrams(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lifetime is OWNED by the bounded plan-keyed [[PlanPersist]] store
+    // (no caller-cleanup contract): it is corpus-token-sized (one md5
+    // per token position) and MEMORY_AND_DISK so it spills rather than
+    // evicts hot executor memory; LRU overflow releases it, and a
+    // holder of an evicted frame recomputes (lineage intact).
+    val grams = PlanPersist("dedup.exactSubstr.grams",
+      posGrams(docs, idCol, textCol, k))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxGramDf).select("g")
     val gg = grams.join(rare, "g")
@@ -502,12 +500,13 @@ object Dedup {
     require(minTokens >= k, "minTokens >= k (spans are assembled from k-grams)")
     require(maxGramDf >= 2, "maxGramDf >= 2 (df-1 grams never pair)")
     // one materialization feeds the df cap and both join sides (cache
-    // lifetime: same contract as dd38's grams persist, documented there)
-    val grams = posGrams(corpus, idCol, textCol, k)
-      .withColumn("is_batch", lit(false))
-      .unionAll(posGrams(batch, idCol, textCol, k)
-        .withColumn("is_batch", lit(true)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lifetime: same PlanPersist discipline as dd38's grams, documented
+    // there)
+    val grams = PlanPersist("dedup.exactSubstrInc.grams",
+      posGrams(corpus, idCol, textCol, k)
+        .withColumn("is_batch", lit(false))
+        .unionAll(posGrams(batch, idCol, textCol, k)
+          .withColumn("is_batch", lit(true))))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxGramDf).select("g")
     val gg = grams.join(rare, "g")
@@ -760,9 +759,14 @@ object Dedup {
     exact.unionByName(near).unionByName(novel)
   }
 
-  /** SimHash signature per doc over `bits` bits (bit b of md5(token) nibble
-    * (b/4)+1, weight +1/-1, majority vote). One narrow pass; returns
-    * (doc_id, simhash). */
+  /** SimHash signature per doc over `bits` bits. Per-token hash
+    * h64 = integer value of the FIRST 15 HEX NIBBLES of md5(token)
+    * (a 60-bit non-negative long); bit b of the signature is the
+    * majority vote of ((h64 >> b) & 1 ? +1 : -1) over the doc's tokens
+    * (ties vote 0, i.e. the bit clears). This h64 formulation is the
+    * documented recurrence the DuckDB oracle and any third-
+    * implementation replica must encode — NOT the retired 32-bit
+    * per-nibble derivation. One narrow pass; returns (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     // <= 60: bit 63 would make the signature sum overflow-prone on both
     // engines (1L << 63 is the sign bit); 60 bits = 15 md5 nibbles keeps
@@ -851,16 +855,16 @@ object Dedup {
         shiftright(col("sig"), b * w)
           .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("bsig"))
     }: _*)
-    val banded = sig
+    // both self-join sides read this subtree; PlanPersist (the
+    // minhashLshPairs discipline) so the signature computation — the
+    // expensive upstream for SimHash inputs: tokenize, hash, and a
+    // bit-width-wide vote aggregation — runs once, not once per side
+    // (measured 6.5 -> ~2 s on dd22 at sf0.1), with an owned, bounded,
+    // releasable lifetime
+    val banded = PlanPersist("dedup.bandedHamming.banded", sig
       .select(col("doc_id"), col("sig"), explode(bandArr).as("bs"))
       .select(col("doc_id"), col("sig"),
-        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      // both self-join sides read this subtree; persist (plan-keyed, the
-      // minhashLshPairs discipline) so the signature computation — the
-      // expensive upstream for SimHash inputs: tokenize, hash, and a
-      // bit-width-wide vote aggregation — runs once, not once per side
-      // (measured 6.5 -> ~2 s on dd22 at sf0.1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("bs.band").as("band"), col("bs.bsig").as("bsig")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))

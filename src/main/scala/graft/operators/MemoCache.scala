@@ -80,6 +80,34 @@ private[graft] final class LruFrameCache(maxEntries: Int) {
   }
 }
 
+/** Plan-keyed persist for intra-operator SHARED subtrees (a self-join's
+  * two sides, a frame feeding both a df cap and a join) — the house
+  * alternative to a raw `.persist()` whose lifetime nothing owns.
+  *
+  * A raw persist inside an operator relies on a caller-cleanup contract
+  * ("run `spark.catalog.clearCache()` when done") that a library call
+  * has no way to honor per-frame: each distinct corpus scored in a
+  * long-lived session pins a corpus-sized MEMORY_AND_DISK entry until a
+  * harness-level blanket flush. Routing through the bounded
+  * [[LruFrameCache]] gives every such persist an owned lifetime:
+  * repeated calls on the same input reuse one entry (keyed by session
+  * UUID + operator tag + the subtree's semantic plan hash), overflow
+  * RELEASES the least-recently-used entry, and
+  * [[LruFrameCache.clearAll]] reaches them all.
+  *
+  * Eviction is always SAFE here, unlike for checkpoint-backed memo
+  * frames: these entries are plain persist-backed (lineage intact), so
+  * a consumer holding an evicted frame simply recomputes. */
+private[graft] object PlanPersist {
+  private val cache = new LruFrameCache(maxEntries = 16)
+
+  def apply(tag: String, df: DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (graft.SessionKey(df.sparkSession), tag,
+        df.queryExecution.analyzed.semanticHash().toString),
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}
+
 private[graft] object LruFrameCache {
   private val registry = scala.collection.mutable
     .ArrayBuffer.empty[java.lang.ref.WeakReference[LruFrameCache]]

@@ -227,6 +227,55 @@ class CacheHygieneSpec extends AnyFunSuite {
     } finally LruFrameCache.debug = prevDebug
   }
 
+  test("PlanPersist-routed intra-operator persists are memoized, bounded, " +
+      "and fully released by clearAll (no caller-cleanup contract)") {
+    // the round-10 debt class: exactSubstrSpans / bandedHammingPairs /
+    // minhashLshPairs persisted shared subtrees raw, relying on a
+    // documented "callers should clearCache()" contract — as a library
+    // call each distinct corpus pinned a corpus-token-sized entry until
+    // a harness-level blanket flush. Routed through PlanPersist, a
+    // standalone call leaves ZERO persistent RDDs after clearAll.
+    val docs = (1L to 30L).map(i =>
+        (i, s"alpha beta gamma delta epsilon tok$i zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    def standaloneLeavesNothing(name: String)(run: => DataFrame): Unit = {
+      LruFrameCache.clearAll()
+      spark.catalog.clearCache()
+      val base = persisted()
+      run.count()
+      assert(persisted() > base,
+        s"$name should persist its shared subtree while live")
+      LruFrameCache.clearAll()
+      assert(persisted() <= base,
+        s"$name left ${persisted() - base} persistent RDD(s) after " +
+          "clearAll — its intra-op persist escaped the house cache")
+    }
+    standaloneLeavesNothing("exactSubstrSpans") {
+      Dedup.exactSubstrSpans(docs, "doc_id", "text",
+        k = 3, minTokens = 3, maxGramDf = 50)
+    }
+    standaloneLeavesNothing("simhashHammingPairs") {
+      Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3)
+    }
+    standaloneLeavesNothing("minhashLshPairs") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, rowsPerBand = 3)
+    }
+    // memoization: a repeated call on the same input reuses ONE entry
+    // (same session + tag + semantic plan hash), not one per call
+    LruFrameCache.clearAll()
+    val base = persisted()
+    Dedup.exactSubstrSpans(docs, "doc_id", "text", 3, 3, 50).count()
+    val afterFirst = persisted()
+    Dedup.exactSubstrSpans(docs, "doc_id", "text", 3, 3, 50).count()
+    assert(persisted() === afterFirst,
+      "a repeated identical call must hit the PlanPersist memo, not " +
+        "persist a second copy")
+    LruFrameCache.clearAll()
+    assert(persisted() <= base)
+  }
+
   test("SessionKey is stable per session, unique across sessions, and " +
       "memo keys built from it cannot alias") {
     // the round-9 keying used identityHashCode(session): a GC'd

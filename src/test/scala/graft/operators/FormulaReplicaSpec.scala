@@ -282,4 +282,116 @@ class FormulaReplicaSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ------------------------------------------------- KN bigram (tx37)
+
+  /** Interpolated Kneser-Ney bigram NLL from [[LanguageModel.knBigramNll]]'s
+    * scaladoc, D = 3/4 as one exact BIGINT ratio:
+    *   p = (max(4·c12 − 3, 0)·B + 3·N1l·N1r) / (4·c1·B),  B = N1+(·,·)
+    * per-bigram ln floored to micro-nats BEFORE the per-doc sum. Docs
+    * with < 2 tokens are absent (no bigrams). */
+  private def knReplica(docs: Seq[(Long, Seq[String])])
+      : Seq[(Long, Long, Double)] = {
+    val withBigrams = docs
+      .map { case (id, t) =>
+        id -> t.sliding(2).filter(_.size == 2)
+          .map(p => (p.head, p(1))).toSeq
+      }
+      .filter(_._2.nonEmpty)
+    val all = withBigrams.flatMap(_._2)
+    val c12 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1)
+      .map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val n1l = c12.keys.toSeq.groupBy(_._1)
+      .map { case (w1, ks) => w1 -> ks.size.toLong }
+    val n1r = c12.keys.toSeq.groupBy(_._2)
+      .map { case (w2, ks) => w2 -> ks.size.toLong }
+    val nbg = c12.size.toLong
+    withBigrams.map { case (id, bgs) =>
+      val lpSum = bgs.map { case bg @ (w1, w2) =>
+        val num = math.max(4L * c12(bg) - 3L, 0L) * nbg +
+          3L * n1l(w1) * n1r(w2)
+        val den = c1(w1) * 4L * nbg
+        math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+      }.sum
+      val n = bgs.size.toLong
+      val nll = math.floor(
+        -(lpSum.toDouble / 1e6) / n.toDouble * 1000.0) / 1000.0
+      (id, n, nll)
+    }.sortBy(_._1)
+  }
+
+  test("property: knBigramNll equals the plain-Scala Kneser-Ney " +
+      "recurrence on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // lowercase-alnum single-space words: the engine tokenizer is the
+    // identity on them, so the replica's token stream is the fixture's
+    val word = Gen.choose(0, 7).map(i => s"w$i")
+    val genDocs = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n, Gen.choose(1, 10)
+        .flatMap(len => Gen.listOfN(len, word)))
+    } yield rows.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t.toSeq) }
+    val prop = Prop.forAll(genDocs) { docs =>
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = LanguageModel.knBigramNll(df, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      got == knReplica(docs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --------------------------------------------- Heaps growth (tx40)
+
+  /** Heaps vocabulary-growth from tx40's documented basis: cutoffs are
+    * doc-id quartiles (m·k div 4, truncating div), a word belongs to a
+    * prefix iff its FIRST (min) doc_id falls inside, and a (k, cutoff)
+    * row exists only when both the doc count and the vocab count are
+    * non-zero (inner join of two grouped aggregates). */
+  private def heapsReplica(docs: Seq[(Long, Seq[String])])
+      : Seq[(Long, Long, Long, Long)] = {
+    val m = docs.map(_._1).max
+    val firstDoc = docs.flatMap { case (id, t) => t.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).min }
+    (1 to 4).map { k =>
+      val cutoff = m * k / 4
+      val nd = docs.count(_._1 <= cutoff).toLong
+      val vs = firstDoc.values.count(_ <= cutoff).toLong
+      (k.toLong, cutoff, nd, vs)
+    }.filter(r => r._3 > 0 && r._4 > 0)
+  }
+
+  test("property: tx40 vocab growth equals the plain-Scala first-" +
+      "occurrence prefix recurrence on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.choose(0, 7).map(i => s"w$i")
+    val genDocs = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n, Gen.choose(1, 8)
+        .flatMap(len => Gen.listOfN(len, word)))
+      // non-contiguous ids exercise the quartile arithmetic (cutoffs
+      // need not hit an existing doc_id)
+      gap <- Gen.choose(1, 3)
+    } yield rows.zipWithIndex.map { case (t, i) =>
+      ((i.toLong * gap + 1L), t.toSeq)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-heaps-replica").toString
+    val prop = Prop.forAll(genDocs) { docs =>
+      docs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("tx40_vocab_growth")(spark, dir)
+        .select(col("k"), col("cutoff"), col("n_docs"), col("vocab_size"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got == heapsReplica(docs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

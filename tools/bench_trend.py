@@ -37,10 +37,15 @@ except FileNotFoundError:
 
 if sf is None:
     sf = entries[-1]["sf"]
-hist = [e for e in entries if e["sf"] == sf]
+# entries recorded under a different materializer are not comparable:
+# the fingerprint action evaluates projection work count() pruned, so a
+# cross-materializer diff books the methodology change as a regression
+mat = entries[-1].get("materializer", "count")
+hist = [e for e in entries
+        if e["sf"] == sf and e.get("materializer", "count") == mat]
 if len(hist) < 2:
-    print(f"only {len(hist)} entr{'y' if len(hist)==1 else 'ies'} for {sf}; "
-          "need 2+ to compare")
+    print(f"only {len(hist)} entr{'y' if len(hist)==1 else 'ies'} for {sf} "
+          f"(materializer={mat}); need 2+ to compare")
     sys.exit(0)
 
 latest, prior = hist[-1], hist[:-1]
@@ -48,6 +53,11 @@ best = {}
 for e in prior:
     for q, t in e["queries"].items():
         best[q] = min(best.get(q, float("inf")), t)
+
+if latest.get("canary_hot"):
+    print("NOTE: latest run is CANARY-HOT (par-canary >20% above the "
+          "trailing-best host state) — its per-query times are inflated "
+          "by host drift; do not adopt it as a clean baseline")
 
 print(f"latest run: total={latest.get('total')}s "
       f"load_avg={latest.get('load_avg_start')}->{latest.get('load_avg_end')} "
@@ -74,20 +84,28 @@ if "stream_null_sec" in latest:
     print(f"stream null canary: {prev_null}->{latest['stream_null_sec']}s "
           "(fixed micro-batch overhead; read st timings net of this)")
 
+# st-family net baseline: min over runs of (that run's time - that SAME
+# run's stream_null_sec). Pairing a global-min time with a global-min
+# overhead could mix two different runs and mis-net the baseline.
+best_net = {}
+for e in prior_null:
+    null_e = e["stream_null_sec"]
+    for q, t in e["queries"].items():
+        if q.startswith("st"):
+            best_net[q] = min(best_net.get(q, float("inf")),
+                              max(t - null_e, 0.05))
+
 regressed = []
 null_latest = latest.get("stream_null_sec")
-null_best = min((e["stream_null_sec"] for e in prior_null),
-                default=None) if prior_null else None
 for q, t in sorted(latest["queries"].items()):
     if q not in best:
         continue
     b, tt = best[q], t
-    # st-family: compare NET of each run's null-stream overhead when both
-    # sides carry the field — otherwise a scheduling-overhead shift books
-    # as a regression in every stream query at once
-    if q.startswith("st") and null_latest is not None \
-            and null_best is not None:
-        b = max(b - null_best, 0.05)
+    # st-family: compare NET of each run's own null-stream overhead when
+    # both sides carry the field — otherwise a scheduling-overhead shift
+    # books as a regression in every stream query at once
+    if q.startswith("st") and null_latest is not None and q in best_net:
+        b = best_net[q]
         tt = max(t - null_latest, 0.05)
     if tt > factor * b and tt - b > abs_floor:
         regressed.append((q, best[q], t))
