@@ -213,10 +213,25 @@ object TextFunctions {
 
   /** Document fingerprint: minimum md5 over character 8-gram shingles of the
     * normalized text — a winnowing-style content fingerprint that is stable
-    * under token reordering-free edits and identical across engines. */
+    * under token reordering-free edits and identical across engines.
+    *
+    * The normalized text is bound ONCE per row as a lambda variable (the
+    * single-element-array `transform` below) before the per-window
+    * transform runs. Referencing the `regexp_replace` expression directly
+    * inside the window lambda would splice the whole normalization tree
+    * into the lambda body, and higher-order lambdas re-evaluate their
+    * body per element — an O(n) regex pass per window, O(n^2) per doc
+    * (measured 20 s for the sf0.1 corpus vs 0.7 s bound; invisible under
+    * count()-based timing, which pruned the column — the round-10 dd22
+    * class). PlanSpec gates the shape: no RegExpReplace may appear under
+    * a per-window LambdaFunction. */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
-    val starts = sequence(lit(1), greatest(length(norm) - lit(7), lit(1)))
-    array_min(transform(starts, i => md5(norm.substr(i, lit(8)))))
+    element_at(
+      transform(array(norm), nm => {
+        val starts = sequence(lit(1), greatest(length(nm) - lit(7), lit(1)))
+        array_min(transform(starts, i => md5(nm.substr(i, lit(8)))))
+      }),
+      1)
   }
 }

@@ -528,4 +528,27 @@ class PlanSpec extends AnyFunSuite {
     // final distinct exchange — not after it
     assert(p.contains("bit_count"), s"missing popcount verify:\n$p")
   }
+
+  test("no regex normalization spliced into a per-element lambda " +
+      "(tx3's O(n^2) class)") {
+    // Higher-order-function lambdas re-evaluate their BODY per array
+    // element. A Column val referencing regexp_replace that is then used
+    // inside a transform() lambda gets the whole normalization tree
+    // spliced into the lambda body — an O(n) regex pass per window,
+    // O(n^2) per document (tx3 measured 20 s instead of ~1 s at sf0.1;
+    // count()-based timing pruned the column and hid it — the round-10
+    // dd22 class). The fix binds the normalized text once per row as a
+    // lambda variable; this gate walks the analyzed tree and fails if
+    // any RegExpReplace ever reappears under a LambdaFunction body.
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, RegExpReplace}
+    val df = SparkEntry.queries("tx3_fingerprint")(spark, TestSpark.sf0001)
+    val offenders = df.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case lf: LambdaFunction => lf.function.collect {
+        case r: RegExpReplace => r
+      }
+    }.flatten)
+    assert(offenders.isEmpty,
+      s"regexp_replace evaluated per array element (O(n^2) per doc): " +
+        s"${offenders.mkString("; ")}")
+  }
 }
