@@ -158,10 +158,15 @@ object ScaleProbe {
     def timeAndMix(name: String, dir: String): (Double, String) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, String) = {
+        // the clock starts BEFORE query construction: iterative/streaming
+        // operators materialize their folds inside fn() (g13's Brandes
+        // rounds, tx35's merge loop), so timing only the final action
+        // would measure a tiny result scan — the same discipline as
+        // Bench.runOnce
+        val t0 = System.nanoTime()
         val df = fn(spark, dir)
         val rr = reRooted(name, df)
         val fp = Materialize.fingerprintFrame(df)
-        val t0 = System.nanoTime()
         fp.collect()
         val t = (System.nanoTime() - t0) / 1e9
         val mix =
@@ -206,8 +211,19 @@ object ScaleProbe {
         try timeAndMix(name, dst)
         finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
       val rScaled = if (t0 > 0) tScaled / t0 else Double.NaN
+      // What this column answers is ATTRIBUTION, not pass/fail: "yes"
+      // means the ratio dropped >=25% with partitions scaled, i.e. the
+      // fixed knob really was the residual term; "no" means it did not
+      // drop — on thread-capped local[32] extra partitions add pure
+      // task-scheduling overhead for iteration-heavy tiny-frame queries
+      // (no parallelism is added), so a non-drop REFUTES the knob
+      // diagnosis for that query rather than indicating a defect. The
+      // defect verdict lives on the BASE ratio: a query whose x32p
+      // ratio exceeds the x12 budget carries a diagnosis in the
+      // committed findings.
       val flattened =
-        if (rScaled <= 12 || rScaled < 0.75 * r32) "yes" else "NO — defect"
+        if (rScaled < 0.75 * r32) "yes — knob was the residual"
+        else "no — knob not the residual (task overhead dominates)"
       System.err.println(f"[probe] scaled $name%-28s ${fmt(tScaled)}%8s s " +
         f"x${fmt(rScaled)} (was x${fmt(r32)} at ${cpus}p) " +
         f"flattened=$flattened")
@@ -253,10 +269,14 @@ object ScaleProbe {
          |at sf1 — a superlinearity a real cluster removes by scaling the
          |partition count with input. Re-running the worst-ratio queries
          |at sf1 with partitions scaled 10x ($scaledParts) tests that
-         |diagnosis directly: `flattened=yes` means the residual ratio
-         |drops to near-linear (or under the x12 budget) once partition
-         |sizes are held constant — the superlinearity was the fixed
-         |knob, not the operator.
+         |diagnosis directly — as ATTRIBUTION, not pass/fail:
+         |`yes` = the ratio dropped >=25%, the fixed knob really was the
+         |residual term; `no` = it did not drop, which on thread-capped
+         |local[32] (extra partitions add task overhead, never
+         |parallelism) REFUTES the knob diagnosis for that query — its
+         |residual is per-stage/task overhead across iterations, a term
+         |a real cluster's scheduler amortizes differently. The defect
+         |verdict lives on the BASE x${cpus}p ratio vs the x12 budget.
          |
          || query | sf0.1@${cpus}p s | sf1@${cpus}p ratio | sf1@${scaledParts}p s | sf1@${scaledParts}p ratio | flattened |
          ||---|---|---|---|---|---|
