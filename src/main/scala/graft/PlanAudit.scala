@@ -20,6 +20,43 @@ import org.apache.spark.sql.SparkSession
   * Usage: graft.PlanAudit [sfDir] [outFile] [baselineSfDir]
   */
 object PlanAudit {
+  /** Loop-invariant expensive work spliced into a HOF lambda body — the
+    * tx3 O(n^2) class (round 11): a Column val referencing e.g.
+    * regexp_replace that is then used inside a transform() lambda gets
+    * the whole expression tree spliced into the body, and lambdas
+    * re-evaluate their body PER ELEMENT. The precise detector: an
+    * expensive node under a LambdaFunction whose own subtree contains
+    * NO lambda variable is loop-invariant — it computes the same value
+    * for every element. (An expensive node OVER a lambda variable —
+    * tx3's md5 per window, minhash's per-shingle hashes — is the
+    * query's real per-element work and stays clean.) Unit-gated in
+    * PlanSpec against both forms of tx3. */
+  def lambdaSplices(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val hazard: PartialFunction[Expression, String] = {
+      case _: RegExpReplace => "regexp_replace"
+      case _: RegExpExtract => "regexp_extract"
+      case _: RegExpExtractAll => "regexp_extract_all"
+      case _: StringSplit => "split"
+      case _: Md5 => "md5"
+      case _: Sha1 => "sha1"
+      case _: Sha2 => "sha2"
+      case _: Crc32 => "crc32"
+      case _: XxHash64 => "xxhash64"
+      case _: Murmur3Hash => "hash"
+    }
+    df.queryExecution.analyzed.flatMap(node =>
+      node.expressions.flatMap(_.collect {
+        case lf: LambdaFunction =>
+          lf.function.collect {
+            case e if hazard.isDefinedAt(e) && e.collectFirst {
+                  case _: NamedLambdaVariable => ()
+                }.isEmpty =>
+              hazard(e)
+          }
+      }.flatten)).distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "PLANS.md"
@@ -138,13 +175,14 @@ object PlanAudit {
       "q108_mase_backtest" -> "1-row series-length broadcast cross (holdout split); everything past the monthly agg is calendar-sized",
       "q101_competing_risks" -> "1-row observation-end broadcast cross; AJ fold + join back are duration-domain-sized")
     case class Shape(xchg: Int, bhj: Int, smj: Int, shj: Int, loops: Int,
-        wscg: Int, pushed: Boolean) {
+        wscg: Int, pushed: Boolean, splices: Seq[String]) {
       def joinMix: (Int, Int, Int, Int) = (bhj, smj, shj, loops)
       def mixStr = s"BHJ=$bhj SMJ=$smj SHJ=$shj loop=$loops"
     }
     def shapeAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Shape = {
-      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      val df = fn(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
       def c(pat: String) = pat.r.findAllIn(p).length
       Shape(
         c("Exchange hashpartitioning"),
@@ -155,7 +193,8 @@ object PlanAudit {
         // codegen stages appear as "*(n)" operator prefixes in toString
         "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size,
         p.linesIterator.exists(l =>
-          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")))
+          l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")),
+        lambdaSplices(df))
     }
     // Reviewed BHJ->SMJ flips (size-driven broadcast-threshold crossings
     // at the bigger SF). A reviewed flip is EXPECTED: the side that
@@ -183,6 +222,11 @@ object PlanAudit {
           if (s1.loops > 0)
             benignLoops.getOrElse(name, "UNEXPECTED loop join — investigate")
           else ""
+        val splice =
+          if (s1.splices.nonEmpty)
+            s"LAMBDA-SPLICE (${s1.splices.mkString(",")}): loop-invariant " +
+              "expensive expr re-evaluated per element — investigate"
+          else ""
         // baseline planning failure must not hide the primary row; a
         // missing baseline shape simply skips the flip comparison
         val flip = try {
@@ -193,7 +237,8 @@ object PlanAudit {
               reviewedFlips.getOrElse(name, "UNREVIEWED — investigate") + ")"
           } else ""
         } catch { case _: Throwable => "baseline plan ERROR" }
-        val cells = Seq(if (s1.pushed) "pushdown=yes" else "", note, flip)
+        val cells = Seq(if (s1.pushed) "pushdown=yes" else "", note, splice,
+            flip)
           .filter(_.nonEmpty).mkString("; ")
         s"| $name | ${s1.xchg} | ${s1.bhj} | ${s1.smj} | ${s1.shj} " +
           s"| ${s1.loops} | ${s1.wscg} | $cells |"
@@ -213,8 +258,11 @@ object PlanAudit {
          |baseline whose scale path exists separately); a loop join in any
          |query outside that allowlist renders as UNEXPECTED. Every query is
          |also planned at $baseDir; a join-mix difference renders as an
-         |explicit `flip` note. `PlanSpec` gates the load-bearing subset
-         |against regressions.
+         |explicit `flip` note. Each analyzed plan is also scanned for
+         |loop-invariant expensive expressions spliced into HOF lambda
+         |bodies (the tx3 O(n^2) class — re-evaluated per element); any
+         |hit renders as a LAMBDA-SPLICE note. `PlanSpec` gates the
+         |load-bearing subset against regressions.
          |
          || query | xchg | BHJ | SMJ | SHJ | loop | WSCG | notes |
          ||---|---|---|---|---|---|---|---|

@@ -551,4 +551,31 @@ class PlanSpec extends AnyFunSuite {
       s"regexp_replace evaluated per array element (O(n^2) per doc): " +
         s"${offenders.mkString("; ")}")
   }
+
+  test("PlanAudit.lambdaSplices flags loop-invariant expensive exprs in " +
+      "lambdas and stays clean on per-element work") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(lit("some text here").as("text"))
+    // the retired tx3 shape: the whole normalization tree spliced into
+    // the per-window lambda — MUST flag (subtree has no lambda variable)
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")
+    val bad = df.select(array_min(transform(
+      sequence(lit(1), greatest(length(norm) - lit(7), lit(1))),
+      i => md5(norm.substr(i, lit(8))))).as("fp"))
+    val hits = PlanAudit.lambdaSplices(bad)
+    // only the normalization is loop-invariant; the md5 consumes the
+    // window variable i (real per-element work) and must not flag
+    assert(hits == Seq("regexp_replace"),
+      s"expected exactly the spliced normalization flagged: $hits")
+    // the fixed shape: normalization bound once as a lambda variable;
+    // the per-window md5 consumes the variable — real per-element work,
+    // must NOT flag
+    assert(PlanAudit.lambdaSplices(
+      df.select(graft.functions.TextFunctions.fingerprint(col("text"))
+        .as("fp"))).isEmpty)
+    // per-element hashing over the element itself is legitimate
+    assert(PlanAudit.lambdaSplices(
+      df.select(transform(split(col("text"), " "), w => md5(w)).as("h")))
+      .isEmpty)
+  }
 }
