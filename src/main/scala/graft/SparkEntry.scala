@@ -3482,9 +3482,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // both join sides and (via plan-keyed cache subtree reuse) the band
       // construction read the signatures — one materialization
-      val sigs = Dedup.minhashSignatures(
-          Dedup.shingleSet(docs, "doc_id", "text", 2), 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = graft.operators.PlanPersist("entry.dd20.sigs",
+        Dedup.minhashSignatures(
+          Dedup.shingleSet(docs, "doc_id", "text", 2), 16))
       val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
         n = 2, numHashes = 16, rowsPerBand = 4, threshold = 0.0)
       val sa = sigs.select(col("doc_id").as("doc_a") +:
@@ -3668,11 +3668,11 @@ object SparkEntry {
       // centroid; far vectors are mislabel/noise candidates. DECIMAL sums
       // for both the centroid means and the distance accumulation keep
       // every value partitioning-independent, so the outlier flag is exact
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), posexplode(
-          graft.functions.VectorFunctions.toDouble(col("embedding")))
-          .as(Seq("dim", "x")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.operators.PlanPersist("entry.ss.dimExploded",
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), posexplode(
+            graft.functions.VectorFunctions.toDouble(col("embedding")))
+            .as(Seq("dim", "x"))))
       val m = e.groupBy("label", "dim")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
@@ -3716,9 +3716,9 @@ object SparkEntry {
       // and the filter both consume the scored corpus; without it the
       // quality scoring runs twice (the .head action and the output scan).
       // Exact percentile is the oracle baseline; tx7b is the scale mode.
-      val docs = t(s, dir, "documents")
-        .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = graft.operators.PlanPersist("entry.tx7.scored",
+        t(s, dir, "documents")
+          .withColumn("q", fround(TextFunctions.qualityScore(col("text")), 4)))
       val median = docs.agg(expr("percentile(q, 0.5)")).head().getDouble(0)
       docs.filter(col("q") >= median).select("doc_id", "q")
     }),
@@ -3729,10 +3729,10 @@ object SparkEntry {
       // so the oracled output is the median INVARIANT: the floor keeps
       // roughly half the corpus (exact-tie mass aside).
       import s.implicits._
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          fround(TextFunctions.qualityScore(col("text")), 4).as("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = graft.operators.PlanPersist("entry.tx7b.scored",
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            fround(TextFunctions.qualityScore(col("text")), 4).as("q")))
       val med = docs.agg(expr("approx_percentile(q, 0.5, 1000)")).head().getDouble(0)
       val total = docs.count()
       val kept = docs.filter(col("q") >= med).count()
@@ -3795,8 +3795,8 @@ object SparkEntry {
       // frequency is a reaggregation of tf — the corpus is tokenized ONCE
       // and the tok.distinct() shuffle disappears; persist because tf
       // feeds both the join and the df reaggregation
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.operators.PlanPersist("entry.tfidf.tf",
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.count()
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -4539,14 +4539,14 @@ object SparkEntry {
       // bucketed ONCE into a persisted (doc, bucket, n) frame that feeds
       // both the global stats and the per-doc weights — two aggregations,
       // zero re-tokenization, no vocabulary state anywhere.
-      val perDoc = t(s, dir, "documents")
-        .select(col("doc_id"), (col("source") === "src0").as("is_t"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("is_t"),
-          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-            lit(64L)).as("bucket"))
-        .agg(count(lit(1)).as("c"))
-        .persist()
+      val perDoc = graft.operators.PlanPersist("entry.dsir.perDoc",
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("is_t"),
+            pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+              lit(64L)).as("bucket"))
+          .agg(count(lit(1)).as("c")))
       val stats = perDoc.groupBy("bucket").agg(
         sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
         sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
@@ -4692,11 +4692,11 @@ object SparkEntry {
       // integer cents, segment = concatenated scores. One customer agg
       // (persisted: three scorers + the final join read it) + three
       // value-domain window frames joined back
-      val cust = t(s, dir, "orders").groupBy("o_custkey").agg(
+      val cust = graft.operators.PlanPersist("entry.rfm.cust",
+        t(s, dir, "orders").groupBy("o_custkey").agg(
           max(col("o_orderdate")).as("r_v"),
           count(lit(1)).as("f_v"),
-          sum(floor(col("o_totalprice") * 100.0).cast("long")).as("m_v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sum(floor(col("o_totalprice") * 100.0).cast("long")).as("m_v")))
       def score(vcol: String, sname: String) = {
         val byVal = cust.groupBy(vcol).agg(count(lit(1)).as("c"))
         val tot = byVal.agg(sum(col("c")).as("n"))
@@ -4914,10 +4914,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
       val c = emb.filter(col("vec_id") >= 20)
-      val exact = Similarity
-        .bruteForceTopK(q, c, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = graft.operators.PlanPersist("entry.ss10.exact",
+        Similarity
+          .bruteForceTopK(q, c, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id")))
       Seq(1, 2, 3).map { m =>
         val ap = Similarity.lshTopK(q, c, "vec_id", "embedding",
             k = 3, planes = 4, probes = m)

@@ -36,34 +36,33 @@ object CurationPipeline {
       cap: Int = 1000,
       rates256: Map[String, Int] = Map("en" -> 128, "und" -> 256),
       default256: Int = 204): DataFrame = {
-    val scored = docs
+    // feeds the gopher-drop branch and every later stage
+    val scored = PlanPersist("curate.scored", docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         col(sourceCol).as("source"))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("gopher_keep",
-        TextFunctions.gopherRules(col("text"), minTokens))
-      // feeds the gopher-drop branch and every later stage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        TextFunctions.gopherRules(col("text"), minTokens)))
 
     // stage 1: quality gate
     val g = scored.filter(col("gopher_keep"))
     // stage 2: exact dedup — first (min-id) copy survives
     val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val e = g.withColumn("dup_rn", row_number().over(wDup))
-    val exactSurv = e.filter(col("dup_rn") === 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactSurv = PlanPersist("curate.exactSurv",
+      e.filter(col("dup_rn") === 1))
     // stage 3: near-dup — LSH candidates, exact-verified; the later doc of
     // each verified pair is dropped (doc_a < doc_b canonicalization makes
     // "later" well-defined and keeps the rule engine-portable without a
     // transitive-closure step)
-    val nearDrops = Dedup.lshVerifiedJaccardPairs(
-        exactSurv, "doc_id", "text", shingleN, numHashes, rowsPerBand,
-        jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("near_drop", lit(true))
-      // tiny, but its lineage is the whole LSH pipeline — four output
-      // branches read it, so cache the drop set, not the pipeline re-run
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny, but its lineage is the whole LSH pipeline — four output
+    // branches read it, so cache the drop set, not the pipeline re-run
+    val nearDrops = PlanPersist("curate.nearDrops",
+      Dedup.lshVerifiedJaccardPairs(
+          exactSurv, "doc_id", "text", shingleN, numHashes, rowsPerBand,
+          jaccardThreshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("near_drop", lit(true)))
     val n = exactSurv.join(nearDrops, Seq("doc_id"), "left")
     val nearSurv = n.filter(col("near_drop").isNull)
     // stage 4: per-domain cap, longest-first
@@ -74,12 +73,11 @@ object CurationPipeline {
     // stage 5: language mixture sampling (deterministic hash buckets);
     // shared map-literal rate lookup (see Sampling.rateLookup scaladoc)
     val rate = Sampling.rateLookup(rates256, default256, col("lang"))
-    val sampled = capSurv
+    // both the sampled-out and kept branches read this; langId is the
+    // expensive part — evaluate it once
+    val sampled = PlanPersist("curate.sampled", capSurv
       .withColumn("lang", TextFunctions.langId(col("text")))
-      .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
-      // both the sampled-out and kept branches read this; langId is the
-      // expensive part — evaluate it once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"))))
 
     def out(df: DataFrame, status: String): DataFrame =
       df.select(col("doc_id"), col("n_tokens"), lit(status).as("status"))

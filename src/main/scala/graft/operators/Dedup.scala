@@ -91,9 +91,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       chunkWords: Int): DataFrame = {
     require(chunkWords >= 1, "chunkWords >= 1")
-    val chunks = chunkRows(docs.repartition(col(idCol)), idCol, textCol,
-        chunkWords)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = PlanPersist("dedup.chunkDedup.chunks",
+      chunkRows(docs.repartition(col(idCol)), idCol, textCol, chunkWords))
     val w = Window.partitionBy(md5(col("chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
     val kept = chunks.withColumn("rn", row_number().over(w))
@@ -118,11 +117,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // The shingle set feeds three plan branches (both join sides + sizes).
-    // persist, deliberately not localCheckpoint: the CacheManager keys the
-    // cache by logical plan, so (a) repeated calls with the same inputs
-    // reuse one entry (no per-call growth — only distinct configurations
-    // add entries), and (b) sibling operators over the same shingle set
-    // (LSH, cluster resolution) hit the same cache across queries.
+    // PlanPersist (owned, bounded, releasable — deliberately not
+    // localCheckpoint): entries are keyed by the semantic plan, so (a)
+    // repeated calls with the same inputs reuse one entry (no per-call
+    // growth — only distinct configurations add entries), and (b)
+    // sibling operators over the same shingle set (LSH, cluster
+    // resolution) hit the same entry across queries.
     val shAll = shingleSet(docs, idCol, textCol, n)
     // Scale configuration: cap the document frequency of join-key shingles.
     // A single stop-shingle shared by k documents contributes k^2/2 join
@@ -132,7 +132,8 @@ object Dedup {
     // shingles carry ~zero discriminative signal, leaves the Jaccard
     // estimate over the remaining (informative) shingle space. Exact mode
     // (the oracle baseline) is maxShingleDf = Long.MaxValue.
-    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+    val sh = PlanPersist("dedup.ngram.sh",
+      if (maxShingleDf == Long.MaxValue) shAll
       else {
         val rare = shAll.groupBy("sh")
           .agg(count(lit(1)).as("df"))
@@ -140,7 +141,6 @@ object Dedup {
           .select("sh")
         shAll.join(rare, "sh").select("doc_id", "sh")
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
@@ -152,8 +152,7 @@ object Dedup {
     // is tiny (near-dup pairs only), and the downstream cluster operators
     // (connected components, survivor selection, soft weighting) all start
     // from this exact plan — one materialization serves them all.
-    scoreJaccard(inter, sizes, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PlanPersist("dedup.ngram.pairs", scoreJaccard(inter, sizes, threshold))
   }
 
   /** AllPairs/PPJoin-style prefix-filtered EXACT Jaccard join — the scale
@@ -194,8 +193,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val sh = shingleSet(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = PlanPersist("dedup.prefix.sh",
+      shingleSet(docs, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfs, "sh")
@@ -706,24 +705,24 @@ object Dedup {
   def incrementalDedupReport(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = PlanPersist("dedup.incr.batch",
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // exact pass: min corpus id per content hash
     val cHash = c.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("match_id"))
-    val exact = b.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(cHash, "fp")
-      .select(col("doc_id"), col("match_id"),
-        lit("exact").as("kind"), lit(1.0).as("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = PlanPersist("dedup.incr.exact",
+      b.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(cHash, "fp")
+        .select(col("doc_id"), col("match_id"),
+          lit("exact").as("kind"), lit(1.0).as("jaccard")))
     // near pass over the exact-miss remainder only
-    val rest = b.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bSh = shingleSet(rest, "doc_id", "text", n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cSh = shingleSet(c, "doc_id", "text", n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rest = PlanPersist("dedup.incr.rest",
+      b.join(exact.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val bSh = PlanPersist("dedup.incr.bSh",
+      shingleSet(rest, "doc_id", "text", n))
+    val cSh = PlanPersist("dedup.incr.cSh",
+      shingleSet(c, "doc_id", "text", n))
     val bBands = bandSignatures(bSh, numHashes, rowsPerBand)
     val cBands = bandSignatures(cSh, numHashes, rowsPerBand)
       .withColumnRenamed("doc_id", "match_id")
@@ -744,11 +743,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("jaccard").desc, col("match_id"))
-    val near = scored.withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("match_id"),
-        lit("near").as("kind"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val near = PlanPersist("dedup.incr.near",
+      scored.withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("match_id"),
+          lit("near").as("kind"), col("jaccard")))
     // null match_id typed as the CALLER's id type (string ids are
     // supported, as in the components API) — a hardcoded bigint would
     // widen or break the union for non-numeric ids
@@ -1105,11 +1104,11 @@ object Dedup {
       .withColumn("nrm", VectorFunctions.norm2(col("v")))
     val cents = v.orderBy("id").limit(nCells)
       .select(col("id").cast("long").as("cent_id"), col("v").as("centv"))
-    // assignment is the expensive narrow pass; persist so both join sides
-    // compute it once (plan-keyed cache, shared across sibling queries)
-    val assigned = Similarity.assignCells(v, "v", cents, keep = 1)
-      .withColumnRenamed("cent_id", "cell")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assignment is the expensive narrow pass; PlanPersist so both join
+    // sides compute it once (owned lifetime, shared across sibling calls)
+    val assigned = PlanPersist("dedup.semantic.assigned",
+      Similarity.assignCells(v, "v", cents, keep = 1)
+        .withColumnRenamed("cent_id", "cell"))
     val a = assigned.as("a"); val b = assigned.as("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.cell").as("cell"),
@@ -1125,12 +1124,12 @@ object Dedup {
       planes: Int = 4): DataFrame = {
     require(planes >= 1 && planes <= 62, "planes in [1,62]")
     // bucket assignment is the expensive narrow pass (one projection fold
-    // per plane); persist so both join sides compute it once
-    val v = emb.select(col(idCol).as("id"),
-        VectorFunctions.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.norm2(col("v")))
-      .withColumn("bucket", VectorFunctions.srpBucket(col("v"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per plane); PlanPersist so both join sides compute it once
+    val v = PlanPersist("dedup.embedLsh.v",
+      emb.select(col(idCol).as("id"),
+          VectorFunctions.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", VectorFunctions.norm2(col("v")))
+        .withColumn("bucket", VectorFunctions.srpBucket(col("v"), planes)))
     val probeBuckets = array(col("bucket") +: (0 until planes).map(p =>
       col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = v.withColumn("pb", explode(probeBuckets))
@@ -1160,13 +1159,13 @@ object Dedup {
       n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val shAll = shingleSet(docs, idCol, textCol, n)
-    val sh = (if (maxShingleDf == Long.MaxValue) shAll
+    val sh = PlanPersist("dedup.containment.sh",
+      if (maxShingleDf == Long.MaxValue) shAll
       else {
         val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select("sh")
         shAll.join(rare, "sh").select("doc_id", "sh")
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // Intersection counts are symmetric: join each unordered pair ONCE
     // (doc_a < doc_b) and mirror after the aggregation — the directed
@@ -1220,16 +1219,16 @@ object Dedup {
       else toks.select(col("doc_id"),
         explode(shinglesOfTokens(col("toks"), ngramSize, distinct = false))
           .as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = PlanPersist("dedup.tfidf.tf",
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count()
     val dfCap = math.max(1L, (dfCapShare * n).toLong)
-    val w = tf.join(dfr, "term").filter(col("df") <= dfCap)
-      .select(col("doc_id"), col("term"),
-        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000.0)
-          .cast("long").as("wm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = PlanPersist("dedup.tfidf.w",
+      tf.join(dfr, "term").filter(col("df") <= dfCap)
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000.0)
+            .cast("long").as("wm")))
     val norm = w.groupBy("doc_id").agg(sum(col("wm") * col("wm")).as("n2"))
     val dot = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))

@@ -40,15 +40,14 @@ object LanguageModel {
     val toks = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
-    val bigr = toks
+    val bigr = PlanPersist("lm.bigramNll.bigr", toks
       .select(col("doc_id"), explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
       // the bigram stream feeds three consumers (c12, vocab, scoring);
-      // persist is plan-keyed so all three read one materialization
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // PlanPersist so all three read one materialization (owned lifetime)
     val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // c(w1,·) folds from the bigram counts — no second pass over the corpus
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -108,16 +107,15 @@ object LanguageModel {
     val toks = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
-    val bigr = toks
+    val bigr = PlanPersist("lm.kn.bigr", toks
       .select(col("doc_id"), explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the bigram-type table feeds four consumers; plan-keyed persist
-    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    // the bigram-type table feeds four consumers; owned plan-keyed persist
+    val c12 = PlanPersist("lm.kn.c12",
+      bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val left = c12.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1l"))
     val right = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
@@ -158,8 +156,8 @@ object LanguageModel {
     * Output: (doc_id, nll, ppl_bucket in {head, middle, tail}). */
   def perplexityBuckets(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val scored = bigramNll(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = PlanPersist("lm.ppl.scored",
+      bigramNll(docs, idCol, textCol))
     val byVal = scored.groupBy("nll").agg(count(lit(1)).as("c"))
     val cum = byVal.withColumn("cum",
       sum(col("c")).over(org.apache.spark.sql.expressions.Window
@@ -212,9 +210,9 @@ object LanguageModel {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      // feeds both margins, the total and the output — one materialization
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // feeds both margins, the total and the output — one materialization
+    val c12 = PlanPersist("lm.pmi.c12",
+      bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val n = c12.agg(sum(col("c12")).as("n"))

@@ -99,7 +99,14 @@ private[graft] final class LruFrameCache(maxEntries: Int) {
   * frames: these entries are plain persist-backed (lineage intact), so
   * a consumer holding an evicted frame simply recomputes. */
 private[graft] object PlanPersist {
-  private val cache = new LruFrameCache(maxEntries = 16)
+  // 32, not 16: the round-11 sweep routed every returned-lifetime
+  // intra-operator persist through here (~35 tags); a composite operator
+  // like the curation pipeline holds ~7 live entries at once and a bench
+  // family runs several such queries between flushes — a too-small bound
+  // would evict entries still feeding live frames (correct but silently
+  // recomputes). 32 covers the deepest family working set with headroom;
+  // overflow is still bounded and safe.
+  private val cache = new LruFrameCache(maxEntries = 32)
 
   def apply(tag: String, df: DataFrame): DataFrame =
     cache.getOrElseUpdate(

@@ -43,9 +43,9 @@ object Retrieval {
     // one cheap shuffle on the id spreads few-large-file corpora across the
     // cluster before the tokenize/explode stages (see Dedup.shingleSet);
     // the token pass feeds both corpus stats and term frequencies
-    val toks = docs.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = PlanPersist("retrieval.bm25.toks",
+      docs.repartition(col(idCol))
+        .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(size(col("t")).cast("long")).as("dl_sum"))
     val tf = toks

@@ -593,12 +593,12 @@ object Similarity {
       .select(col("code"), col("pos").as("s"), col("col").as("csv"))
     // per (vector, subspace, code): integer nano-unit squared distance;
     // the fold is over BIGINTs, so evaluation order cannot matter
-    val dist = expanded.join(broadcast(cbExp), "s")
-      .select(col("vec_id"), col("s"), col("code"),
-        aggregate(zip_with(col("sv"), col("csv"),
-            (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("d_u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dist = PlanPersist("similarity.pqAdc.dist",
+      expanded.join(broadcast(cbExp), "s")
+        .select(col("vec_id"), col("s"), col("code"),
+          aggregate(zip_with(col("sv"), col("csv"),
+              (a, b) => floor((a - b) * (a - b) * lit(1e9)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("d_u")))
     val encW = Window.partitionBy("vec_id", "s").orderBy(col("d_u"), col("code"))
     val enc = dist.withColumn("rn", row_number().over(encW))
       .filter(col("rn") === 1).select("vec_id", "s", "code")

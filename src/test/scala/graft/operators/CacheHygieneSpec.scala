@@ -262,6 +262,29 @@ class CacheHygieneSpec extends AnyFunSuite {
       Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 12, rowsPerBand = 3)
     }
+    // round-11 sweep: every remaining returned-lifetime intra-operator
+    // persist was routed through PlanPersist — one representative per
+    // family gates the discipline
+    standaloneLeavesNothing("ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.1)
+    }
+    standaloneLeavesNothing("chunkDedup") {
+      Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+    }
+    standaloneLeavesNothing("tfidfCosinePairs") {
+      Dedup.tfidfCosinePairs(docs, "doc_id", "text", dfCapShare = 1.0,
+        threshold = 0.1)
+    }
+    standaloneLeavesNothing("knBigramNll") {
+      LanguageModel.knBigramNll(docs, "doc_id", "text")
+    }
+    standaloneLeavesNothing("curate") {
+      CurationPipeline.curate(
+        docs.withColumn("src",
+          org.apache.spark.sql.functions.lit("s0")),
+        "doc_id", "text", "src", minTokens = 1, cap = 100)
+    }
     // memoization: a repeated call on the same input reuses ONE entry
     // (same session + tag + semantic plan hash), not one per call
     LruFrameCache.clearAll()
