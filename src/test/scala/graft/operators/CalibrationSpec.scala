@@ -52,6 +52,35 @@ class CalibrationSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("property: engine GD trajectory equals the plain-Scala replica " +
+      "on random corpora (the FormulaReplicaSpec discipline)") {
+    // the fixed-fixture test above pins one trajectory; this drives the
+    // same third implementation over randomized corpora so a recurrence
+    // transcription error shared by engine and oracle cannot hide in a
+    // structure the hand case happens not to exercise
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCorpus = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 10)
+        pos <- Gen.oneOf(true, false)
+      } yield (len.toLong, if (pos) 1L else 0L))
+      steps <- Gen.choose(1, 4)
+    } yield (rows, steps)
+    val prop = Prop.forAll(genCorpus) { case (rows, steps) =>
+      val docs = rows.map { case (len, y) =>
+        (if (y == 1L) "src0" else "src1", Seq.fill(len.toInt)("w").mkString(" "))
+      }.toDF("source", "text")
+      val got = Calibration
+        .domainClassifierSteps(docs, "source", "text", "src0", steps)
+        .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got == replica(rows, steps)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("domain calibration: all-negative corpus drives weights negative, " +
       "step bound enforced") {
     val docs = Seq(("s1", "a b c"), ("s1", "d e f")).toDF("source", "text")

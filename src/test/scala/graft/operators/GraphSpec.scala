@@ -117,6 +117,76 @@ class GraphSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Plain-Scala replica of pageRankInt's documented integer recurrence
+    * (the FormulaReplicaSpec third-implementation discipline): unit
+    * 1e12, ranks start unit/n (or unit/nSeed on seeds), per-EDGE
+    * contribution r(src)*w div outW(src) summed per dst, damped
+    * s*d div 100, teleport (unit*(100-d)/100)/n — or, personalized,
+    * teleBase/nSeed on seeds and 0 elsewhere. All divisions truncate
+    * (Java Long `/` = Spark `div` on non-negative operands). Written
+    * from the scaladoc, no Spark. */
+  private def pageRankReplica(edges: Seq[(String, String, Long)],
+      iters: Int, dampingPct: Int,
+      seeds: Option[Set[String]]): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    val seedSet = seeds.map(_.intersect(nodes.toSet))
+    val nSeed = seedSet.map(_.size.toLong).getOrElse(0L)
+    val teleBase = unit1 * (100 - dampingPct) / 100
+    val teleport = teleBase / n
+    var r: Map[String, Long] = seedSet match {
+      case None => nodes.map(_ -> unit1 / n).toMap
+      case Some(ss) =>
+        nodes.map(v => v -> (if (ss(v)) unit1 / nSeed else 0L)).toMap
+    }
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => r(src) * w / outW(src) }.sum
+      }
+      r = seedSet match {
+        case None => nodes.map(v =>
+          v -> (teleport + s.getOrElse(v, 0L) * dampingPct / 100)).toMap
+        case Some(ss) => nodes.map(v =>
+          v -> ((if (ss(v)) teleBase / nSeed else 0L) +
+            s.getOrElse(v, 0L) * dampingPct / 100)).toMap
+      }
+    }
+    r
+  }
+
+  test("property: pageRankInt equals the plain-Scala integer power " +
+      "recurrence exactly on random graphs (plain, pure-power, and " +
+      "personalized)") {
+    // the repartition/mass properties above check INVARIANTS; this one
+    // checks exact VALUES against an independent third implementation,
+    // the shared-formula gate hand-computed cases can't give on random
+    // structures (q90 rides dampingPct=100, g6 rides the seeded path)
+    val genCase = for {
+      n <- Gen.choose(2, 6)
+      extra <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+        w <- Gen.choose(1L, 5L)
+      } yield (s"n$a", s"n$b", w))
+      ring = (0 until n).map(i => (s"n$i", s"n${(i + 1) % n}", 1L))
+      damping <- Gen.oneOf(85, 100, 60)
+      nSeeds <- Gen.choose(0, n - 1)
+    } yield (ring ++ extra, damping,
+      // seeds drawn from ring nodes (guaranteed present); empty -> plain
+      if (nSeeds == 0) None else Some((0 until nSeeds).map(i => s"n$i").toSet))
+    val prop = Prop.forAll(genCase) { case (edges, damping, seeds) =>
+      val got = Graph.pageRankInt(edges.toDF("src", "dst", "w"),
+          "src", "dst", "w", iterations = 3, dampingPct = damping,
+          seeds = seeds.map(_.toSeq.toDF("s")))
+        .as[(String, Long)].collect().toMap
+      got == pageRankReplica(edges, 3, damping, seeds)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pageRankInt at dampingPct=100 is the pure power method: a " +
       "2-cycle holds the exact uniform stationary distribution") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
