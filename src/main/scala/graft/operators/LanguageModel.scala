@@ -40,14 +40,14 @@ object LanguageModel {
     val toks = docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
+    // the bigram stream feeds three consumers (c12, vocab, scoring);
+    // PlanPersist so all three read one materialization (owned lifetime)
     val bigr = PlanPersist("lm.bigramNll.bigr", toks
       .select(col("doc_id"), explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-      // the bigram stream feeds three consumers (c12, vocab, scoring);
-      // PlanPersist so all three read one materialization (owned lifetime)
     val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // c(w1,·) folds from the bigram counts — no second pass over the corpus
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
