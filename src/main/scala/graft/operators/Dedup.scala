@@ -43,13 +43,21 @@ object Dedup {
     * tokenize/shingle/hash pipeline runs in as many tasks as there are
     * input splits. One cheap shuffle of the raw docs unlocks full-cluster
     * parallelism for the expensive narrow stages. */
+  /** Distinct (doc_id, shingle) rows. PRECONDITION: `idCol` is unique in
+    * `docs` (a table key) — every caller passes a corpus keyed by id.
+    * Distinctness then comes entirely from WordShingles' per-row
+    * LinkedHashSet (distinct = true), so NO row-level `.distinct()` is
+    * needed: the old trailing distinct re-shuffled every exploded
+    * shingle row to dedupe pairs that were already unique (r11: one full
+    * exchange removed from every shingle-family consumer; the output
+    * keeps the doc_id hash partitioning, which downstream per-doc
+    * aggregations reuse). */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.repartition(col(idCol))
       // tokenize in its own projection so the regexp tokenizer runs once
       // per doc, not once per shingle (see shinglesOfTokens scaladoc)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
-      .distinct()
 
   /** Sub-document exact dedup (the "paragraph-level" pass of an LLM data
     * pipeline, à la deduplicating-training-data): each document is chopped
@@ -132,7 +140,13 @@ object Dedup {
     // shingles carry ~zero discriminative signal, leaves the Jaccard
     // estimate over the remaining (informative) shingle space. Exact mode
     // (the oracle baseline) is maxShingleDf = Long.MaxValue.
-    val sh = PlanPersist("dedup.ngram.sh",
+    // Tag note (r11): every raw-shingleSet persist in this file uses the
+    // SAME "dedup.shingleSet" tag on purpose — the cache key includes the
+    // plan's semantic hash, so operators shingling the same corpus at the
+    // same n (dd2/dd19/dd30 at n = 3) share ONE cached frame instead of
+    // materializing three identical ones; different (corpus, n) or a
+    // df-capped variant hashes differently and never collides.
+    val sh = PlanPersist("dedup.shingleSet",
       if (maxShingleDf == Long.MaxValue) shAll
       else {
         val rare = shAll.groupBy("sh")
@@ -193,7 +207,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val sh = PlanPersist("dedup.prefix.sh",
+    val sh = PlanPersist("dedup.shingleSet",
       shingleSet(docs, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -457,7 +471,13 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
-    assembleSpans(m, k, minTokens)
+    // the assembled spans are ALSO PlanPersist-shared (r11): the cut
+    // (dd39), apply (dd42) and overlap (dd41) operators each re-derive
+    // their intervals from this exact frame, so without the memo every
+    // family member re-paid the gram self-join + islands window the
+    // spans already cost (the er-family scoredDistinct precedent: one
+    // shared pass, duplication-bounded rows, house LRU lifetime).
+    PlanPersist("dedup.exactSubstr.spans", assembleSpans(m, k, minTokens))
   }
 
   /** Diagonal-islands span assembly shared by the in-corpus and
@@ -1159,7 +1179,7 @@ object Dedup {
       n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val shAll = shingleSet(docs, idCol, textCol, n)
-    val sh = PlanPersist("dedup.containment.sh",
+    val sh = PlanPersist("dedup.shingleSet",
       if (maxShingleDf == Long.MaxValue) shAll
       else {
         val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -1368,8 +1388,16 @@ object Dedup {
           "slice(t, cast(c.start as int), cast(c.end - c.start + 1 as int))"),
           " ")).as("fp"),
         (col("c.end") - col("c.start") + 1L).as("ntok"))
-    val firstDoc = chunks.groupBy("fp").agg(min("doc_id").as("first_doc"))
-    chunks.join(firstDoc, "fp")
+    // first_doc via a window, not groupBy+join-back: the join form
+    // evaluates the whole chunking pipeline (per-window md5 boundary
+    // draws) TWICE — once under the aggregate, once under the probe —
+    // because the aggregate side shuffles partial-agg rows, so the two
+    // exchanges never unify and ReuseExchange cannot fire (r11 plan
+    // audit: 2 parquet scans -> 1). min() over the fp partition computes
+    // the identical first_doc in ONE pass and one fp-keyed shuffle.
+    chunks
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("fp")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum(col("ntok")).as("n_tokens"),
         sum(when(col("doc_id") > col("first_doc"), 1L).otherwise(0L))

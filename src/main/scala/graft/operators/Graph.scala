@@ -44,6 +44,20 @@ object Graph {
     def unpersistAll(): Unit = caches.foreach(_.unpersist(false))
   }
 
+  /** The cleaned (src, dst) edge frame the frontier family iterates
+    * over: self-loops dropped, distinct, plan-keyed-persisted. One
+    * PlanPersist entry serves every frontier op fed the same edge plan
+    * (g10's BFS, g12's harmonic and g13's betweenness all walk the same
+    * kNN graph), where the old per-call reroot built three identical
+    * caches and paid three distinct shuffles. Lifetime is the house LRU
+    * discipline: LruFrameCache.clearAll releases it; eviction under
+    * pressure recomputes on next touch. */
+  private def frontierEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    PlanPersist("graph.frontierEdges", edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct())
+
   /** Fixed-iteration PageRank carried in integer micro-units.
     *
     * Ranks live as BIGINT micro-units (`Unit1` = rank 1.0) and every
@@ -664,13 +678,13 @@ object Graph {
     require(maxHops >= 0)
     val fc = new FrontierCaches
     import fc.{reroot, settle}
-    // persist + reroot the edge list: EVERY round joins against it, and
-    // without the cache the caller's upstream plan (for g10, the full
-    // LSH candidate join) re-runs once per hop — measured 4x on the
-    // embedding kNN graph. Same discipline as triangleCounts/kCore.
-    val e = reroot(edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst")).distinct())
+    // the cleaned edge list EVERY round joins against: PlanPersist-owned
+    // (r11) rather than per-call rerooted — the frontier ops g10/g12/g13
+    // feed the SAME kNN edge frame, so the plan-keyed entry is built
+    // once and shared across all three instead of each paying its own
+    // distinct+persist+count; lifetime follows the house LRU discipline
+    // (clearAll at bench family boundaries; eviction recomputes).
+    val e = frontierEdges(edges, srcCol, dstCol)
     var frontier = reroot(seeds
       .select(col(seedCol).as("node")).distinct()
       .withColumn("hop", lit(0L)))
@@ -721,9 +735,7 @@ object Graph {
     require(maxHops >= 1)
     val fc = new FrontierCaches
     import fc.{reroot, settle}
-    val e = reroot(edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst")).distinct())
+    val e = frontierEdges(edges, srcCol, dstCol) // shared, see bfsLevels
     val seedSet = reroot(seeds.select(col(seedCol).as("seed")).distinct())
     var frontier = reroot(seedSet
       .withColumn("node", col("seed")).withColumn("hop", lit(0L)))
@@ -794,9 +806,7 @@ object Graph {
     // the cumulative (seed, node) settled frame means the per-level
     // anti-join reads a single cached leaf instead of re-unioning every
     // prior level; `levels` itself is kept, the backward phase walks it
-    val e = reroot(edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst")).distinct())
+    val e = frontierEdges(edges, srcCol, dstCol) // shared, see bfsLevels
     // forward: levels(h) = (seed, node, sigma) settled at distance h
     val lvl0 = reroot(seeds.select(col(seedCol).as("seed")).distinct()
       .withColumn("node", col("seed")).withColumn("sigma", lit(1L)))

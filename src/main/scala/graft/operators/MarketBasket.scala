@@ -38,18 +38,28 @@ object MarketBasket {
       topK: Int): DataFrame = {
     require(minItemBaskets >= 1 && minPairBaskets >= 1 && topK >= 1,
       "thresholds and topK must be positive")
-    val items = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+    // persist the distinct basket-item set: it feeds the basket total,
+    // the apriori item frequencies AND both self-join legs — unpersisted,
+    // every consumer re-ran the scan+distinct (r11 plan audit: the q96
+    // plan held NINE parquet scans of the fact table; the aggregate legs
+    // shuffle partial-agg rows, so ReuseExchange never unifies them)
+    val items = PlanPersist("basket.items",
+      df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+        .distinct())
     val n = items.agg(countDistinct(col("bk")).as("n_baskets"))
     val freq = items.groupBy("it").agg(count(lit(1)).as("n_it"))
       .filter(col("n_it") >= minItemBaskets)
     val fitems = items.join(freq, "it")
-    val pairs = fitems.as("a").join(fitems.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("ia"), col("b.it").as("ib"))
-      .agg(count(lit(1)).as("n_ab"),
-        min(col("a.n_it")).as("n_a"), min(col("b.n_it")).as("n_b"))
-      .filter(col("n_ab") >= minPairBaskets)
+    // persist the frequent-pair aggregate too: the directed-rule union
+    // below consumes it twice (identity + swapped), which would re-run
+    // the whole pair self-join per direction
+    val pairs = PlanPersist("basket.pairs",
+      fitems.as("a").join(fitems.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("ia"), col("b.it").as("ib"))
+        .agg(count(lit(1)).as("n_ab"),
+          min(col("a.n_it")).as("n_a"), min(col("b.n_it")).as("n_b"))
+        .filter(col("n_ab") >= minPairBaskets))
     val rules = pairs
       .select(col("ia").as("antecedent"), col("ib").as("consequent"),
         col("n_ab"), col("n_a"), col("n_b"))

@@ -52,8 +52,15 @@ object Quantile {
     require(quantiles.nonEmpty && quantiles.forall { case (_, nu, de) =>
       nu >= 0 && de > 0 && nu <= de }, "quantiles must be rationals in [0,1]")
     val nB = nBuckets.toLong
-    val v = df.select(col(valueCol).cast("long").as("x"))
-      .filter(col("x").isNotNull)
+    // persisted (r11): stats, the level-1 histogram and both fine-level
+    // consumers all scan v — unpersisted, each re-ran the CALLER'S
+    // upstream plan (q94 re-scanned the fact table 4x; dq11 worse). The
+    // cached frame is the narrow (x) projection, the cheapest thing the
+    // bisection can hold; at scale this is the standard "materialize the
+    // measure column once, histogram it repeatedly" shape.
+    val v = PlanPersist("quantile.v",
+      df.select(col(valueCol).cast("long").as("x"))
+        .filter(col("x").isNotNull))
     val stats = v.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
       count(lit(1)).as("n"))
 
@@ -122,9 +129,15 @@ object Quantile {
     require(quantiles.nonEmpty && quantiles.forall { case (_, nu, de) =>
       nu >= 0 && de > 0 && nu <= de }, "quantiles must be rationals in [0,1]")
     val nB = nBuckets.toLong
-    val v = df.select(col(groupCol).as("g"),
-      col(valueCol).cast("long").as("x"))
-      .filter(col("x").isNotNull)
+    // persisted (r11): same rationale as exactQuantiles — four consumers
+    // (group stats, level-1 histogram, fine histogram, final pick) each
+    // re-ran the caller's upstream unpersisted; for q99 that upstream is
+    // a user-partitioned lag WINDOW over the fact table, re-paid per
+    // consumer (plan audit: 7 parquet scans -> 1).
+    val v = PlanPersist("quantile.vg",
+      df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("x"))
+        .filter(col("x").isNotNull))
     val stats = v.groupBy("g").agg(min(col("x")).as("mn"),
       max(col("x")).as("mx"), count(lit(1)).as("n"))
 

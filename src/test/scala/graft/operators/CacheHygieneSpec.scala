@@ -76,15 +76,52 @@ class CacheHygieneSpec extends AnyFunSuite {
     assertNoLeak("hitsInt") { Graph.hitsInt(wedges, "a", "b", "w", 3) }
   }
 
-  test("frontier-iteration ops release every internal cache") {
-    assertNoLeak("bfsLevels") {
+  test("frontier-iteration ops release every per-call cache; the shared " +
+      "edge frame is PlanPersist-owned and freed by clearAll") {
+    // r11: the cleaned edge list moved from a per-call reroot to a
+    // PlanPersist entry shared across frontier ops walking the same
+    // graph (g10/g12/g13), so after a call exactly that ONE entry may
+    // outlive it — and clearAll must free it (the standalone-leaves-
+    // nothing contract the dedup family already carries).
+    def frontierLeavesOnlySharedEdges(name: String)(run: => DataFrame): Unit = {
+      LruFrameCache.clearAll()
+      spark.catalog.clearCache()
+      val base = persisted()
+      val result = run
+      result.count()
+      result.unpersist(true)
+      assert(persisted() <= base + 1,
+        s"$name may keep only the shared PlanPersist edge frame alive " +
+          s"(baseline $base, after ${persisted()})")
+      LruFrameCache.clearAll()
+      assert(persisted() <= base,
+        s"$name left ${persisted() - base} persistent RDD(s) after " +
+          "clearAll — an internal cache escaped both the per-call " +
+          "release and the house LRU")
+    }
+    frontierLeavesOnlySharedEdges("bfsLevels") {
       Graph.bfsLevels(edges, "a", "b", seeds, "s", maxHops = 4)
     }
-    assertNoLeak("harmonicCentrality") {
+    frontierLeavesOnlySharedEdges("harmonicCentrality") {
       Graph.harmonicCentrality(edges, "a", "b", seeds, "s", maxHops = 4)
     }
-    assertNoLeak("betweennessCentrality") {
+    frontierLeavesOnlySharedEdges("betweennessCentrality") {
       Graph.betweennessCentrality(edges, "a", "b", seeds, "s", maxHops = 4)
+    }
+    // sharing: two frontier ops over the SAME edge plan reuse one entry
+    locally {
+      LruFrameCache.clearAll()
+      val base = persisted()
+      Graph.bfsLevels(edges, "a", "b", seeds, "s", maxHops = 2)
+        .unpersist(true)
+      val afterFirst = persisted()
+      Graph.harmonicCentrality(edges, "a", "b", seeds, "s", maxHops = 2)
+        .unpersist(true)
+      assert(persisted() <= afterFirst,
+        "a second frontier op over the same edge plan must hit the " +
+          "shared PlanPersist entry, not persist a second edge frame")
+      LruFrameCache.clearAll()
+      assert(persisted() <= base)
     }
   }
 
