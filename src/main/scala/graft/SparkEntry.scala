@@ -2763,12 +2763,17 @@ object SparkEntry {
         floor(col("l_quantity")).cast("long").as("qty"),
         to_date(col("l_shipdate")).as("d"),
         col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
-      val w = Window.partitionBy("pk").orderBy("d", "ok", "ln")
-      def side(f: Column) = li.filter(f)
-        .withColumn("hi", sum(col("qty")).over(w))
-        .withColumn("lo", col("hi") - col("qty"))
-      val ins = side(!col("is_out"))
-      val outs = side(col("is_out"))
+      // ONE window pass over (pk, side) instead of one filtered window
+      // per side (r11): filter-then-window-by-pk equals
+      // window-by-(pk, is_out)-then-filter row for row, so both sides
+      // derive from a single persisted cumulative frame — one scan and
+      // one window shuffle instead of two of each
+      val w = Window.partitionBy("pk", "is_out").orderBy("d", "ok", "ln")
+      val cum = graft.operators.PlanPersist("entry.q105.cum",
+        li.withColumn("hi", sum(col("qty")).over(w))
+          .withColumn("lo", col("hi") - col("qty")))
+      val ins = cum.filter(!col("is_out"))
+      val outs = cum.filter(col("is_out"))
       ins.as("b").join(outs.as("s"),
           col("b.pk") === col("s.pk") &&
           col("b.hi") > col("s.lo") && col("s.hi") > col("b.lo"))
@@ -2854,8 +2859,13 @@ object SparkEntry {
       // above" — the curve an MDM owner reads to PICK the threshold
       // instead of guessing it. One scored candidate pass (the er1/tx24
       // blocked join), then an 11-row histogram + window
+      // projected to exactly er1's input columns so the PlanPersist'd
+      // pair pass is SHARED with er1 (identical plan hash) instead of
+      // re-verified per query
       val pairs = graft.operators.EntityResolution.tokenBlockedPairs(
-        t(s, dir, "part"), "p_partkey", "p_name", "p_brand", 0.9)
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand")),
+        "p_partkey", "p_name", "p_brand", 0.9)
       pairs
         .select(floor(col("jw") * 100.0).cast("long").as("threshold_pc"))
         .groupBy("threshold_pc").agg(count(lit(1)).as("n_pairs"))

@@ -48,16 +48,24 @@ object EntityResolution {
       col(blockCol).as("block"), col("tok"))
     val b = tk.select(col(keyCol).as("pk_b"), col(nameCol).as("name_b"),
       col(blockCol).as("block"), col("tok"))
-    a.join(b, Seq("block", "tok"))
-      .filter(col("pk_a") < col("pk_b"))
-      .withColumn("jw", NumericFunctions.fround(
-        TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
-      .filter(col("jw") >= threshold)
-      // distinct AFTER the verify filter: pairs sharing k tokens appear k
-      // times in the join, but only survivors reach the distinct shuffle
-      .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
-        col("jw"))
-      .distinct()
+    // PlanPersist (r11): the verified pair set is the shared heavy pass
+    // of this family — er1's cluster resolution and er12's threshold
+    // sweep consume the SAME (records, threshold) pairs, and without the
+    // memo each re-paid the blocked join + JW verify (the scoredDistinct
+    // precedent one flight up). Key includes the plan hash, so different
+    // corpora/thresholds never collide.
+    PlanPersist("er.tokenBlockedPairs." + threshold,
+      a.join(b, Seq("block", "tok"))
+        .filter(col("pk_a") < col("pk_b"))
+        .withColumn("jw", NumericFunctions.fround(
+          TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 4))
+        .filter(col("jw") >= threshold)
+        // distinct AFTER the verify filter: pairs sharing k tokens appear
+        // k times in the join, but only survivors reach the distinct
+        // shuffle
+        .select(col("pk_a"), col("pk_b"), col("name_a"), col("name_b"),
+          col("jw"))
+        .distinct())
   }
 
   /** Exhaustive-within-block generator — the quadratic baseline the
