@@ -21,8 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+  /** Per-(session, dir, table) memo of the LAZY loaded frame (r11).
+    * `spark.read.parquet` builds a fresh InMemoryFileIndex and re-reads
+    * the footer schema on every call, so the 340-query surface paid
+    * ~1,400 redundant driver-side listings per bench run. The memo
+    * shares the un-executed plan only — every query still scans parquet
+    * itself (nothing is persisted here; this is the standard
+    * register-tables-once shape). STALENESS GUARD: the entry carries the
+    * path's lastModified and is rebuilt when it changes (one stat per
+    * call instead of a listing + footer read) — replica/property tests
+    * legitimately REWRITE a fixture dir between invocations, and an
+    * unguarded memo served them a dead FileIndex (FILE_NOT_EXIST). The
+    * archiver path keeps calling Tables.load directly: it rewrites its
+    * sources in place mid-job, where even an mtime guard is too coarse. */
+  private val tableMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (Long, DataFrame)]
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (graft.SessionKey(s), dir, name)
+    val mtime = new java.io.File(s"$dir/$name.parquet").lastModified()
+    tableMemo.get(key) match {
+      case Some((m, df)) if m == mtime => df
+      case _ =>
+        val df = Tables.load(s, dir, name)
+        tableMemo.put(key, (mtime, df))
+        df
+    }
+  }
 
   /** Run `f` with spark.sql.shuffle.partitions temporarily set to `n` —
     * used around the one-shot STATEFUL streaming queries: every state
@@ -2431,9 +2455,17 @@ object SparkEntry {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .filter(col("w1") =!= col("w2"))
-      val sym = bigr
-        .union(bigr.select(col("w2").as("w1"), col("w1").as("w2")))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("w"))
+      // aggregate DIRECTED counts first, then mirror the counted frame
+      // (r11): the old `bigr union bigr.swap` evaluated the tokenize +
+      // explode pipeline once per direction and shuffled raw bigram rows
+      // twice; summing mirrored per-direction counts is the same number
+      // (count of a union of disjointly-tagged rows = sum of the parts)
+      // with one corpus pass and a vocabulary-pair-sized second shuffle
+      val dcnt = graft.operators.PlanPersist("entry.tx43.dcnt",
+        bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+      val sym = dcnt
+        .union(dcnt.select(col("w2").as("w1"), col("w1").as("w2"), col("c")))
+        .groupBy("w1", "w2").agg(sum(col("c")).as("w"))
         .filter(col("w") >= 4L)
       graft.operators.Graph
         .pageRankInt(sym, "w1", "w2", "w", iterations = 5)

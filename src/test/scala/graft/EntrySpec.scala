@@ -20,6 +20,34 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the table-load memo rebuilds when a fixture path is rewritten") {
+    // r11: SparkEntry.t memoizes the lazy loaded frame per (session, dir,
+    // table) to skip per-call file listing + footer schema reads. The
+    // memo is guarded by the path's lastModified — a rewritten fixture
+    // (the FormulaReplicaSpec property-test pattern) must be re-listed,
+    // not served a dead FileIndex (FILE_NOT_EXIST) or stale rows.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-memo-staleness").toString
+    def write(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // lastModified has millisecond resolution; two rewrites inside one
+      // tick would alias — pin distinct mtimes like the stream fixtures do
+      val d = new java.io.File(s"$dir/documents.parquet")
+      d.setLastModified(d.lastModified() + 1000L * (rows.size + 1))
+    }
+    def blocked(): Long =
+      SparkEntry.queries("tx27_blocklist")(spark, dir)
+        .filter(col("n_flagged") > 0).count()
+    write(Seq((1L, "all good here")))
+    assert(blocked() === 0L)
+    write(Seq((1L, "all good here"), (2L, "error error error")))
+    assert(blocked() === 1L,
+      "a rewritten fixture dir must invalidate the memoized frame")
+  }
+
   test("all queries run non-empty on sf0.001 except known-empty at tiny scale") {
     // st10_rate_alert: at sf0.001 the busiest per-type 15-min bucket holds
     // only 3 events — below the alert threshold of 4 — so no alert edge can
