@@ -150,6 +150,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // run-1 seconds per query, published NEXT TO the min in the full
+    // artifact (r11 verdict item 1): a memo-fed query's min is a cache
+    // read — run 1 is where the shared family build actually lands, so
+    // without this column the build cost vanishes from the artifact
+    // (sum-of-mins never includes it) and a build regression is
+    // invisible. Overwritten if a retry pass re-runs the query (the
+    // retry's run 1 re-pays the family build after the flush — still
+    // the honest first-touch number for that pass).
+    val firstRuns = scala.collection.mutable.Map.empty[String, Double]
     val firstPass = selected.map { case (name, fn) =>
       if (family(name) != lastFamily) {
         lastFamily = family(name)
@@ -163,7 +172,9 @@ object Bench {
       }
       // min of N runs: one-time costs (codegen, cache materialization)
       // land in run 1; the min is the steady-state per-query time
-      name -> (1 to runs).map(_ => runOnce(name, fn)).min
+      val times = (1 to runs).map(_ => runOnce(name, fn))
+      firstRuns(name) = times.head
+      name -> times.min
     }
     // Contamination guard: a transient stall (snapshot machinery, noisy
     // neighbor) can inflate min-of-N for whatever ran inside the window and
@@ -212,7 +223,9 @@ object Bench {
     // Run 1 rebuilds the memo; run 2 is the apples-to-apples steady state.
     def retryOnce(name: String): Double = {
       val fn = qByName(name)
-      math.min(runOnce(name, fn), runOnce(name, fn))
+      val r1 = runOnce(name, fn)
+      firstRuns(name) = r1
+      math.min(r1, runOnce(name, fn))
     }
     def suspectsOf(rs: Seq[(String, Double)]): Seq[String] =
       rs.collect { case (name, t)
@@ -379,10 +392,10 @@ object Bench {
         s""""stream_null_sec":${fmt(streamNullSec)},""" +
         // the shared memo builds vanish from steady-state per-query times
         // (min-of-N discards the first-touch run); report them explicitly
-        // so a build regression stays diffable round over round
-        s""""memo_build_secs":${SparkEntry.memoBuildSecs.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}")},""" +
+        // so a build regression stays diffable round over round. Covers
+        // BOTH the explicit SparkEntry memos and every PlanPersist tag
+        // (timed at its eager first materialization, r12).
+        s""""memo_build_secs":${memoBuildJson()},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""suspect_regressions":$suspectsJson,""" +
         s""""suspects_under_load":$underLoadJson,""" +
@@ -391,7 +404,14 @@ object Bench {
     }
     // Full per-query map → file (the harness keeps only a ~2KB stdout tail,
     // which a 100-query map overflows; the judge reads the file instead).
-    val fullJson = line(results, s""","n_queries":${results.size}""")
+    // queries_run1 rides only the file artifact: per query, the FIRST
+    // measured run of the pass that produced its min — the number that
+    // includes any shared family build the min excludes.
+    val run1Json = results.map { case (k, _) =>
+      "\"" + k + "\":" + fmt(firstRuns.getOrElse(k, -1.0)) }
+      .mkString("{", ",", "}")
+    val fullJson = line(results,
+      s""","n_queries":${results.size},"queries_run1":$run1Json""")
     // a filtered dev run must never clobber the full-suite artifact of
     // record (bench_full.json is committed with the round)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -432,9 +452,7 @@ object Bench {
         s""""canary_par_sec":${fmt(canaryParSec)},""" +
         s""""canary_threads":${cpus.toInt},""" +
         s""""stream_null_sec":${fmt(streamNullSec)},""" +
-        s""""memo_build_secs":${SparkEntry.memoBuildSecs.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}")},""" +
+        s""""memo_build_secs":${memoBuildJson()},""" +
         s""""warmup_sec":${fmt(warmupSec)},"runs_per_query":$runs,""" +
         s""""queries":${trendQueries.map { case (k, v) =>
           "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")}}"""
@@ -472,6 +490,19 @@ object Bench {
     println(line(kept.sortBy(_._1), extraFor(omitted, omittedSec)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** memo_build_secs JSON: the explicit SparkEntry memos plus every
+    * PlanPersist tag, each the min observed build-wall-seconds (tags are
+    * disjoint by construction: SparkEntry uses bare names, PlanPersist
+    * dotted operator paths). */
+  private def memoBuildJson(): String = {
+    val fmtLocal = (v: Double) =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    (SparkEntry.memoBuildSecs.toMap ++ graft.operators.PlanPersist.buildSecs)
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmtLocal(v) }
+      .mkString("{", ",", "}")
   }
 
   private def queriesOf(

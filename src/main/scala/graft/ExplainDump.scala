@@ -33,9 +33,11 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftExtensions.register(spark)
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
       val out = outDir.resolve(s"${name}_$suffix.txt")
       try {
+        // lookup INSIDE the try: one misspelled name writes an ERROR
+        // file and the remaining queries still dump (ADVICE r11)
+        val fn = SparkEntry.queries(name)
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -140,11 +140,14 @@ object EntityResolution {
   }
 
   /** The DISTINCT scored candidate set — one row per candidate pair with
-    * every column er2/er3/er6 consume (jw_u, features, fs_deci). All of a
-    * pair's multi-token join duplicates are bit-identical rows (every
-    * scored column is a pure function of the pair's two records), so one
-    * distinct here replaces the three per-view distincts the published
-    * operators used to pay — ONE candidate shuffle serves all three.
+    * every column er2/er3/er6/er11 consume (jw_u, features, fs_deci,
+    * min_df). All of a pair's multi-token join duplicates are
+    * bit-identical in the scored columns (each is a pure function of the
+    * pair's two records), so one grouping here replaces the per-view
+    * distincts the published operators used to pay — ONE candidate
+    * shuffle serves the whole family — and the same grouping carries
+    * min(df) over the pair's shared blocking tokens for er11's tf
+    * adjustment (r12: previously a full second candidate self-join).
     *
     * Memoized per (session, source plan, params) and persisted
     * MEMORY_AND_DISK: the bench/verify harness runs er2, er3 and er6 as
@@ -166,13 +169,32 @@ object EntityResolution {
         records.queryExecution.analyzed.semanticHash().toString,
         Seq(keyCol, nameCol, blockCol, sizeCol, catCol, priceCol, sizeTol,
           priceTol).mkString("|"))
-      scoredCache.getOrElseUpdate(key,
+      scoredCache.getOrElseUpdate(key, {
+        // token -> document frequency, folded INTO the shared pass (r12):
+        // er11's tf adjustment needs the df of the pair's rarest shared
+        // token, and computing it separately replayed the whole blocked
+        // candidate self-join a second time. One row per DISTINCT name
+        // token — a structured-name vocabulary, bounded far below the
+        // record count, safe to broadcast (the er1 blocking index makes
+        // the same bet).
+        val tokDf = records
+          .select(col(keyCol).as("k"),
+            explode(split(col(nameCol), " ")).as("tok"))
+          .distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
         fellegiSunterScored(records, keyCol, nameCol, blockCol, sizeCol,
             catCol, priceCol, sizeTol, priceTol)
-          .select(col("pk_a"), col("pk_b"), col("jw_u"), col("f_size"),
-            col("f_cat"), col("f_price"), col("fs_deci"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .join(broadcast(tokDf), "tok")
+          // every scored column is a pure function of the pair's two
+          // records, so this groupBy collapses to EXACTLY one row per
+          // candidate pair — the same rows (and the same one shuffle)
+          // as the .distinct() it replaces — plus the pair's min df
+          // over its shared blocking-join tokens
+          .groupBy("pk_a", "pk_b", "jw_u", "f_size", "f_cat", "f_price",
+            "fs_deci")
+          .agg(min(col("df")).as("min_df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   def fellegiSunterMatches(records: DataFrame, keyCol: String,
@@ -260,39 +282,24 @@ object EntityResolution {
     * threshold — (pk_a, pk_b, min_df, fs_deci, fs_tf_deci), i.e. er2's
     * decision plus the borderline pairs a rare shared term rescues.
     *
-    * Scale shape: a KEYS-ONLY replay of the er2 candidate join (pair
-    * ids + shared token, no feature scoring — the JW/feature work rides
-    * the MEMOIZED pair-grain [[scoredDistinct]] frame er2/er3/er6/er9/
-    * er10 already paid for), the vocabulary-bounded token-df map
-    * broadcast onto it, a per-pair min-df reduce, a pair-grain join
-    * back to the scored frame, and a 1-row corpus-count broadcast.
-    * Candidate-bounded like everything else in this family. */
+    * Scale shape: everything rides the MEMOIZED pair-grain
+    * [[scoredDistinct]] frame er2/er3/er6/er9/er10 already paid for —
+    * the min-df reduce is folded into that frame's one grouping (the
+    * vocabulary-bounded token-df map broadcast onto the candidate join
+    * before it collapses to pair grain) — plus a 1-row corpus-count
+    * broadcast. Candidate-bounded like everything else in this family. */
   def tfAdjustedMatches(records: DataFrame, keyCol: String,
       nameCol: String, blockCol: String, sizeCol: String, catCol: String,
       priceCol: String, sizeTol: Int = 2,
       priceTol: Double = 50.0): DataFrame = {
     val n = records.select(count(lit(1)).as("n"))
-    // token -> document frequency: one row per DISTINCT name token, a
-    // structured-name vocabulary — bounded far below the record count,
-    // safe to broadcast (the er1 blocking index makes the same bet)
-    val tokDf = records
-      .select(col(keyCol).as("k"),
-        explode(split(col(nameCol), " ")).as("tok"))
-      .distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    // same (block, tok) candidate join as fellegiSunterScored but with
-    // NOTHING carried except the pair keys — no per-duplicate-token JW
-    val bt = records.select(col(keyCol), col(blockCol).as("block"),
-      explode(split(col(nameCol), " ")).as("tok"))
-    val minDf = bt.select(col(keyCol).as("pk_a"), col("block"), col("tok"))
-      .join(bt.select(col(keyCol).as("pk_b"), col("block"), col("tok")),
-        Seq("block", "tok"))
-      .filter(col("pk_a") < col("pk_b"))
-      .join(broadcast(tokDf), "tok")
-      .groupBy("pk_a", "pk_b").agg(min(col("df")).as("min_df"))
+    // min_df rides the shared scored frame (r12): the old keys-only
+    // replay of the er2 candidate join — a second full (block, tok)
+    // blocked self-join plus a pair-grain join back — is gone;
+    // scoredDistinct's grouping carries min(df over the pair's shared
+    // blocking-join tokens) computed once for the whole family
     scoredDistinct(records, keyCol, nameCol, blockCol, sizeCol,
         catCol, priceCol, sizeTol, priceTol)
-      .join(minDf, Seq("pk_a", "pk_b"))
       .crossJoin(broadcast(n))
       // ln(x)/ln(2), not log2(x): an engine's std::log2 can differ from
       // the ln ratio in the last ulp exactly at power-of-two boundaries,

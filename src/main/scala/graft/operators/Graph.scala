@@ -18,14 +18,17 @@ object Graph {
   /** Persist bookkeeping shared by the frontier-iteration family
     * ([[bfsLevels]] / [[harmonicCentrality]] / [[betweennessCentrality]]):
     * `reroot` persists + counts + lineage-reroots a per-round frame
-    * (count kept in `lastCount` for the loop-exit test); `settle` folds
-    * the ONE cumulative settled frame, eagerly dropping the superseded
-    * copy so peak cache stays ~2x the settled set rather than h copies;
+    * (count kept in `lastCount` for the loop-exit test); `rerootLazy`
+    * skips the count for frames with no loop-exit test; `settle` folds
+    * the ONE cumulative settled frame with deferred two-generation
+    * release, so peak cache stays ~3x the settled set rather than h
+    * copies and no settle pays a count job;
     * `unpersistAll` releases every tracked cache at the end (eager drops
     * re-appear here — double unpersist is a no-op). */
   private final class FrontierCaches {
     private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private var prevSettled: DataFrame = null
+    private var olderSettled: DataFrame = null
     var lastCount: Long = -1L
     def reroot(df: DataFrame): DataFrame = {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -33,11 +36,32 @@ object Graph {
       caches += cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
+    /** Persist + lineage-reroot WITHOUT an eager count — for frames that
+      * need no loop-exit count and are materialized by their first
+      * consumer anyway (the betweenness backward phase): each eager
+      * count was one extra job per hop, pure scheduling overhead on a
+      * 2*maxHops-round operator (r12; the r11 scaling block measured the
+      * per-job floor, not the operators, dominating these queries). */
+    def rerootLazy(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      caches += cached
+      df.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    }
+    /** Fold of the ONE cumulative settled frame. No eager count (r12):
+      * the frame is materialized as a side effect of the NEXT hop's
+      * reroot count (the anti-join reads it in full), so the count here
+      * was one redundant job per hop. Unpersist of the superseded copy
+      * is therefore DEFERRED one generation — settle(n) drops
+      * settled(n-2), whose successor settled(n-1) was materialized by
+      * the intervening reroot; dropping settled(n-1) here instead would
+      * force the not-yet-materialized settled(n) to recompute its whole
+      * union lineage on first touch. Peak cache is ~3x the settled set
+      * (was 2x) — still constant in the hop count. */
     def settle(df: DataFrame): DataFrame = {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count()
       caches += cached
-      if (prevSettled != null) prevSettled.unpersist(false)
+      if (olderSettled != null) olderSettled.unpersist(false)
+      olderSettled = prevSettled
       prevSettled = cached
       df.sparkSession.createDataFrame(cached.rdd, cached.schema)
     }
@@ -802,7 +826,7 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1)
     val fc = new FrontierCaches
-    import fc.{reroot, settle}
+    import fc.{reroot, rerootLazy, settle}
     // the cumulative (seed, node) settled frame means the per-level
     // anti-join reads a single cached leaf instead of re-unioning every
     // prior level; `levels` itself is kept, the backward phase walks it
@@ -851,7 +875,12 @@ object Graph {
           expr("cast(sigma as decimal(38,0)) * (1000 + delta) " +
             "div sigma_w").as("term"))
         .groupBy("seed", "node").agg(sum(col("term")).as("delta"))
-      val dcached = reroot(dI.withColumnRenamed("node", "w"))
+      // lazy reroot (r12): the backward recurrence needs no loop-exit
+      // count; each delta is materialized (and cache-filled) inside the
+      // single final job, by its two consumers — the next level's join
+      // and the contribution union — so the whole backward phase costs
+      // ONE job instead of one count job per level.
+      val dcached = rerootLazy(dI.withColumnRenamed("node", "w"))
       deltas = dcached :: deltas
       contribs ::= dcached.where(col("seed") =!= col("w"))
         .select(col("w").as("node"), col("delta").as("bc"))

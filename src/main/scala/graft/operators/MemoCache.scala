@@ -108,11 +108,38 @@ private[graft] object PlanPersist {
   // overflow is still bounded and safe.
   private val cache = new LruFrameCache(maxEntries = 32)
 
+  /** Wall-seconds each tag's first materialization cost (min over
+    * builds, the bench's min-of-N discipline). A memoized build vanishes
+    * from every steady-state per-query timing — min-of-N discards the
+    * first-touch run that paid it — so the builds are reported as
+    * explicit artifact entries ([[graft.Bench]] merges this map into
+    * `memo_build_secs`) instead of leaving a shared-pass regression
+    * invisible to the trend guard (r11 verdict item 1). */
+  val buildSecs =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
   def apply(tag: String, df: DataFrame): DataFrame =
     cache.getOrElseUpdate(
       (graft.SessionKey(df.sparkSession), tag,
-        df.queryExecution.analyzed.semanticHash().toString),
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        df.queryExecution.analyzed.semanticHash().toString), {
+        // materialize EAGERLY on the miss path so the build is timed
+        // where it happens: lazily-persisted entries charged their whole
+        // upstream pipeline to whichever consumer touched them first,
+        // which min-of-N then discarded — the shared-build cost vanished
+        // from the artifact entirely. count() on a freshly-persisted
+        // frame fills the cache with full-row batches (InMemoryRelation
+        // materializes every column regardless of the action's
+        // projection), so consumers read exactly what they read before.
+        val t0 = System.nanoTime()
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        buildSecs.updateWith(tag) {
+          case Some(prev) => Some(math.min(prev, sec))
+          case None => Some(sec)
+        }
+        p
+      })
 }
 
 private[graft] object LruFrameCache {

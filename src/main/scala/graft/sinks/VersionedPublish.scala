@@ -160,9 +160,25 @@ object VersionedPublish {
     fs.mkdirs(base)
     val next = listVersions(fs, base).map(_._1).foldLeft(0L)(math.max) + 1
     val vdir = new Path(base, s"v=$next")
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+    // the per-table writes are INDEPENDENT jobs into disjoint subdirs —
+    // submit them concurrently so the next table's tasks back-fill
+    // executors freed by the current table's write tail (r12; the
+    // overlap-independent-jobs discipline). Atomicity is untouched: the
+    // snapshot marker still lands only after EVERY write returned, and
+    // any write failure propagates before the marker exists.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tables.map { case (name, df) =>
+      new Thread(() => {
+        try {
+          // job descriptions are thread-local: label each write
+          df.sparkSession.sparkContext
+            .setJobDescription(s"publishSnapshot v=$next/$name")
+          df.write.mode("overwrite").parquet(new Path(vdir, name).toString)
+        } catch { case t: Throwable => failures.add(t) }
+      })
     }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
     // snapshot commit point: marker AFTER every table landed
     fs.create(new Path(vdir, SnapshotMarker), true).close()
     val tmp = new Path(base, "_LATEST.tmp")

@@ -48,6 +48,49 @@ class EntrySpec extends AnyFunSuite {
       "a rewritten fixture dir must invalidate the memoized frame")
   }
 
+  test("a rewritten fixture also invalidates the PlanPersist layer") {
+    // ADVICE r11: PlanPersist keys on the analyzed plan's semanticHash,
+    // and a re-loaded frame over the same rewritten path canonicalizes
+    // IDENTICALLY (InMemoryFileIndex hashes by rootPaths) — so without
+    // the table-memo-triggered flush a PlanPersist-backed operator would
+    // serve persisted rows computed from the PRE-rewrite data. tx27
+    // (above) persists nothing; dd2 routes through dedup.shingleSet +
+    // dedup.ngram.pairs PlanPersist tags, exactly the stale-serve path.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planpersist-staleness").toString
+    def write(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val d = new java.io.File(s"$dir/documents.parquet")
+      d.setLastModified(d.lastModified() + 1000L * (rows.size + 1))
+    }
+    def pairs(): Long =
+      SparkEntry.queries("dd2_ngram_jaccard")(spark, dir).count()
+    write(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely unrelated content")))
+    assert(pairs() === 0L)
+    write(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")))
+    assert(pairs() === 1L,
+      "a rewritten fixture must flush plan-keyed persisted frames, " +
+        "not serve pre-rewrite rows")
+  }
+
+  test("memoized stream fixtures replay identically on re-invocation") {
+    // r12: the st7/st8/st13-16 two-half fixtures are written once per
+    // (session, sf dir, source mtime) and REUSED by later invocations —
+    // the second run must stream the same micro-batches to the same
+    // result (fresh query, fresh checkpoint, pinned file mtimes).
+    def run(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, TestSpark.sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    for (q <- Seq("st13_stream_sketch", "st7_stream_left_outer"))
+      assert(run(q) === run(q), s"$q differs between invocations")
+  }
+
   test("all queries run non-empty on sf0.001 except known-empty at tiny scale") {
     // st10_rate_alert: at sf0.001 the busiest per-type 15-min bucket holds
     // only 3 events — below the alert threshold of 4 — so no alert edge can

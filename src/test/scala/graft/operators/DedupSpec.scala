@@ -57,6 +57,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.count() === 0)
   }
 
+  test("shingleSet precondition: unique ids give distinct rows; duplicate " +
+      "ids visibly violate it (the documented contract)") {
+    // the r11 removal of the trailing .distinct() rests on idCol being a
+    // table key: per-doc distinctness comes from WordShingles alone. This
+    // gate pins BOTH sides of that contract so a future caller passing a
+    // non-keyed frame cannot silently shift Jaccard/containment counts.
+    val keyed = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    assert(keyed.count() === keyed.distinct().count(),
+      "keyed corpus must yield one row per (doc_id, shingle)")
+    val dup = docs.unionAll(docs.filter($"doc_id" === 1L)) // id 1 twice
+    val viol = Dedup.shingleSet(dup, "doc_id", "text", 3)
+    assert(viol.count() > viol.distinct().count(),
+      "duplicate ids MUST surface as duplicate rows — if this starts " +
+        "passing distinct, the operator re-added a dedup pass and the " +
+        "r11 shuffle-removal rationale no longer holds")
+  }
+
   test("chunk dedup drops repeated chunks, keeps first occurrence, reassembles") {
     val d = Seq(
       (1L, "a b c d e f"),   // chunks(3): "a b c", "d e f"
