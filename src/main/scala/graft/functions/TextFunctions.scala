@@ -226,12 +226,15 @@ object TextFunctions {
     * class). PlanSpec gates the shape: no RegExpReplace may appear under
     * a per-window LambdaFunction. */
   def fingerprint(text: Column): Column = {
+    // native one-pass expression (r12): the declarative HOF form — even
+    // with the normalization correctly bound once per row — still
+    // allocated a start array, a substring, a digest and a hex string
+    // PER WINDOW (~n windows/doc). Md5MinShingle computes the identical
+    // min-md5-hex with a per-thread MessageDigest and two 16-byte
+    // buffers; the normalization stays a codegen'd Catalyst projection.
+    import org.apache.spark.sql.GraftColumnBridge
     val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
-    element_at(
-      transform(array(norm), nm => {
-        val starts = sequence(lit(1), greatest(length(nm) - lit(7), lit(1)))
-        array_min(transform(starts, i => md5(nm.substr(i, lit(8)))))
-      }),
-      1)
+    GraftColumnBridge.column(graft.functions.expressions.Md5MinShingle(
+      GraftColumnBridge.expression(norm), 8))
   }
 }
